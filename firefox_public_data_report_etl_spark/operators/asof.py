@@ -1,0 +1,98 @@
+"""As-of / range join (reference J4, J5).
+
+Reference shapes:
+  - J4: generated date spine joined to builds on
+    ``DATE(build.date) <= day`` then MAX(version) per day
+    (annotations.py:46-62) — latest release as of each spine day.
+  - J5: active clients joined to ``latest_releases.day <= last_day_seen``
+    then MAX per client (…user_activity.sql:166-186).
+
+Two physical strategies, chosen by the caller:
+
+  * ``asof_latest_broadcast`` — broadcast the (small) right side and do
+    a theta join + group-max. Right side must be broadcastable
+    (releases = hundreds of rows). O(|L| x |R|) work but no shuffle of
+    the left side beyond the final aggregation.
+
+  * ``asof_latest_union_window`` — the 100 TB path: union left and
+    right on a shared time axis and take ``last(value) ignore nulls``
+    over an ordered window. ONE hash shuffle + sort, no cross
+    product; scales to large right sides and is the strategy a
+    custom as-of operator would lower to.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_latest_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    allow_equal: bool = True,
+) -> DataFrame:
+    """Left + the max of each value col over right rows at-or-before
+    ``left_time``. Right side is broadcast (must be small)."""
+    cond = (
+        F.col(f"_r.{right_time}") <= F.col(f"_l.{left_time}")
+        if allow_equal
+        else F.col(f"_r.{right_time}") < F.col(f"_l.{left_time}")
+    )
+    joined = left.alias("_l").join(F.broadcast(right.alias("_r")), cond, "left")
+    aggs = [F.max(f"_r.{v}").alias(v) for v in value_cols]
+    return joined.groupBy(*[F.col(f"_l.{c}") for c in left.columns]).agg(*aggs)
+
+
+def asof_latest_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Scalable as-of: merge both sides on the time axis, carry the most
+    recent right value forward with ``last(..., ignorenulls)``.
+
+    Right rows sort before left rows at equal timestamps, so
+    ``right_time == left_time`` matches (BigQuery ``<=`` semantics).
+    """
+    lcols = left.columns
+    l = left.withColumn("_t", F.col(left_time)).withColumn("_src", F.lit(1))
+    r = (
+        right.select(
+            *by,
+            F.col(right_time).alias("_t"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn("_src", F.lit(0))
+    )
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    merged = l.withColumn("_v", F.lit(None).cast(r.schema["_v"].dataType)).select(
+        *[F.col(c) for c in lcols], "_t", "_src", "_v"
+    ).unionByName(
+        r.select(
+            *[
+                F.col(c) if c in by else F.lit(None).cast(ltypes[c]).alias(c)
+                for c in lcols
+            ],
+            "_t",
+            "_src",
+            "_v",
+        ),
+        allowMissingColumns=False,
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_t", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged.withColumn("_asof", F.last("_v", ignorenulls=True).over(w))
+    return out.filter(F.col("_src") == 1).select(
+        *lcols, F.col("_asof").alias(value_col)
+    )

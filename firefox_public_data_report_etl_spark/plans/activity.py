@@ -1,0 +1,279 @@
+"""User-activity query DAG bound to the `events` testdata table.
+
+Re-expresses the reference's flagship 26-CTE analytics query
+(scripts/public_data_report_user_activity.sql, 361 LoC — sample CTE
+:8-46, mau_wau :74-84, daily usage :85-112, intensity :113-126,
+new_profile_rate :127-140, latest_version_ratio :141-197, final 7-way
+join :326-358) as an idiomatic PySpark DataFrame DAG over the events
+fact table:
+
+  events row  ↔ clients_last_seen row (user_id=client_id, ts=day)
+  event_type  ↔ country  (cohort fan-out adds 'Worldwide', J2)
+  value       ↔ subsession_hours (outlier cut F4, exact-cents A4)
+  props.k     ↔ app_version (X7 major-version extraction)
+  purchases   ↔ buildhub2 releases (J5 as-of max)
+
+Spark-first notes:
+  - the shared `base` slice is `.cache()`d before the 6-branch fan-out
+    (SURVEY.md §4: Spark inlines CTEs; an uncached fan-out recomputes
+    the scan 6x),
+  - the 28-day MAU is computed by exploding each (user, week) into the
+    4 Monday-week windows it contributes to — a narrow fan-out +
+    re-aggregation instead of a range self-join (shuffle-free fan,
+    one agg shuffle; survives 100x scale),
+  - the as-of release lookup broadcasts the tiny releases dim
+    (operators.asof), so the fact side never shuffles for it,
+  - every money/ratio output is exact-integer aggregation + one final
+    IEEE division → bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import cents, week_start
+from firefox_public_data_report_etl_spark.operators import (
+    asof_latest_broadcast,
+    with_total_group,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+# Partial final week of the fixed Jan-2024 events range — excluded like
+# the reference's armagaddon weeks (F9, …user_activity.sql:359-360).
+EXCLUDED_WEEKS = (date(2024, 1, 29),)
+OUTLIER_VALUE_CUT = 200.0  # F4 analog: subsession_hours_sum < 24
+
+
+def base_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `sample` CTE analog (…user_activity.sql:8-46): outlier cut,
+    week bucket, cohort fan-out, exact cents, version extraction."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") < OUTLIER_VALUE_CUT
+    )
+    ev = with_total_group(ev, "event_type", "cohort")
+    return ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        week_start(F.col("ts")).alias("week_start"),
+        "cohort",
+        cents(F.col("value")).alias("cents"),
+        "event_type",
+        F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("ver"),
+    )
+
+
+_BASE_SQL = f"""
+base AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS d,
+         CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         cohort,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_type,
+         CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS ver
+  FROM (SELECT *, unnest([event_type, 'Worldwide']) AS cohort
+        FROM events WHERE value < {OUTLIER_VALUE_CUT})
+)
+"""
+
+_MAU_WAU_SQL = """
+uw AS (SELECT DISTINCT week_start, cohort, user_id FROM base),
+wau AS (SELECT week_start, cohort, count(*) AS wau
+        FROM uw GROUP BY week_start, cohort),
+fan AS (SELECT CAST(wk AS DATE) AS week_start, cohort, user_id FROM (
+          SELECT unnest(generate_series(CAST(week_start AS TIMESTAMP),
+                                        CAST(week_start AS TIMESTAMP) + INTERVAL 21 DAY,
+                                        INTERVAL 7 DAY)) AS wk,
+                 cohort, user_id FROM uw)),
+mau AS (SELECT week_start, cohort, count(DISTINCT user_id) AS mau
+        FROM fan GROUP BY week_start, cohort)
+"""
+
+
+def _mau_wau(b: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    uw = b.select("week_start", "cohort", "user_id").distinct()
+    wau = uw.groupBy("week_start", "cohort").agg(F.count("*").alias("wau"))
+    fan = uw.withColumn(
+        "week_start",
+        F.explode(
+            F.sequence(
+                F.col("week_start"),
+                F.date_add(F.col("week_start"), 21),
+                F.expr("interval 7 days"),
+            )
+        ),
+    )
+    mau = fan.groupBy("week_start", "cohort").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return uw, wau, mau
+
+
+def mau_wau_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/J2/X1: weekly active users + 28-day MAU per cohort."""
+    _, wau, mau = _mau_wau(base_events(spark, sf_dir))
+    # X4/X19: dates are string-formatted at export edges (reference
+    # FORMAT_DATE '%Y-%m-%d') — also disambiguates DATE vs TIMESTAMP
+    # across engines in the correctness gate.
+    return wau.join(mau, ["week_start", "cohort"]).select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "cohort",
+        "wau",
+        "mau",
+    )
+
+
+MAU_WAU_ORACLE = f"""
+WITH {_BASE_SQL.strip().rstrip()}, {_MAU_WAU_SQL.strip()}
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start, cohort, wau, mau
+FROM wau JOIN mau USING (week_start, cohort)
+"""
+
+
+def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: cached base → 6 aggregate branches → star join
+    (J8 analog of …user_activity.sql:326-358)."""
+    b = base_events(spark, sf_dir).cache()
+
+    uw, wau, mau = _mau_wau(b)
+
+    usg = b.groupBy("week_start", "cohort").agg(
+        F.count("*").alias("events"),
+        F.sum("cents").alias("sum_cents"),
+        F.count(F.when(F.col("event_type") == "error", True)).alias(
+            "error_events"
+        ),
+    )
+
+    uwd = b.select("week_start", "cohort", "user_id", "d").distinct()
+    inten = uwd.groupBy("week_start", "cohort").agg(
+        F.count("*").alias("user_days")
+    )
+
+    first_seen = b.groupBy("user_id").agg(F.min("week_start").alias("first_week"))
+    # first_seen is per-user (fact-sized at 100 TB): a plain shuffle
+    # join on user_id; AQE may still broadcast it at small SFs.
+    npr = (
+        uw.join(first_seen, "user_id")
+        .groupBy("week_start", "cohort")
+        .agg(
+            F.count(
+                F.when(F.col("first_week") == F.col("week_start"), True)
+            ).alias("new_users"),
+            F.count("*").alias("users"),
+        )
+    )
+
+    uwv = b.groupBy("week_start", "cohort", "user_id").agg(
+        F.max("ver").alias("ver")
+    )
+    releases = (
+        b.filter((F.col("event_type") == "purchase") & (F.col("cohort") == "Worldwide"))
+        .groupBy("week_start")
+        .agg(F.max("ver").alias("rel_ver"))
+    )
+    weeks = b.select("week_start").distinct()
+    latest = asof_latest_broadcast(
+        weeks, releases.withColumnRenamed("week_start", "rel_week"),
+        "week_start", "rel_week", ["rel_ver"],
+    ).withColumnRenamed("rel_ver", "latest_ver")
+    lvr = (
+        uwv.join(F.broadcast(latest), "week_start")
+        .groupBy("week_start", "cohort")
+        .agg(
+            (
+                F.count(F.when(F.col("ver") == F.col("latest_ver"), True)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("latest_version_ratio")
+        )
+    )
+
+    parts = [wau, mau, usg, inten, npr, lvr]
+    joined = reduce(lambda a, c: a.join(c, ["week_start", "cohort"]), parts)
+    return (
+        joined.filter(~F.col("week_start").isin(list(EXCLUDED_WEEKS)))
+        .select(
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+            "cohort",
+            "mau",
+            "wau",
+            "events",
+            (F.col("events").cast("double") / F.col("wau")).alias(
+                "events_per_user"
+            ),
+            (F.col("sum_cents").cast("double") / F.lit(100) / F.col("wau")).alias(
+                "avg_value_per_user"
+            ),
+            (F.col("user_days").cast("double") / F.col("wau")).alias("intensity"),
+            (F.col("new_users").cast("double") / F.col("users")).alias(
+                "new_profile_rate"
+            ),
+            "latest_version_ratio",
+            (F.col("error_events").cast("double") / F.col("events")).alias(
+                "error_share"
+            ),
+        )
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+WITH {_BASE_SQL.strip()}, {_MAU_WAU_SQL.strip()},
+usg AS (SELECT week_start, cohort, count(*) AS events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               count(*) FILTER (WHERE event_type = 'error') AS error_events
+        FROM base GROUP BY week_start, cohort),
+uwd AS (SELECT DISTINCT week_start, cohort, user_id, d FROM base),
+inten AS (SELECT week_start, cohort, count(*) AS user_days
+          FROM uwd GROUP BY week_start, cohort),
+first_seen AS (SELECT user_id, min(week_start) AS first_week
+               FROM base GROUP BY user_id),
+npr AS (SELECT week_start, cohort,
+               count(*) FILTER (WHERE first_week = week_start) AS new_users,
+               count(*) AS users
+        FROM uw JOIN first_seen USING (user_id)
+        GROUP BY week_start, cohort),
+uwv AS (SELECT week_start, cohort, user_id, max(ver) AS ver
+        FROM base GROUP BY week_start, cohort, user_id),
+releases AS (SELECT week_start, max(ver) AS rel_ver FROM base
+             WHERE event_type = 'purchase' AND cohort = 'Worldwide'
+             GROUP BY week_start),
+weeks AS (SELECT DISTINCT week_start FROM base),
+latest AS (SELECT w.week_start, max(r.rel_ver) AS latest_ver
+           FROM weeks w JOIN releases r ON r.week_start <= w.week_start
+           GROUP BY w.week_start),
+lvr AS (SELECT v.week_start, v.cohort,
+               CAST(count(*) FILTER (WHERE v.ver = l.latest_ver) AS DOUBLE)
+                 / count(*) AS latest_version_ratio
+        FROM uwv v JOIN latest l USING (week_start)
+        GROUP BY v.week_start, v.cohort)
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start, cohort, mau, wau, events,
+       CAST(events AS DOUBLE) / wau AS events_per_user,
+       CAST(sum_cents AS DOUBLE) / 100 / wau AS avg_value_per_user,
+       CAST(user_days AS DOUBLE) / wau AS intensity,
+       CAST(new_users AS DOUBLE) / users AS new_profile_rate,
+       latest_version_ratio,
+       CAST(error_events AS DOUBLE) / events AS error_share
+FROM wau
+JOIN mau USING (week_start, cohort)
+JOIN usg USING (week_start, cohort)
+JOIN inten USING (week_start, cohort)
+JOIN npr USING (week_start, cohort)
+JOIN lvr USING (week_start, cohort)
+WHERE week_start NOT IN (DATE '2024-01-29')
+"""
+
+
+QUERIES = {
+    "mau_wau_weekly": mau_wau_weekly,
+    "user_activity_flagship": user_activity_flagship,
+}
+
+ORACLES = {
+    "mau_wau_weekly": MAU_WAU_ORACLE,
+    "user_activity_flagship": FLAGSHIP_ORACLE,
+}

@@ -1,0 +1,260 @@
+"""Classic relational plans over the TPC-H-ish testdata tables.
+
+These cover the reference's plain relational surface (scans F1-F13,
+equi joins J1/J6-J8, aggregates A2/A8/A14, top-K A13/O5) on the tables
+where they bench meaningfully at sf0.1+, and serve as the headline
+bench queries.
+
+Determinism contract with the DuckDB oracle: every double measure is
+aggregated as exact integers (cents / basis points) and only divided
+once at the end — see functions.cents. DuckDB SUM(BIGINT) returns
+HUGEINT, so oracle sums are CAST back to BIGINT; DuckDB year() /
+row_number() return BIGINT, so Spark casts its INT results up.
+
+Scale notes per query are inline; the dims (nation/region) are
+broadcast explicitly, lineitem/orders joins shuffle on their keys and
+rely on AQE for skew/coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import cents
+from firefox_public_data_report_etl_spark.operators import top_k_per_group
+from firefox_public_data_report_etl_spark.sources import load_table
+
+
+def _pct(col) -> F.Column:
+    """0.07 → 7: exact integer percent for a 2-decimal fraction."""
+    return F.round(col * 100).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide aggregate over the biggest table.
+
+    Scale: single scan, partial aggregation map-side, 6-group output —
+    the shuffle moves only partial aggregates. Filter pushes to parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        _pct(F.col("l_discount")).alias("disc_p"),
+        _pct(F.col("l_tax")).alias("tax_p"),
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_cents"),
+        F.sum(F.col("price_c") * (100 - F.col("disc_p"))).alias("_disc4"),
+        F.sum(
+            F.col("price_c") * (100 - F.col("disc_p")) * (100 + F.col("tax_p"))
+        ).alias("_charge6"),
+        F.sum("disc_p").alias("_disc_sum"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        (F.col("_disc4").cast("double") / 10000).alias("sum_disc_price"),
+        (F.col("_charge6").cast("double") / 1000000).alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_cents").cast("double") / 100 / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        (F.col("_disc_sum").cast("double") / 100 / F.col("count_order")).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(price_c) AS BIGINT) AS sum_base_cents,
+         CAST(sum(price_c * (100 - disc_p)) AS BIGINT) AS _disc4,
+         CAST(sum(price_c * (100 - disc_p) * (100 + tax_p)) AS BIGINT) AS _charge6,
+         CAST(sum(disc_p) AS BIGINT) AS _disc_sum,
+         count(*) AS count_order
+  FROM li GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+       CAST(_disc4 AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(_charge6 AS DOUBLE) / 1000000 AS sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_cents AS DOUBLE) / 100 / count_order AS avg_price,
+       CAST(_disc_sum AS DOUBLE) / 100 / count_order AS avg_disc,
+       count_order
+FROM g
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join + broadcast dim star.
+
+    Scale: lineitem⋈orders shuffles on orderkey (the only big
+    shuffle); customer is shuffle-joined on custkey; nation/region are
+    broadcast so the 5-row/25-row dims never move the fact side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev4"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        df.groupBy("r_name", "n_name", "o_year")
+        .agg(F.sum("rev4").alias("rev4"))
+        .select(
+            "r_name",
+            "n_name",
+            "o_year",
+            (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+REGIONAL_REVENUE_ORACLE = """
+SELECT r_name, n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+            AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name, o_year
+"""
+
+
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (an operator the
+    reference never needs but a complete engine must have).
+
+    Scale: semi join shuffles on orderkey only; the probe side carries
+    no lineitem payload columns (column pruning).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("interval 60 days")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+LATE_SHIP_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/O5: per-group top-K via window row_number with deterministic
+    tie-break (revenue desc, custkey asc) — the reference's
+    ``ARRAY_AGG(... ORDER BY ratio DESC LIMIT 10)`` in flat form.
+
+    Scale: pre-aggregate revenue per customer BEFORE ranking (shrinks
+    the window input from orders-sized to customers-sized), window
+    shuffles on the 25-key nation partitioning.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("total_c")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("total_c").alias("rev_cents"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    top = top_k_per_group(
+        rev,
+        ["n_name"],
+        [F.desc("rev_cents"), F.asc("c_custkey")],
+        k=3,
+    )
+    return top.select(
+        "n_name", "c_name", "rev_cents", F.col("rank").cast("long").alias("rank")
+    )
+
+
+TOP_CUSTOMERS_ORACLE = """
+WITH rev AS (
+  SELECT n_name, c_name, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_name, c_custkey
+), ranked AS (
+  SELECT n_name, c_name, rev_cents,
+         CAST(row_number() OVER (PARTITION BY n_name
+                                 ORDER BY rev_cents DESC, c_custkey) AS BIGINT) AS rank
+  FROM rev
+)
+SELECT n_name, c_name, rev_cents, rank FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "regional_revenue": regional_revenue,
+    "late_ship_priority": late_ship_priority,
+    "top_customers_per_nation": top_customers_per_nation,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_ORACLE,
+    "regional_revenue": REGIONAL_REVENUE_ORACLE,
+    "late_ship_priority": LATE_SHIP_PRIORITY_ORACLE,
+    "top_customers_per_nation": TOP_CUSTOMERS_ORACLE,
+}

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Every session the engine creates is configured for correctness parity
+with the DuckDB oracle (UTC session time zone, nanos-as-long parquet
+reads) and for scale (AQE with skew-join handling, dynamic partition
+overwrite, arrow-batched Python interop).
+
+Scale notes (local[32] here, 1000-executor cluster in production):
+  - ``spark.sql.shuffle.partitions`` defaults to 2x local cores; on a
+    real cluster leave it to AQE coalescing (initial 2000+) or set via
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+  - AQE handles skew joins and post-shuffle coalescing at runtime, so
+    plans written here survive 100x data growth without re-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fpdr-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Correctness parity with the DuckDB oracle: naive timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Testdata parquet stores TIMESTAMP(NANOS); read as long, the
+        # loaders convert to micros (lossless for this data).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scale: adaptive execution re-plans shuffles at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Idempotent per-partition overwrite (reference S5 semantics:
+        # hardware_report.py:458-465 WRITE_TRUNCATE to table$YYYYMMDD).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Arrow for any pandas-UDF edge (multimodal operators).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

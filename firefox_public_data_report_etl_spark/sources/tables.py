@@ -1,0 +1,70 @@
+"""Source / sink layer (reference operators S1-S12).
+
+The reference submits parameterized SQL to BigQuery and loads JSON
+blobs back (hardware_report.py:59-84, user_activity.py:28-45); here the
+table universe is partitioned parquet and every "parameterized scan"
+is a DataFrame with literal filters, which Catalyst pushes into the
+parquet reader (PushedFilters / partition pruning — verified in tests
+via .explain).
+
+Scale notes: loaders never infer schemas beyond the parquet footer,
+reads stay columnar/vectorized, and timestamp normalization is a pure
+column expression (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Testdata parquet stores these as TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as LongType ns since
+# epoch. Converted to TimestampType micros (lossless: data has micro
+# precision), matching DuckDB's naive read.
+TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan operator (S1/S4): one parquet table, timestamps normalized."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TIMESTAMP_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def date_spine(start_col, stop_col, step_days: int = 7):
+    """Generated-sequence source (S12; reference annotations.py:35-45 uses
+    ``UNNEST(GENERATE_DATE_ARRAY(...))``): returns an array column of
+    dates to ``F.explode``. Runs JVM-side via ``sequence``."""
+    return F.sequence(start_col, stop_col, F.expr(f"interval {step_days} days"))
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned sink with idempotent per-partition overwrite (S5/S6;
+    reference hardware_report.py:458-465 writes ``table$YYYYMMDD`` with
+    WRITE_TRUNCATE). ``partitionOverwriteMode=dynamic`` is set on the
+    session, so ``mode="overwrite"`` replaces only touched partitions."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
