@@ -45,7 +45,7 @@ def collapse_buckets(
     scope_cols: Sequence[str],
     key_col: str,
     count_col: str,
-    threshold_frac: float = 0.01,
+    threshold: tuple[int, int] = (1, 100),
     sentinel_keys: Sequence[str] = (),
     family_split: str | None = None,
 ) -> DataFrame:
@@ -53,6 +53,11 @@ def collapse_buckets(
 
     ``counts``: one row per (scope, key) with an additive ``count_col``.
     ``scope_cols``: e.g. the week — totals and thresholds are per scope.
+    ``threshold``: (num, den) — a bucket is small iff
+    ``den * count < num * total``. Expressed as exact integer
+    arithmetic (NOT ``count < total * 0.01``) so the boundary case is
+    deterministic and engine-independent; the reference's 1% threshold
+    (hardware_report.py:442) is ``(1, 100)``.
     ``sentinel_keys``: always collapsed regardless of size (reference
     resolution ``"0x0"``, hardware_report.py:292-293).
     ``family_split``: if set (e.g. ``"-"``), runs the two-phase os-style
@@ -64,11 +69,12 @@ def collapse_buckets(
     count / scope total — deterministic: exact integer counts, single
     final division.
     """
+    num, den = threshold
     scope_w = Window.partitionBy(*scope_cols) if scope_cols else Window.partitionBy()
     total = F.sum(count_col).over(scope_w)
     counts = counts.withColumn("_total", total)
 
-    small = (F.col(count_col) < F.col("_total") * threshold_frac) | F.col(
+    small = (F.col(count_col) * den < F.col("_total") * num) | F.col(
         key_col
     ).isin(list(sentinel_keys))
 
@@ -91,7 +97,7 @@ def collapse_buckets(
                 small, F.concat(family, F.lit(family_split), F.lit(OTHER))
             ).otherwise(F.col(key_col)),
         )
-        still_small = F.col(count_col) < F.col("_total") * threshold_frac
+        still_small = F.col(count_col) * den < F.col("_total") * num
         collapsed = _rekey_and_sum(
             phase1,
             [*scope_cols, "_total"],

@@ -13,9 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from firefox_public_data_report_etl_spark.plans import activity, tpch
+from firefox_public_data_report_etl_spark.plans import (
+    activity,
+    annotations,
+    hardware,
+    scalars,
+    tpch,
+)
 
-_MODULES = [activity, tpch]
+_MODULES = [activity, annotations, hardware, scalars, tpch]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

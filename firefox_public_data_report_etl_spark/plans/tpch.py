@@ -36,9 +36,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single scan, partial aggregation map-side, 6-group output —
     the shuffle moves only partial aggregates. Filter pushes to parquet.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-01")
-    )
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", None, "1998-09-02")
+    ).filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
     li = li.select(
         "l_returnflag",
         "l_linestatus",
@@ -167,7 +167,9 @@ def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: semi join shuffles on orderkey only; the probe side carries
     no lineitem payload columns (column pruning).
     """
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(
+        spark, sf_dir, "orders", prune=("o_orderdate", "1996-01-01", "1997-01-01")
+    ).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )

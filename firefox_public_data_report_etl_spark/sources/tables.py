@@ -40,11 +40,40 @@ TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan operator (S1/S4): one parquet table, timestamps normalized."""
+def _ns(date_str: str) -> int:
+    """Nanoseconds since epoch for a naive-UTC 'YYYY-MM-DD[ HH:MM:SS]'."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(date_str).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    prune: tuple[str, str | None, str | None] | None = None,
+) -> DataFrame:
+    """Scan operator (S1/S4): one parquet table, timestamps normalized.
+
+    ``prune=(ts_col, lo, hi)`` applies a CONSERVATIVE [lo, hi) range
+    filter on the raw nanos long BEFORE timestamp conversion, so it
+    reaches the parquet scan as a row-group filter (the converted
+    column is a derived expression Catalyst can't push). Queries still
+    apply their exact predicate on the converted column; this is purely
+    scan pruning — essential at 100 TB where the conversion otherwise
+    forces a full scan.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    if prune is not None and dtypes.get(prune[0]) == "bigint":
+        c, lo, hi = prune
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(_ns(lo)))
+        if hi is not None:
+            df = df.filter(F.col(c) < F.lit(_ns(hi)))
     for c in TIMESTAMP_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     return df
 
