@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its dedup surface is GROUP BY collapse,
+A17); these are the operators a 100 TB text-corpus pipeline needs:
+
+  - exact dedup: hash-groupBy, one shuffle on the content hash;
+  - MinHash + LSH near-dup: shingle → minhash signature → banded
+    bucket join → verify exact Jaccard on the candidate set only.
+    The band join turns the O(n²) pair space into per-bucket joins —
+    the only quadratic work left is within buckets and on the
+    (tiny) candidate set;
+  - SimHash signatures: per-token hash sign-aggregation; pair mining
+    at scale reuses the same banding trick (pigeonhole: hamming ≤ k
+    ⇒ some band of k+1 equal).
+
+All hashes go through the portable md5 fragment (functions.md5_int_sql)
+so the DuckDB oracle reproduces results bit-for-bit; a production
+deployment would swap in xxhash64 (JVM-side, no md5 string cost).
+
+Spark-first: everything below is built-in column expressions —
+shingling is ``transform``/``sequence``/``element_at`` (codegen'd,
+no Python in the row path), signatures are plain aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firefox_public_data_report_etl_spark.functions import (
+    md5_int_sql,
+    minhash_perm_sql,
+)
+
+# Fixed universal-hash constants (a, b): a < 2^29 and base < 2^28 keep
+# a*h + b inside int64. Shared by the Spark plan and the DuckDB oracle.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    ((2 * k + 1) * 12582917 % 2147483629, (k * 15485863 + 32452843) % 2147483647)
+    for k in range(16)
+]
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+# Word 3-gram shingles from a token array column `t` — same logic in
+# both dialects (Spark subscripts are 0-based → element_at; DuckDB
+# lists are 1-based).
+SPARK_SHINGLES = (
+    "transform(sequence(1, size(t)-2),"
+    " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"
+)
+DUCK_SHINGLES = (
+    "list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, g): one row per distinct word-3-gram per document."""
+    t = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    return t.select(
+        id_col, F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh15): minimum of each hash permutation over shingles."""
+    h = F.expr(md5_int_sql("g"))
+    base = sh.withColumn("h", h)
+    aggs = [
+        F.min(F.expr(minhash_perm_sql("h", a, b))).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def _band_expr(band: int):
+    """Combine ROWS_PER_BAND signature values into one band key
+    (Horner, base 31 — max ~2^46, safe in int64)."""
+    cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out * 31 + c
+    return out
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(da, db) with da < db: pairs sharing at least one LSH band."""
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), _band_expr(i).alias("bv")
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.bi", "band.bv")
+    a = bands.select(F.col(id_col).alias("da"), "bi", "bv")
+    b = bands.select(F.col(id_col).alias("db"), "bi", "bv")
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(da, db, jaccard): exact Jaccard over distinct shingles, computed
+    only for the given candidate pairs (broadcast — candidates are few
+    after LSH)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("da"), "g")
+    sb = sh.select(F.col(id_col).alias("db"), "g")
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, "da")
+        .join(sb, ["db", "g"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def all_pairs_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(da, db, jaccard) for every pair sharing ≥1 shingle — the
+    brute-force O(n²-ish) baseline (join on shingle, group by pair).
+    Use the LSH path at scale."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("da"), "g")
+    sb = sh.select(F.col(id_col).alias("db"), "g")
+    inter = (
+        sa.join(sb, "g")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 28
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 28-bit SimHash over tokens (with multiplicity).
+
+    Bit b is set iff the +1/−1 vote of token-hash bit b is positive.
+    Near-dup mining at scale: band the 28 bits into k+1 chunks and
+    join on chunk equality (pigeonhole covers hamming ≤ k).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    h = toks.withColumn("h", F.expr(md5_int_sql("w")))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select(id_col, sim.cast("long").alias("simhash"))

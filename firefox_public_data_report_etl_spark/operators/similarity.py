@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline, and a
+sign-bucket LSH variant as the scale path. Both operate on QUANTIZED
+embeddings — ``floor(x * 1000)`` int64 components — so dot products
+and norms are exact integer arithmetic and the final cosine is a
+single deterministic FP expression, bit-identical in Spark and the
+DuckDB oracle. (Production would keep float32 and lose oracle
+exactness, not correctness.)
+
+Scale notes: brute force is |Q| x |C| — fine for |Q| small (the
+queries side is broadcast, candidates never shuffle). The LSH variant
+buckets both sides by the sign pattern of leading components: the
+join becomes per-bucket, trading recall for a 2^bits fan-in
+reduction; recall improves with multiple hyperplane tables (extend by
+unioning several bucket functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+QUANT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_DOT = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+_NORM = "aggregate(transform(q, x -> x * x), 0L, (s, v) -> s + v)"
+
+
+def quantized(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, q, norm): int64-quantized embedding + exact squared norm."""
+    return emb.select(
+        id_col, F.expr(QUANT).alias("q")
+    ).withColumn("norm", F.expr(_NORM))
+
+
+def cosine_topk(
+    queries: DataFrame, candidates: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(q_id, n_id, rank, cos): brute-force exact top-k by cosine.
+
+    ``queries``/``candidates`` are `quantized` outputs. Queries are
+    broadcast; ties break on candidate id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col("q").alias("qa"), F.col("norm").alias("na")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("n_id"), F.col("q").alias("qb"), F.col("norm").alias("nb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+SIGN_BITS = 8
+# Sign pattern of the first SIGN_BITS quantized components → bucket id.
+_BUCKET = " + ".join(
+    f"(CASE WHEN element_at(q, {j + 1}) >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(SIGN_BITS)
+)
+
+
+def sign_bucket(df: DataFrame) -> DataFrame:
+    """Adds the LSH `bucket` column (sign pattern of leading dims)."""
+    return df.withColumn("bucket", F.expr(f"CAST({_BUCKET} AS BIGINT)"))
+
+
+def cosine_topk_lsh(
+    queries: DataFrame, candidates: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket, then exact cosine rank within it."""
+    q = sign_bucket(queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "bucket",
+    )
+    c = sign_bucket(candidates).select(
+        F.col(id_col).alias("n_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

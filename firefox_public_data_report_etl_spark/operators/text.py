@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, language-ID heuristic, token statistics, fingerprinting.
+
+All pure column expressions (whole-stage-codegen friendly); hashes use
+the portable md5 fragment so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+STOPWORDS = ("a", "the")
+
+# marker-word votes per language for the heuristic language-ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "la", "los"),
+}
+
+
+def _count_in(arr, words) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({arr}, x -> x IN ({lst})))")
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, distinct-type count,
+    type-token ratio, average token length, stopword ratio.
+
+    Exact-integer numerators/denominators; ratios are single final
+    divisions (oracle-deterministic).
+    """
+    d = docs.select(
+        id_col, "lang", F.split(F.col(text_col), " ").alias("t"), F.col(text_col).alias("_x")
+    )
+    d = d.select(
+        id_col,
+        "lang",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.length(F.regexp_replace("_x", " ", "")).cast("long").alias("_chars"),
+        _count_in("t", STOPWORDS).cast("long").alias("_stops"),
+    )
+    return d.select(
+        id_col,
+        "lang",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (F.col("_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("_stops").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word-vote language ID: the language with the strictly
+    highest marker count wins (ties → earlier language in the fixed
+    order); zero votes → 'und'."""
+    d = docs.select(id_col, "lang", F.split(F.col(text_col), " ").alias("t"))
+    langs = list(LANG_MARKERS)
+    for lang in langs:
+        d = d.withColumn(f"_s_{lang}", _count_in("t", LANG_MARKERS[lang]))
+    pred = F.lit("und")
+    # build the when-chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        others = [o for o in langs if o != lang]
+        is_best = F.col(f"_s_{lang}") > 0
+        for o in others:
+            cmp = (
+                F.col(f"_s_{lang}") >= F.col(f"_s_{o}")
+                if langs.index(o) > langs.index(lang)
+                else F.col(f"_s_{lang}") > F.col(f"_s_{o}")
+            )
+            is_best = is_best & cmp
+        pred = F.when(is_best, F.lit(lang)).otherwise(pred)
+    return d.select(
+        id_col,
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+FINGERPRINT_GRAM = 5
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp_min, n_grams, n_distinct): rolling character-5-gram
+    hash fingerprint — min hash over all positions plus gram counts
+    (a winnowing-lite document signature)."""
+    k = FINGERPRINT_GRAM
+    d = docs.select(id_col, F.col(text_col).alias("x")).filter(
+        F.length("x") >= k
+    )
+    grams = d.select(
+        id_col,
+        F.explode(
+            F.expr(f"transform(sequence(1, length(x) - {k - 1}), i -> substr(x, i, {k}))")
+        ).alias("g"),
+    )
+    hashed = grams.withColumn("h", F.expr(md5_int_sql("g")))
+    return hashed.groupBy(id_col).agg(
+        F.min("h").alias("fp_min"),
+        F.count("*").alias("n_grams"),
+        F.countDistinct("h").alias("n_distinct"),
+    )

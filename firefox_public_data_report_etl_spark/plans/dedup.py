@@ -1,0 +1,170 @@
+"""Deduplication queries over the `documents` table.
+
+The testdata corpus has planted near-duplicates (top pairs at word-
+3-gram Jaccard ≈ 0.97+); threshold 0.5 separates them cleanly from the
+shared-vocabulary background (~0.01-0.1).
+
+The DuckDB oracles are code-generated from the SAME constants
+(MINHASH_PERMS, band layout, md5 fragment) as the Spark plans, so both
+engines compute identical signatures, candidates, and Jaccard values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import md5_int_sql, minhash_perm_sql
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    DUCK_SHINGLES,
+    MINHASH_PERMS,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    all_pairs_jaccard,
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash_signatures,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash → survivor (min id) + group size.
+    One shuffle on the hash; at 100 TB, hash first so the shuffle moves
+    32-byte keys, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force word-3-gram Jaccard pairs ≥ threshold (the baseline
+    the LSH path must reproduce)."""
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    return all_pairs_jaccard(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+_DUCK_SHINGLE_CTES = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+sh AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTES.strip()},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidates, verified with
+    exact Jaccard — the scale path: no all-pairs join ever happens."""
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    return jaccard_for_pairs(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    md5h = md5_int_sql("g")
+    mins = ",\n         ".join(
+        f"min({minhash_perm_sql('h', a, b)}) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_selects = []
+    for i in range(N_BANDS):
+        cols = [f"mh{i * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr} * 31 + {c})"
+        band_selects.append(f"SELECT doc_id, {i} AS bi, {expr} AS bv FROM sigs")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_DUCK_SHINGLE_CTES.strip()},
+hh AS (SELECT doc_id, {md5h} AS h FROM sh),
+sigs AS (SELECT doc_id,
+         {mins}
+         FROM hh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.g = x.g
+  GROUP BY c.da, c.db
+)
+SELECT da, db,
+       CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-bit SimHash signatures per document (near-dup mining then
+    bands the bits; on this shared-vocabulary corpus pair mining would
+    degenerate, so the signature itself is the checked artifact)."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    md5h = md5_int_sql("w")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT doc_id, {md5h} AS h FROM e),
+v AS (SELECT doc_id,
+       {votes}
+      FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+}

@@ -16,12 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 from firefox_public_data_report_etl_spark.plans import (
     activity,
     annotations,
+    dedup,
     hardware,
     scalars,
+    similarity,
+    streamingq,
+    text,
     tpch,
 )
 
-_MODULES = [activity, annotations, hardware, scalars, tpch]
+_MODULES = [
+    activity,
+    annotations,
+    dedup,
+    hardware,
+    scalars,
+    similarity,
+    streamingq,
+    text,
+    tpch,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

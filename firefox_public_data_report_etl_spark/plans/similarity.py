@@ -1,0 +1,100 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Query set = every 50th vector; brute-force exact top-3 (baseline) and
+the sign-bucket LSH approximate variant (scale path). Quantized
+integer dot products keep both engines bit-identical (see
+operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.operators.similarity import (
+    SIGN_BITS,
+    cosine_topk,
+    cosine_topk_lsh,
+    quantized,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+QUERY_MOD = 50
+TOP_K = 3
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk(queries, emb, TOP_K)
+
+
+_QUANT_CTES = """
+qt AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+e AS (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt),
+norms AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS norm FROM e GROUP BY vec_id)
+"""
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
+"""
+
+
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk_lsh(queries, emb, TOP_K)
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN q[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIGN_BITS)
+)
+
+ANN_LSH_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+bk AS (SELECT vec_id, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM qt),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  JOIN bk x ON x.vec_id = a.vec_id
+  JOIN bk y ON y.vec_id = b.vec_id AND y.bucket = x.bucket
+  WHERE a.vec_id % {QUERY_MOD} = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "ann_lsh_bucket": ann_lsh_bucket,
+}
+
+ORACLES = {
+    "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
+    "ann_lsh_bucket": ANN_LSH_ORACLE,
+}

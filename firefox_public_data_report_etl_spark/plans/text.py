@@ -1,0 +1,138 @@
+"""Text-analysis and multimodal-plumbing queries over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import md5_int_sql
+from firefox_public_data_report_etl_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+)
+from firefox_public_data_report_etl_spark.operators.text import (
+    FINGERPRINT_GRAM,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    langid_heuristic,
+    quality_features,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t, text AS x FROM documents),
+f AS (SELECT doc_id, lang,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        CAST(length(replace(x, ' ', '')) AS BIGINT) AS chars,
+        CAST(len(list_filter(t, w -> w IN ({_in_list(STOPWORDS)}))) AS BIGINT) AS stops
+      FROM d)
+SELECT doc_id, lang, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+       CAST(chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(stops AS DOUBLE) / n_tokens AS stop_ratio
+FROM f
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ",\n       ".join(
+        f"len(list_filter(t, w -> w IN ({_in_list(LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, o in enumerate(langs):
+            if j == i:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"s_{lang} {op} s_{o}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, lang,
+       {scores}
+      FROM d)
+SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang,
+       ({case}) = lang AS is_match
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+WITH d AS (SELECT doc_id, text AS x FROM documents WHERE length(text) >= {FINGERPRINT_GRAM}),
+g AS (SELECT doc_id,
+        unnest(list_transform(range(1, length(x) - {FINGERPRINT_GRAM - 2}),
+                              i -> substr(x, i, {FINGERPRINT_GRAM}))) AS g
+      FROM d),
+hh AS (SELECT doc_id, {md5_int_sql('g')} AS h FROM g)
+SELECT doc_id, min(h) AS fp_min, count(*) AS n_grams,
+       count(DISTINCT h) AS n_distinct
+FROM hh GROUP BY doc_id
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, JVM side: payload bytes + chunk count
+    (the partition-planning input for a decode stage)."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.expr("(n_bytes + 255) div 256").alias("n_chunks"),
+    )
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id AS media_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode stage over binary payloads
+    (deterministic FakeDecoder; see operators.multimodal). Not
+    SQL-expressible — driver records the rows-only check."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
+QUERIES = {
+    "text_quality_scores": text_quality_scores,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLES = {
+    "text_quality_scores": TEXT_QUALITY_ORACLE,
+    "text_langid": _langid_oracle(),
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "multimodal_meta": MULTIMODAL_META_ORACLE,
+    # multimodal_decode: mapInPandas stage, rows-only by design
+}

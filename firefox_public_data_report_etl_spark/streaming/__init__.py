@@ -1,0 +1,6 @@
+from firefox_public_data_report_etl_spark.streaming.windows import (
+    stream_events,
+    tumbling_event_value,
+)
+
+__all__ = ["stream_events", "tumbling_event_value"]

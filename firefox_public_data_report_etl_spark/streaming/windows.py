@@ -1,0 +1,64 @@
+"""Structured Streaming twins of the batch windows.
+
+The reference has no streaming (SURVEY.md §2.9) — its incrementality
+is weekly-batch partition overwrite. The engine adds the Spark-native
+incremental form: the SAME window aggregation function serves batch
+DataFrames and ``readStream`` sources, so batch backfill and streaming
+tail share one definition (the lambda-architecture collapse Structured
+Streaming is for).
+
+Scale notes: tumbling windows + watermark bound state; the aggregation
+is partial map-side before the state-store shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import cents
+
+
+def tumbling_event_value(
+    events: DataFrame, window: str = "6 hours", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window per-type counts and exact-cents sums.
+
+    Works on both batch and streaming inputs; pass ``watermark`` (e.g.
+    '1 hour') for streaming so late data past the bound is dropped and
+    window state is reclaimed.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from a
+    batch read; nanos column normalized exactly like the batch loader)."""
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
