@@ -46,8 +46,13 @@ def main() -> None:
     from firefox_public_data_report_etl_spark.plans import QUERIES
 
     spark = get_spark(app_name="fpdr-bench")
-    # Warm the JVM + file listing outside the measurement.
-    spark.range(1).collect()
+    # Warm JVM JIT + whole-stage-codegen compilation on the smallest SF
+    # so sf0.1 timings measure steady-state execution, not first-call
+    # compilation. Caches are cleared so no data is reused.
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

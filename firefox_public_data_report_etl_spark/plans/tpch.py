@@ -111,11 +111,19 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); customer is shuffle-joined on custkey; nation/region are
     broadcast so the 5-row/25-row dims never move the fact side.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
-            "rev4"
-        ),
+    # Pre-aggregate lineitem to order grain BEFORE the join: the
+    # shuffle then moves one partial-sum row per order instead of every
+    # line item (map-side combine ahead of the join key shuffle).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            (
+                cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+            ).alias("rev4"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev4").alias("rev4"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
