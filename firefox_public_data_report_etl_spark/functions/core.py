@@ -65,8 +65,10 @@ def safe_div(num: Column, den: Column) -> Column:
 
 
 def major_version(col: Column) -> Column:
-    """'109.0.1' → 109 (reference …user_activity.sql:145,156)."""
-    return F.regexp_extract(col, r"^(\d+)", 1).cast("int")
+    """'109.0.1' → 109; NULL for unparseable versions (reference
+    …user_activity.sql:145,156; try_cast because regexp_extract yields
+    '' on no-match, which ANSI cast rejects)."""
+    return F.regexp_extract(col, r"^(\d+)", 1).try_cast("int")
 
 
 # --------------------------------------------------------------------------
@@ -90,11 +92,12 @@ def pos_of_trailing_set_bit(col: Column) -> Column:
 # Hardware-report mappings (X20-X22; reference hardware_report.py:87-166)
 # --------------------------------------------------------------------------
 
-# 13-entry GPU vendor-id → name map (hardware_report.py:119-144).
+# 13-entry GPU vendor-id → name map (hardware_report.py:130-144).
 GPU_VENDOR_MAP = {
     "0x1013": "Cirrus Logic",
     "0x1002": "AMD",
     "0x8086": "Intel",
+    "Intel Open Source Technology Center": "Intel",
     "0x5333": "S3 Graphics",
     "0x1039": "SIS",
     "0x1106": "VIA",
@@ -103,6 +106,7 @@ GPU_VENDOR_MAP = {
     "0x15ad": "VMWare",
     "0x80ee": "Oracle VirtualBox",
     "0x1414": "Microsoft Basic",
+    "0x106b": "Apple",
 }
 
 
@@ -115,18 +119,19 @@ def gpu_vendor_name(col: Column) -> Column:
 
 
 def os_arch(browser_arch: Column, os_col: Column, is_wow64: Column) -> Column:
-    """X22 decision table (hardware_report.py:87-116) as a when-chain:
+    """X22 decision table (hardware_report.py:87-116) as a when-chain,
+    in the reference's exact evaluation order:
 
-    - aarch64 browser → aarch64
-    - x86 browser on Windows under WOW64 → x86-64 (64-bit OS)
-    - x86-64 browser → x86-64
-    - otherwise x86
+    1. 64-bit browser build → x86-64
+    2. Windows_NT + WOW64 → x86-64 (32-bit browser on 64-bit OS)
+    3. aarch64 browser → aarch64
+    4. otherwise x86
     """
-    is_windows = os_col.startswith("Windows")
+    is_windows = os_col == "Windows_NT"
     return (
-        F.when(browser_arch == "aarch64", F.lit("aarch64"))
-        .when((browser_arch == "x86") & is_windows & is_wow64, F.lit("x86-64"))
-        .when(browser_arch == "x86-64", F.lit("x86-64"))
+        F.when(browser_arch == "x86-64", F.lit("x86-64"))
+        .when(is_windows & is_wow64, F.lit("x86-64"))
+        .when(browser_arch == "aarch64", F.lit("aarch64"))
         .otherwise(F.lit("x86"))
     )
 

@@ -54,10 +54,11 @@ def collapse_buckets(
     ``counts``: one row per (scope, key) with an additive ``count_col``.
     ``scope_cols``: e.g. the week — totals and thresholds are per scope.
     ``threshold``: (num, den) — a bucket is small iff
-    ``den * count < num * total``. Expressed as exact integer
-    arithmetic (NOT ``count < total * 0.01``) so the boundary case is
-    deterministic and engine-independent; the reference's 1% threshold
-    (hardware_report.py:442) is ``(1, 100)``.
+    ``count < floor(total * num / den)``, matching the reference's
+    ``int(client_count * 0.01)`` absolute threshold
+    (hardware_report.py:442) at (1, 100). Exact integer arithmetic
+    (NOT ``count < total * 0.01`` in floats) so the boundary case is
+    deterministic and engine-independent.
     ``sentinel_keys``: always collapsed regardless of size (reference
     resolution ``"0x0"``, hardware_report.py:292-293).
     ``family_split``: if set (e.g. ``"-"``), runs the two-phase os-style
@@ -72,16 +73,18 @@ def collapse_buckets(
     num, den = threshold
     scope_w = Window.partitionBy(*scope_cols) if scope_cols else Window.partitionBy()
     total = F.sum(count_col).over(scope_w)
-    counts = counts.withColumn("_total", total)
+    counts = counts.withColumn("_total", total).withColumn(
+        "_thr", F.expr(f"_total * {num} div {den}")
+    )
 
-    small = (F.col(count_col) * den < F.col("_total") * num) | F.col(
-        key_col
-    ).isin(list(sentinel_keys))
+    small = (F.col(count_col) < F.col("_thr")) | F.col(key_col).isin(
+        list(sentinel_keys)
+    )
 
     if family_split is None:
         collapsed = _rekey_and_sum(
             counts,
-            [*scope_cols, "_total"],
+            [*scope_cols, "_total", "_thr"],
             key_col,
             count_col,
             F.when(small, F.lit(OTHER)).otherwise(F.col(key_col)),
@@ -90,17 +93,17 @@ def collapse_buckets(
         family = F.split(F.col(key_col), family_split, 2).getItem(0)
         phase1 = _rekey_and_sum(
             counts,
-            [*scope_cols, "_total"],
+            [*scope_cols, "_total", "_thr"],
             key_col,
             count_col,
             F.when(
                 small, F.concat(family, F.lit(family_split), F.lit(OTHER))
             ).otherwise(F.col(key_col)),
         )
-        still_small = F.col(count_col) * den < F.col("_total") * num
+        still_small = F.col(count_col) < F.col("_thr")
         collapsed = _rekey_and_sum(
             phase1,
-            [*scope_cols, "_total"],
+            [*scope_cols, "_total", "_thr"],
             key_col,
             count_col,
             F.when(still_small, F.lit(OTHER)).otherwise(F.col(key_col)),

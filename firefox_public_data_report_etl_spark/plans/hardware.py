@@ -97,13 +97,13 @@ WITH counts AS (
   FROM part GROUP BY 1
 ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
 p1 AS (
-  SELECT CASE WHEN cnt * 100 < total * 1
+  SELECT CASE WHEN cnt < (total * 1) // 100
               THEN split_part(p_key, '-', 1) || '-Other' ELSE p_key END AS p_key,
          cnt
   FROM counts, tot
 ), p1a AS (SELECT p_key, CAST(sum(cnt) AS BIGINT) AS cnt FROM p1 GROUP BY p_key),
 p2 AS (
-  SELECT CASE WHEN cnt * 100 < total * 1 THEN 'Other' ELSE p_key END AS p_key, cnt
+  SELECT CASE WHEN cnt < (total * 1) // 100 THEN 'Other' ELSE p_key END AS p_key, cnt
   FROM p1a, tot
 ), fin AS (SELECT p_key, CAST(sum(cnt) AS BIGINT) AS client_count FROM p2 GROUP BY p_key)
 SELECT p_key, client_count,

@@ -1,0 +1,102 @@
+"""Report-edge sinks (reference S7-S9) and export shaping (P3-P5).
+
+The reference's outputs are report-sized JSON documents (hundreds of
+rows), so the final shaping happens driver-side after a collect — the
+same edge the reference crosses with ``json.dumps`` + GCS upload
+(hardware_report.py:359-381, user_activity.py:103-115,
+annotations.py:123-133). Everything upstream of these functions is
+distributed; nothing here touches fact-scale data.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def write_json_report(
+    records: list[dict], path: str, dryrun: bool = False, indent: int = 4
+) -> bool:
+    """S7: pretty-printed JSON array to a local file; the ``dryrun``
+    flag gates all writes (reference --dry_run,
+    hardware_report.py:369-370). Returns whether a write happened."""
+    if dryrun:
+        return False
+    Path(path).write_text(json.dumps(records, indent=indent))
+    return True
+
+
+class ReportUploader:
+    """S8/S9: object-store sink writing the latest copy AND a dated
+    archive copy (hardware_report.py:364-381). The storage client is
+    injected so tests (and the reference's dryrun contract: ZERO client
+    calls, tests/test_hardware_report.py:193-200) can observe calls."""
+
+    def __init__(self, storage_client):
+        self._client = storage_client
+
+    def upload_latest_and_archive(
+        self,
+        payload: str,
+        latest_path: str,
+        dated_path: str,
+        dryrun: bool = False,
+        content_type: str = "application/json",
+    ) -> int:
+        if dryrun:
+            return 0
+        self._client.upload(latest_path, payload, content_type)
+        self._client.upload(dated_path, payload, content_type)
+        return 2
+
+
+def fxhealth_records(weekly: DataFrame) -> dict[str, list[dict]]:
+    """P3 (user_activity.py:50-69): flagship weekly rows →
+    ``{cohort: [{date, metrics...}]}`` with ratio fields scaled x100
+    (X18). ``weekly`` is the user_activity_flagship output."""
+    out: dict[str, list[dict]] = {}
+    for row in weekly.collect():
+        d = row.asDict()
+        out.setdefault(d["cohort"], []).append(
+            {
+                "date": d["week_start"],
+                "metrics": {
+                    "mau": d["mau"],
+                    "avg_daily_usage": d["avg_value_per_user"],
+                    "intensity": d["intensity"],
+                    "new_profile_rate": d["new_profile_rate"] * 100,
+                    "latest_version_ratio": d["latest_version_ratio"] * 100,
+                },
+            }
+        )
+    return out
+
+
+def validate_cohorts(
+    produced: set[str], allowlist: set[str]
+) -> tuple[set[str], set[str]]:
+    """U2 (user_activity.py:85-101): output contract — returns
+    (missing, unexpected); the caller raises if either is non-empty."""
+    return allowlist - produced, produced - allowlist
+
+
+# P5: per-country default annotations appended to static ones
+# (annotations.py:21-27,90-100).
+DEFAULT_USAGE_ANNOTATIONS = [
+    {"annotation": "engine baseline recalculated", "date": "2024-01-01"},
+]
+
+
+def merge_usage_annotations(
+    static_by_country: dict[str, list[dict]], countries: list[str]
+) -> dict[str, list[dict]]:
+    """Appends the defaults to every country's static annotation list,
+    creating entries for countries with no static annotations."""
+    out: dict[str, list[dict]] = {}
+    for c in countries:
+        out[c] = list(static_by_country.get(c, [])) + [
+            dict(a) for a in DEFAULT_USAGE_ANNOTATIONS
+        ]
+    return out

@@ -52,10 +52,13 @@ def stream_events(
     from firefox_public_data_report_etl_spark.sources import load_table
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file source requires a directory; glob-filter the events
+    # table out of the shared sf_dir.
     raw = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn(

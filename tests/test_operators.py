@@ -1,0 +1,109 @@
+"""Operator-level unit tests: as-of join strategy equivalence, top-k
+forms, fan-out semantics, bitfield functions, week conventions."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.functions import (
+    bitcount_lowest_7,
+    major_version,
+    pos_of_trailing_set_bit,
+    week_start,
+)
+from firefox_public_data_report_etl_spark.operators import (
+    asof_latest_broadcast,
+    asof_latest_union_window,
+    explode_preserving_empty,
+    top_k_array,
+    top_k_per_group,
+    with_total_group,
+)
+
+
+def test_week_start_is_monday(spark):
+    """SURVEY.md §7.4: assert (not assume) Spark weeks start Monday,
+    matching BigQuery DATE_TRUNC(..., WEEK(MONDAY))."""
+    df = spark.createDataFrame(
+        [(date(2024, 1, 7),), (date(2024, 1, 8),), (date(2024, 1, 14),)], ["d"]
+    )
+    got = [r["w"] for r in df.select(week_start(F.col("d")).alias("w")).collect()]
+    assert got == [date(2024, 1, 1), date(2024, 1, 8), date(2024, 1, 8)]
+
+
+def test_bitfield_functions(spark):
+    # bits 0b1001000: lowest-7 popcount 2; trailing set bit index 3
+    df = spark.createDataFrame([(72,), (1,), (0,)], ["b"])
+    out = df.select(
+        bitcount_lowest_7(F.col("b")).alias("c"),
+        pos_of_trailing_set_bit(F.col("b")).alias("p"),
+    ).collect()
+    assert (out[0]["c"], out[0]["p"]) == (2, 3)
+    assert (out[1]["c"], out[1]["p"]) == (1, 0)
+    assert out[2]["p"] is None  # zero guard
+
+
+def test_major_version(spark):
+    df = spark.createDataFrame([("109.0.1",), ("7",), ("bad",)], ["v"])
+    got = [r["m"] for r in df.select(major_version(F.col("v")).alias("m")).collect()]
+    assert got == [109, 7, None]
+
+
+def test_asof_strategies_agree(spark):
+    """Broadcast-theta and union-window as-of joins must give the same
+    answer (including the <= boundary and before-first-release NULL)."""
+    left = spark.createDataFrame(
+        [(1, date(2024, 1, 1)), (2, date(2024, 1, 5)), (3, date(2024, 1, 10))],
+        ["id", "d"],
+    )
+    right = spark.createDataFrame(
+        [(date(2024, 1, 5), 50), (date(2024, 1, 8), 80)], ["rd", "v"]
+    )
+    a = {
+        r["id"]: r["v"]
+        for r in asof_latest_broadcast(left, right, "d", "rd", ["v"]).collect()
+    }
+    b = {
+        r["id"]: r["v"]
+        for r in asof_latest_union_window(left, right, "d", "rd", "v").collect()
+    }
+    assert a == b == {1: None, 2: 50, 3: 80}
+
+
+def test_top_k_forms_agree(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 3), ("g1", "b", 9), ("g1", "c", 5), ("g2", "d", 1)],
+        ["g", "name", "score"],
+    )
+    flat = top_k_per_group(df, ["g"], [F.desc("score"), F.asc("name")], k=2)
+    flat_got = {
+        (r["g"], r["rank"]): r["name"] for r in flat.collect()
+    }
+    assert flat_got == {("g1", 1): "b", ("g1", 2): "c", ("g2", 1): "d"}
+
+    arr = top_k_array(
+        df, ["g"], F.col("score"), F.col("name"), k=2, out_col="top"
+    )
+    arr_got = {r["g"]: r["top"] for r in arr.collect()}
+    assert arr_got == {"g1": ["b", "c"], "g2": ["d"]}
+
+
+def test_with_total_group_fanout(spark):
+    df = spark.createDataFrame([("US", 1), ("DE", 2)], ["country", "n"])
+    out = with_total_group(df, "country", "cohort")
+    assert out.count() == 4
+    cohorts = {r["cohort"] for r in out.collect()}
+    assert cohorts == {"US", "DE", "Worldwide"}
+
+
+def test_explode_preserving_empty(spark):
+    df = spark.createDataFrame(
+        [(1, ["x"]), (2, []), (3, None)],
+        "id int, arr array<string>",
+    )
+    out = explode_preserving_empty(df, F.col("arr"), "item")
+    got = {(r["id"], r["item"]) for r in out.collect()}
+    # empty and NULL arrays keep their row with a NULL item
+    assert got == {(1, "x"), (2, None), (3, None)}
