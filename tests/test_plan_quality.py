@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the properties that keep these
+queries viable at 100 TB must survive refactors.
+
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where a broadcast range/theta join is
+  the intended strategy (as-of joins, brute-force similarity);
+- parquet scans prune columns and receive pushed filters.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Queries whose plans intentionally contain a broadcast non-equi join.
+BNLJ_ALLOWED = {
+    "user_activity_flagship",   # as-of latest-release join (tiny right)
+    "release_annotations",      # spine x weekly-max range join
+    "embedding_cosine_topk",    # brute-force baseline: queries x cands
+    "date_spine_weeks",         # 1-row bounds crossJoin to spine
+}
+
+
+def _executed_plan(spark, name, sf_dir):
+    from firefox_public_data_report_etl_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # finalize AQE re-planning
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _names():
+    from firefox_public_data_report_etl_spark.plans import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_cartesian_and_bnlj_only_where_intended(spark, sf_dir, name):
+    plan = _executed_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} uses a nested-loop join where a hash join is expected"
+        )
+
+
+def test_pricing_summary_scan_pruning(spark, sf_dir):
+    plan = _executed_plan(spark, "pricing_summary", sf_dir)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # column pruning: the 9 unused lineitem columns never reach the scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # the conservative raw-nanos range filter reaches the parquet reader
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_dir):
+    plan = _executed_plan(spark, "regional_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "nation" not in plan.split(
+        "SortMergeJoin"
+    )[0]
+
+
+def test_late_ship_uses_semi_join(spark, sf_dir):
+    plan = _executed_plan(spark, "late_ship_priority", sf_dir)
+    assert "LeftSemi" in plan
