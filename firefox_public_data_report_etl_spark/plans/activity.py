@@ -291,12 +291,93 @@ WHERE week_start NOT IN (DATE '2024-01-29')
 """
 
 
+def event_type_share_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7 ratio-join shape (…user_activity.sql:232-244): per-type
+    weekly user counts joined back to the weekly total for ratios."""
+    b = base_events(spark, sf_dir)
+    per_type = (
+        b.filter(F.col("cohort") != "Worldwide")
+        .groupBy("week_start", "cohort")
+        .agg(F.countDistinct("user_id").alias("type_users"))
+    )
+    totals = (
+        b.filter(F.col("cohort") == "Worldwide")
+        .groupBy("week_start")
+        .agg(F.countDistinct("user_id").alias("total_users"))
+    )
+    return per_type.join(totals, "week_start").select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        F.col("cohort").alias("event_type"),
+        "type_users",
+        "total_users",
+        (F.col("type_users").cast("double") / F.col("total_users")).alias(
+            "user_share"
+        ),
+    )
+
+
+EVENT_SHARE_ORACLE = f"""
+WITH {_BASE_SQL.strip()},
+per_type AS (
+  SELECT week_start, cohort, count(DISTINCT user_id) AS type_users
+  FROM base WHERE cohort <> 'Worldwide' GROUP BY week_start, cohort
+),
+totals AS (
+  SELECT week_start, count(DISTINCT user_id) AS total_users
+  FROM base WHERE cohort = 'Worldwide' GROUP BY week_start
+)
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start,
+       cohort AS event_type, type_users, total_users,
+       CAST(type_users AS DOUBLE) / total_users AS user_share
+FROM per_type JOIN totals USING (week_start)
+"""
+
+
+def mau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of mau_wau_weekly: HyperLogLog++
+    ``approx_count_distinct`` replaces the exact distinct count, which
+    at fact scale turns the Expand-based distinct aggregation into a
+    fixed-size sketch merge. No oracle (sketch estimates are
+    engine-specific); the exact twin is the correctness anchor."""
+    uw = (
+        base_events(spark, sf_dir)
+        .select("week_start", "cohort", "user_id")
+        .distinct()
+    )
+    fan = uw.withColumn(
+        "week_start",
+        F.explode(
+            F.sequence(
+                F.col("week_start"),
+                F.date_add(F.col("week_start"), 21),
+                F.expr("interval 7 days"),
+            )
+        ),
+    )
+    wau = uw.groupBy("week_start", "cohort").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("wau_approx")
+    )
+    mau = fan.groupBy("week_start", "cohort").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("mau_approx")
+    )
+    return wau.join(mau, ["week_start", "cohort"]).select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "cohort",
+        "wau_approx",
+        "mau_approx",
+    )
+
+
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
     "user_activity_flagship": user_activity_flagship,
+    "event_type_share_weekly": event_type_share_weekly,
+    "mau_wau_approx": mau_wau_approx,
 }
 
 ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
+    "event_type_share_weekly": EVENT_SHARE_ORACLE,
+    # mau_wau_approx: sketch-based, rows-only by design
 }

@@ -23,6 +23,7 @@ from firefox_public_data_report_etl_spark.plans import (
     streamingq,
     text,
     tpch,
+    windowsq,
 )
 
 _MODULES = [
@@ -35,6 +36,7 @@ _MODULES = [
     streamingq,
     text,
     tpch,
+    windowsq,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

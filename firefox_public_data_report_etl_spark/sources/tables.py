@@ -74,7 +74,9 @@ def load_table(
             df = df.filter(F.col(c) < F.lit(_ns(hi)))
     for c in TIMESTAMP_COLUMNS.get(name, ()):
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer div, NOT / : float division of ~1e18 ns loses the
+            # last microsecond to double rounding.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

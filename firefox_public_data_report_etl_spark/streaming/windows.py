@@ -61,7 +61,5 @@ def stream_events(
         .parquet(sf_dir)
     )
     if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
