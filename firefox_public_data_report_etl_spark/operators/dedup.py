@@ -84,7 +84,13 @@ def _band_expr(band: int):
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(da, db) with da < db: pairs sharing at least one LSH band."""
+    """(da, db) with da < db: pairs sharing at least one LSH band.
+
+    The band table is cached: both sides of the self-join (and any
+    downstream verify) would otherwise recompute the signature
+    aggregation. It is signature-sized (n_docs x N_BANDS rows of
+    ints), so the cache is tiny relative to the corpus.
+    """
     bands = sigs.select(
         id_col,
         F.explode(
@@ -97,7 +103,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.bi", "band.bv")
+    ).select(id_col, "band.bi", "band.bv").cache()
     a = bands.select(F.col(id_col).alias("da"), "bi", "bv")
     b = bands.select(F.col(id_col).alias("db"), "bi", "bv")
     return (
