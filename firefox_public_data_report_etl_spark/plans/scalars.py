@@ -117,12 +117,68 @@ GROUP BY o_orderpriority
 """
 
 
+def weekly_value_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the raw Spark-SQL surface — the same week aggregate issued
+    as SQL text over a registered temp view (reference annotations.py
+    submits raw SQL strings; the engine's SQL entry point must behave
+    identically to the DataFrame API)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week_start,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events_v
+        GROUP BY 1, 2
+        """
+    )
+
+
+WEEKLY_VALUE_SQL_ORACLE = """
+SELECT strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: JSON path extraction from the
+    events props payload (get_json_object — JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("k") > 50, True)).alias("n_high"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+JSON_PROPS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE k > 50) AS n_high,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM ev GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scalar_expr_showcase": scalar_expr_showcase,
     "empty_preserving_unnest": empty_preserving_unnest,
+    "weekly_value_sql": weekly_value_sql,
+    "json_props_extract": json_props_extract,
 }
 
 ORACLES = {
     "scalar_expr_showcase": SCALAR_SHOWCASE_ORACLE,
     "empty_preserving_unnest": EMPTY_PRESERVING_ORACLE,
+    "weekly_value_sql": WEEKLY_VALUE_SQL_ORACLE,
+    "json_props_extract": JSON_PROPS_ORACLE,
 }
