@@ -163,6 +163,14 @@ def md5_int_sql(expr: str, nibbles: int = 7) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def md5_int_spark_sql(expr: str, nibbles: int = 7) -> str:
+    """Spark-dialect fast form of `md5_int_sql`: one ``conv`` call
+    instead of `nibbles` instr lookups. Produces the IDENTICAL value
+    (verified in tests), so Spark plans use this while DuckDB oracles
+    keep the portable fragment."""
+    return f"CAST(conv(substr(md5({expr}), 1, {nibbles}), 16, 10) AS BIGINT)"
+
+
 # Mersenne prime 2^31-1: universal-hash modulus for minhash permutations.
 MINHASH_PRIME = 2147483647
 

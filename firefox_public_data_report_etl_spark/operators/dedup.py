@@ -13,9 +13,11 @@ A17); these are the operators a 100 TB text-corpus pipeline needs:
     at scale reuses the same banding trick (pigeonhole: hamming ≤ k
     ⇒ some band of k+1 equal).
 
-All hashes go through the portable md5 fragment (functions.md5_int_sql)
-so the DuckDB oracle reproduces results bit-for-bit; a production
-deployment would swap in xxhash64 (JVM-side, no md5 string cost).
+All hashes are the md5-prefix integer (functions.md5_int_sql) — Spark
+computes it via the fast single-``conv`` form (md5_int_spark_sql), the
+DuckDB oracle via the portable instr fragment; both yield identical
+values, so results match bit-for-bit. A production deployment would
+swap in xxhash64 (JVM-side, no md5 string cost) and drop oracle parity.
 
 Spark-first: everything below is built-in column expressions —
 shingling is ``transform``/``sequence``/``element_at`` (codegen'd,
@@ -27,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from firefox_public_data_report_etl_spark.functions import (
-    md5_int_sql,
+    md5_int_spark_sql,
     minhash_perm_sql,
 )
 
@@ -64,7 +66,7 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, mh0..mh15): minimum of each hash permutation over shingles."""
-    h = F.expr(md5_int_sql("g"))
+    h = F.expr(md5_int_spark_sql("g"))
     base = sh.withColumn("h", h)
     aggs = [
         F.min(F.expr(minhash_perm_sql("h", a, b))).alias(f"mh{k}")
@@ -186,7 +188,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    h = toks.withColumn("h", F.expr(md5_int_sql("w")))
+    h = toks.withColumn("h", F.expr(md5_int_spark_sql("w")))
     votes = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from firefox_public_data_report_etl_spark.functions import md5_int_sql
+from firefox_public_data_report_etl_spark.functions import md5_int_spark_sql
 
 STOPWORDS = ("a", "the")
 
@@ -101,7 +101,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.expr(f"transform(sequence(1, length(x) - {k - 1}), i -> substr(x, i, {k}))")
         ).alias("g"),
     )
-    hashed = grams.withColumn("h", F.expr(md5_int_sql("g")))
+    hashed = grams.withColumn("h", F.expr(md5_int_spark_sql("g")))
     return hashed.groupBy(id_col).agg(
         F.min("h").alias("fp_min"),
         F.count("*").alias("n_grams"),

@@ -157,18 +157,27 @@ def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node columnar baseline at sf0.1, and the same rewrite is
     what keeps the 100 TB plan at two fact-table shuffles.
     """
-    b = base_events(spark, sf_dir).cache()
+    # The fact scan has exactly ONE consumer (the uwu aggregate), so it
+    # needs no cache; every downstream branch derives from cached uwu.
+    b = base_events(spark, sf_dir)
 
     # Shuffle 1: user-week grain. Rows are unique on (week, cohort,
     # user) afterwards, so uw for the MAU fan needs no extra distinct.
-    # Cached: 4 consumers (MAU fan, first-seen dim, week spine, the
-    # week-grain aggregate) would otherwise recompute this shuffle.
+    # Cached: 5 consumers (MAU fan, first-seen dim, week spine, the
+    # releases dim, the week-grain aggregate) would otherwise recompute
+    # this shuffle.
     uwu = b.groupBy("week_start", "cohort", "user_id").agg(
         F.count("*").alias("events_u"),
         F.sum("cents").alias("cents_u"),
         F.count(F.when(F.col("event_type") == "error", True)).alias("errors_u"),
         F.countDistinct("d").alias("days_u"),
         F.max("ver").alias("ver_u"),
+        # purchase-only version max lets the releases dim derive from
+        # uwu (max of per-user maxes == global max) instead of a second
+        # pass over the fact table.
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ver"))).alias(
+            "pver_u"
+        ),
     ).cache()
 
     _, mau = _mau_wau(uwu.select("week_start", "cohort", "user_id"))
@@ -178,11 +187,10 @@ def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("week_start").alias("first_week")
     )
     releases = (
-        b.filter(
-            (F.col("event_type") == "purchase") & (F.col("cohort") == "Worldwide")
-        )
+        uwu.filter(F.col("cohort") == "Worldwide")
         .groupBy("week_start")
-        .agg(F.max("ver").alias("rel_ver"))
+        .agg(F.max("pver_u").alias("rel_ver"))
+        .filter(F.col("rel_ver").isNotNull())
     )
     weeks = uwu.select("week_start").distinct()
     latest = asof_latest_broadcast(

@@ -51,6 +51,25 @@ def test_major_version(spark):
     assert got == [109, 7, None]
 
 
+def test_hash_forms_identical(spark):
+    """The Spark fast conv-based md5 int must equal the portable
+    instr-chain fragment the DuckDB oracles use — value parity of the
+    whole dedup/text family hangs on this."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+        md5_int_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world",), ("",), ("Ünïcode ß",), ("a b c d e",)], ["s"]
+    )
+    out = df.selectExpr(
+        f"{md5_int_sql('s')} AS portable",
+        f"{md5_int_spark_sql('s')} AS fast",
+    ).collect()
+    assert all(r["portable"] == r["fast"] for r in out)
+
+
 def test_asof_strategies_agree(spark):
     """Broadcast-theta and union-window as-of joins must give the same
     answer (including the <= boundary and before-first-release NULL)."""
