@@ -155,11 +155,105 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: iterative min-label connected
+    components over the verified MinHash-LSH pair graph (the step that
+    turns pairwise matches into keep-one-per-cluster decisions).
+
+    The oracle expresses the same fixpoint as a recursive CTE — an
+    independent formulation, so convergence bugs can't hide.
+    """
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    pairs = jaccard_for_pairs(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    out = connected_components(pairs, "da", "db")
+    return out.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def _clusters_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+EMBED_NEARDUP_THRESHOLD = 0.45
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: exact quantized cosine over all
+    id-ordered pairs, thresholded. This is the correctness baseline;
+    the 100 TB path prefilters with banded random-hyperplane buckets
+    (see operators.similarity.sign_bucket) before the exact verify."""
+    from firefox_public_data_report_etl_spark.operators.similarity import quantized
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    a = emb.select(
+        F.col("vec_id").alias("da"), F.col("q").alias("qa"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("db"), F.col("q").alias("qb"), F.col("norm").alias("nb")
+    )
+    scored = (
+        a.join(b, F.col("da") < F.col("db"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    return scored.filter(F.col("cos") >= EMBED_NEARDUP_THRESHOLD).select(
+        "da", "db", "cos"
+    )
+
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH qt AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+e AS (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt),
+norms AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS norm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS da, b.vec_id AS db, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sc AS (
+  SELECT da, db,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON da = x.vec_id JOIN norms y ON db = y.vec_id
+)
+SELECT da, db, cos FROM sc WHERE cos >= {EMBED_NEARDUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -167,4 +261,6 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_clusters": _clusters_oracle(),
+    "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
 }
