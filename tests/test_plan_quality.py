@@ -16,6 +16,7 @@ BNLJ_ALLOWED = {
     "user_activity_flagship",   # as-of latest-release join (tiny right)
     "release_annotations",      # spine x weekly-max range join
     "embedding_cosine_topk",    # brute-force baseline: queries x cands
+    "dedup_embedding_cosine",   # brute-force pair verify (LSH is the scale path)
     "date_spine_weeks",         # 1-row bounds crossJoin to spine
 }
 
