@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "text_quality_scores",
+    "user_sessions",
+    "tumbling_window_counts",
 ]
 
 
