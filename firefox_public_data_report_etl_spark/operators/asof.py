@@ -37,15 +37,25 @@ def asof_latest_broadcast(
     allow_equal: bool = True,
 ) -> DataFrame:
     """Left + the max of each value col over right rows at-or-before
-    ``left_time``. Right side is broadcast (must be small)."""
+    ``left_time``. Right side is broadcast (must be small).
+
+    Duplicate left rows are preserved (a hidden row id keeps the
+    post-join re-aggregation from collapsing them), matching the
+    union-window strategy's multiplicity semantics.
+    """
     cond = (
         F.col(f"_r.{right_time}") <= F.col(f"_l.{left_time}")
         if allow_equal
         else F.col(f"_r.{right_time}") < F.col(f"_l.{left_time}")
     )
-    joined = left.alias("_l").join(F.broadcast(right.alias("_r")), cond, "left")
+    l = left.withColumn("_rid", F.monotonically_increasing_id())
+    joined = l.alias("_l").join(F.broadcast(right.alias("_r")), cond, "left")
     aggs = [F.max(f"_r.{v}").alias(v) for v in value_cols]
-    return joined.groupBy(*[F.col(f"_l.{c}") for c in left.columns]).agg(*aggs)
+    return (
+        joined.groupBy(*[F.col(f"_l.{c}") for c in l.columns])
+        .agg(*aggs)
+        .drop("_rid")
+    )
 
 
 def asof_latest_union_window(

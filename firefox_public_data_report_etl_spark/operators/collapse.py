@@ -90,7 +90,11 @@ def collapse_buckets(
             F.when(small, F.lit(OTHER)).otherwise(F.col(key_col)),
         )
     else:
-        family = F.split(F.col(key_col), family_split, 2).getItem(0)
+        import re
+
+        # escape: family_split is a literal separator, F.split takes a
+        # regex ('.' or '|' would otherwise split on everything).
+        family = F.split(F.col(key_col), re.escape(family_split), 2).getItem(0)
         phase1 = _rekey_and_sum(
             counts,
             [*scope_cols, "_total", "_thr"],

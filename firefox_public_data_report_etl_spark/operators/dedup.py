@@ -22,6 +22,11 @@ swap in xxhash64 (JVM-side, no md5 string cost) and drop oracle parity.
 Spark-first: everything below is built-in column expressions —
 shingling is ``transform``/``sequence``/``element_at`` (codegen'd,
 no Python in the row path), signatures are plain aggregates.
+
+Cache lifecycle: ``lsh_candidate_pairs`` (and query-level callers)
+``cache()`` small intermediate tables for the duration of the job.
+Long-lived sessions running many corpora should
+``spark.catalog.clearCache()`` between runs (bench.py does).
 """
 
 from __future__ import annotations

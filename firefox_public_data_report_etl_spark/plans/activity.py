@@ -60,7 +60,9 @@ def base_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         cents(F.col("value")).alias("cents"),
         "event_type",
-        F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("ver"),
+        # try_cast: regexp_extract yields '' when props has no digit,
+        # which ANSI cast (Spark 4 default) rejects.
+        F.regexp_extract("props", r"(\d+)", 1).try_cast("int").alias("ver"),
     )
 
 
@@ -72,7 +74,7 @@ base AS (
          cohort,
          CAST(round(value * 100) AS BIGINT) AS cents,
          event_type,
-         CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS ver
+         TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS ver
   FROM (SELECT *, unnest([event_type, 'Worldwide']) AS cohort
         FROM events WHERE value < {OUTLIER_VALUE_CUT})
 )
@@ -201,7 +203,11 @@ def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["rel_ver"],
     ).withColumnRenamed("rel_ver", "latest_ver")
 
-    enriched = uwu.join(F.broadcast(first_seen), "user_id").join(
+    # first_seen is user-cardinality (fact-sized at 100 TB): NO
+    # broadcast hint — it shuffle-joins on user_id (AQE may still
+    # broadcast it at test SFs). Only the week-cardinality `latest`
+    # dim is genuinely tiny.
+    enriched = uwu.join(first_seen, "user_id").join(
         F.broadcast(latest), "week_start"
     )
 
@@ -275,7 +281,9 @@ releases AS (SELECT week_start, max(ver) AS rel_ver FROM base
              GROUP BY week_start),
 weeks AS (SELECT DISTINCT week_start FROM base),
 latest AS (SELECT w.week_start, max(r.rel_ver) AS latest_ver
-           FROM weeks w JOIN releases r ON r.week_start <= w.week_start
+           -- LEFT: weeks before the first release keep their rows with
+           -- a NULL latest (ratio 0), matching the Spark as-of join
+           FROM weeks w LEFT JOIN releases r ON r.week_start <= w.week_start
            GROUP BY w.week_start),
 lvr AS (SELECT v.week_start, v.cohort,
                CAST(count(*) FILTER (WHERE v.ver = l.latest_ver) AS DOUBLE)

@@ -123,11 +123,23 @@ def aggregate_dimensions_long(df: DataFrame, devices: DataFrame) -> DataFrame:
     replacement for the reference's 11 packed ARRAY(SELECT ... GROUP
     BY) subqueries (hardware_report.py:34-39)."""
     t = transform_dimensions(df, devices)
+    dtypes = dict(t.dtypes)
+
+    def _key(d: str) -> F.Column:
+        # Reference keys are Python str(value): booleans must render
+        # 'True'/'False' (tests/test_hardware_report.py:183), not
+        # Spark's lowercase cast.
+        if dtypes.get(d) == "boolean":
+            return F.when(F.col(d), F.lit("True")).when(
+                ~F.col(d), F.lit("False")
+            )
+        return F.col(d).cast("string")
+
     pairs = F.array(
         *[
             F.struct(
                 F.lit(d).alias("dimension"),
-                F.col(d).cast("string").alias("key"),
+                _key(d).alias("key"),
             )
             for d in ALL_DIMS
         ]

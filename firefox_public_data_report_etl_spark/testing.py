@@ -76,7 +76,7 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
 
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
-        return [] if len(sdf) >= 0 else ["spark query failed"]
+        return [] if len(sdf) > 0 else [f"rows-only query {name} returned 0 rows"]
     con = duckdb_connection(sf_dir)
     odf = con.execute(ORACLES[name]).fetchdf()
     return compare_frames(sdf, odf)

@@ -103,8 +103,9 @@ def test_aggregate_dimensions_long(spark):
     assert got[("gfx0_vendor_name", "Microsoft Basic")] == 5
     assert got[("gfx0_model", "Maxwell-GM204")] == 1
     assert got[("gfx0_model", "Other")] == 5
-    assert got[("has_flash", "true")] == 1
-    assert got[("has_flash", "false")] == 5
+    # reference str(True) casing, not Spark's lowercase
+    assert got[("has_flash", "True")] == 1
+    assert got[("has_flash", "False")] == 5
 
 
 def _counts_df(spark, rows):
