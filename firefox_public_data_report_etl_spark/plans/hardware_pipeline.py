@@ -234,11 +234,21 @@ def run_pipeline(
     input_df: DataFrame,
     inverted_device_map: dict,
     out_path: str,
+    only_weeks: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end weekly job (SURVEY.md §3.1): aggregate + collapse →
     idempotent partitioned write (S5, $YYYYMMDD WRITE_TRUNCATE analog)
-    → ordered read-back (S4) → wide export frame (P2)."""
+    → ordered read-back (S4) → wide export frame (P2).
+
+    Incrementality: the reference loops ``--past_weeks`` submitting one
+    BigQuery job per week partition (hardware_report.py:427-437); here
+    ALL weeks process in one distributed pass, and ``only_weeks``
+    recomputes just those partitions — dynamic partition overwrite
+    replaces exactly the touched weeks, leaving the rest intact.
+    """
     devices = device_map_df(spark, inverted_device_map)
+    if only_weeks is not None:
+        input_df = input_df.filter(F.col("date_from").isin(only_weeks))
     weekly = hardware_weekly(input_df, devices)
     write_partitioned(weekly, out_path, ["date_from"])
     back = spark.read.parquet(out_path).orderBy("date_from")

@@ -184,3 +184,30 @@ def test_full_pipeline_roundtrip(spark, tmp_path):
         spark, _input_df(spark), hp.invert_device_map(RAW_DEVICE_MAP), out
     )
     assert back2.count() == n1
+
+
+def test_incremental_week_recompute(spark, tmp_path):
+    """only_weeks recomputes just the named partition; untouched weeks
+    survive the overwrite (the --past_weeks backfill contract)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "hw_inc")
+    inv = hp.invert_device_map(RAW_DEVICE_MAP)
+    w2 = date(2024, 1, 8)
+    df1 = _input_df(spark)
+    df2 = df1.withColumn("date_from", F.lit(w2))
+    both = df1.unionByName(df2)
+    hp.run_pipeline(spark, both, inv, out)
+    n_w1 = spark.read.parquet(out).filter(F.col("date_from") == WEEK).count()
+
+    # recompute ONLY week 2 from modified input; week 1 rows untouched
+    modified = df2.withColumn("client_count", F.col("client_count") * 2)
+    back, _ = hp.run_pipeline(
+        spark, df1.unionByName(modified), inv, out, only_weeks=[w2]
+    )
+    assert back.filter(F.col("date_from") == WEEK).count() == n_w1
+    # ratios unchanged by uniform doubling, but counts doubled in w2
+    w2_counts = back.filter(
+        (F.col("date_from") == w2) & (F.col("dimension") == "browser_arch")
+    ).collect()
+    assert w2_counts[0]["client_count"] == 12
