@@ -255,11 +255,82 @@ SELECT n_name, c_name, rev_cents, rank FROM ranked WHERE rank <= 3
 """
 
 
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: parts with no lineitem at all,
+    counted per brand (the anti-join shape absent from the reference
+    but required for engine completeness).
+
+    Scale: anti join shuffles on partkey only; the probe side is
+    column-pruned to the join key.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("unsold_parts"))
+    )
+
+
+PARTS_NEVER_ORDERED_ORACLE = """
+SELECT p_brand, count(*) AS unsold_parts
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) → in Spark, a pre-aggregated per-part dim joined back to
+    the fact (the decorrelation Catalyst would apply to the subquery).
+
+    Revenue of line items below half their part's average quantity.
+    Determinism: the avg is compared via exact cross-multiplication
+    (2 * den * qty < num), never a floating avg threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qty_sum"), F.count("*").alias("qty_n")
+    )
+    joined = li.join(per_part, "l_partkey")
+    below = joined.filter(
+        F.col("qty") * F.col("qty_n") * 2 < F.col("qty_sum")
+    )
+    return below.agg(
+        F.count("*").alias("n_items"),
+        (F.sum("price_c").cast("double") / 100).alias("revenue"),
+    )
+
+
+SMALL_QTY_REVENUE_ORACLE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_sum, count(*) AS qty_n
+  FROM li GROUP BY l_partkey
+)
+SELECT count(*) AS n_items,
+       CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100 AS revenue
+FROM li JOIN per_part USING (l_partkey)
+WHERE qty * qty_n * 2 < qty_sum
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "regional_revenue": regional_revenue,
     "late_ship_priority": late_ship_priority,
     "top_customers_per_nation": top_customers_per_nation,
+    "parts_never_ordered": parts_never_ordered,
+    "small_quantity_revenue": small_quantity_revenue,
 }
 
 ORACLES = {
@@ -267,4 +338,6 @@ ORACLES = {
     "regional_revenue": REGIONAL_REVENUE_ORACLE,
     "late_ship_priority": LATE_SHIP_PRIORITY_ORACLE,
     "top_customers_per_nation": TOP_CUSTOMERS_ORACLE,
+    "parts_never_ordered": PARTS_NEVER_ORDERED_ORACLE,
+    "small_quantity_revenue": SMALL_QTY_REVENUE_ORACLE,
 }
