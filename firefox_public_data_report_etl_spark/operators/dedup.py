@@ -60,24 +60,36 @@ DUCK_SHINGLES = (
 
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, g): one row per distinct word-3-gram per document."""
+    """(id, h): one row per distinct HASHED word-3-gram per document.
+
+    Hash-then-distinct: all downstream set operations (sizes, pair
+    intersections, minhash) run on the 28-bit int, so shuffles and
+    joins move 8-byte keys instead of shingle strings — the difference
+    between shuffling the corpus and shuffling fingerprints at 100 TB.
+    Jaccard is therefore measured over the hashed shingle space
+    (collision probability ~|shingles|/2^28 per doc pair; immaterial
+    against near-dup thresholds), identically in both engines.
+    """
     t = docs.select(
         id_col, F.split(F.col(text_col), " ").alias("t")
     ).filter(F.size("t") >= 3)
-    return t.select(
+    # array_distinct dedups WITHIN the row (narrow, no shuffle); rows
+    # are already unique per (doc, shingle) afterwards, so no global
+    # distinct is needed.
+    raw = t.select(
         id_col, F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
     )
+    return raw.select(id_col, F.expr(md5_int_spark_sql("g")).alias("h"))
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mh15): minimum of each hash permutation over shingles."""
-    h = F.expr(md5_int_spark_sql("g"))
-    base = sh.withColumn("h", h)
+    """(id, mh0..mh15): minimum of each hash permutation over the
+    pre-hashed shingle rows."""
     aggs = [
         F.min(F.expr(minhash_perm_sql("h", a, b))).alias(f"mh{k}")
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return base.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def _band_expr(band: int):
@@ -126,12 +138,12 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -
     only for the given candidate pairs (broadcast — candidates are few
     after LSH)."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = sh.select(F.col(id_col).alias("da"), "g")
-    sb = sh.select(F.col(id_col).alias("db"), "g")
+    sa = sh.select(F.col(id_col).alias("da"), "h")
+    sb = sh.select(F.col(id_col).alias("db"), "h")
     inter = (
         F.broadcast(pairs)
         .join(sa, "da")
-        .join(sb, ["db", "g"])
+        .join(sb, ["db", "h"])
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
@@ -156,10 +168,10 @@ def all_pairs_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     brute-force O(n²-ish) baseline (join on shingle, group by pair).
     Use the LSH path at scale."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = sh.select(F.col(id_col).alias("da"), "g")
-    sb = sh.select(F.col(id_col).alias("db"), "g")
+    sa = sh.select(F.col(id_col).alias("da"), "h")
+    sb = sh.select(F.col(id_col).alias("db"), "h")
     inter = (
-        sa.join(sb, "g")
+        sa.join(sb, "h")
         .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))

@@ -62,7 +62,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_SHINGLE_CTES = f"""
 d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
-sh AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT doc_id, {md5_int_sql('g')} AS h FROM raw),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
@@ -70,7 +71,7 @@ DEDUP_NGRAM_ORACLE = f"""
 WITH {_DUCK_SHINGLE_CTES.strip()},
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT da, db,
@@ -92,7 +93,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    md5h = md5_int_sql("g")
     mins = ",\n         ".join(
         f"min({minhash_perm_sql('h', a, b)}) AS mh{k}"
         for k, (a, b) in enumerate(MINHASH_PERMS)
@@ -107,10 +107,9 @@ def _minhash_oracle() -> str:
     bands = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH {_DUCK_SHINGLE_CTES.strip()},
-hh AS (SELECT doc_id, {md5h} AS h FROM sh),
 sigs AS (SELECT doc_id,
          {mins}
-         FROM hh GROUP BY doc_id),
+         FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN bands b
@@ -119,7 +118,7 @@ inter AS (
   SELECT c.da, c.db, count(*) AS inter
   FROM cand c
   JOIN sh x ON x.doc_id = c.da
-  JOIN sh y ON y.doc_id = c.db AND y.g = x.g
+  JOIN sh y ON y.doc_id = c.db AND y.h = x.h
   GROUP BY c.da, c.db
 )
 SELECT da, db,
