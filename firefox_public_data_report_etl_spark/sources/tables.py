@@ -64,6 +64,13 @@ def load_table(
     scan pruning — essential at 100 TB where the conversion otherwise
     forces a full scan.
     """
+    # Harness-proofing: callers may pass a session built WITHOUT our
+    # factory (session.py). Both confs are runtime-settable and
+    # idempotent; without nanosAsLong any read of events.parquet
+    # (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL, and without UTC
+    # the micros conversion drifts from the DuckDB oracle's naive read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if prune is not None and dtypes.get(prune[0]) == "bigint":
@@ -96,6 +103,8 @@ def write_partitioned(
 ) -> None:
     """Partitioned sink with idempotent per-partition overwrite (S5/S6;
     reference hardware_report.py:458-465 writes ``table$YYYYMMDD`` with
-    WRITE_TRUNCATE). ``partitionOverwriteMode=dynamic`` is set on the
-    session, so ``mode="overwrite"`` replaces only touched partitions."""
+    WRITE_TRUNCATE). ``partitionOverwriteMode=dynamic`` is set at
+    runtime (harness-proof: works on sessions not built by our
+    factory), so ``mode="overwrite"`` replaces only touched partitions."""
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -51,6 +51,9 @@ def stream_events(
     batch read; nanos column normalized exactly like the batch loader)."""
     from firefox_public_data_report_etl_spark.sources import load_table
 
+    # load_table harness-proofs the session (nanosAsLong + UTC) and is
+    # the schema source of truth; we only need its raw footer schema.
+    load_table(spark, sf_dir, "events")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file source requires a directory; glob-filter the events
     # table out of the shared sf_dir.

@@ -13,9 +13,21 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    from firefox_public_data_report_etl_spark import get_spark
+    # Deliberately a BARE session, NOT our get_spark factory: the
+    # driver's correctness harness builds its own SparkSession without
+    # our correctness confs (round-1 postmortem: nanosAsLong missing →
+    # 12 red rows). Running the whole suite on a driver-like session
+    # forces every engine entry point to self-heal at runtime.
+    from pyspark.sql import SparkSession
 
-    s = get_spark(app_name="fpdr-tests", master="local[8]", shuffle_partitions=8)
+    s = (
+        SparkSession.builder.appName("fpdr-tests")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
 
