@@ -114,11 +114,36 @@ FROM documents
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-batched mapInPandas decode stage over binary payloads
-    (deterministic FakeDecoder; see operators.multimodal). Not
-    SQL-expressible — driver records the rows-only check."""
+    """The Arrow-batched mapInPandas decode stage over binary payloads.
+
+    The FakeDecoder (operators.multimodal) is deterministic — a
+    31-polynomial byte fold mod 1e9+7 — so the stage has an exact
+    DuckDB twin (byte-level fold via hex + list_reduce) even though the
+    decode itself runs Python-side."""
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+# DuckDB twin of FakeDecoder.decode: fold utf-8 payload bytes with
+# cks = (cks*31 + byte) % 1_000_000_007, then derive fake dims.
+MULTIMODAL_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, n),
+            i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2)) AS INT) AS BIGINT))),
+          (acc, b) -> (acc*31 + b) % 1000000007) AS cks
+      FROM d)
+SELECT doc_id AS media_id,
+       'image/fake' AS media_type,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(64 + cks % 128 AS INT) AS width,
+       CAST(64 + (cks // 128) % 128 AS INT) AS height,
+       cks AS checksum
+FROM c
+"""
 
 
 QUERIES = {
@@ -134,5 +159,5 @@ ORACLES = {
     "text_langid": _langid_oracle(),
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
-    # multimodal_decode: mapInPandas stage, rows-only by design
+    "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
 }
