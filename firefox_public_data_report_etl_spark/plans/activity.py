@@ -31,13 +31,10 @@ from __future__ import annotations
 
 from datetime import date
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from firefox_public_data_report_etl_spark.functions import cents, week_start
-from firefox_public_data_report_etl_spark.operators import (
-    asof_latest_broadcast,
-    with_total_group,
-)
+from firefox_public_data_report_etl_spark.operators import with_total_group
 from firefox_public_data_report_etl_spark.sources import load_table
 
 # Partial final week of the fixed Jan-2024 events range — excluded like
@@ -52,18 +49,20 @@ def base_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value") < OUTLIER_VALUE_CUT
     )
-    ev = with_total_group(ev, "event_type", "cohort")
-    return ev.select(
+    # Per-row scalars (regex, date trunc, cents) are computed BEFORE the
+    # 2x cohort fan-out so each event pays them once, not twice — the
+    # explode only duplicates already-computed narrow columns.
+    ev = ev.select(
         "user_id",
         F.to_date("ts").alias("d"),
         week_start(F.col("ts")).alias("week_start"),
-        "cohort",
         cents(F.col("value")).alias("cents"),
         "event_type",
         # try_cast: regexp_extract yields '' when props has no digit,
         # which ANSI cast (Spark 4 default) rejects.
         F.regexp_extract("props", r"(\d+)", 1).try_cast("int").alias("ver"),
     )
+    return with_total_group(ev, "event_type", "cohort")
 
 
 _BASE_SQL = f"""
@@ -172,7 +171,13 @@ def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("events_u"),
         F.sum("cents").alias("cents_u"),
         F.count(F.when(F.col("event_type") == "error", True)).alias("errors_u"),
-        F.countDistinct("d").alias("days_u"),
+        # distinct active days WITHOUT a countDistinct Expand: the group
+        # key pins the week, so distinct dates == distinct weekdays — a
+        # 7-bit bitset OR + popcount, a plain aggregate that keeps
+        # shuffle 1 at 1x row volume (Expand doubles it).
+        F.expr("cast(bit_count(bit_or(shiftleft(1, dayofweek(d)))) as bigint)").alias(
+            "days_u"
+        ),
         F.max("ver").alias("ver_u"),
         # purchase-only version max lets the releases dim derive from
         # uwu (max of per-user maxes == global max) instead of a second
@@ -184,32 +189,39 @@ def user_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, mau = _mau_wau(uwu.select("week_start", "cohort", "user_id"))
 
-    # Tiny side dims, broadcast into the user-week stream.
-    first_seen = uwu.groupBy("user_id").agg(
-        F.min("week_start").alias("first_week")
-    )
-    releases = (
-        uwu.filter(F.col("cohort") == "Worldwide")
-        .groupBy("week_start")
-        .agg(F.max("pver_u").alias("rel_ver"))
-        .filter(F.col("rel_ver").isNotNull())
-    )
-    weeks = uwu.select("week_start").distinct()
-    latest = asof_latest_broadcast(
-        weeks,
-        releases.withColumnRenamed("week_start", "rel_week"),
-        "week_start",
-        "rel_week",
-        ["rel_ver"],
-    ).withColumnRenamed("rel_ver", "latest_ver")
+    # first-seen week per user as a user-partition window instead of a
+    # separate aggregate + join: ONE user_id shuffle replaces the old
+    # agg-shuffle + join-shuffle pair (stage-depth matters — the old
+    # chain cost two sequential stage rounds for the same answer).
+    # first_seen is user-cardinality (fact-sized at 100 TB), so a
+    # window — never a broadcast — is the scale-correct form.
+    w_user = Window.partitionBy("user_id")
+    with_first = uwu.withColumn("first_week", F.min("week_start").over(w_user))
 
-    # first_seen is user-cardinality (fact-sized at 100 TB): NO
-    # broadcast hint — it shuffle-joins on user_id (AQE may still
-    # broadcast it at test SFs). Only the week-cardinality `latest`
-    # dim is genuinely tiny.
-    enriched = uwu.join(first_seen, "user_id").join(
-        F.broadcast(latest), "week_start"
+    # Weekly release spine + as-of in one pass: every week appears in
+    # uwu, so a single week-grain aggregate yields spine AND releases;
+    # the as-of "latest release so far" is a running max over the week
+    # ordering. The spine is time-bounded (weeks, not data) — the
+    # single-partition window stays trivially small at any SF.
+    latest = (
+        uwu.groupBy("week_start")
+        .agg(
+            F.max(F.when(F.col("cohort") == "Worldwide", F.col("pver_u"))).alias(
+                "rel_ver"
+            )
+        )
+        .withColumn(
+            "latest_ver",
+            F.max("rel_ver").over(
+                Window.orderBy("week_start").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .drop("rel_ver")
     )
+
+    enriched = with_first.join(F.broadcast(latest), "week_start")
 
     # Shuffle 2: week grain — every branch in one aggregate.
     weekly = enriched.groupBy("week_start", "cohort").agg(

