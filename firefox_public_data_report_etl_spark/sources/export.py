@@ -74,6 +74,44 @@ def fxhealth_records(weekly: DataFrame) -> dict[str, list[dict]]:
     return out
 
 
+def webusage_records(weekly: DataFrame) -> dict[str, list[dict]]:
+    """P3, second shape (user_activity.py:70-83): the webusage.json
+    twin of ``fxhealth_records`` — per-country rows with a locale
+    ratio map, a top-10-addon ratio map, and pct_addon, all x100
+    (X18). ``weekly`` is the ``user_activity_weekly`` output (native
+    schema: submission_date, top_addons, top_locales,
+    has_addon_ratio)."""
+    out: dict[str, list[dict]] = {}
+    for row in weekly.collect():
+        d = row.asDict(recursive=True)
+        out.setdefault(d["country_name"], []).append(
+            {
+                "date": (
+                    d["submission_date"].isoformat()
+                    if hasattr(d["submission_date"], "isoformat")
+                    else d["submission_date"]
+                ),
+                "metrics": {
+                    # NULL names are the empty-preserving-unnest
+                    # placeholder rows (J3) — denominator-only, never
+                    # report keys.
+                    "locale": {
+                        loc["locale"]: loc["ratio"] * 100
+                        for loc in (d["top_locales"] or [])
+                        if loc["locale"] is not None
+                    },
+                    "top10addons": {
+                        a["addon_name"]: a["ratio"] * 100
+                        for a in (d["top_addons"] or [])
+                        if a["addon_name"] is not None
+                    },
+                    "pct_addon": d["has_addon_ratio"] * 100,
+                },
+            }
+        )
+    return out
+
+
 def validate_cohorts(
     produced: set[str], allowlist: set[str]
 ) -> tuple[set[str], set[str]]:
@@ -100,3 +138,14 @@ def merge_usage_annotations(
             dict(a) for a in DEFAULT_USAGE_ANNOTATIONS
         ]
     return out
+
+
+def hardware_annotations() -> dict:
+    """The third annotation file: a verbatim static passthrough
+    (reference annotations.py:119-121 reads annotations_hardware.json
+    and uploads it unmodified — no per-country merge)."""
+    from firefox_public_data_report_etl_spark.sources.http_json import (
+        read_static_json,
+    )
+
+    return read_static_json("annotations_hardware.json")
