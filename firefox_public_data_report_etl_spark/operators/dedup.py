@@ -133,16 +133,27 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_pairs: bool = True,
+) -> DataFrame:
     """(da, db, jaccard): exact Jaccard over distinct shingles, computed
-    only for the given candidate pairs (broadcast — candidates are few
-    after LSH)."""
+    only for the given candidate pairs.
+
+    ``broadcast_pairs=True`` (default) broadcasts the candidate set —
+    right after LSH pruning, where candidates are a vanishing fraction
+    of the pair space. A dup-heavy corpus can yield more candidates
+    than the driver can broadcast; pass ``False`` to shuffle-join the
+    pair table instead (same results, keys co-partition on da then
+    (db, h)). Callers can gate on a candidate count estimate."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("da"), "h")
     sb = sh.select(F.col(id_col).alias("db"), "h")
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        F.broadcast(pairs)
-        .join(sa, "da")
+        p.join(sa, "da")
         .join(sb, ["db", "h"])
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))

@@ -63,17 +63,88 @@ def cosine_topk(
     )
 
 
+def _rank_pairs(
+    pairs: DataFrame, queries: DataFrame, candidates: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Exact cosine + per-query rank over an id-only candidate-pair
+    set: vectors join back once, after any dedupe."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col("q").alias("qa"), F.col("norm").alias("na")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("n_id"), F.col("q").alias("qb"), F.col("norm").alias("nb")
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+def cosine_topk_lsh_multi(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    n_tables: int = 3,
+) -> DataFrame:
+    """Multi-table sign-bucket ANN: union the per-table bucket matches
+    (each table hashes a DISJOINT SIGN_BITS-component slice), dedupe
+    the id-only pair set, then exact-rank only the union.
+
+    Recall strictly dominates the single-table variant — a neighbor
+    survives if it agrees with the query in ANY table — at n_tables x
+    the bucket-join cost, which stays per-bucket (never all-pairs).
+    """
+    pair_parts = []
+    for t in range(n_tables):
+        qt = sign_bucket(queries, t * SIGN_BITS).select(
+            F.col(id_col).alias("q_id"), "bucket"
+        )
+        ct = sign_bucket(candidates, t * SIGN_BITS).select(
+            F.col(id_col).alias("n_id"), "bucket"
+        )
+        pair_parts.append(
+            ct.join(F.broadcast(qt), "bucket").select("q_id", "n_id")
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionAll(p)
+    pairs = pairs.filter(F.col("q_id") != F.col("n_id")).distinct()
+    return _rank_pairs(pairs, queries, candidates, k, id_col)
+
+
 SIGN_BITS = 8
-# Sign pattern of the first SIGN_BITS quantized components → bucket id.
-_BUCKET = " + ".join(
-    f"(CASE WHEN element_at(q, {j + 1}) >= 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(SIGN_BITS)
-)
+N_TABLES = 3
 
 
-def sign_bucket(df: DataFrame) -> DataFrame:
-    """Adds the LSH `bucket` column (sign pattern of leading dims)."""
-    return df.withColumn("bucket", F.expr(f"CAST({_BUCKET} AS BIGINT)"))
+def _bucket_expr(offset: int) -> str:
+    """Sign pattern of quantized components offset+1..offset+SIGN_BITS
+    (1-based) → bucket id. Different offsets give independent hash
+    tables over disjoint component sets."""
+    return " + ".join(
+        f"(CASE WHEN element_at(q, {offset + j + 1}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIGN_BITS)
+    )
+
+
+def sign_bucket(df: DataFrame, offset: int = 0) -> DataFrame:
+    """Adds the LSH `bucket` column (sign pattern of SIGN_BITS
+    components starting at ``offset``)."""
+    return df.withColumn(
+        "bucket", F.expr(f"CAST({_bucket_expr(offset)} AS BIGINT)")
+    )
 
 
 def cosine_topk_lsh(

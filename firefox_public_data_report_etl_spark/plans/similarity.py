@@ -14,6 +14,7 @@ from firefox_public_data_report_etl_spark.operators.similarity import (
     SIGN_BITS,
     cosine_topk,
     cosine_topk_lsh,
+    cosine_topk_lsh_multi,
     quantized,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -89,12 +90,58 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 """
 
 
+N_TABLES = 3
+
+
+def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk_lsh_multi(queries, emb, TOP_K, n_tables=N_TABLES)
+
+
+def _duck_bucket(offset: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN q[{offset + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIGN_BITS)
+    )
+
+
+def _ann_multi_oracle() -> str:
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({_duck_bucket(t * SIGN_BITS)} AS BIGINT) AS bucket FROM qt"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH {_QUANT_CTES.strip()},
+bk AS ({tables}),
+cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS n_id
+         FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         WHERE x.vec_id % {QUERY_MOD} = 0 AND x.vec_id <> y.vec_id),
+dots AS (
+  SELECT c.q_id, c.n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id AND b.i = a.i
+  GROUP BY c.q_id, c.n_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh_bucket": ann_lsh_bucket,
+    "ann_lsh_multi": ann_lsh_multi,
 }
 
 ORACLES = {
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh_bucket": ANN_LSH_ORACLE,
+    "ann_lsh_multi": _ann_multi_oracle(),
 }

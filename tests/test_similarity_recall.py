@@ -1,0 +1,81 @@
+"""Recall properties of the ANN scale paths vs the exact baseline, and
+the shuffle-join fallback of the candidate-pair verify."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+)
+from firefox_public_data_report_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_lsh_multi,
+    quantized,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+K = 3
+
+
+def _pairs(df):
+    return {(r["q_id"], r["n_id"]) for r in df.collect()}
+
+
+def test_multi_table_ann_recall(spark):
+    """Controlled ground truth: 20 queries, each with a planted
+    near-copy (cos ≈ 0.999) in 200 random background vectors. Sign-LSH
+    keeps a true neighbor iff its bucket matches in SOME table, so
+    recall@1 must (a) never drop when tables are added and (b) clear a
+    floor that a single 8-bit table misses on ~8% of near-copies per
+    table (p_agree^8 with p_agree ≈ 0.99)."""
+    import random
+
+    rnd = random.Random(7)
+    dim, n_q, n_bg = 64, 20, 200
+    rows = []
+    for qid in range(n_q):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        rows.append((qid * 1000, v))  # query ids: multiples of 1000
+        dup = [x + rnd.uniform(-0.01, 0.01) for x in v]
+        rows.append((qid * 1000 + 1, dup))  # its planted neighbor
+    for b in range(n_bg):
+        # 9_000_001..9_000_200: never a multiple of 1000, so the query
+        # filter below can't pick up background vectors.
+        rows.append((9_000_001 + b, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    emb = quantized(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    queries = emb.filter((F.col("vec_id") % 1000 == 0))
+
+    truth = {(qid * 1000, qid * 1000 + 1) for qid in range(n_q)}
+    exact = _pairs(cosine_topk(queries, emb, 1))
+    assert exact == truth  # brute force nails every planted neighbor
+
+    single = _pairs(cosine_topk_lsh(queries, emb, 1))
+    multi = _pairs(cosine_topk_lsh_multi(queries, emb, 1, n_tables=3))
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.9
+    emb.unpersist()
+
+
+def test_jaccard_pairs_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    via_broadcast = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in jaccard_for_pairs(cand, sh, broadcast_pairs=True).collect()
+    }
+    via_shuffle = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in jaccard_for_pairs(cand, sh, broadcast_pairs=False).collect()
+    }
+    assert via_broadcast == via_shuffle
+    assert len(via_broadcast) > 0
+    sh.unpersist()
