@@ -19,6 +19,7 @@ from firefox_public_data_report_etl_spark.plans import (
     dedup,
     hardware,
     scalars,
+    shapes,
     similarity,
     streamingq,
     text,
@@ -32,6 +33,7 @@ _MODULES = [
     dedup,
     hardware,
     scalars,
+    shapes,
     similarity,
     streamingq,
     text,

@@ -1,0 +1,305 @@
+"""Oracle-backed queries for operator shapes that previously had only
+pytest coverage (no ``queries()`` entry): recency filters + post-agg
+HAVING + two-level averages (F7/F8/A4), distinct-ratio and re-keyed
+re-aggregation (A11/A14), null-safe division (X10), broadcast LEFT
+join with coalesce fallback (J1/X3), literal-map lookup with Other
+default and ordered when-chain decision tables (J9/X20/X22),
+oracle-checkable sort order via row_number positions (O1-O4), and
+sorted kv-array reshape stringified for cross-engine comparison (P1).
+
+Each query runs the SAME operator implementations the pipelines use
+(functions.safe_div, the when-chain style of functions.os_arch, the
+literal-map style of functions.gpu_vendor_name) against testdata
+tables, with a hand-written DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import safe_div, week_start
+from firefox_public_data_report_etl_spark.sources import load_table
+
+# F7 analog of the reference's days_since_seen recency predicates:
+# a fixed report date, keep events from the trailing 14 days.
+REPORT_DATE = "2024-01-29"
+RECENT_DAYS = 14
+HAVING_CUT = 150.0
+
+
+def weekly_engagement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 recency + F8 post-agg HAVING + A4 two-level average + A11
+    distinct-count ratio + X10 safe divide + A14 re-keyed re-agg, in
+    one weekly report over `events`."""
+    ev = load_table(
+        spark, sf_dir, "events", prune=("ts", None, REPORT_DATE)
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        week_start(F.col("ts")).alias("week_start"),
+        "value",
+        "event_type",
+        "props",
+    )
+    # F7: recency window relative to the report date.
+    recent = ev.filter(
+        (F.datediff(F.lit(REPORT_DATE).cast("date"), F.col("d")) < RECENT_DAYS)
+        & (F.col("d") < F.lit(REPORT_DATE))
+    )
+    # A4 level 1 (per-user average) + F8 (HAVING on the aggregate).
+    # Exact-arithmetic form of the determinism rules: the average is
+    # kept as (cents_sum, n) and the HAVING avg < CUT is the exact
+    # integer comparison cents_sum < CUT*100*n; the per-user average is
+    # floored to cent grain (integer div) so level 2 sums exact ints
+    # and divides ONCE — bit-identical across engines.
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    per_user = (
+        recent.groupBy("week_start", "user_id")
+        .agg(
+            F.sum(cents(F.col("value"))).alias("cents_u"),
+            F.count("*").alias("n_u"),
+        )
+        .filter(F.col("cents_u") < int(HAVING_CUT * 100) * F.col("n_u"))
+        .withColumn("avg_cents_u", F.expr("cents_u div n_u"))
+    )
+    # A4 level 2: average of per-user (cent-floored) averages.
+    weekly = per_user.groupBy("week_start").agg(
+        (
+            F.sum("avg_cents_u").cast("double")
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("avg_of_user_avgs"),
+        F.count("*").alias("qualifying_users"),
+    )
+    # A11: distinct-count ratio with X10 null-safe division (the
+    # error-event user set CAN be empty in a week).
+    per_type = recent.groupBy("week_start", "event_type").agg(
+        F.countDistinct("user_id").alias("type_users"),
+        F.countDistinct(
+            F.when(F.col("value") > 190.0, F.col("user_id"))
+        ).alias("heavy_users"),
+    )
+    ratios = per_type.withColumn(
+        "heavy_ratio",
+        safe_div(F.col("heavy_users").cast("double"), F.col("type_users")),
+    )
+    # A14: re-key the per-type aggregate back to week grain.
+    reagg = ratios.groupBy("week_start").agg(
+        F.sum("type_users").alias("type_user_rows"),
+        F.max("heavy_ratio").alias("max_heavy_ratio"),
+    )
+    return weekly.join(reagg, "week_start").select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "avg_of_user_avgs",
+        "qualifying_users",
+        "type_user_rows",
+        "max_heavy_ratio",
+    )
+
+
+WEEKLY_ENGAGEMENT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         value, event_type
+  FROM events
+  WHERE datediff('day', CAST(ts AS DATE), DATE '{REPORT_DATE}') < {RECENT_DAYS}
+    AND CAST(ts AS DATE) < DATE '{REPORT_DATE}'
+),
+per_user AS (
+  SELECT week_start, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_u,
+         CAST(count(*) AS BIGINT) AS n_u
+  FROM ev GROUP BY week_start, user_id
+  HAVING CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         < {int(HAVING_CUT * 100)} * count(*)
+),
+weekly AS (
+  SELECT week_start,
+         CAST(sum(cents_u // n_u) AS DOUBLE) / (100.0 * count(*)) AS avg_of_user_avgs,
+         CAST(count(*) AS BIGINT) AS qualifying_users
+  FROM per_user GROUP BY week_start
+),
+per_type AS (
+  SELECT week_start, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS type_users,
+         CAST(count(DISTINCT CASE WHEN value > 190.0 THEN user_id END) AS BIGINT)
+           AS heavy_users
+  FROM ev GROUP BY week_start, event_type
+),
+reagg AS (
+  SELECT week_start, CAST(sum(type_users) AS BIGINT) AS type_user_rows,
+         max(CASE WHEN type_users = 0 THEN NULL
+                  ELSE CAST(heavy_users AS DOUBLE) / type_users END)
+           AS max_heavy_ratio
+  FROM per_type GROUP BY week_start
+)
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start,
+       avg_of_user_avgs, qualifying_users, type_user_rows, max_heavy_ratio
+FROM weekly JOIN reagg USING (week_start)
+"""
+
+
+def nation_name_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 broadcast LEFT join with X3 coalesce fallback — the
+    country-name join shape (sample_cte) on testdata: customers whose
+    nation is outside the 'known' dim keep a fallback label instead of
+    dropping."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    known = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey").isin(0, 1))
+        .select("n_nationkey", "n_name")
+    )
+    joined = cust.join(
+        F.broadcast(known), cust.c_nationkey == known.n_nationkey, "left"
+    )
+    named = joined.withColumn(
+        "nation_label", F.coalesce(F.col("n_name"), F.lit("Other"))
+    )
+    return named.groupBy("nation_label").agg(
+        F.count("*").alias("customers"),
+        F.countDistinct("c_custkey").alias("distinct_customers"),
+    )
+
+
+NATION_FALLBACK_ORACLE = """
+WITH known AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1))
+SELECT coalesce(n_name, 'Other') AS nation_label,
+       CAST(count(*) AS BIGINT) AS customers,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
+FROM customer LEFT JOIN known ON c_nationkey = n_nationkey
+GROUP BY coalesce(n_name, 'Other')
+"""
+
+
+# J9/X20: literal map with Other default, same style as
+# functions.gpu_vendor_name's 13-entry vendor map.
+BRAND_LABELS = {
+    "Brand#11": "Alpha",
+    "Brand#22": "Beta",
+    "Brand#33": "Gamma",
+}
+
+# X22: ordered when-chain decision table, same style as
+# functions.os_arch (first match wins, order matters).
+def _size_class() -> F.Column:
+    return (
+        F.when((F.col("p_size") >= 40) & (F.col("p_type").startswith("PROMO")), "huge")
+        .when(F.col("p_size") >= 40, "large")
+        .when(F.col("p_type").startswith("STANDARD"), "small")
+        .otherwise("medium")
+    )
+
+
+def part_decision_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 literal-map lookup (Other default) + X22 ordered when-chain
+    over `part`, counted per decision cell."""
+    part = load_table(spark, sf_dir, "part")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in BRAND_LABELS.items() for x in kv]
+    )
+    labeled = part.select(
+        F.coalesce(
+            F.element_at(mapping, F.col("p_brand")), F.lit("Other")
+        ).alias("brand_label"),
+        _size_class().alias("size_class"),
+    )
+    return labeled.groupBy("brand_label", "size_class").agg(
+        F.count("*").alias("parts")
+    )
+
+
+_BRAND_CASE = (
+    "CASE "
+    + " ".join(f"WHEN p_brand = '{k}' THEN '{v}'" for k, v in BRAND_LABELS.items())
+    + " ELSE 'Other' END"
+)
+
+PART_DECISION_ORACLE = f"""
+SELECT {_BRAND_CASE} AS brand_label,
+       CASE WHEN p_size >= 40 AND p_type LIKE 'PROMO%' THEN 'huge'
+            WHEN p_size >= 40 THEN 'large'
+            WHEN p_type LIKE 'STANDARD%' THEN 'small'
+            ELSE 'medium' END AS size_class,
+       CAST(count(*) AS BIGINT) AS parts
+FROM part
+GROUP BY 1, 2
+"""
+
+
+def ordered_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O4: sort semantics made oracle-checkable — the driver compare
+    is order-insensitive, so the ORDER is materialized into a
+    row_number position column (newest order first, key tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= 100)
+    )
+
+
+ORDERED_POSITIONS_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+         CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) AS BIGINT)
+           AS position
+  FROM orders
+)
+SELECT o_orderkey, o_orderdate, position FROM r WHERE position <= 100
+"""
+
+
+def priority_year_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 sorted kv-array rows, stringified for cross-engine equality:
+    per order priority, the per-year order counts as a sorted
+    'year:count' list (the hardware report's sorted kv_array shape,
+    hardware_report.py:448-453)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_year = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("y")
+    ).agg(F.count("*").alias("n"))
+    return per_year.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("y", "n"))),
+                lambda s: F.concat_ws(":", s["y"].cast("string"), s["n"].cast("string")),
+            ),
+        ).alias("year_counts")
+    )
+
+
+PRIORITY_KV_ORACLE = """
+WITH per_year AS (
+  SELECT o_orderpriority, year(o_orderdate) AS y, count(*) AS n
+  FROM orders GROUP BY o_orderpriority, year(o_orderdate)
+)
+SELECT o_orderpriority,
+       string_agg(CAST(y AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY y) AS year_counts
+FROM per_year GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "weekly_engagement_report": weekly_engagement_report,
+    "nation_name_fallback": nation_name_fallback,
+    "part_decision_table": part_decision_table,
+    "ordered_order_positions": ordered_order_positions,
+    "priority_year_kv": priority_year_kv,
+}
+
+ORACLES = {
+    "weekly_engagement_report": WEEKLY_ENGAGEMENT_ORACLE,
+    "nation_name_fallback": NATION_FALLBACK_ORACLE,
+    "part_decision_table": PART_DECISION_ORACLE,
+    "ordered_order_positions": ORDERED_POSITIONS_ORACLE,
+    "priority_year_kv": PRIORITY_KV_ORACLE,
+}
