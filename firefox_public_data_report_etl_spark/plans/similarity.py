@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.operators.similarity import (
     SIGN_BITS,
-    cosine_topk,
     cosine_topk_lsh,
     cosine_topk_lsh_multi,
     quantized,
@@ -24,9 +23,17 @@ TOP_K = 3
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k via the Arrow/numpy integer-matmul path
+    (operators.vectorized.cosine_topk_matmul) — bit-identical to the
+    pure-expression form (pinned in tests) and to the DuckDB oracle,
+    ~2x faster at sf0.1 and widening with |Q|."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_matmul,
+    )
+
     emb = quantized(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return cosine_topk(queries, emb, TOP_K)
+    return cosine_topk_matmul(queries, emb, TOP_K)
 
 
 _QUANT_CTES = """

@@ -8,8 +8,27 @@ from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.vectorized import (
     cosine_to_query,
+    cosine_topk_matmul,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
+
+
+def test_matmul_topk_matches_expression_form(spark, sf_dir):
+    """The Arrow integer-matmul top-k must be BIT-identical to the
+    pure-expression quantized form (same int64 dots, same single FP
+    division)."""
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantized,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, cosine_topk(queries, emb, 3).collect()))
+    b = sorted(map(tuple, cosine_topk_matmul(queries, emb, 3).collect()))
+    assert a == b
+    assert len(a) > 0
+    emb.unpersist()
 
 
 def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
