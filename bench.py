@@ -80,6 +80,30 @@ def main() -> None:
         lambda: spark.range(1).groupBy("id").agg(F.count("*")).collect()
     )
 
+    # Same-machine-state DuckDB control: the pricing_summary oracle at
+    # the same SF. BASELINE.md's DuckDB column was recorded once; this
+    # control lets any bench run be normalized for host drift (CPU
+    # throttling / VM contention) against the in-process baseline.
+    def _duck_control() -> float:
+        try:
+            from firefox_public_data_report_etl_spark.plans import ORACLES
+            from firefox_public_data_report_etl_spark.testing import (
+                duckdb_connection,
+            )
+
+            con = duckdb_connection(sf_dir)
+            sql = ORACLES["pricing_summary"]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+        except Exception:
+            return -1.0
+
+    duck_control_sec = _duck_control()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
@@ -95,6 +119,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "floor_sec": floor_sec,
+                "duck_control_sec": duck_control_sec,
             }
         )
     )

@@ -32,9 +32,15 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
         )
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-mode executor == driver JVM; the 1g default forces GC
+        # churn (and run-to-run variance) with 32 concurrent tasks.
+        # Only effective before JVM launch — harmless getOrCreate
+        # no-op afterwards.
+        .config("spark.driver.memory", driver_mem)
         # Correctness parity with the DuckDB oracle: naive timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         # Testdata parquet stores TIMESTAMP(NANOS); read as long, the
