@@ -76,6 +76,23 @@ def cosine_topk_matmul(
     )
 
 
+def geometric_mean_udaf() -> Column:
+    """Grouped-agg pandas UDAF (Arrow series → scalar): geometric mean.
+
+    The UDAF form of the escape hatch — for aggregates Catalyst can't
+    express directly. This one CAN be expressed as exp(avg(ln(x)))
+    (the test pins both forms against each other), which is exactly
+    the point: the pinned pair documents when to stay JVM-side and
+    what the Python form must match when it is needed."""
+
+    @pandas_udf(DoubleType())
+    def _gmean(v: pd.Series) -> float:
+        a = v.to_numpy(dtype=np.float64)
+        return float(np.exp(np.mean(np.log(a))))
+
+    return _gmean
+
+
 def cosine_to_query(query_vec: list[float]) -> Column:
     """Returns a column function: embedding array<float> → cosine
     similarity to the fixed query vector, computed vectorized per

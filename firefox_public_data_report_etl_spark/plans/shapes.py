@@ -288,8 +288,97 @@ FROM per_year GROUP BY o_orderpriority
 """
 
 
+SPINE_START = "2023-12-25"
+SPINE_STOP = "2024-02-26"
+
+
+def spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources.pydatasource) feeding a
+    gap-fill: the date-spine relation LEFT-joins weekly event counts,
+    so weeks with no data appear zero-filled — the reporting shape the
+    reference gets from GENERATE_DATE_ARRAY spines (S12 as a
+    first-class connector with partition planning instead of an
+    expression)."""
+    from firefox_public_data_report_etl_spark.sources.pydatasource import register
+
+    register(spark)
+    spine = (
+        spark.read.format("date_spine")
+        .option("start", SPINE_START)
+        .option("stop", SPINE_STOP)
+        .option("step_days", "7")
+        .option("numPartitions", "4")
+        .load()
+        .select("day")
+    )
+    weekly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(week_start(F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(weekly, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("week"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("events"),
+    )
+
+
+SPINE_GAP_FILL_ORACLE = f"""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(TIMESTAMP '{SPINE_START}',
+                                     TIMESTAMP '{SPINE_STOP}',
+                                     INTERVAL 7 DAY)) AS DATE) AS day
+),
+weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS week,
+       CAST(coalesce(n, 0) AS BIGINT) AS events
+FROM spine LEFT JOIN weekly USING (day)
+"""
+
+
+def corpus_refresh_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (operators.merge.merge_rows): a simulated
+    re-crawl where every 10th document is refreshed (updated text) and
+    a small batch of brand-new docs inserts; untouched rows pass
+    through. The oracle is the independent anti-join formulation
+    (source UNION target-minus-source), so a latest-wins bug in the
+    window form can't hide."""
+    from firefox_public_data_report_etl_spark.operators.merge import merge_rows
+
+    target = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = (
+        target.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.upper(F.col("text")).alias("text"))
+    )
+    fresh = target.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new: "), F.col("text")).alias("text"),
+    )
+    source = recrawl.unionByName(fresh)
+    return merge_rows(target, source, ["doc_id"])
+
+
+CORPUS_MERGE_ORACLE = """
+WITH target AS (SELECT doc_id, text FROM documents),
+source AS (
+  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new: ' || text AS text
+  FROM documents WHERE doc_id < 5
+)
+SELECT doc_id, text FROM source
+UNION ALL
+SELECT t.doc_id, t.text FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.doc_id = t.doc_id)
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
+    "spine_gap_fill": spine_gap_fill,
+    "corpus_refresh_merge": corpus_refresh_merge,
     "nation_name_fallback": nation_name_fallback,
     "part_decision_table": part_decision_table,
     "ordered_order_positions": ordered_order_positions,
@@ -298,6 +387,8 @@ QUERIES = {
 
 ORACLES = {
     "weekly_engagement_report": WEEKLY_ENGAGEMENT_ORACLE,
+    "spine_gap_fill": SPINE_GAP_FILL_ORACLE,
+    "corpus_refresh_merge": CORPUS_MERGE_ORACLE,
     "nation_name_fallback": NATION_FALLBACK_ORACLE,
     "part_decision_table": PART_DECISION_ORACLE,
     "ordered_order_positions": ORDERED_POSITIONS_ORACLE,

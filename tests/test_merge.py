@@ -1,0 +1,117 @@
+"""Row-level MERGE (upsert) semantics, the custom Python data source,
+and the grouped-agg pandas UDAF."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.merge import (
+    merge_rows,
+    merge_stats,
+)
+
+
+@pytest.fixture()
+def frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["doc_id", "text", "score"],
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)],
+        ["doc_id", "text", "score"],
+    )
+    return target, source
+
+
+def test_merge_rows_latest_wins(spark, frames):
+    target, source = frames
+    got = {
+        r["doc_id"]: (r["text"], r["score"])
+        for r in merge_rows(target, source, ["doc_id"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),    # untouched target row passes through
+        2: ("b2", 21.0),   # matched key: source wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),    # new key inserted
+    }
+
+
+def test_merge_rows_idempotent(spark, frames):
+    target, source = frames
+    once = merge_rows(target, source, ["doc_id"])
+    twice = merge_rows(once, source, ["doc_id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_stats(spark, frames):
+    target, source = frames
+    assert merge_stats(target, source, ["doc_id"]) == {
+        "updated": 1,
+        "inserted": 1,
+        "untouched": 2,
+    }
+
+
+def test_merge_schema_mismatch_raises(spark, frames):
+    target, _ = frames
+    bad = target.select("doc_id", "text")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_rows(target, bad, ["doc_id"])
+
+
+def test_date_spine_source_partitions_and_rows(spark):
+    from firefox_public_data_report_etl_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("date_spine")
+        .option("start", "2024-01-01")
+        .option("stop", "2024-12-30")
+        .option("step_days", "7")
+        .option("numPartitions", "6")
+        .load()
+    )
+    rows = df.orderBy("step_index").collect()
+    assert len(rows) == 53
+    assert rows[0]["day"].isoformat() == "2024-01-01"
+    assert rows[-1]["day"].isoformat() == "2024-12-30"
+    assert df.rdd.getNumPartitions() == 6
+    # single-row range still plans exactly one partition
+    one = (
+        spark.read.format("date_spine")
+        .option("start", "2024-01-01")
+        .option("stop", "2024-01-01")
+        .load()
+    )
+    assert one.count() == 1
+
+
+def test_geometric_mean_udaf_matches_expression(spark):
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        geometric_mean_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0), ("b", 1.0)],
+        ["g", "x"],
+    )
+    gmean = geometric_mean_udaf()
+    got = {
+        r["g"]: r["gm"]
+        for r in df.groupBy("g").agg(gmean(F.col("x")).alias("gm")).collect()
+    }
+    expr = {
+        r["g"]: r["gm"]
+        for r in df.groupBy("g")
+        .agg(F.exp(F.avg(F.log("x"))).alias("gm"))
+        .collect()
+    }
+    for g in got:
+        assert math.isclose(got[g], expr[g], rel_tol=1e-12)
+    assert math.isclose(got["a"], 4.0, rel_tol=1e-12)
