@@ -76,6 +76,97 @@ def cosine_topk_matmul(
     )
 
 
+def ivf_assign(vectors, centroids, id_col: str = "vec_id"):
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by exact quantized cosine (ties → lowest centroid id).
+
+    One integer matmul per Arrow batch against the (small by
+    definition) centroid matrix riding in the closure — vectors never
+    shuffle for assignment. Returns (id, cell).
+
+    Determinism note: per-pair cosines are elementwise FP (int64 dot,
+    one divide, one sqrt — no accumulation), so numpy and any SQL
+    engine agree bit-for-bit; np.argmax takes the FIRST max, which
+    equals the lowest-centroid-id tie-break when centroids are scanned
+    in ascending id order.
+    """
+    crows = sorted(
+        centroids.select(id_col, "q", "norm").collect(), key=lambda r: r[0]
+    )
+    c_ids = np.asarray([r[0] for r in crows], dtype=np.int64)
+    c_mat = np.asarray([r[1] for r in crows], dtype=np.int64)
+    c_norm = np.asarray([r[2] for r in crows], dtype=np.float64)
+
+    def _assign(batches):
+        for pdf in batches:
+            v_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            v_norm = pdf["norm"].to_numpy(dtype=np.float64)
+            cos = (v_mat @ c_mat.T) / np.sqrt(v_norm[:, None] * c_norm[None, :])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": c_ids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    return vectors.mapInPandas(_assign, f"{id_col} long, cell long")
+
+
+def cosine_topk_ivf(
+    quantized_emb,
+    k: int,
+    query_mod: int,
+    centroid_mod: int,
+    id_col: str = "vec_id",
+):
+    """IVF ANN: deterministic centroid subset (id % centroid_mod == 1),
+    cell assignment via ``ivf_assign``, then exact cosine rank WITHIN
+    the query's cell (nprobe=1).
+
+    The scale path for corpus-sized candidate sets: candidates
+    partition by cell (one shuffle on an 8-byte key), each query
+    scores only its own cell — |cell| ≈ N/num_centroids work instead
+    of N. Recall improves with nprobe>1 (probe the next-nearest
+    cells); the single-probe form is the oracle-checked baseline.
+    """
+    from pyspark.sql import Window
+
+    centroids = quantized_emb.filter(F.col(id_col) % centroid_mod == 1)
+    cells = ivf_assign(quantized_emb, centroids, id_col)
+    with_cell = quantized_emb.join(cells, id_col)
+    q = with_cell.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    c = with_cell.select(
+        F.col(id_col).alias("n_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def geometric_mean_udaf() -> Column:
     """Grouped-agg pandas UDAF (Arrow series → scalar): geometric mean.
 

@@ -141,14 +141,72 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 """
 
 
+CENTROID_MOD = 100
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.vectorized.cosine_topk_ivf): deterministic
+    centroids (vec_id % 100 == 1), exact-cosine cell assignment,
+    nprobe=1 within-cell top-k."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, CENTROID_MOD)
+
+
+ANN_IVF_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+cents AS (SELECT vec_id AS cid FROM qt WHERE vec_id % {CENTROID_MOD} = 1),
+vc AS (
+  SELECT a.vec_id, c.cid, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN cents c ON TRUE JOIN e b ON b.vec_id = c.cid AND b.i = a.i
+  GROUP BY a.vec_id, c.cid
+),
+scored_assign AS (
+  SELECT vc.vec_id, vc.cid,
+         CAST(vc.dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM vc JOIN norms x ON vc.vec_id = x.vec_id JOIN norms y ON vc.cid = y.vec_id
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM scored_assign) WHERE rn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+dots AS (
+  SELECT p.q_id, p.n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM pairs p JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.n_id AND b.i = a.i
+  GROUP BY p.q_id, p.n_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_lsh_multi": ann_lsh_multi,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh_bucket": ANN_LSH_ORACLE,
     "ann_lsh_multi": _ann_multi_oracle(),
+    "ann_ivf": ANN_IVF_ORACLE,
 }
