@@ -55,6 +55,29 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols —
+# the regex split a byte-pair tokenizer applies before merges.
+BPE_PRETOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+# ~chars-per-token heuristic divisor used for budget estimates.
+CHARS_PER_TOKEN_EST = 4
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token accounting for training budgets: whitespace
+    tokens, BPE-ish pre-tokens (word pieces + punctuation symbols),
+    and the chars/4 estimate. All JVM-side regexp work."""
+    return docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        .cast("long")
+        .alias("est_tokens"),
+    )
+
+
 def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word-vote language ID: the language with the strictly
     highest marker count wins (ties → earlier language in the fixed

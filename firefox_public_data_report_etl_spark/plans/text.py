@@ -10,12 +10,15 @@ from firefox_public_data_report_etl_spark.operators.multimodal import (
     decode_media,
 )
 from firefox_public_data_report_etl_spark.operators.text import (
+    BPE_PRETOKEN_RE,
+    CHARS_PER_TOKEN_EST,
     FINGERPRINT_GRAM,
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
     langid_heuristic,
     quality_features,
+    token_counts,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
 
@@ -92,6 +95,19 @@ FROM hh GROUP BY doc_id
 """
 
 
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS est_tokens
+FROM documents
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing, JVM side: payload bytes + chunk count
     (the partition-planning input for a decode stage)."""
@@ -149,6 +165,7 @@ FROM c
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_langid": text_langid,
+    "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -157,6 +174,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "text_langid": _langid_oracle(),
+    "text_token_counts": TOKEN_COUNTS_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

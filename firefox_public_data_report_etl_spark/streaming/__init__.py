@@ -1,6 +1,15 @@
+from firefox_public_data_report_etl_spark.streaming.upsert import (
+    stream_upsert,
+    upsert_batch,
+)
 from firefox_public_data_report_etl_spark.streaming.windows import (
     stream_events,
     tumbling_event_value,
 )
 
-__all__ = ["stream_events", "tumbling_event_value"]
+__all__ = [
+    "stream_events",
+    "stream_upsert",
+    "tumbling_event_value",
+    "upsert_batch",
+]
