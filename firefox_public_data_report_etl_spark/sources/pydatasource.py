@@ -24,7 +24,16 @@ from __future__ import annotations
 
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import DateType, IntegerType, StructField, StructType
 
 SPINE_SCHEMA = StructType(
@@ -51,14 +60,72 @@ class DateSpineReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", "4"))
         span = (self.stop - self.start).days
         self.n_rows = 0 if span < 0 else span // self.step_days + 1
+        # Pushed-down filters narrow this [lo, hi) step-index range
+        # BEFORE partition planning — the connector-level analog of
+        # parquet row-group pruning.
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def _clamp_day(self, d: date, op: str) -> None:
+        days = (d - self.start).days
+        if op in (">=", ">"):
+            if op == ">=":
+                self.lo = max(self.lo, -(-days // self.step_days))
+            else:
+                self.lo = max(self.lo, days // self.step_days + 1)
+        elif op == "<=":
+            self.hi = min(self.hi, days // self.step_days + 1)
+        elif op == "<":
+            self.hi = min(self.hi, -(-days // self.step_days))
+        elif op == "==":
+            if days >= 0 and days % self.step_days == 0:
+                i = days // self.step_days
+                self.lo = max(self.lo, i)
+                self.hi = min(self.hi, i + 1)
+            else:
+                self.hi = self.lo  # no row can match
+
+    def pushFilters(self, filters):
+        """Fully handles comparison/equality filters on `day` and
+        `step_index` by narrowing the generated index range (exact, so
+        the filters are consumed — Spark does not re-evaluate them).
+        Anything else is yielded back for post-scan evaluation."""
+        ops = {
+            GreaterThanOrEqual: ">=",
+            GreaterThan: ">",
+            LessThanOrEqual: "<=",
+            LessThan: "<",
+            EqualTo: "==",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            col = f.attribute[-1] if op else None
+            if op and col == "day" and isinstance(f.value, date):
+                self._clamp_day(f.value, op)
+            elif op and col == "step_index" and isinstance(f.value, int):
+                v = f.value
+                if op == ">=":
+                    self.lo = max(self.lo, v)
+                elif op == ">":
+                    self.lo = max(self.lo, v + 1)
+                elif op == "<=":
+                    self.hi = min(self.hi, v + 1)
+                elif op == "<":
+                    self.hi = min(self.hi, v)
+                else:
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f
 
     def partitions(self):
-        n = max(1, min(self.num_partitions, max(self.n_rows, 1)))
-        per = -(-self.n_rows // n) or 1
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n_rows = hi - lo
+        n = max(1, min(self.num_partitions, max(n_rows, 1)))
+        per = -(-n_rows // n) or 1
         return [
-            _SpineSlice(i, min(i + per, self.n_rows))
-            for i in range(0, max(self.n_rows, 1), per)
-        ]
+            _SpineSlice(i, min(i + per, hi)) for i in range(lo, max(hi, lo + 1), per)
+        ] or [_SpineSlice(lo, lo)]
 
     def read(self, partition: _SpineSlice):
         for i in range(partition.start_index, partition.end_index):
@@ -78,5 +145,8 @@ class DateSpineDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the source on a session."""
+    """Idempotent registration of the source on a session. Also
+    enables Python-source filter pushdown (off by default; runtime
+    conf, harness-proof like load_table's confs)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DateSpineDataSource)

@@ -115,3 +115,56 @@ def test_geometric_mean_udaf_matches_expression(spark):
     for g in got:
         assert math.isclose(got[g], expr[g], rel_tol=1e-12)
     assert math.isclose(got["a"], 4.0, rel_tol=1e-12)
+
+
+def test_date_spine_filter_pushdown(spark):
+    """Comparison filters on day/step_index narrow the generated index
+    range inside the connector (consumed by pushFilters), and results
+    match the unpushed semantics exactly."""
+    from datetime import date
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from firefox_public_data_report_etl_spark.sources.pydatasource import (
+        DateSpineReader,
+        register,
+    )
+
+    # unit: the reader consumes range filters and shrinks its plan
+    r = DateSpineReader(
+        {"start": "2024-01-01", "stop": "2024-12-30", "step_days": "7"}
+    )
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("day",), date(2024, 3, 1)),
+                LessThan(("day",), date(2024, 6, 1)),
+            ]
+        )
+    )
+    assert leftover == []  # fully consumed
+    parts = r.partitions()
+    rows = [row for p in parts for row in r.read(p)]
+    assert all(date(2024, 3, 1) <= d < date(2024, 6, 1) for d, _ in rows)
+    assert len(rows) == sum(
+        1
+        for i in range(53)
+        if date(2024, 3, 1) <= date(2024, 1, 1) + __import__("datetime").timedelta(days=7 * i) < date(2024, 6, 1)
+    )
+
+    # end-to-end: pushed plan returns the same rows as Spark-side filter
+    register(spark)
+    df = (
+        spark.read.format("date_spine")
+        .option("start", "2024-01-01")
+        .option("stop", "2024-12-30")
+        .option("step_days", "7")
+        .load()
+    )
+    got = sorted(
+        r["day"].isoformat()
+        for r in df.filter(
+            (F.col("day") >= "2024-03-01") & (F.col("day") < "2024-06-01")
+        ).collect()
+    )
+    assert got[0] >= "2024-03-01" and got[-1] < "2024-06-01"
+    assert len(got) == len(rows)
