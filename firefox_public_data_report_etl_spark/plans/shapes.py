@@ -375,10 +375,40 @@ WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.doc_id = t.doc_id)
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (p50/p90/p99 of
+    exact cents). Both engines use the same linear-interpolation
+    definition over int64 inputs (index p*(n-1), one multiply-add in
+    double), so the outputs are bit-identical — the cents trick makes
+    even order statistics oracle-exact."""
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("p50_cents"),
+        F.expr("percentile(c, 0.9)").alias("p90_cents"),
+        F.expr("percentile(c, 0.99)").alias("p99_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
     "spine_gap_fill": spine_gap_fill,
     "corpus_refresh_merge": corpus_refresh_merge,
+    "value_percentiles": value_percentiles,
     "nation_name_fallback": nation_name_fallback,
     "part_decision_table": part_decision_table,
     "ordered_order_positions": ordered_order_positions,
@@ -389,6 +419,7 @@ ORACLES = {
     "weekly_engagement_report": WEEKLY_ENGAGEMENT_ORACLE,
     "spine_gap_fill": SPINE_GAP_FILL_ORACLE,
     "corpus_refresh_merge": CORPUS_MERGE_ORACLE,
+    "value_percentiles": VALUE_PERCENTILES_ORACLE,
     "nation_name_fallback": NATION_FALLBACK_ORACLE,
     "part_decision_table": PART_DECISION_ORACLE,
     "ordered_order_positions": ORDERED_POSITIONS_ORACLE,
