@@ -67,3 +67,20 @@ def test_regional_revenue_broadcasts_dims(spark, sf_dir):
 def test_late_ship_uses_semi_join(spark, sf_dir):
     plan = _executed_plan(spark, "late_ship_priority", sf_dir)
     assert "LeftSemi" in plan
+
+
+def test_weekly_engagement_scan_prune(spark, sf_dir):
+    """The report-date recency window must reach the parquet reader as
+    a raw-nanos upper bound (pushed below the timestamp conversion)."""
+    plan = _executed_plan(spark, "weekly_engagement_report", sf_dir)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "ts" in pushed
+
+
+def test_ann_ivf_is_hash_partitioned_by_cell(spark, sf_dir):
+    """IVF candidate scoring must be a broadcast/hash join on the cell
+    key — never an all-pairs nested loop."""
+    plan = _executed_plan(spark, "ann_ivf", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
