@@ -9,11 +9,13 @@ from firefox_public_data_report_etl_spark.operators.topk import (
 from firefox_public_data_report_etl_spark.operators.collapse import collapse_buckets
 from firefox_public_data_report_etl_spark.operators.asof import (
     asof_latest_broadcast,
+    asof_latest_cogroup,
     asof_latest_union_window,
 )
 
 __all__ = [
     "asof_latest_broadcast",
+    "asof_latest_cogroup",
     "asof_latest_union_window",
     "collapse_buckets",
     "explode_preserving_empty",

@@ -7,7 +7,7 @@ Reference shapes:
   - J5: active clients joined to ``latest_releases.day <= last_day_seen``
     then MAX per client (…user_activity.sql:166-186).
 
-Two physical strategies, chosen by the caller:
+Three physical strategies, chosen by the caller:
 
   * ``asof_latest_broadcast`` — broadcast the (small) right side and do
     a theta join + group-max. Right side must be broadcastable
@@ -19,6 +19,14 @@ Two physical strategies, chosen by the caller:
     over an ordered window. ONE hash shuffle + sort, no cross
     product; scales to large right sides and is the strategy a
     custom as-of operator would lower to.
+
+  * ``asof_latest_cogroup`` — the pandas escape-hatch form:
+    ``groupby(...).cogroup(...).applyInPandas`` hands each key's left
+    and right slices to ``pandas.merge_asof`` (Arrow-batched). Same
+    shuffle shape as the union-window form (both sides hash on the
+    `by` key); useful when as-of semantics grow beyond what a window
+    expresses (nearest-tolerance, backward+forward). All three are
+    equivalence-tested against each other.
 """
 
 from __future__ import annotations
@@ -105,4 +113,63 @@ def asof_latest_union_window(
     out = merged.withColumn("_asof", F.last("_v", ignorenulls=True).over(w))
     return out.filter(F.col("_src") == 1).select(
         *lcols, F.col("_asof").alias(value_col)
+    )
+
+
+def asof_latest_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """As-of via cogrouped ``applyInPandas``: per `by`-key slices of
+    both sides meet in one Arrow batch and ``pandas.merge_asof``
+    (backward, exact matches allowed) does the lookup — identical
+    semantics to ``asof_latest_union_window``.
+
+    Shuffle shape is the same as the union-window form (both sides
+    hash-partition on the key); reach for this one when the as-of
+    needs pandas-only variants (tolerance windows, forward/nearest).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    lcols = left.columns
+    vfield = right.schema[value_col]
+    out_schema = StructType(list(left.schema.fields) + [vfield])
+    int_value = vfield.dataType.typeName() in ("long", "integer", "short", "byte")
+    keys = list(by) if by else ["_k"]
+    if not by:
+        left = left.withColumn("_k", F.lit(0))
+        right = right.withColumn("_k", F.lit(0))
+
+    def _merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=lcols + [value_col])
+        l = l.copy()
+        l["_t"] = pd.to_datetime(l[left_time])
+        if len(r) == 0:
+            out = l
+            out[value_col] = None
+        else:
+            r = r[[right_time, value_col]].copy()
+            r["_t"] = pd.to_datetime(r[right_time])
+            out = pd.merge_asof(
+                l.sort_values("_t", kind="stable"),
+                r[["_t", value_col]].sort_values("_t", kind="stable"),
+                on="_t",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        if int_value:
+            out[value_col] = out[value_col].astype("Int64")
+        return out[lcols + [value_col]]
+
+    return (
+        left.groupby(*keys)
+        .cogroup(right.groupby(*keys))
+        .applyInPandas(_merge, out_schema)
     )

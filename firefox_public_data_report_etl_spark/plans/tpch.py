@@ -322,7 +322,41 @@ WHERE qty * qty_n * 2 < qty_sum
 """
 
 
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass (Expand + single shuffle — the same physical shape as
+    GROUPING SETS in `hardware_dims_grouping_sets`, at the 2^k
+    extreme). grouping_id disambiguates rolled-up NULLs from data
+    NULLs, matching the oracle's GROUPING() arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum("price_cents").alias("sum_price_cents"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+LINEITEM_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
+    "lineitem_cube": lineitem_cube,
     "pricing_summary": pricing_summary,
     "regional_revenue": regional_revenue,
     "late_ship_priority": late_ship_priority,
@@ -332,6 +366,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_cube": LINEITEM_CUBE_ORACLE,
     "pricing_summary": PRICING_SUMMARY_ORACLE,
     "regional_revenue": REGIONAL_REVENUE_ORACLE,
     "late_ship_priority": LATE_SHIP_PRIORITY_ORACLE,

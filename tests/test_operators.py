@@ -88,7 +88,13 @@ def test_asof_strategies_agree(spark):
         r["id"]: r["v"]
         for r in asof_latest_union_window(left, right, "d", "rd", "v").collect()
     }
-    assert a == b == {1: None, 2: 50, 3: 80}
+    from firefox_public_data_report_etl_spark.operators import asof_latest_cogroup
+
+    c = {
+        r["id"]: r["v"]
+        for r in asof_latest_cogroup(left, right, "d", "rd", "v").collect()
+    }
+    assert a == b == c == {1: None, 2: 50, 3: 80}
 
 
 def test_top_k_forms_agree(spark):
@@ -126,3 +132,43 @@ def test_explode_preserving_empty(spark):
     got = {(r["id"], r["item"]) for r in out.collect()}
     # empty and NULL arrays keep their row with a NULL item
     assert got == {(1, "x"), (2, None), (3, None)}
+
+
+def test_asof_cogroup_keyed_matches_union_window(spark):
+    """Keyed as-of: the cogrouped merge_asof and the union-window form
+    must agree per key (including a key with no right rows)."""
+    from firefox_public_data_report_etl_spark.operators import (
+        asof_latest_cogroup,
+        asof_latest_union_window,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, date(2024, 1, 3)),
+            ("a", 2, date(2024, 1, 9)),
+            ("b", 3, date(2024, 1, 9)),
+            ("c", 4, date(2024, 1, 9)),  # no right rows for c
+        ],
+        ["k", "id", "d"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 3), 30),
+            ("a", date(2024, 1, 7), 70),
+            ("b", date(2024, 1, 1), 10),
+        ],
+        ["k", "rd", "v"],
+    )
+    u = {
+        r["id"]: r["v"]
+        for r in asof_latest_union_window(
+            left, right, "d", "rd", "v", by=["k"]
+        ).collect()
+    }
+    c = {
+        r["id"]: r["v"]
+        for r in asof_latest_cogroup(
+            left, right, "d", "rd", "v", by=["k"]
+        ).collect()
+    }
+    assert u == c == {1: 30, 2: 70, 3: 10, 4: None}
