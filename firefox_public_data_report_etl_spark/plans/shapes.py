@@ -404,11 +404,103 @@ FROM events GROUP BY event_type
 """
 
 
+def salted_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (operators.skew): weekly distinct
+    users through the two-stage salted aggregation — the path the
+    Worldwide hot key takes at 100 TB. Salting is exact (a key always
+    lands in one salt bucket), so the oracle is a plain
+    COUNT(DISTINCT)."""
+    from firefox_public_data_report_etl_spark.operators.skew import (
+        salted_count_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        week_start(F.col("ts")).alias("week_start"), "user_id"
+    )
+    out = salted_count_distinct(ev, ["week_start"], "user_id", "users")
+    return out.select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"), "users"
+    )
+
+
+SALTED_WEEKLY_USERS_ORACLE = """
+SELECT strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-profiling pass (the engine's ANALYZE analog): per-column
+    null counts, distinct counts, and min/max in ONE scan — long-form
+    output (column, stat, value) so the shape is schema-stable. The
+    profile every ingestion pipeline runs before trusting a new drop."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in ["o_orderkey", "o_custkey", "o_orderpriority"]:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), True)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(F.count("*").alias("__rows"), *aggs)
+    cols = [f.name for f in wide.schema.fields]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("stat"), F.col(c).cast("string").alias("value"))
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("kv"))
+        .select(F.col("kv.stat").alias("stat"), F.col("kv.value").alias("value"))
+    )
+
+
+ORDERS_PROFILE_ORACLE = """
+WITH w AS (
+  SELECT CAST(count(*) AS VARCHAR) AS "__rows",
+         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS VARCHAR) AS "o_orderkey__nulls",
+         CAST(count(DISTINCT o_orderkey) AS VARCHAR) AS "o_orderkey__distinct",
+         CAST(min(o_orderkey) AS VARCHAR) AS "o_orderkey__min",
+         CAST(max(o_orderkey) AS VARCHAR) AS "o_orderkey__max",
+         CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS VARCHAR) AS "o_custkey__nulls",
+         CAST(count(DISTINCT o_custkey) AS VARCHAR) AS "o_custkey__distinct",
+         CAST(min(o_custkey) AS VARCHAR) AS "o_custkey__min",
+         CAST(max(o_custkey) AS VARCHAR) AS "o_custkey__max",
+         CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS VARCHAR) AS "o_orderpriority__nulls",
+         CAST(count(DISTINCT o_orderpriority) AS VARCHAR) AS "o_orderpriority__distinct",
+         CAST(min(o_orderpriority) AS VARCHAR) AS "o_orderpriority__min",
+         CAST(max(o_orderpriority) AS VARCHAR) AS "o_orderpriority__max"
+  FROM orders
+)
+SELECT u.stat, u.value FROM w,
+LATERAL (VALUES
+  ('__rows', "__rows"),
+  ('o_orderkey__nulls', "o_orderkey__nulls"),
+  ('o_orderkey__distinct', "o_orderkey__distinct"),
+  ('o_orderkey__min', "o_orderkey__min"),
+  ('o_orderkey__max', "o_orderkey__max"),
+  ('o_custkey__nulls', "o_custkey__nulls"),
+  ('o_custkey__distinct', "o_custkey__distinct"),
+  ('o_custkey__min', "o_custkey__min"),
+  ('o_custkey__max', "o_custkey__max"),
+  ('o_orderpriority__nulls', "o_orderpriority__nulls"),
+  ('o_orderpriority__distinct', "o_orderpriority__distinct"),
+  ('o_orderpriority__min', "o_orderpriority__min"),
+  ('o_orderpriority__max', "o_orderpriority__max")
+) AS u(stat, value)
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
     "spine_gap_fill": spine_gap_fill,
     "corpus_refresh_merge": corpus_refresh_merge,
     "value_percentiles": value_percentiles,
+    "salted_weekly_users": salted_weekly_users,
+    "orders_profile": orders_profile,
     "nation_name_fallback": nation_name_fallback,
     "part_decision_table": part_decision_table,
     "ordered_order_positions": ordered_order_positions,
@@ -420,6 +512,8 @@ ORACLES = {
     "spine_gap_fill": SPINE_GAP_FILL_ORACLE,
     "corpus_refresh_merge": CORPUS_MERGE_ORACLE,
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
+    "salted_weekly_users": SALTED_WEEKLY_USERS_ORACLE,
+    "orders_profile": ORDERS_PROFILE_ORACLE,
     "nation_name_fallback": NATION_FALLBACK_ORACLE,
     "part_decision_table": PART_DECISION_ORACLE,
     "ordered_order_positions": ORDERED_POSITIONS_ORACLE,
