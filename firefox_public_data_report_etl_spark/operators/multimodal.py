@@ -80,6 +80,57 @@ class FakeDecoder:
         return (64 + checksum % 128, 64 + (checksum // 128) % 128, checksum)
 
 
+def resize_plan(decoded: DataFrame, max_dim: int = 96) -> DataFrame:
+    """Resize planning over decoded media: integer-exact target
+    dimensions capped at ``max_dim`` on the longest side (aspect
+    preserved via integer scaling — no FP, so the stage is
+    oracle-exact). The actual pixel resample would run inside the
+    decode mapInPandas stage; THIS plan (which rows resize, to what)
+    is the distributed decision the pipeline schedules on."""
+    longest = F.greatest(F.col("width"), F.col("height"))
+    needs = longest > max_dim
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        needs.alias("needs_resize"),
+        F.when(
+            needs,
+            F.expr(f"cast(width * {max_dim} as long) div greatest(width, height)"),
+        )
+        .otherwise(F.col("width").cast("long"))
+        .alias("target_width"),
+        F.when(
+            needs,
+            F.expr(f"cast(height * {max_dim} as long) div greatest(width, height)"),
+        )
+        .otherwise(F.col("height").cast("long"))
+        .alias("target_height"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Frame-sampling plan for video-like payloads: the payload's
+    chunk count stands in for the frame count (256-byte fake frames);
+    emit ``n_samples`` evenly-spaced frame indices per media row as an
+    explode — one output row per (media, frame) ready for a decode
+    stage. Media with fewer frames than ``n_samples`` emit every
+    frame once."""
+    frames = F.expr("(n_bytes + 255) div 256")
+    idx = F.explode(
+        F.when(
+            frames >= n_samples,
+            F.expr(
+                f"transform(sequence(0, {n_samples - 1}),"
+                f" k -> k * ((n_bytes + 255) div 256) div {n_samples})"
+            ),
+        )
+        .when(frames > 0, F.expr("sequence(0, ((n_bytes + 255) div 256) - 1)"))
+        .otherwise(F.expr("cast(array() as array<bigint>)"))
+    )
+    return media.select("media_id", frames.alias("n_frames"), idx.alias("frame_index"))
+
+
 def decode_media(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """The mapInPandas decode stage: binary payloads → typed features.
 

@@ -8,6 +8,8 @@ from firefox_public_data_report_etl_spark.functions import md5_int_sql
 from firefox_public_data_report_etl_spark.operators.multimodal import (
     attach_payload,
     decode_media,
+    frame_sample_plan,
+    resize_plan,
 )
 from firefox_public_data_report_etl_spark.operators.text import (
     BPE_PRETOKEN_RE,
@@ -162,6 +164,64 @@ FROM c
 """
 
 
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the decoded-media stage: integer-exact
+    target dims capped at 96 px on the longest side. The arithmetic is
+    all-integer (``div``), so the plan has an exact DuckDB twin on top
+    of the decode oracle's checksum fold."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return resize_plan(decode_media(media), max_dim=96)
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+c AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, n),
+            i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2)) AS INT) AS BIGINT))),
+          (acc, b) -> (acc*31 + b) % 1000000007) AS cks
+      FROM d),
+wh AS (SELECT doc_id AS media_id,
+              CAST(64 + cks % 128 AS INT) AS width,
+              CAST(64 + (cks // 128) % 128 AS INT) AS height
+       FROM c)
+SELECT media_id, width, height,
+       greatest(width, height) > 96 AS needs_resize,
+       CASE WHEN greatest(width, height) > 96
+            THEN CAST(width AS BIGINT) * 96 // greatest(width, height)
+            ELSE CAST(width AS BIGINT) END AS target_width,
+       CASE WHEN greatest(width, height) > 96
+            THEN CAST(height AS BIGINT) * 96 // greatest(width, height)
+            ELSE CAST(height AS BIGINT) END AS target_height
+FROM wh
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: 4 evenly-spaced fake-frame indices per
+    media row (chunk count stands in for frame count), exploded to one
+    row per (media, frame) — the work list a video decode stage would
+    map over. Pure JVM-side array math; explode drops zero-frame rows
+    exactly like DuckDB UNNEST of an empty list."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, n_samples=4)
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id,
+                  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+           FROM documents),
+i AS (SELECT media_id, n_frames,
+             CASE WHEN n_frames >= 4
+                  THEN list_transform(range(0, 4), k -> k * n_frames // 4)
+                  ELSE range(0, n_frames) END AS idxs
+      FROM m)
+SELECT media_id, n_frames, UNNEST(idxs) AS frame_index FROM i
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_langid": text_langid,
@@ -169,6 +229,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize_plan": multimodal_resize_plan,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -178,4 +240,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
+    "multimodal_resize_plan": MULTIMODAL_RESIZE_ORACLE,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
 }

@@ -43,3 +43,39 @@ def test_decode_media_deterministic(spark, sf_dir):
 def test_decoder_unsupported_type_raises():
     with pytest.raises(NotImplementedError):
         FakeDecoder().decode(b"xx", "video/mp4")
+
+
+def test_resize_plan_integer_exact(spark):
+    from firefox_public_data_report_etl_spark.operators.multimodal import resize_plan
+
+    decoded = spark.createDataFrame(
+        [(1, 190, 80), (2, 96, 96), (3, 50, 100), (4, 64, 64)],
+        "media_id long, width int, height int",
+    )
+    out = {r["media_id"]: r for r in resize_plan(decoded, max_dim=96).collect()}
+    # 190x80 -> longest 190 caps to 96: w=190*96//190=96, h=80*96//190=40
+    assert (out[1]["target_width"], out[1]["target_height"]) == (96, 40)
+    assert out[1]["needs_resize"] is True
+    # exactly at the cap: untouched
+    assert (out[2]["target_width"], out[2]["target_height"]) == (96, 96)
+    assert out[2]["needs_resize"] is False
+    # portrait: 50x100 -> w=50*96//100=48, h=96
+    assert (out[3]["target_width"], out[3]["target_height"]) == (48, 96)
+    assert (out[4]["target_width"], out[4]["target_height"]) == (64, 64)
+
+
+def test_frame_sample_plan_spacing_and_empty(spark):
+    from firefox_public_data_report_etl_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        # 2048 bytes -> 8 frames; 300 -> 2 frames; 0 -> 0 frames (dropped)
+        [(1, 2048), (2, 300), (3, 0)],
+        "media_id long, n_bytes long",
+    )
+    out = frame_sample_plan(media, n_samples=4).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert sorted(by_id[1]) == [0, 2, 4, 6]  # evenly spaced over 8 frames
+    assert sorted(by_id[2]) == [0, 1]  # fewer frames than samples: every frame
+    assert 3 not in by_id  # zero-frame media emits no rows
