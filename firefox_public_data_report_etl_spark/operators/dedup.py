@@ -82,13 +82,22 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return raw.select(id_col, F.expr(md5_int_spark_sql("g")).alias("h"))
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mh15): minimum of each hash permutation over the
-    pre-hashed shingle rows."""
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", with_size: bool = False
+) -> DataFrame:
+    """(id, mh0..mh15[, n]): minimum of each hash permutation over the
+    pre-hashed shingle rows.
+
+    ``with_size=True`` fuses the shingle-set size (``n``) into the SAME
+    aggregation — the Jaccard verify needs |A| and |B|, and computing
+    them here saves a second scan+shuffle of the shingle table (the
+    17th aggregate rides the one map-side combine for free)."""
     aggs = [
         F.min(F.expr(minhash_perm_sql("h", a, b))).alias(f"mh{k}")
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("n"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -138,6 +147,7 @@ def jaccard_for_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     broadcast_pairs: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """(da, db, jaccard): exact Jaccard over distinct shingles, computed
     only for the given candidate pairs.
@@ -147,8 +157,17 @@ def jaccard_for_pairs(
     of the pair space. A dup-heavy corpus can yield more candidates
     than the driver can broadcast; pass ``False`` to shuffle-join the
     pair table instead (same results, keys co-partition on da then
-    (db, h)). Callers can gate on a candidate count estimate."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    (db, h)). Callers can gate on a candidate count estimate.
+
+    ``sizes`` (id, n): pre-computed shingle-set sizes — pass the fused
+    output of ``minhash_signatures(with_size=True)`` to avoid a second
+    aggregation over the shingle table. The size table is corpus-
+    cardinality (one row per doc), so it is never broadcast; the
+    candidate-pair side is the small one and carries the hint."""
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    else:
+        sizes = sizes.select(id_col, "n")
     sa = sh.select(F.col(id_col).alias("da"), "h")
     sb = sh.select(F.col(id_col).alias("db"), "h")
     p = F.broadcast(pairs) if broadcast_pairs else pairs
@@ -160,8 +179,11 @@ def jaccard_for_pairs(
     )
     na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    # post-LSH the pair-grain `inter` is the small side; the size dim
+    # is corpus-cardinality and must never be broadcast
+    left = F.broadcast(inter) if broadcast_pairs else inter
     return (
-        inter.join(na, "da")
+        left.join(na, "da")
         .join(nb, "db")
         .select(
             "da",

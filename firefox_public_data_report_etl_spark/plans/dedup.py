@@ -85,9 +85,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, verified with
     exact Jaccard — the scale path: no all-pairs join ever happens."""
     sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
-    sigs = minhash_signatures(sh)
+    # one aggregation produces signatures AND set sizes; cached so the
+    # band join and the verify's size lookups both read it for free
+    sigs = minhash_signatures(sh, with_size=True).cache()
     cand = lsh_candidate_pairs(sigs)
-    return jaccard_for_pairs(cand, sh).filter(
+    return jaccard_for_pairs(cand, sh, sizes=sigs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
