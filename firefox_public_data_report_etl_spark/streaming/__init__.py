@@ -1,3 +1,6 @@
+from firefox_public_data_report_etl_spark.streaming.dedupe import (
+    stream_dedup_events,
+)
 from firefox_public_data_report_etl_spark.streaming.upsert import (
     stream_upsert,
     upsert_batch,
@@ -8,6 +11,7 @@ from firefox_public_data_report_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "stream_dedup_events",
     "stream_events",
     "stream_upsert",
     "tumbling_event_value",

@@ -81,3 +81,59 @@ def test_stream_upsert_latest_wins(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {1: (1, "one.v1"), 2: (3, "two.v3"), 3: (1, "three.v1")}
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Duplicated deliveries through the watermarked streaming dedup:
+    the appended output must equal batch dropDuplicates on the keys,
+    and each key must be emitted exactly once even when its duplicate
+    arrives in a later micro-batch."""
+    from firefox_public_data_report_etl_spark.streaming import stream_dedup_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, ts string, event_type string, value double"
+    wave1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (1, "2024-01-01 10:00:00", "click", 1.0),  # intra-batch dup
+            (2, "2024-01-01 10:05:00", "view", 2.0),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wave2 = spark.createDataFrame(
+        [
+            (2, "2024-01-01 10:05:00", "view", 2.0),  # cross-batch dup
+            (3, "2024-01-01 10:20:00", "click", 3.0),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wave1.coalesce(1).write.parquet(str(src / "w1"))
+    wave2.coalesce(1).write.parquet(str(src / "w2"))
+
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = stream_dedup_events(stream, delay="2 hours")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT * FROM dedup_test").collect()
+    )
+    batch = wave1.unionAll(wave2)
+    expected = sorted(
+        (r["user_id"], r["event_type"])
+        for r in stream_dedup_events(batch).collect()
+    )
+    assert got == expected == [(1, "click"), (2, "view"), (3, "click")]
