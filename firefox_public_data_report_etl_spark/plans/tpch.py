@@ -26,8 +26,9 @@ from firefox_public_data_report_etl_spark.sources import load_table
 
 
 def _pct(col) -> F.Column:
-    """0.07 → 7: exact integer percent for a 2-decimal fraction."""
-    return F.round(col * 100).cast("long")
+    """0.07 → 7: exact integer percent for a 2-decimal fraction (same
+    arithmetic round-half-away form as ``functions.cents``)."""
+    return cents(col)
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +43,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
         cents(F.col("l_extendedprice")).alias("price_c"),
         _pct(F.col("l_discount")).alias("disc_p"),
         _pct(F.col("l_tax")).alias("tax_p"),
@@ -289,7 +290,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        F.round("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
         cents(F.col("l_extendedprice")).alias("price_c"),
     )
     per_part = li.groupBy("l_partkey").agg(

@@ -17,6 +17,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 
+from firefox_public_data_report_etl_spark.functions import cents
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
@@ -53,7 +54,7 @@ def running_user_totals(events: DataFrame, watermark: str | None = None) -> Data
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
     prepared = events.select(
-        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "user_id", cents(F.col("value")).alias("cents")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _update,
