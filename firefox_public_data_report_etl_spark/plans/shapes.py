@@ -15,9 +15,9 @@ tables, with a hand-written DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from firefox_public_data_report_etl_spark.functions import safe_div, week_start
+from firefox_public_data_report_etl_spark.functions import cents, safe_div, week_start
 from firefox_public_data_report_etl_spark.sources import load_table
 
 # F7 analog of the reference's days_since_seen recency predicates:
@@ -494,6 +494,116 @@ LATERAL (VALUES
 """
 
 
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers who placed orders in BOTH 1996 and
+    1997 — the set-operator sibling of the exceptAll contract check
+    (U2). Scale: each side is a pre-aggregated distinct (map-side
+    combine before its shuffle); INTERSECT hashes the two key sets,
+    never the order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    def _year(y: int):
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+    return (
+        _year(1996)
+        .intersect(_year(1997))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+REPEAT_CUSTOMERS_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 28-day trailing average of daily order
+    revenue per priority — a range frame over an integer day offset
+    (value-based, unlike the rows-frame running total). Scale: one
+    shuffle to daily grain, then one window shuffle on the 5-row
+    priority key; the frame is time-bounded so state per partition is
+    constant."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("day_no"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    daily = orders.groupBy("o_orderpriority", "day_no").agg(
+        F.sum("c").alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-27, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day_no",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("trail_cents"),
+        F.count("*").over(w).alias("trail_days"),
+        (F.sum("day_cents").over(w).cast("double") / 100 / F.count("*").over(w)).alias(
+            "trail_avg"
+        ),
+    )
+
+
+MOVING_AVG_RANGE_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY o_orderpriority, day_no
+)
+SELECT o_orderpriority, day_no, day_cents,
+       CAST(sum(day_cents) OVER w AS BIGINT) AS trail_cents,
+       CAST(count(*) OVER w AS BIGINT) AS trail_days,
+       CAST(sum(day_cents) OVER w AS DOUBLE) / 100 / count(*) OVER w AS trail_avg
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+"""
+
+
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: customers bucketed into account-balance deciles
+    per market segment, reporting each decile's span and size. The
+    ntile ordering tie-breaks on the key so both engines assign
+    identical buckets. Scale: single window shuffle on the segment
+    key; deciles then collapse to 10 rows per segment."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_c", "c_custkey")
+    tiled = cust.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("c_mktsegment", "decile").agg(
+        F.count("*").alias("n"),
+        F.min("bal_c").alias("min_bal_c"),
+        F.max("bal_c").alias("max_bal_c"),
+    )
+
+
+CUSTOMER_DECILES_ORACLE = """
+WITH tiled AS (
+  SELECT c_mktsegment,
+         CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                              ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS INT) AS decile,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT c_mktsegment, decile, count(*) AS n,
+       CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c
+FROM tiled GROUP BY c_mktsegment, decile
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
     "spine_gap_fill": spine_gap_fill,
@@ -505,6 +615,9 @@ QUERIES = {
     "part_decision_table": part_decision_table,
     "ordered_order_positions": ordered_order_positions,
     "priority_year_kv": priority_year_kv,
+    "repeat_customers_intersect": repeat_customers_intersect,
+    "moving_avg_range_frame": moving_avg_range_frame,
+    "customer_balance_deciles": customer_balance_deciles,
 }
 
 ORACLES = {
@@ -518,4 +631,7 @@ ORACLES = {
     "part_decision_table": PART_DECISION_ORACLE,
     "ordered_order_positions": ORDERED_POSITIONS_ORACLE,
     "priority_year_kv": PRIORITY_KV_ORACLE,
+    "repeat_customers_intersect": REPEAT_CUSTOMERS_ORACLE,
+    "moving_avg_range_frame": MOVING_AVG_RANGE_ORACLE,
+    "customer_balance_deciles": CUSTOMER_DECILES_ORACLE,
 }
