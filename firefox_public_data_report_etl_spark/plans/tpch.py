@@ -172,7 +172,12 @@ def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference never needs but a complete engine must have).
 
     Scale: semi join shuffles on orderkey only; the probe side carries
-    no lineitem payload columns (column pruning).
+    no lineitem payload columns (column pruning). The lineitem scan
+    additionally carries the DERIVED predicate l_shipdate > 1996-03-01
+    (implied by o_orderdate >= 1996-01-01 plus the +60-day condition) —
+    Catalyst cannot infer it through the non-equi join condition, and
+    stating it lets the parquet scan row-group-prune the probe side
+    before the shuffle instead of after the join.
     """
     orders = load_table(
         spark, sf_dir, "orders", prune=("o_orderdate", "1996-01-01", "1997-01-01")
@@ -180,7 +185,9 @@ def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", "1996-03-01", None)
+    ).filter(F.col("l_shipdate") > F.lit("1996-03-01"))
     cond = (li.l_orderkey == orders.o_orderkey) & (
         li.l_shipdate > orders.o_orderdate + F.expr("interval 60 days")
     )

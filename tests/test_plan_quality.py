@@ -84,3 +84,29 @@ def test_ann_ivf_is_hash_partitioned_by_cell(spark, sf_dir):
     plan = _executed_plan(spark, "ann_ivf", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_late_ship_derived_probe_pushdown(spark, sf_dir):
+    """The +60-day semi-join condition implies l_shipdate > 1996-03-01
+    on the probe side; the derived predicate must reach the lineitem
+    parquet scan (Catalyst cannot infer it through the non-equi join
+    condition, so the plan states it explicitly)."""
+    plan = _executed_plan(spark, "late_ship_priority", sf_dir)
+    li_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "l_shipdate" in l
+    ]
+    assert li_scans, "lineitem scan not found"
+    assert any("PushedFilters: [" in l and "l_shipdate" in l.split("PushedFilters: [", 1)[1]
+               for l in li_scans), "derived l_shipdate bound did not reach the probe scan"
+
+
+def test_intersect_aggregates_before_set_op(spark, sf_dir):
+    """INTERSECT must hash pre-aggregated key sets, not order rows:
+    each side's distinct collapses to custkey grain before the set-op
+    join, and the orders scans carry only the two needed columns."""
+    plan = _executed_plan(spark, "repeat_customers_intersect", sf_dir)
+    assert "CartesianProduct" not in plan
+    for l in plan.splitlines():
+        if "FileScan parquet" in l:
+            assert "o_totalprice" not in l and "o_comment" not in l
