@@ -363,6 +363,167 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — orders
+    whose total quantity exceeds 300, with their customers.
+
+    Spark-first: the subquery is a semi-joinable aggregate, not a
+    correlated rewrite — lineitem aggregates to order grain once
+    (map-side combine), the HAVING filter collapses it to the tiny
+    qualifying set, and THAT is broadcast back against orders; the
+    customer join shuffles only qualifying orders. At 100 TB the
+    qualifying set stays broadcast-sized by construction (HAVING cuts
+    to the extreme tail)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
+
+
+BIG_ORDER_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_mktsegment, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per brand with a
+    NOT-IN exclusion subquery (suppliers in bad standing).
+
+    Spark-first: NOT IN over a non-nullable key is a left-anti join;
+    the exclusion set (negative-balance suppliers) is tiny and
+    broadcast. The part join is shuffle-on-partkey; the final distinct
+    count is two-phase (partial per partition)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    kept = li.join(
+        F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti"
+    )
+    return (
+        kept.join(part, kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+BRAND_SUPPLIER_VARIETY_ORACLE = """
+SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — the fraction of a region's
+    customer revenue supplied by one nation, per order year. Two
+    independent dimension paths join the same fact row (customer's
+    nation via orders, supplier's nation directly), and the share is a
+    conditional-sum ratio.
+
+    Spark-first: both nation dims broadcast (aliased independently);
+    lineitem⋈orders shuffles on orderkey, then custkey — the same
+    two-fact-shuffle skeleton as regional_revenue; supplier is
+    shuffle-joined on suppkey before that. One final tiny agg per
+    year. Exact integer revenue; ONE final division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev4"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cnat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .alias("cnat")
+    )
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    snat = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name"))
+        .alias("snat")
+    )
+    df = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("cnat.n_nationkey"))
+        .join(F.broadcast(reg), F.col("cnat.n_regionkey") == reg.r_regionkey)
+    )
+    g = df.groupBy("o_year").agg(
+        F.sum(F.when(F.col("sn_name") == "FRANCE", F.col("rev4"))).alias("fr4"),
+        F.sum("rev4").alias("all4"),
+    )
+    return g.select(
+        "o_year",
+        (F.coalesce(F.col("fr4"), F.lit(0)).cast("double") / F.col("all4")).alias(
+            "mkt_share"
+        ),
+        (F.col("all4").cast("double") / 10000).alias("region_revenue"),
+    )
+
+
+NATION_MARKET_SHARE_ORACLE = """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sn.n_name AS sn_name,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT o_year,
+       CAST(coalesce(CAST(sum(CASE WHEN sn_name = 'FRANCE' THEN rev4 END) AS BIGINT), 0) AS DOUBLE)
+         / CAST(sum(rev4) AS BIGINT) AS mkt_share,
+       CAST(CAST(sum(rev4) AS BIGINT) AS DOUBLE) / 10000 AS region_revenue
+FROM f GROUP BY o_year
+"""
+
+
 QUERIES = {
     "lineitem_cube": lineitem_cube,
     "pricing_summary": pricing_summary,
@@ -371,6 +532,9 @@ QUERIES = {
     "top_customers_per_nation": top_customers_per_nation,
     "parts_never_ordered": parts_never_ordered,
     "small_quantity_revenue": small_quantity_revenue,
+    "big_order_customers": big_order_customers,
+    "brand_supplier_variety": brand_supplier_variety,
+    "nation_market_share": nation_market_share,
 }
 
 ORACLES = {
@@ -381,4 +545,7 @@ ORACLES = {
     "top_customers_per_nation": TOP_CUSTOMERS_ORACLE,
     "parts_never_ordered": PARTS_NEVER_ORDERED_ORACLE,
     "small_quantity_revenue": SMALL_QTY_REVENUE_ORACLE,
+    "big_order_customers": BIG_ORDER_CUSTOMERS_ORACLE,
+    "brand_supplier_variety": BRAND_SUPPLIER_VARIETY_ORACLE,
+    "nation_market_share": NATION_MARKET_SHARE_ORACLE,
 }
