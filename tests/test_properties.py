@@ -72,3 +72,44 @@ def test_salted_distinct_is_exact(spark, rows, n_salts):
         for r in df.groupBy("g").agg(F.countDistinct("k").alias("d")).collect()
     }
     assert got == expected
+
+
+def test_cents_roundtrip_exhaustive(spark):
+    """cents() must invert x/100 exactly for every 2-decimal value in
+    ±1e6 cents (covers every fractional bit pattern a monetary double
+    in testdata range can take, including negatives and ties like
+    x.xx5 that double division can land just above or below)."""
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    df = spark.range(-1_000_000, 1_000_001).select(
+        F.col("id").alias("true_cents"),
+        (F.col("id").cast("double") / 100.0).alias("dollars"),
+    )
+    bad = (
+        df.select("true_cents", cents(F.col("dollars")).alias("got"))
+        .filter(F.col("got") != F.col("true_cents"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cents_matches_spark_round_on_random_doubles(spark):
+    """On arbitrary (not-2-decimal) doubles the arithmetic form must
+    still agree with Spark's BigDecimal HALF_UP round — the contract
+    the DuckDB oracles were originally written against."""
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    df = spark.range(0, 200_000).select(
+        (
+            (F.hash(F.col("id").cast("string")).cast("double") / 1000.0)
+        ).alias("x")
+    )
+    bad = (
+        df.select(
+            cents(F.col("x")).alias("a"),
+            F.round(F.col("x") * 100).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert bad == 0
