@@ -1,6 +1,9 @@
 from firefox_public_data_report_etl_spark.streaming.dedupe import (
     stream_dedup_events,
 )
+from firefox_public_data_report_etl_spark.streaming.tws import (
+    running_user_totals_tws,
+)
 from firefox_public_data_report_etl_spark.streaming.upsert import (
     stream_upsert,
     upsert_batch,
@@ -12,6 +15,7 @@ from firefox_public_data_report_etl_spark.streaming.windows import (
 
 __all__ = [
     "stream_dedup_events",
+    "running_user_totals_tws",
     "stream_events",
     "stream_upsert",
     "tumbling_event_value",
