@@ -130,3 +130,68 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.count("*").alias("n_grams"),
         F.countDistinct("h").alias("n_distinct"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash — the split every training pipeline needs: stable across
+    runs and cluster sizes (pure function of the id, no RNG, no
+    ordering dependence), stratification-free by construction because
+    the hash is uniform.
+
+    Buckets: hash(id) mod 100 → [0,w0) train, [w0,w0+w1) val, rest
+    test. Uses the portable md5 fragment so the assignment is
+    reproducible in ANY engine a team might audit the split with
+    (SQL/DuckDB/Spark give identical buckets). Narrow (no shuffle):
+    the split column is a projection."""
+    w0, w1, w2 = weights
+    if w0 + w1 + w2 != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = F.expr(md5_int_spark_sql(f"cast({id_col} as string)")) % 100
+    return docs.withColumn(
+        "split",
+        F.when(bucket < w0, "train")
+        .when(bucket < w0 + w1, "val")
+        .otherwise("test"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: top-token
+    dominance (count of the modal token / total tokens) and the
+    distinct-token ratio. Highly repetitive machine-generated text
+    scores high dominance / low distinct ratio and gets filtered
+    before training.
+
+    Shape: explode to (doc, token) → one count aggregate → one max
+    aggregate back at doc grain. Two shuffles on doc-keyed data, both
+    with map-side combine; no strings leave the first aggregate."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    per_tok = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_token_count"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "top_token_count",
+            (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias(
+                "top_token_dominance"
+            ),
+            (
+                F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+            ).alias("distinct_token_ratio"),
+        )
+    )

@@ -18,8 +18,10 @@ from firefox_public_data_report_etl_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
+    hash_split,
     langid_heuristic,
     quality_features,
+    repetition_features,
     token_counts,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -222,6 +224,53 @@ SELECT media_id, n_frames, UNNEST(idxs) AS frame_index FROM i
 """
 
 
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split summary: per-split
+    document and token-estimate counts. The assignment itself is a
+    narrow projection; the summary aggregate is tiny."""
+    split = hash_split(load_table(spark, sf_dir, "documents"))
+    return split.groupBy("split").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+    )
+
+
+CORPUS_HASH_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT text,
+         {md5_int_sql("cast(doc_id as varchar)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM b GROUP BY 1
+"""
+
+
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals over the corpus."""
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+DOC_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_tok AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(max(c) AS BIGINT) AS top_token_count,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_token_dominance,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS distinct_token_ratio
+FROM per_tok GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_langid": text_langid,
@@ -231,6 +280,8 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "corpus_hash_split": corpus_hash_split,
+    "doc_repetition_scores": doc_repetition_scores,
 }
 
 ORACLES = {
@@ -242,4 +293,6 @@ ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize_plan": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
+    "corpus_hash_split": CORPUS_HASH_SPLIT_ORACLE,
+    "doc_repetition_scores": DOC_REPETITION_ORACLE,
 }

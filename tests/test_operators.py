@@ -172,3 +172,26 @@ def test_asof_cogroup_keyed_matches_union_window(spark):
         ).collect()
     }
     assert u == c == {1: 30, 2: 70, 3: 10, 4: None}
+
+
+def test_hash_split_deterministic_and_balanced(spark, sf_dir):
+    import pytest
+
+    from firefox_public_data_report_etl_spark.operators.text import hash_split
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # stable across runs
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    # uniform hash: train should dominate roughly 80/10/10 (loose
+    # bounds — 500 docs at sf0.001)
+    assert c["train"] / n > 0.6
+    assert c["val"] / n < 0.25 and c["test"] / n < 0.25
+    with pytest.raises(ValueError):
+        hash_split(docs, weights=(50, 30, 30))
