@@ -7,7 +7,7 @@ the portable md5 fragment so the DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from firefox_public_data_report_etl_spark.functions import md5_int_spark_sql
 
@@ -194,4 +194,30 @@ def repetition_features(
                 F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
             ).alias("distinct_token_ratio"),
         )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic K-per-stratum subsample: within each stratum,
+    rank by the portable hash of the id (uniform, content-independent,
+    reproducible in any engine) and keep the first ``k``. The
+    hash-order rank is a seedless reservoir: stable under reruns,
+    insensitive to input partitioning/ordering, and adding documents
+    never reorders survivors ranked before them.
+
+    Scale: one window shuffle on the stratum key; skewed strata are
+    bounded by k rows OUT, and the rank is computed with a single sort
+    per partition. For extreme per-stratum cardinality, pre-filter
+    with an approximate hash threshold (hash < k/N quantile) before
+    the exact window."""
+    h = F.expr(md5_int_spark_sql(f"cast({id_col} as string)"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("rank_in_stratum", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_stratum") <= k)
     )

@@ -22,6 +22,7 @@ from firefox_public_data_report_etl_spark.operators.text import (
     langid_heuristic,
     quality_features,
     repetition_features,
+    stratified_sample,
     token_counts,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -271,6 +272,27 @@ FROM per_tok GROUP BY doc_id
 """
 
 
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 docs per labeled language, hash-ordered (seedless
+    reservoir): the balanced-evaluation-set builder."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 25)
+
+
+CORPUS_STRATIFIED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rank_in_stratum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+FROM r WHERE rank_in_stratum <= 25
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_langid": text_langid,
@@ -281,6 +303,7 @@ QUERIES = {
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_hash_split": corpus_hash_split,
+    "corpus_stratified_sample": corpus_stratified_sample,
     "doc_repetition_scores": doc_repetition_scores,
 }
 
@@ -294,5 +317,6 @@ ORACLES = {
     "multimodal_resize_plan": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_hash_split": CORPUS_HASH_SPLIT_ORACLE,
+    "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_ORACLE,
     "doc_repetition_scores": DOC_REPETITION_ORACLE,
 }
