@@ -35,3 +35,33 @@ def salted_count_distinct(
         F.countDistinct(key_col).alias("_d")
     )
     return per_salt.groupBy(*group_cols).agg(F.sum("_d").alias(out_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key join salting: when ONE join key exceeds what a single
+    task can process, AQE's skew split (which splits partitions, not
+    keys) is not enough — the key itself must be spread.
+
+    Left rows get a deterministic salt from their full row hash
+    (content-derived: reproducible, no RNG); the right side is
+    replicated ``n_salts`` times, one copy per salt; the join runs on
+    (keys..., salt) so the hot key fans across ``n_salts`` reducers.
+    Replication multiplies the right side — use for dim-like or
+    pre-aggregated right sides, with AQE handling residual imbalance.
+    Semantics are identical to the plain join (agreement-tested) for
+    inner/left joins."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, keys + ["_salt"], how).drop("_salt")

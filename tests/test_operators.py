@@ -195,3 +195,53 @@ def test_hash_split_deterministic_and_balanced(spark, sf_dir):
     assert c["val"] / n < 0.25 and c["test"] / n < 0.25
     with pytest.raises(ValueError):
         hash_split(docs, weights=(50, 30, 30))
+
+
+def test_salted_join_agrees_with_plain_join(spark):
+    from firefox_public_data_report_etl_spark.operators.skew import salted_join
+
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k").collect()))
+    assert salted == plain
+    # left join keeps unmatched rows exactly once
+    plain_l = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    salted_l = sorted(map(tuple, salted_join(left, right, "k", how="left").collect()))
+    assert salted_l == plain_l
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The session's AQE skew handling must actually split a skewed
+    shuffle join — guard the conf wiring, not just its presence."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(k)
