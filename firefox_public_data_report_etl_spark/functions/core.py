@@ -186,3 +186,29 @@ def minhash_perm_sql(base_expr: str, a: int, b: int) -> str:
     """SQL fragment: one universal-hash permutation of a base hash value,
     ``(a*h + b) mod (2^31-1)`` — identical semantics in both dialects."""
     return f"(({a} * {base_expr} + {b}) % {MINHASH_PRIME})"
+
+
+def zorder16_spark_sql(a: str, b: str) -> str:
+    """Spark-SQL fragment: Z-order (Morton) key interleaving the low
+    16 bits of two non-negative integer expressions — ``a`` on even
+    bits, ``b`` on odd. Sorting/range-partitioning by this key gives
+    2-D locality: a file range covers a TILE in (a, b) space, so
+    row-group min/max stats prune selective predicates on EITHER
+    column (a linear sort prunes only its leading column). Pure
+    integer expression → whole-stage codegen, identical math in any
+    engine. 16+16 bits fits a 32-bit key in a BIGINT."""
+    terms = []
+    for i in range(16):
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder16_duck_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``zorder16_spark_sql`` (same bit math, operator
+    syntax instead of shiftleft/shiftright functions)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -604,6 +604,56 @@ FROM tiled GROUP BY c_mktsegment, decile
 """
 
 
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, day) for the
+    events table — the write-side layout lever: range-partitioning
+    output files by this key makes row-group min/max stats prune
+    selective predicates on EITHER dimension (a linear sort serves
+    only its leading column). The key is a pure integer expression
+    (whole-stage codegen); `test_zorder_locality` proves the pruning
+    property on real parquet footers."""
+    from firefox_public_data_report_etl_spark.functions import zorder16_spark_sql
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day_no"),
+    )
+    bounded = ev.select(
+        "user_id",
+        "day_no",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("ub"),
+        F.pmod(F.col("day_no"), F.lit(65536)).alias("db"),
+    )
+    return bounded.select(
+        "user_id",
+        "day_no",
+        F.expr(zorder16_spark_sql("ub", "db")).cast("long").alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import zorder16_duck_sql
+
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_no
+  FROM events
+),
+b AS (
+  SELECT user_id, day_no,
+         ((user_id % 65536) + 65536) % 65536 AS ub,
+         ((day_no % 65536) + 65536) % 65536 AS db
+  FROM ev
+)
+SELECT user_id, day_no,
+       CAST({zorder16_duck_sql("ub", "db")} AS BIGINT) AS zkey
+FROM b
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
     "spine_gap_fill": spine_gap_fill,
@@ -618,6 +668,7 @@ QUERIES = {
     "repeat_customers_intersect": repeat_customers_intersect,
     "moving_avg_range_frame": moving_avg_range_frame,
     "customer_balance_deciles": customer_balance_deciles,
+    "events_zorder_key": events_zorder_key,
 }
 
 ORACLES = {
@@ -634,4 +685,5 @@ ORACLES = {
     "repeat_customers_intersect": REPEAT_CUSTOMERS_ORACLE,
     "moving_avg_range_frame": MOVING_AVG_RANGE_ORACLE,
     "customer_balance_deciles": CUSTOMER_DECILES_ORACLE,
+    "events_zorder_key": _zorder_oracle(),
 }

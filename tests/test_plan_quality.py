@@ -110,3 +110,53 @@ def test_intersect_aggregates_before_set_op(spark, sf_dir):
     for l in plan.splitlines():
         if "FileScan parquet" in l:
             assert "o_totalprice" not in l and "o_comment" not in l
+
+
+def test_zorder_locality_prunes_both_dimensions(spark, tmp_path):
+    """The Morton key must deliver what it promises on REAL parquet
+    footers: range-partitioning a 256x256 grid by zkey yields files
+    whose (x, y) min/max stats form tiles, so a selective predicate on
+    the NON-leading dimension prunes most files — while an x-sorted
+    layout serves y-predicates with zero pruning."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.functions import zorder16_spark_sql
+
+    grid = (
+        spark.range(0, 256 * 256)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+        .withColumn("zkey", F.expr(zorder16_spark_sql("x", "y")).cast("long"))
+    )
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    grid.repartitionByRange(16, "zkey").write.parquet(zdir)
+    grid.repartitionByRange(16, "x").write.parquet(xdir)
+
+    def files_overlapping_y(path, lo, hi):
+        import glob
+
+        n_total, n_hit = 0, 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ymins, ymaxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "y" and col.statistics is not None:
+                        ymins.append(col.statistics.min)
+                        ymaxs.append(col.statistics.max)
+            if not ymins:
+                continue
+            n_total += 1
+            if min(ymins) <= hi and max(ymaxs) >= lo:
+                n_hit += 1
+        return n_hit, n_total
+
+    z_hit, z_total = files_overlapping_y(zdir, 50, 57)
+    x_hit, x_total = files_overlapping_y(xdir, 50, 57)
+    assert z_total >= 8 and x_total >= 8
+    assert x_hit == x_total  # linear x-sort cannot prune on y
+    assert z_hit * 2 <= z_total  # z-order prunes most files on y
