@@ -404,6 +404,68 @@ FROM events GROUP BY event_type
 """
 
 
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of value_percentiles: ``approx_percentile``
+    (t-digest-style sketch, accuracy 10000) replaces the exact sort-
+    based percentile — at fact scale the exact form must shuffle every
+    value to its group; the sketch merges fixed-size summaries.
+
+    Oracle form (same device as mau_wau_approx): sketch outputs are
+    engine-specific, so the row carries the EXACT percentiles plus
+    RANK-tolerance booleans — the empirical CDF position of the sketch
+    output must sit within ±0.01 of the target quantile. A value
+    tolerance would be wrong here: approx_percentile returns an actual
+    data element (discrete) while the exact percentile interpolates,
+    so in a sparse tail their VALUES can differ by a whole inter-point
+    gap while the rank is perfect. DuckDB emits the exact values and
+    literal TRUE."""
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("p50_cents"),
+        F.expr("percentile(c, 0.99)").alias("p99_cents"),
+        F.expr("approx_percentile(c, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(c, 0.99, 10000)").alias("_a99"),
+    )
+    ranked = ev.join(F.broadcast(g), "event_type").groupBy("event_type").agg(
+        F.first("p50_cents").alias("p50_cents"),
+        F.first("p99_cents").alias("p99_cents"),
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("c") <= F.col("_a50"), True)).alias("_le50"),
+        F.count(F.when(F.col("c") < F.col("_a50"), True)).alias("_lt50"),
+        F.count(F.when(F.col("c") <= F.col("_a99"), True)).alias("_le99"),
+        F.count(F.when(F.col("c") < F.col("_a99"), True)).alias("_lt99"),
+    )
+    eps = 0.01
+
+    def rank_ok(le, lt, p):
+        n = F.col("n").cast("double")
+        return (F.col(le) / n >= p - eps) & (F.col(lt) / n <= p + eps)
+
+    return ranked.select(
+        "event_type",
+        "p50_cents",
+        "p99_cents",
+        "n",
+        rank_ok("_le50", "_lt50", 0.5).alias("p50_within_tol"),
+        rank_ok("_le99", "_lt99", 0.99).alias("p99_within_tol"),
+    )
+
+
+VALUE_PERCENTILES_APPROX_ORACLE = """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_within_tol,
+       TRUE AS p99_within_tol
+FROM events GROUP BY event_type
+"""
+
+
 def salted_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct count (operators.skew): weekly distinct
     users through the two-stage salted aggregation — the path the
@@ -669,6 +731,7 @@ QUERIES = {
     "moving_avg_range_frame": moving_avg_range_frame,
     "customer_balance_deciles": customer_balance_deciles,
     "events_zorder_key": events_zorder_key,
+    "value_percentiles_approx": value_percentiles_approx,
 }
 
 ORACLES = {
@@ -686,4 +749,5 @@ ORACLES = {
     "moving_avg_range_frame": MOVING_AVG_RANGE_ORACLE,
     "customer_balance_deciles": CUSTOMER_DECILES_ORACLE,
     "events_zorder_key": _zorder_oracle(),
+    "value_percentiles_approx": VALUE_PERCENTILES_APPROX_ORACLE,
 }
