@@ -466,6 +466,46 @@ FROM events GROUP BY event_type
 """
 
 
+def compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (operators/maintenance.py) demonstrated on
+    the documents table as a stand-in file listing (doc_id → path,
+    payload bytes → file size): 64 KB target bins via the one-window
+    cumulative binning, plus the per-bin rollup a rewrite scheduler
+    consumes."""
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        compaction_bins,
+    )
+
+    files = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("path"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    planned = compaction_bins(files, target_bytes=65536)
+    return planned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("path").alias("first_path"),
+        F.max("path").alias("last_path"),
+    )
+
+
+COMPACTION_PLAN_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS path, CAST(length(text) AS BIGINT) AS bytes FROM documents
+),
+b AS (
+  SELECT path, bytes,
+         CAST(floor(coalesce(sum(bytes) OVER (ORDER BY path
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / 65536.0) AS BIGINT) AS bin
+  FROM f
+)
+SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       min(path) AS first_path, max(path) AS last_path
+FROM b GROUP BY bin
+"""
+
+
 def salted_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct count (operators.skew): weekly distinct
     users through the two-stage salted aggregation — the path the
@@ -732,6 +772,7 @@ QUERIES = {
     "customer_balance_deciles": customer_balance_deciles,
     "events_zorder_key": events_zorder_key,
     "value_percentiles_approx": value_percentiles_approx,
+    "compaction_plan_docs": compaction_plan_docs,
 }
 
 ORACLES = {
@@ -750,4 +791,5 @@ ORACLES = {
     "customer_balance_deciles": CUSTOMER_DECILES_ORACLE,
     "events_zorder_key": _zorder_oracle(),
     "value_percentiles_approx": VALUE_PERCENTILES_APPROX_ORACLE,
+    "compaction_plan_docs": COMPACTION_PLAN_ORACLE,
 }
