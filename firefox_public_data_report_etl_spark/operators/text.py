@@ -221,3 +221,67 @@ def stratified_sample(
         docs.withColumn("rank_in_stratum", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_stratum") <= k)
     )
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token → posting-list inverted index: one row per distinct
+    token with document frequency and the sorted posting list
+    (stringified — cross-engine array comparison goes through the P1
+    stringify convention).
+
+    Shape: explode to (doc, token), in-row distinct first (narrow),
+    then ONE shuffle keyed by token builds every posting list with
+    collect_set. Posting lists are the retrieval side of corpus work;
+    at 100 TB the token key is zipfian — the hot-key mitigation is
+    capping/splitting head-token postings (they are stop-words a
+    retrieval stack drops anyway)."""
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_set(id_col)), lambda x: x.cast("string"))
+        ).alias("postings"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by a log-free tf-idf
+    (score = tf * N / df): transcendental idf would break bit-exact
+    cross-engine parity AND adds nothing to the ranking (ln is
+    monotone in N/df, and per-doc ranking only compares scores with
+    equal tf scale). Deterministic tie-break (score desc, token asc).
+
+    Shape: (doc, token) counts [shuffle 1], token df aggregate
+    [shuffle 2, vocabulary-sized], broadcast df back, per-doc window
+    top-k [shuffle 3 on doc]. The df table is vocabulary-cardinality —
+    broadcastable at any corpus size that has a language."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(df_tab), "token").select(
+        id_col,
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * n_docs / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

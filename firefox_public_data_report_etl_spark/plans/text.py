@@ -19,10 +19,12 @@ from firefox_public_data_report_etl_spark.operators.text import (
     STOPWORDS,
     fingerprint,
     hash_split,
+    inverted_index,
     langid_heuristic,
     quality_features,
     repetition_features,
     stratified_sample,
+    tfidf_top_terms,
     token_counts,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -293,6 +295,49 @@ FROM r WHERE rank_in_stratum <= 25
 """
 
 
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → (df, sorted posting list) over the corpus."""
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+CORPUS_INVERTED_INDEX_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY token
+"""
+
+
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc (log-free tf-idf)."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+CORPUS_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf AS DOUBLE) * (SELECT n_docs FROM n) / df AS score
+  FROM tf JOIN dfr USING (token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_langid": text_langid,
@@ -304,6 +349,8 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_hash_split": corpus_hash_split,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_inverted_index": corpus_inverted_index,
+    "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "doc_repetition_scores": doc_repetition_scores,
 }
 
@@ -318,5 +365,7 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_hash_split": CORPUS_HASH_SPLIT_ORACLE,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_ORACLE,
+    "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
+    "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "doc_repetition_scores": DOC_REPETITION_ORACLE,
 }
