@@ -466,6 +466,57 @@ FROM events GROUP BY event_type
 """
 
 
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion in ONE aggregation pass: a user converted iff
+    some purchase follows their first click, which is exactly
+    ``max(purchase_ts) > min(click_ts)`` — no self-join, no window;
+    the classic two-step funnel collapses to two conditional
+    aggregates per user and a global rollup. One fact shuffle at user
+    grain, then a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    flags = per_user.select(
+        F.col("first_click").isNotNull().alias("clicked"),
+        (
+            F.col("first_click").isNotNull()
+            & (F.col("last_purchase") > F.col("first_click"))
+        ).alias("converted"),
+    )
+    return flags.agg(
+        F.count(F.when(F.col("clicked"), True)).alias("users_clicked"),
+        F.count(F.when(F.col("converted"), True)).alias("users_converted"),
+        (
+            F.count(F.when(F.col("converted"), True)).cast("double")
+            / F.count(F.when(F.col("clicked"), True))
+        ).alias("conversion_rate"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT first_click IS NOT NULL AS clicked,
+         first_click IS NOT NULL AND last_purchase > first_click AS converted
+  FROM per_user
+)
+SELECT CAST(count(CASE WHEN clicked THEN 1 END) AS BIGINT) AS users_clicked,
+       CAST(count(CASE WHEN converted THEN 1 END) AS BIGINT) AS users_converted,
+       CAST(count(CASE WHEN converted THEN 1 END) AS DOUBLE)
+         / count(CASE WHEN clicked THEN 1 END) AS conversion_rate
+FROM flags
+"""
+
+
 def compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction planning (operators/maintenance.py) demonstrated on
     the documents table as a stand-in file listing (doc_id → path,
@@ -773,6 +824,7 @@ QUERIES = {
     "events_zorder_key": events_zorder_key,
     "value_percentiles_approx": value_percentiles_approx,
     "compaction_plan_docs": compaction_plan_docs,
+    "funnel_click_purchase": funnel_click_purchase,
 }
 
 ORACLES = {
@@ -792,4 +844,5 @@ ORACLES = {
     "events_zorder_key": _zorder_oracle(),
     "value_percentiles_approx": VALUE_PERCENTILES_APPROX_ORACLE,
     "compaction_plan_docs": COMPACTION_PLAN_ORACLE,
+    "funnel_click_purchase": FUNNEL_ORACLE,
 }

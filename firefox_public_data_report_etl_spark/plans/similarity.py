@@ -197,7 +197,53 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids over quantized components — the
+    computation that trains an IVF coarse quantizer (ann_ivf consumes
+    centroids like these). Exact integer component sums + ONE final
+    division keep the 64-dim centroid bit-identical across engines.
+
+    Scale: posexplode to (label, pos) grain then one aggregate with
+    map-side combine — the shuffle moves 64 partial sums per (label,
+    partition), not vectors. At extreme scale, fold per-partition
+    array sums first (F.aggregate over mapPartitions batches) to cut
+    the explode volume; the grain and result are identical."""
+    from firefox_public_data_report_etl_spark.operators.similarity import QUANT
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(QUANT).alias("q")
+    )
+    x = emb.select("label", F.posexplode("q").alias("pos", "qc"))
+    return (
+        x.groupBy("label", "pos")
+        .agg(F.sum("qc").alias("sum_q"), F.count("*").alias("n"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "sum_q",
+            "n",
+            (F.col("sum_q").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+x AS (SELECT label, unnest(q) AS qc, unnest(range(0, len(q))) AS pos FROM e)
+SELECT label, pos, CAST(sum(qc) AS BIGINT) AS sum_q, count(*) AS n,
+       CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / (1000.0 * count(*)) AS centroid
+FROM x GROUP BY label, pos
+"""
+
+
 QUERIES = {
+    "label_centroids": label_centroids,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_lsh_multi": ann_lsh_multi,
@@ -205,6 +251,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "label_centroids": LABEL_CENTROIDS_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh_bucket": ANN_LSH_ORACLE,
     "ann_lsh_multi": _ann_multi_oracle(),
