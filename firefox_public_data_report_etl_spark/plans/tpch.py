@@ -524,6 +524,147 @@ FROM f GROUP BY o_year
 """
 
 
+def unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue not-yet-shipped orders
+    for one market segment — filter-join-agg-ORDER-LIMIT with a
+    deterministic tie-break.
+
+    Scale: customer filtered then shuffle-joined on custkey; lineitem
+    pruned by the shipdate bound AT THE SCAN; the global top-10 is a
+    TakeOrderedAndProject (per-partition heap, driver merges 10/part,
+    no full sort)."""
+    d = "1995-03-15"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(
+        spark, sf_dir, "orders", prune=("o_orderdate", None, "1995-03-16")
+    ).filter(F.col("o_orderdate") < F.lit(d)).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", d, None)
+    ).filter(F.col("l_shipdate") > F.lit(d)).select(
+        "l_orderkey",
+        (cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev4"
+        ),
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    g = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum("rev4").alias("rev4"))
+    return (
+        g.select(
+            "o_orderkey",
+            (F.col("rev4").cast("double") / 10000).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+UNSHIPPED_TOP10_ORACLE = """
+WITH g AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev4
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY o_orderkey, o_orderdate
+)
+SELECT o_orderkey, CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM g
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share for one month — a
+    fact⋈dim join feeding a conditional-sum ratio. Scale: lineitem
+    pruned to the month at the scan; part join shuffles on partkey
+    (part is not broadcast: at real SF it is fact-sized); the ratio is
+    exact ints with ONE division."""
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", "1995-09-01", "1995-10-01")
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    ).select(
+        "l_partkey",
+        (cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev4"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev4")).otherwise(F.lit(0))).alias(
+            "promo_rev4"
+        ),
+        F.sum("rev4").alias("total_rev4"),
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("is_promo"), F.col("rev4")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("rev4")
+        ).alias("promo_pct"),
+    )
+
+
+PROMO_SHARE_ORACLE = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT CAST(sum(CASE WHEN is_promo THEN rev4 ELSE 0 END) AS BIGINT) AS promo_rev4,
+       CAST(sum(rev4) AS BIGINT) AS total_rev4,
+       100.0 * CAST(CAST(sum(CASE WHEN is_promo THEN rev4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(sum(rev4) AS BIGINT) AS promo_pct
+FROM j
+"""
+
+
+def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata lineitem has no shipmode, so
+    the two-way split keys on order priority class): per linestatus,
+    high-priority vs low-priority order-line counts — join + two
+    conditional counts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("is_high"), True)).alias("high_line_count"),
+        F.count(F.when(~F.col("is_high"), True)).alias("low_line_count"),
+    )
+
+
+PRIORITY_LINESTATUS_ORACLE = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
 QUERIES = {
     "lineitem_cube": lineitem_cube,
     "pricing_summary": pricing_summary,
@@ -535,6 +676,9 @@ QUERIES = {
     "big_order_customers": big_order_customers,
     "brand_supplier_variety": brand_supplier_variety,
     "nation_market_share": nation_market_share,
+    "unshipped_orders_top10": unshipped_orders_top10,
+    "promo_revenue_share": promo_revenue_share,
+    "priority_linestatus_counts": priority_linestatus_counts,
 }
 
 ORACLES = {
@@ -548,4 +692,7 @@ ORACLES = {
     "big_order_customers": BIG_ORDER_CUSTOMERS_ORACLE,
     "brand_supplier_variety": BRAND_SUPPLIER_VARIETY_ORACLE,
     "nation_market_share": NATION_MARKET_SHARE_ORACLE,
+    "unshipped_orders_top10": UNSHIPPED_TOP10_ORACLE,
+    "promo_revenue_share": PROMO_SHARE_ORACLE,
+    "priority_linestatus_counts": PRIORITY_LINESTATUS_ORACLE,
 }
