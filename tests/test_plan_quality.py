@@ -160,3 +160,11 @@ def test_zorder_locality_prunes_both_dimensions(spark, tmp_path):
     assert z_total >= 8 and x_total >= 8
     assert x_hit == x_total  # linear x-sort cannot prune on y
     assert z_hit * 2 <= z_total  # z-order prunes most files on y
+
+
+def test_top10_uses_take_ordered_not_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition heap, no global sort) — the difference between a top-10
+    and sorting 100 TB."""
+    plan = _executed_plan(spark, "unshipped_orders_top10", sf_dir)
+    assert "TakeOrderedAndProject" in plan
