@@ -105,19 +105,36 @@ FROM g
 """
 
 
-def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact-fact join + broadcast dim star.
+def regional_revenue(
+    spark: SparkSession, sf_dir: str, runtime_filter: str | None = None
+) -> DataFrame:
+    """TPC-H Q5 shape: selective dim filter drives the fact joins.
 
-    Scale: lineitem⋈orders shuffles on orderkey (the only big
-    shuffle); customer is shuffle-joined on custkey; nation/region are
-    broadcast so the 5-row/25-row dims never move the fact side.
+    Join ORDER is the scale story: the ``r_name IN (...)`` cut (~40% of
+    customers) is applied FIRST — region⋈nation (tiny) broadcast into
+    customer, the filtered customer broadcast/shuffle-joined into
+    orders — so by the time lineitem (the 4×-bigger fact) joins, the
+    build side is already pruned to ~40% of orders. The old shape
+    (lineitem⋈orders first, dims last) shuffled 100% of both facts and
+    then discarded 60% of the rows; at 100 TB that unfiltered
+    fact-fact shuffle is the whole query cost.
+
+    ``runtime_filter="bloom"`` additionally prunes the lineitem SCAN
+    with an explicit bloom built from the filtered order keys
+    (operators/runtime_filter.py) — Spark's own ``InjectRuntimeFilter``
+    cannot see this selectivity because it arrives through a join, not
+    a filter-over-scan on the creation side. Off by default: at bench
+    scale (sf0.1) the bloom's extra keys-plan materialization costs
+    more than the ~60% scan cut saves; at 100 TB the trade inverts
+    (the bloom is a fixed num_bits/8 bytes while the scan saving grows
+    with the data). test_plan_quality proves the probe lands below the
+    fact-fact join and preserves results exactly.
     """
     # Join-then-aggregate (no order-grain pre-agg): the pre-agg's
-    # groupBy(orderkey) shuffles the same 600k-row volume the join
-    # shuffle would move anyway — it only adds a stage. Map-side
-    # partial aggregation inside the FINAL groupBy still combines
-    # before that shuffle, so the scale path loses nothing; measured
-    # 20% faster at sf0.1 (stage depth, not volume, dominates).
+    # groupBy(orderkey) shuffles the same row volume the join shuffle
+    # would move anyway — it only adds a stage. Map-side partial
+    # aggregation inside the FINAL groupBy still combines before that
+    # shuffle, so the scale path loses nothing.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         (
@@ -134,12 +151,38 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
-    df = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    dim = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
     )
+    cust_f = cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey).select(
+        "c_custkey", "n_name", "r_name"
+    )
+    # shuffle_hash, build side cust_f: the filtered customer keys are
+    # small per-partition at any scale (no sort of orders needed); the
+    # static planner otherwise broadcasts ORDERS (BuildLeft) and
+    # streams tiny customer through one task.
+    ord_f = orders.join(
+        cust_f.hint("shuffle_hash"), orders.o_custkey == cust_f.c_custkey
+    ).select("o_orderkey", "o_year", "n_name", "r_name")
+    if runtime_filter == "bloom":
+        from firefox_public_data_report_etl_spark.operators.runtime_filter import (
+            bloom_prune,
+        )
+
+        li = bloom_prune(li, "l_orderkey", ord_f, "o_orderkey")
+    elif runtime_filter == "semi":
+        from firefox_public_data_report_etl_spark.operators.runtime_filter import (
+            semi_prune,
+        )
+
+        li = semi_prune(li, "l_orderkey", ord_f, "o_orderkey")
+    # merge hint: at toy SFs the static planner estimates lineitem's
+    # 3-column scan under the broadcast threshold and BUILDS ON THE
+    # FACT (one single-threaded broadcast chain — wrong at every
+    # scale); pin the fact join to sort-merge, the plan the estimates
+    # force at real scale anyway. ord_f's shuffle carries only the
+    # ~40% filtered orders; lineitem shuffles once, nothing re-shuffles.
+    df = li.join(ord_f.hint("merge"), li.l_orderkey == ord_f.o_orderkey)
     return (
         df.groupBy("r_name", "n_name", "o_year")
         .agg(F.sum("rev4").alias("rev4"))

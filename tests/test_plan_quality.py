@@ -64,6 +64,46 @@ def test_regional_revenue_broadcasts_dims(spark, sf_dir):
     )[0]
 
 
+def test_regional_revenue_filters_before_fact_fact_join(spark, sf_dir):
+    """The region IN-list cut must prune customer→orders BEFORE the
+    lineitem join: the OUTERMOST join in the optimized plan is the
+    orderkey fact join (its build side already carries the filter), not
+    a dim join sitting above an unfiltered fact-fact shuffle."""
+    from firefox_public_data_report_etl_spark.plans import QUERIES
+
+    df = QUERIES["regional_revenue"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    first_join = next(
+        l for l in opt.splitlines() if "Join Inner" in l or "Join LeftSemi" in l
+    )
+    assert "l_orderkey" in first_join, (
+        "fact join is not outermost — dims are joined above the "
+        f"fact-fact shuffle: {first_join}"
+    )
+
+
+def test_regional_revenue_explicit_bloom_prunes_lineitem(spark, sf_dir):
+    """The explicit runtime bloom (operators/runtime_filter.py) must
+    (a) place its probe — xxhash64(l_orderkey) bit tests — as a Filter
+    BELOW the fact-fact join, i.e. on the lineitem scan side, and
+    (b) change no results (superset-safe bloom + exact join above)."""
+    from firefox_public_data_report_etl_spark.plans.tpch import regional_revenue
+
+    base = {
+        tuple(r) for r in regional_revenue(spark, sf_dir).collect()
+    }
+    df = regional_revenue(spark, sf_dir, runtime_filter="bloom")
+    got = {tuple(r) for r in df.collect()}
+    assert got == base
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe must sit in a Filter over the lineitem relation
+    filt = [
+        l for l in plan.splitlines()
+        if "Filter" in l and "xxhash64(l_orderkey" in l
+    ]
+    assert filt, "bloom probe not found as a lineitem-side Filter"
+
+
 def test_late_ship_uses_semi_join(spark, sf_dir):
     plan = _executed_plan(spark, "late_ship_priority", sf_dir)
     assert "LeftSemi" in plan
