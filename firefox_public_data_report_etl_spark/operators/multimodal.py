@@ -80,7 +80,7 @@ class FakeDecoder:
         return (64 + checksum % 128, 64 + (checksum // 128) % 128, checksum)
 
 
-def resize_plan(decoded: DataFrame, max_dim: int = 96) -> DataFrame:
+def resize_plan(decoded: DataFrame, max_dim: int = 96, keep: tuple = ()) -> DataFrame:
     """Resize planning over decoded media: integer-exact target
     dimensions capped at ``max_dim`` on the longest side (aspect
     preserved via integer scaling — no FP, so the stage is
@@ -91,6 +91,7 @@ def resize_plan(decoded: DataFrame, max_dim: int = 96) -> DataFrame:
     needs = longest > max_dim
     return decoded.select(
         "media_id",
+        *keep,
         "width",
         "height",
         needs.alias("needs_resize"),

@@ -361,72 +361,14 @@ FROM per_type JOIN totals USING (week_start)
 """
 
 
-def mau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of mau_wau_weekly: HyperLogLog++
-    ``approx_count_distinct`` (rsd=0.01) replaces the exact distinct
-    count, which at fact scale turns the Expand-based distinct
-    aggregation into a fixed-size sketch merge.
-
-    Oracle form: sketch estimates are engine-specific, so the output
-    carries the EXACT counts (hash-comparable) plus booleans asserting
-    the sketch landed within 5% (5 sigma at rsd=0.01) of the exact
-    value — the DuckDB twin emits the exact counts and literal TRUE.
-    HLL register merge is order-insensitive, so the Spark side is
-    deterministic for fixed data regardless of partitioning."""
-    uw = (
-        base_events(spark, sf_dir)
-        .select("week_start", "cohort", "user_id")
-        .distinct()
-    )
-    fan = uw.withColumn(
-        "week_start",
-        F.explode(
-            F.sequence(
-                F.col("week_start"),
-                F.date_add(F.col("week_start"), 21),
-                F.expr("interval 7 days"),
-            )
-        ),
-    )
-    # uw is distinct on (week, cohort, user): count(*) IS the exact wau,
-    # so exact + sketch come out of one aggregation pass.
-    wau = uw.groupBy("week_start", "cohort").agg(
-        F.count("*").alias("wau"),
-        F.approx_count_distinct("user_id", 0.01).alias("wau_approx"),
-    )
-    mau = fan.groupBy("week_start", "cohort").agg(
-        F.countDistinct("user_id").alias("mau"),
-        F.approx_count_distinct("user_id", 0.01).alias("mau_approx"),
-    )
-    within = lambda a, x: (F.abs(F.col(a) - F.col(x)) <= 0.05 * F.col(x))  # noqa: E731
-    return wau.join(mau, ["week_start", "cohort"]).select(
-        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
-        "cohort",
-        "wau",
-        "mau",
-        within("wau_approx", "wau").alias("wau_sketch_ok"),
-        within("mau_approx", "mau").alias("mau_sketch_ok"),
-    )
-
-
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
     "user_activity_flagship": user_activity_flagship,
     "event_type_share_weekly": event_type_share_weekly,
-    "mau_wau_approx": mau_wau_approx,
 }
-
-MAU_WAU_APPROX_ORACLE = f"""
-WITH {_BASE_SQL.strip().rstrip()}, {_MAU_WAU_SQL.strip()}
-SELECT strftime(week_start, '%Y-%m-%d') AS week_start, cohort, wau, mau,
-       TRUE AS wau_sketch_ok, TRUE AS mau_sketch_ok
-FROM wau JOIN mau USING (week_start, cohort)
-"""
-
 
 ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
     "event_type_share_weekly": EVENT_SHARE_ORACLE,
-    "mau_wau_approx": MAU_WAU_APPROX_ORACLE,
 }

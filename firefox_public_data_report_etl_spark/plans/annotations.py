@@ -81,40 +81,6 @@ GROUP BY latest_version
 """
 
 
-def date_spine_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12: generated weekly spine left-joined to weekly event counts —
-    zero-activity weeks survive with n_events = 0."""
-    ev = load_table(spark, sf_dir, "events").select(
-        week_start(F.col("ts")).alias("w")
-    )
-    counts = ev.groupBy("w").agg(F.count("*").alias("n"))
-    bounds = ev.agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
-    spine = bounds.select(
-        F.explode(date_spine(F.col("lo"), F.col("hi"), 7)).alias("w")
-    )
-    out = spine.join(F.broadcast(counts), "w", "left")
-    return out.select(
-        F.date_format("w", "yyyy-MM-dd").alias("week_start"),
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-    )
-
-
-DATE_SPINE_ORACLE = """
-WITH ev AS (
-  SELECT CAST(date_trunc('week', ts) AS DATE) AS w FROM events
-), counts AS (SELECT w, count(*) AS n FROM ev GROUP BY w),
-bounds AS (SELECT min(w) AS lo, max(w) AS hi FROM ev),
-spine AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-                                     CAST(hi AS TIMESTAMP),
-                                     INTERVAL 7 DAY)) AS DATE) AS w
-  FROM bounds
-)
-SELECT strftime(spine.w, '%Y-%m-%d') AS week_start,
-       CAST(coalesce(counts.n, 0) AS BIGINT) AS n_events
-FROM spine LEFT JOIN counts ON spine.w = counts.w
-"""
-
 # Expected cohort universe for the contract check; 'telemetry' is a
 # deliberately-absent member so the "missing" branch is non-trivial.
 COHORT_ALLOWLIST = ("click", "error", "purchase", "signup", "view", "Worldwide", "telemetry")
@@ -154,12 +120,8 @@ SELECT cohort, 'unexpected' AS status FROM (SELECT cohort FROM produced EXCEPT S
 
 QUERIES = {
     "release_annotations": release_annotations,
-    "date_spine_weeks": date_spine_weeks,
-    "cohort_contract_check": cohort_contract_check,
 }
 
 ORACLES = {
     "release_annotations": RELEASE_ANNOTATIONS_ORACLE,
-    "date_spine_weeks": DATE_SPINE_ORACLE,
-    "cohort_contract_check": COHORT_CONTRACT_ORACLE,
 }

@@ -19,13 +19,11 @@ from firefox_public_data_report_etl_spark.operators.dedup import (
     MINHASH_PERMS,
     N_BANDS,
     ROWS_PER_BAND,
-    SIMHASH_BITS,
     all_pairs_jaccard,
     jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_rows,
-    simhash_signatures,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
 
@@ -130,32 +128,6 @@ WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """28-bit SimHash signatures per document (near-dup mining then
-    bands the bits; on this shared-vocabulary corpus pair mining would
-    degenerate, so the signature itself is the checked artifact)."""
-    return simhash_signatures(load_table(spark, sf_dir, "documents"))
-
-
-def _simhash_oracle() -> str:
-    md5h = md5_int_sql("w")
-    votes = ",\n       ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(SIMHASH_BITS)
-    )
-    terms = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
-    )
-    return f"""
-WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-hh AS (SELECT doc_id, {md5h} AS h FROM e),
-v AS (SELECT doc_id,
-       {votes}
-      FROM hh GROUP BY doc_id)
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
-"""
-
-
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup clusters: iterative min-label connected
     components over the verified MinHash-LSH pair graph (the step that
@@ -252,7 +224,6 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -261,7 +232,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
-    "dedup_simhash": _simhash_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
 }

@@ -204,12 +204,10 @@ QUERIES = {
     "hardware_dims_grouping_sets": hardware_dims_grouping_sets,
     "bucket_collapse_ptype": bucket_collapse_ptype,
     "pivot_weekly_events": pivot_weekly_events,
-    "part_blocklist_ratio": part_blocklist_ratio,
 }
 
 ORACLES = {
     "hardware_dims_grouping_sets": HARDWARE_DIMS_ORACLE,
     "bucket_collapse_ptype": BUCKET_COLLAPSE_ORACLE,
     "pivot_weekly_events": PIVOT_WEEKLY_ORACLE,
-    "part_blocklist_ratio": PART_BLOCKLIST_ORACLE,
 }

@@ -25,14 +25,20 @@ _BITS = "CAST((user_id * 2654435761) % 268435456 AS BIGINT)"
 
 
 def scalar_expr_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/X5/X8/X9/F5/F6 in one aggregate over events.
+    """X2/X5/X8/X9/F5/F6 + F12 + JSON extraction in one aggregate over
+    events.
 
     - sample filter ``user_id % 100 < 50`` (F5 — hash-bucket column
       sampling, NOT df.sample),
     - ``d - (user_id % 7) days`` column-interval date arithmetic (X5),
     - synthetic 28-bit bitfield → days-active-this-week popcount (X8)
       and days-since-last-seen trailing-bit position (X9),
-    - Sunday flag (X2/F6).
+    - Sunday flag (X2/F6),
+    - JSON path extraction from props (get_json_object, JVM-side) with
+      an F12 nested-field FILTER: the high-k branch filters on the
+      extracted field BEFORE its aggregate (the reference's
+      build.channel predicate shape, annotations_pipeline.py), then
+      left-joins back so types with no high-k rows keep a 0.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 < 50)
     bits = F.expr(_BITS)
@@ -43,8 +49,9 @@ def scalar_expr_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.to_date("ts"), (F.col("user_id") % 7).cast("int")).alias(
             "shifted"
         ),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
-    return base.groupBy("event_type").agg(
+    main = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(bitcount_lowest_7(F.col("bits")).cast("long")).alias(
             "sum_days_active"
@@ -54,6 +61,15 @@ def scalar_expr_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(is_last_day_of_week(F.col("d")), True)).alias("n_sunday"),
         F.countDistinct("shifted").alias("n_shifted_days"),
+        F.sum("k").alias("sum_k"),
+    )
+    high = (
+        base.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_high"))
+    )
+    return main.join(high, "event_type", "left").withColumn(
+        "n_high", F.coalesce(F.col("n_high"), F.lit(0))
     )
 
 
@@ -62,19 +78,28 @@ WITH base AS (
   SELECT event_type,
          CAST(ts AS DATE) AS d,
          {_BITS} AS bits,
-         CAST(ts AS DATE) - to_days(CAST(user_id % 7 AS INTEGER)) AS shifted
+         CAST(ts AS DATE) - to_days(CAST(user_id % 7 AS INTEGER)) AS shifted,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events WHERE user_id % 100 < 50
+),
+main AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(bit_count(bits & 127) AS BIGINT)) AS BIGINT) AS sum_days_active,
+         CAST(sum(CASE WHEN bits <> 0
+                       THEN CAST(bit_count((bits & -bits) - 1) AS BIGINT) END) AS BIGINT)
+           AS sum_days_since,
+         count(*) FILTER (WHERE dayofweek(d) = 0) AS n_sunday,
+         count(DISTINCT shifted) AS n_shifted_days,
+         CAST(sum(k) AS BIGINT) AS sum_k
+  FROM base
+  GROUP BY event_type
+),
+high AS (
+  SELECT event_type, count(*) AS n_high FROM base WHERE k > 50 GROUP BY event_type
 )
-SELECT event_type,
-       count(*) AS n,
-       CAST(sum(CAST(bit_count(bits & 127) AS BIGINT)) AS BIGINT) AS sum_days_active,
-       CAST(sum(CASE WHEN bits <> 0
-                     THEN CAST(bit_count((bits & -bits) - 1) AS BIGINT) END) AS BIGINT)
-         AS sum_days_since,
-       count(*) FILTER (WHERE dayofweek(d) = 0) AS n_sunday,
-       count(DISTINCT shifted) AS n_shifted_days
-FROM base
-GROUP BY event_type
+SELECT main.*, CAST(coalesce(n_high, 0) AS BIGINT) AS n_high
+FROM main LEFT JOIN high USING (event_type)
 """
 
 
@@ -117,68 +142,12 @@ GROUP BY o_orderpriority
 """
 
 
-def weekly_value_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: the raw Spark-SQL surface — the same week aggregate issued
-    as SQL text over a registered temp view (reference annotations.py
-    submits raw SQL strings; the engine's SQL entry point must behave
-    identically to the DataFrame API)."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
-    return spark.sql(
-        """
-        SELECT date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week_start,
-               event_type,
-               count(*) AS n,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        FROM events_v
-        GROUP BY 1, 2
-        """
-    )
-
-
-WEEKLY_VALUE_SQL_ORACLE = """
-SELECT strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
-       event_type,
-       count(*) AS n,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM events
-GROUP BY 1, 2
-"""
-
-
-def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured column access: JSON path extraction from the
-    events props payload (get_json_object — JVM-side, no UDF)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "k", F.get_json_object("props", "$.k").cast("long")
-    )
-    return ev.groupBy("event_type").agg(
-        F.count(F.when(F.col("k") > 50, True)).alias("n_high"),
-        F.sum("k").alias("sum_k"),
-    )
-
-
-JSON_PROPS_ORACLE = """
-WITH ev AS (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
-)
-SELECT event_type,
-       count(*) FILTER (WHERE k > 50) AS n_high,
-       CAST(sum(k) AS BIGINT) AS sum_k
-FROM ev GROUP BY event_type
-"""
-
-
 QUERIES = {
     "scalar_expr_showcase": scalar_expr_showcase,
     "empty_preserving_unnest": empty_preserving_unnest,
-    "weekly_value_sql": weekly_value_sql,
-    "json_props_extract": json_props_extract,
 }
 
 ORACLES = {
     "scalar_expr_showcase": SCALAR_SHOWCASE_ORACLE,
     "empty_preserving_unnest": EMPTY_PRESERVING_ORACLE,
-    "weekly_value_sql": WEEKLY_VALUE_SQL_ORACLE,
-    "json_props_extract": JSON_PROPS_ORACLE,
 }

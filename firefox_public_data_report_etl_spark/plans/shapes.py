@@ -140,39 +140,6 @@ FROM weekly JOIN reagg USING (week_start)
 """
 
 
-def nation_name_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 broadcast LEFT join with X3 coalesce fallback — the
-    country-name join shape (sample_cte) on testdata: customers whose
-    nation is outside the 'known' dim keep a fallback label instead of
-    dropping."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    known = (
-        load_table(spark, sf_dir, "nation")
-        .filter(F.col("n_regionkey").isin(0, 1))
-        .select("n_nationkey", "n_name")
-    )
-    joined = cust.join(
-        F.broadcast(known), cust.c_nationkey == known.n_nationkey, "left"
-    )
-    named = joined.withColumn(
-        "nation_label", F.coalesce(F.col("n_name"), F.lit("Other"))
-    )
-    return named.groupBy("nation_label").agg(
-        F.count("*").alias("customers"),
-        F.countDistinct("c_custkey").alias("distinct_customers"),
-    )
-
-
-NATION_FALLBACK_ORACLE = """
-WITH known AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1))
-SELECT coalesce(n_name, 'Other') AS nation_label,
-       CAST(count(*) AS BIGINT) AS customers,
-       CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
-FROM customer LEFT JOIN known ON c_nationkey = n_nationkey
-GROUP BY coalesce(n_name, 'Other')
-"""
-
-
 # J9/X20: literal map with Other default, same style as
 # functions.gpu_vendor_name's 13-entry vendor map.
 BRAND_LABELS = {
@@ -225,35 +192,6 @@ SELECT {_BRAND_CASE} AS brand_label,
        CAST(count(*) AS BIGINT) AS parts
 FROM part
 GROUP BY 1, 2
-"""
-
-
-def ordered_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1-O4: sort semantics made oracle-checkable — the driver compare
-    is order-insensitive, so the ORDER is materialized into a
-    row_number position column (newest order first, key tiebreak)."""
-    orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-    return (
-        orders.select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        )
-        .withColumn("position", F.row_number().over(w).cast("long"))
-        .filter(F.col("position") <= 100)
-    )
-
-
-ORDERED_POSITIONS_ORACLE = """
-WITH r AS (
-  SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
-         CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) AS BIGINT)
-           AS position
-  FROM orders
-)
-SELECT o_orderkey, o_orderdate, position FROM r WHERE position <= 100
 """
 
 
@@ -377,48 +315,21 @@ WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.doc_id = t.doc_id)
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event type (p50/p90/p99 of
-    exact cents). Both engines use the same linear-interpolation
-    definition over int64 inputs (index p*(n-1), one multiply-add in
-    double), so the outputs are bit-identical — the cents trick makes
-    even order statistics oracle-exact."""
-    from firefox_public_data_report_etl_spark.functions import cents
+    exact cents) PLUS the 100 TB sketch variant in the same entry:
+    ``approx_percentile`` (t-digest-style, accuracy 10000) — at fact
+    scale the exact form must shuffle every value to its group; the
+    sketch merges fixed-size summaries.
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", cents(F.col("value")).alias("c")
-    )
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(c, 0.5)").alias("p50_cents"),
-        F.expr("percentile(c, 0.9)").alias("p90_cents"),
-        F.expr("percentile(c, 0.99)").alias("p99_cents"),
-        F.count("*").alias("n"),
-    )
-
-
-VALUE_PERCENTILES_ORACLE = """
-SELECT event_type,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
-       CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY event_type
-"""
-
-
-def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of value_percentiles: ``approx_percentile``
-    (t-digest-style sketch, accuracy 10000) replaces the exact sort-
-    based percentile — at fact scale the exact form must shuffle every
-    value to its group; the sketch merges fixed-size summaries.
-
-    Oracle form (same device as mau_wau_approx): sketch outputs are
-    engine-specific, so the row carries the EXACT percentiles plus
-    RANK-tolerance booleans — the empirical CDF position of the sketch
-    output must sit within ±0.01 of the target quantile. A value
-    tolerance would be wrong here: approx_percentile returns an actual
-    data element (discrete) while the exact percentile interpolates,
-    so in a sparse tail their VALUES can differ by a whole inter-point
-    gap while the rank is perfect. DuckDB emits the exact values and
-    literal TRUE."""
+    Oracle form for the sketch half: sketch outputs are
+    engine-specific, so the row carries the EXACT percentiles
+    (bit-identical — both engines use the same linear interpolation
+    over int64 cents) plus RANK-tolerance booleans: the empirical CDF
+    position of the sketch output must sit within ±0.01 of the target
+    quantile. A value tolerance would be wrong — approx_percentile
+    returns an actual data element (discrete) while the exact
+    percentile interpolates, so in a sparse tail their VALUES can
+    differ by a whole inter-point gap while the rank is perfect.
+    DuckDB emits the exact values and literal TRUE."""
     from firefox_public_data_report_etl_spark.functions import cents
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -426,12 +337,14 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.groupBy("event_type").agg(
         F.expr("percentile(c, 0.5)").alias("p50_cents"),
+        F.expr("percentile(c, 0.9)").alias("p90_cents"),
         F.expr("percentile(c, 0.99)").alias("p99_cents"),
         F.expr("approx_percentile(c, 0.5, 10000)").alias("_a50"),
         F.expr("approx_percentile(c, 0.99, 10000)").alias("_a99"),
     )
     ranked = ev.join(F.broadcast(g), "event_type").groupBy("event_type").agg(
         F.first("p50_cents").alias("p50_cents"),
+        F.first("p90_cents").alias("p90_cents"),
         F.first("p99_cents").alias("p99_cents"),
         F.count("*").alias("n"),
         F.count(F.when(F.col("c") <= F.col("_a50"), True)).alias("_le50"),
@@ -448,6 +361,7 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "event_type",
         "p50_cents",
+        "p90_cents",
         "p99_cents",
         "n",
         rank_ok("_le50", "_lt50", 0.5).alias("p50_within_tol"),
@@ -455,9 +369,10 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VALUE_PERCENTILES_APPROX_ORACLE = """
+VALUE_PERCENTILES_ORACLE = """
 SELECT event_type,
        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
        CAST(count(*) AS BIGINT) AS n,
        TRUE AS p50_within_tol,
@@ -558,28 +473,58 @@ FROM b GROUP BY bin
 
 
 def salted_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe exact distinct count (operators.skew): weekly distinct
-    users through the two-stage salted aggregation — the path the
-    Worldwide hot key takes at 100 TB. Salting is exact (a key always
-    lands in one salt bucket), so the oracle is a plain
-    COUNT(DISTINCT)."""
+    """Skew-safe exact distinct count (operators.skew) at the A12
+    multi-dimension grain — distinct users per (week, event_type,
+    locale), the reference's (week, country, locale) analog
+    (user_activity.py:47-60; testdata has no locale column, so a
+    deterministic user attribute ``loc-<user_id%3>`` stands in — the
+    operator shape, a 3-column grain feeding a salted distinct, is
+    what A12 specifies). Salting is exact (a key always lands in one
+    salt bucket), so the oracle is a plain COUNT(DISTINCT).
+
+    Also carries the HLL++ sketch variant in the same pass family:
+    ``approx_count_distinct`` (rsd=0.01) per grain cell, checked as a
+    within-5%-of-exact boolean (5 sigma) — sketch estimates are
+    engine-specific, so the boolean is the cross-engine contract;
+    register merge is order-insensitive, hence deterministic for
+    fixed data at any partitioning."""
     from firefox_public_data_report_etl_spark.operators.skew import (
         salted_count_distinct,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
-        week_start(F.col("ts")).alias("week_start"), "user_id"
+        week_start(F.col("ts")).alias("week_start"),
+        "event_type",
+        F.concat(F.lit("loc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "locale"
+        ),
+        "user_id",
     )
-    out = salted_count_distinct(ev, ["week_start"], "user_id", "users")
+    keys = ["week_start", "event_type", "locale"]
+    exact = salted_count_distinct(ev, keys, "user_id", "users")
+    approx = ev.groupBy(*keys).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_users_approx")
+    )
+    out = exact.join(approx, keys)
     return out.select(
-        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"), "users"
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "locale",
+        "users",
+        (
+            F.abs(F.col("_users_approx") - F.col("users"))
+            <= 0.05 * F.col("users")
+        ).alias("sketch_ok"),
     )
 
 
 SALTED_WEEKLY_USERS_ORACLE = """
 SELECT strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS users
-FROM events GROUP BY 1
+       event_type,
+       'loc-' || CAST(user_id % 3 AS VARCHAR) AS locale,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1, 2, 3
 """
 
 
@@ -674,68 +619,33 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
 """
 
 
-def moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: 28-day trailing average of daily order
-    revenue per priority — a range frame over an integer day offset
-    (value-based, unlike the rows-frame running total). Scale: one
-    shuffle to daily grain, then one window shuffle on the 5-row
-    priority key; the frame is time-bounded so state per partition is
-    constant."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("day_no"),
-        cents(F.col("o_totalprice")).alias("c"),
-    )
-    daily = orders.groupBy("o_orderpriority", "day_no").agg(
-        F.sum("c").alias("day_cents")
-    )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("day_no")
-        .rangeBetween(-27, 0)
-    )
-    return daily.select(
-        "o_orderpriority",
-        "day_no",
-        "day_cents",
-        F.sum("day_cents").over(w).alias("trail_cents"),
-        F.count("*").over(w).alias("trail_days"),
-        (F.sum("day_cents").over(w).cast("double") / 100 / F.count("*").over(w)).alias(
-            "trail_avg"
-        ),
-    )
-
-
-MOVING_AVG_RANGE_ORACLE = """
-WITH daily AS (
-  SELECT o_orderpriority,
-         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
-  FROM orders GROUP BY o_orderpriority, day_no
-)
-SELECT o_orderpriority, day_no, day_cents,
-       CAST(sum(day_cents) OVER w AS BIGINT) AS trail_cents,
-       CAST(count(*) OVER w AS BIGINT) AS trail_days,
-       CAST(sum(day_cents) OVER w AS DOUBLE) / 100 / count(*) OVER w AS trail_avg
-FROM daily
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
-"""
-
-
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile ranking: customers bucketed into account-balance deciles
-    per market segment, reporting each decile's span and size. The
-    ntile ordering tie-breaks on the key so both engines assign
-    identical buckets. Scale: single window shuffle on the segment
-    key; deciles then collapse to 10 rows per segment."""
+    """ntile ranking partitioned by the J1/X3 fallback label:
+    customers broadcast-LEFT-join the 'known' nation dim (regionkey
+    0/1 only) and keep a coalesce('Other') label when outside it — the
+    reference's country-name join shape (sample_cte) — then bucket
+    into account-balance deciles per label. The ntile ordering
+    tie-breaks on the key so both engines assign identical buckets.
+
+    Scale: the dim join is broadcast (customer never shuffles for
+    it); one window shuffle on the label key; deciles collapse to 10
+    rows per label."""
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_mktsegment",
         "c_custkey",
+        "c_nationkey",
         cents(F.col("c_acctbal")).alias("bal_c"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("bal_c", "c_custkey")
-    tiled = cust.withColumn("decile", F.ntile(10).over(w))
-    return tiled.groupBy("c_mktsegment", "decile").agg(
+    known = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey").isin(0, 1))
+        .select("n_nationkey", "n_name")
+    )
+    labeled = cust.join(
+        F.broadcast(known), cust.c_nationkey == known.n_nationkey, "left"
+    ).withColumn("nation_label", F.coalesce(F.col("n_name"), F.lit("Other")))
+    w = Window.partitionBy("nation_label").orderBy("bal_c", "c_custkey")
+    tiled = labeled.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("nation_label", "decile").agg(
         F.count("*").alias("n"),
         F.min("bal_c").alias("min_bal_c"),
         F.max("bal_c").alias("max_bal_c"),
@@ -743,17 +653,23 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSTOMER_DECILES_ORACLE = """
-WITH tiled AS (
-  SELECT c_mktsegment,
-         CAST(ntile(10) OVER (PARTITION BY c_mktsegment
-                              ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS INT) AS decile,
+WITH known AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)),
+labeled AS (
+  SELECT coalesce(n_name, 'Other') AS nation_label, c_custkey,
          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-  FROM customer
+  FROM customer LEFT JOIN known ON c_nationkey = n_nationkey
+),
+tiled AS (
+  SELECT nation_label,
+         CAST(ntile(10) OVER (PARTITION BY nation_label
+                              ORDER BY bal_c, c_custkey) AS INT) AS decile,
+         bal_c
+  FROM labeled
 )
-SELECT c_mktsegment, decile, count(*) AS n,
+SELECT nation_label, decile, count(*) AS n,
        CAST(min(bal_c) AS BIGINT) AS min_bal_c,
        CAST(max(bal_c) AS BIGINT) AS max_bal_c
-FROM tiled GROUP BY c_mktsegment, decile
+FROM tiled GROUP BY nation_label, decile
 """
 
 
@@ -807,6 +723,120 @@ FROM b
 """
 
 
+def kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-KPI report in one long-form entry (metric, value) —
+    the same assemble-scalars-into-one-export shape as the reference's
+    fxhealth JSON (user_activity.py:28-45), carrying five operator
+    families that each produce report-sized output:
+
+    - funnel conversion (one-aggregation-pass funnel over events),
+    - TPC-H Q14 promo revenue share (fact⋈dim conditional-sum ratio),
+    - TPC-H Q17 small-quantity revenue (decorrelated scalar subquery),
+    - the U2 exceptAll output-contract check (violation counts),
+    - the INTERSECT repeat-customer set (cardinality).
+
+    Each branch keeps its full distributed plan; only the final
+    report-sized rows are unioned. Long form keeps the schema stable
+    as KPIs are added — exactly why the reference exports dicts."""
+    from firefox_public_data_report_etl_spark.plans.annotations import (
+        cohort_contract_check,
+    )
+    from firefox_public_data_report_etl_spark.plans.tpch import (
+        promo_revenue_share,
+        small_quantity_revenue,
+    )
+
+    def unpivot(df: DataFrame, metrics: list[tuple[str, str]]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("metric"),
+                    F.col(c).cast("double").alias("value"),
+                )
+                for m, c in metrics
+            ]
+        )
+        return df.select(F.explode(pairs).alias("kv")).select(
+            F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
+        )
+
+    funnel = unpivot(
+        funnel_click_purchase(spark, sf_dir),
+        [
+            ("funnel_users_clicked", "users_clicked"),
+            ("funnel_users_converted", "users_converted"),
+            ("funnel_conversion_rate", "conversion_rate"),
+        ],
+    )
+    promo = unpivot(
+        promo_revenue_share(spark, sf_dir),
+        [
+            ("promo_rev4", "promo_rev4"),
+            ("promo_total_rev4", "total_rev4"),
+            ("promo_pct", "promo_pct"),
+        ],
+    )
+    small = unpivot(
+        small_quantity_revenue(spark, sf_dir),
+        [
+            ("small_qty_n_items", "n_items"),
+            ("small_qty_revenue", "revenue"),
+        ],
+    )
+    coh = unpivot(
+        cohort_contract_check(spark, sf_dir).agg(
+            F.count(F.when(F.col("status") == "missing", True)).alias("missing"),
+            F.count(F.when(F.col("status") == "unexpected", True)).alias(
+                "unexpected"
+            ),
+        ),
+        [("cohort_missing", "missing"), ("cohort_unexpected", "unexpected")],
+    )
+    rep = unpivot(
+        repeat_customers_intersect(spark, sf_dir).agg(
+            F.count("*").alias("repeat_customers")
+        ),
+        [("repeat_customers", "repeat_customers")],
+    )
+    out = funnel
+    for part in (promo, small, coh, rep):
+        out = out.unionByName(part)
+    return out
+
+
+def _kpi_snapshot_oracle() -> str:
+    from firefox_public_data_report_etl_spark.plans.annotations import (
+        COHORT_CONTRACT_ORACLE,
+    )
+    from firefox_public_data_report_etl_spark.plans.tpch import (
+        PROMO_SHARE_ORACLE,
+        SMALL_QTY_REVENUE_ORACLE,
+    )
+
+    return f"""
+WITH funnel AS ({FUNNEL_ORACLE}),
+promo AS ({PROMO_SHARE_ORACLE}),
+small AS ({SMALL_QTY_REVENUE_ORACLE}),
+coh AS (
+  SELECT count(*) FILTER (WHERE status = 'missing') AS missing,
+         count(*) FILTER (WHERE status = 'unexpected') AS unexpected
+  FROM ({COHORT_CONTRACT_ORACLE})
+),
+rep AS (SELECT count(*) AS repeat_customers FROM ({REPEAT_CUSTOMERS_ORACLE}))
+SELECT 'funnel_users_clicked' AS metric, CAST(users_clicked AS DOUBLE) AS value FROM funnel
+UNION ALL SELECT 'funnel_users_converted', CAST(users_converted AS DOUBLE) FROM funnel
+UNION ALL SELECT 'funnel_conversion_rate', CAST(conversion_rate AS DOUBLE) FROM funnel
+UNION ALL SELECT 'promo_rev4', CAST(promo_rev4 AS DOUBLE) FROM promo
+UNION ALL SELECT 'promo_total_rev4', CAST(total_rev4 AS DOUBLE) FROM promo
+UNION ALL SELECT 'promo_pct', CAST(promo_pct AS DOUBLE) FROM promo
+UNION ALL SELECT 'small_qty_n_items', CAST(n_items AS DOUBLE) FROM small
+UNION ALL SELECT 'small_qty_revenue', CAST(revenue AS DOUBLE) FROM small
+UNION ALL SELECT 'cohort_missing', CAST(missing AS DOUBLE) FROM coh
+UNION ALL SELECT 'cohort_unexpected', CAST(unexpected AS DOUBLE) FROM coh
+UNION ALL SELECT 'repeat_customers', CAST(repeat_customers AS DOUBLE) FROM rep
+"""
+
+
 QUERIES = {
     "weekly_engagement_report": weekly_engagement_report,
     "spine_gap_fill": spine_gap_fill,
@@ -814,17 +844,12 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "salted_weekly_users": salted_weekly_users,
     "orders_profile": orders_profile,
-    "nation_name_fallback": nation_name_fallback,
     "part_decision_table": part_decision_table,
-    "ordered_order_positions": ordered_order_positions,
     "priority_year_kv": priority_year_kv,
-    "repeat_customers_intersect": repeat_customers_intersect,
-    "moving_avg_range_frame": moving_avg_range_frame,
     "customer_balance_deciles": customer_balance_deciles,
     "events_zorder_key": events_zorder_key,
-    "value_percentiles_approx": value_percentiles_approx,
     "compaction_plan_docs": compaction_plan_docs,
-    "funnel_click_purchase": funnel_click_purchase,
+    "kpi_snapshot": kpi_snapshot,
 }
 
 ORACLES = {
@@ -834,15 +859,10 @@ ORACLES = {
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
     "salted_weekly_users": SALTED_WEEKLY_USERS_ORACLE,
     "orders_profile": ORDERS_PROFILE_ORACLE,
-    "nation_name_fallback": NATION_FALLBACK_ORACLE,
     "part_decision_table": PART_DECISION_ORACLE,
-    "ordered_order_positions": ORDERED_POSITIONS_ORACLE,
     "priority_year_kv": PRIORITY_KV_ORACLE,
-    "repeat_customers_intersect": REPEAT_CUSTOMERS_ORACLE,
-    "moving_avg_range_frame": MOVING_AVG_RANGE_ORACLE,
     "customer_balance_deciles": CUSTOMER_DECILES_ORACLE,
     "events_zorder_key": _zorder_oracle(),
-    "value_percentiles_approx": VALUE_PERCENTILES_APPROX_ORACLE,
     "compaction_plan_docs": COMPACTION_PLAN_ORACLE,
-    "funnel_click_purchase": FUNNEL_ORACLE,
+    "kpi_snapshot": _kpi_snapshot_oracle(),
 }

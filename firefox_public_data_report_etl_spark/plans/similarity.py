@@ -64,10 +64,23 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 """
 
 
-def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH ANN, single- and multi-table, in one entry: the
+    ``mode`` column tags each row's variant. The single-table pass is
+    the cheap low-recall baseline; the 3-table union is the recall
+    path (each table re-buckets on a different hyperplane slice, so a
+    near neighbor missed by one table is caught by another —
+    test_similarity_recall pins this with planted near-copies). Both
+    run per-bucket joins, never all-pairs."""
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return cosine_topk_lsh(queries, emb, TOP_K)
+    single = cosine_topk_lsh(queries, emb, TOP_K).withColumn(
+        "mode", F.lit("single")
+    )
+    multi = cosine_topk_lsh_multi(queries, emb, TOP_K, n_tables=N_TABLES).withColumn(
+        "mode", F.lit("multi")
+    )
+    return single.unionByName(multi)
 
 
 _DUCK_BUCKET = " + ".join(
@@ -98,12 +111,6 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 
 
 N_TABLES = 3
-
-
-def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = quantized(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return cosine_topk_lsh_multi(queries, emb, TOP_K, n_tables=N_TABLES)
 
 
 def _duck_bucket(offset: int) -> str:
@@ -242,18 +249,24 @@ FROM x GROUP BY label, pos
 """
 
 
+def _ann_lsh_combined_oracle() -> str:
+    return f"""
+SELECT q_id, n_id, rank, cos, 'single' AS mode FROM ({ANN_LSH_ORACLE})
+UNION ALL
+SELECT q_id, n_id, rank, cos, 'multi' AS mode FROM ({_ann_multi_oracle()})
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "embedding_cosine_topk": embedding_cosine_topk,
-    "ann_lsh_bucket": ann_lsh_bucket,
-    "ann_lsh_multi": ann_lsh_multi,
+    "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "label_centroids": LABEL_CENTROIDS_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
-    "ann_lsh_bucket": ANN_LSH_ORACLE,
-    "ann_lsh_multi": _ann_multi_oracle(),
+    "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
 }

@@ -378,17 +378,30 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass (Expand + single shuffle — the same physical shape as
     GROUPING SETS in `hardware_dims_grouping_sets`, at the 2^k
     extreme). grouping_id disambiguates rolled-up NULLs from data
-    NULLs, matching the oracle's GROUPING() arithmetic."""
+    NULLs, matching the oracle's GROUPING() arithmetic.
+
+    Also carries the TPC-H Q12 shape as cube measures: lineitem joins
+    orders' priority class and counts high- vs low-priority lines per
+    cell — the (linestatus, gid=2) rollup rows ARE Q12's answer, so
+    the two-way conditional-count operator rides the same single
+    Expand shuffle instead of its own registry entry."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
         cents(F.col("l_extendedprice")).alias("price_cents"),
     )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        j.cube("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
             F.sum("price_cents").alias("sum_price_cents"),
             F.count("*").alias("n"),
+            F.count(F.when(F.col("is_high"), True)).alias("high_line_count"),
+            F.count(F.when(~F.col("is_high"), True)).alias("low_line_count"),
             F.grouping_id().cast("long").alias("gid"),
         )
     )
@@ -400,8 +413,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS sum_price_cents,
        CAST(count(*) AS BIGINT) AS n,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count,
        CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS gid
-FROM lineitem
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -457,12 +474,20 @@ JOIN customer ON o_custkey = c_custkey
 
 def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per brand with a
-    NOT-IN exclusion subquery (suppliers in bad standing).
+    NOT-IN exclusion subquery (suppliers in bad standing), joined with
+    the per-brand NOT-LIKE blocklist profile (A10/F10 — the 12-pattern
+    addon-blocklist analog from plans/hardware.py) so both per-brand
+    exclusion shapes share one registry entry at one grain.
 
     Spark-first: NOT IN over a non-nullable key is a left-anti join;
     the exclusion set (negative-balance suppliers) is tiny and
     broadcast. The part join is shuffle-on-partkey; the final distinct
-    count is two-phase (partial per partition)."""
+    count is two-phase (partial per partition). The blocklist branch
+    is a 25-row aggregate — the join back is broadcast."""
+    from firefox_public_data_report_etl_spark.plans.hardware import (
+        part_blocklist_ratio,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     bad = (
@@ -473,18 +498,34 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = li.join(
         F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti"
     )
-    return (
+    variety = (
         kept.join(part, kept.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+    return variety.join(
+        F.broadcast(part_blocklist_ratio(spark, sf_dir)), "p_brand"
+    )
 
 
 BRAND_SUPPLIER_VARIETY_ORACLE = """
-SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY p_brand
+WITH variety AS (
+  SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY p_brand
+),
+block AS (
+  SELECT p_brand,
+         count(DISTINCT CASE WHEN {block_pred} THEN p_partkey END) AS ok_parts,
+         count(DISTINCT p_partkey) AS all_parts,
+         CAST(count(DISTINCT CASE WHEN {block_pred} THEN p_partkey END) AS DOUBLE)
+           / count(DISTINCT p_partkey) AS ok_ratio
+  FROM part
+  GROUP BY p_brand
+)
+SELECT p_brand, supplier_cnt, ok_parts, all_parts, ok_ratio
+FROM variety JOIN block USING (p_brand)
 """
 
 
@@ -597,7 +638,7 @@ def unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders.o_orderkey == li.l_orderkey
     )
     g = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum("rev4").alias("rev4"))
-    return (
+    top = (
         g.select(
             "o_orderkey",
             (F.col("rev4").cast("double") / 10000).alias("revenue"),
@@ -606,6 +647,16 @@ def unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(10)
     )
+    # O1-O4: the sort order is materialized as a position column so the
+    # order-insensitive oracle compare still proves it. The window runs
+    # over the ALREADY-LIMITED 10 rows (a single trivial partition) so
+    # the global plan keeps TakeOrderedAndProject — never a full sort.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return top.withColumn("position", F.row_number().over(w).cast("long"))
 
 
 UNSHIPPED_TOP10_ORACLE = """
@@ -619,12 +670,15 @@ WITH g AS (
     AND o_orderdate < TIMESTAMP '1995-03-15'
     AND l_shipdate > TIMESTAMP '1995-03-15'
   GROUP BY o_orderkey, o_orderdate
+),
+r AS (
+  SELECT o_orderkey, CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         CAST(row_number() OVER (ORDER BY rev4 DESC, o_orderdate ASC, o_orderkey ASC) AS BIGINT)
+           AS position
+  FROM g
 )
-SELECT o_orderkey, CAST(rev4 AS DOUBLE) / 10000 AS revenue,
-       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
-FROM g
-ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
-LIMIT 10
+SELECT o_orderkey, revenue, o_orderdate, position FROM r WHERE position <= 10
 """
 
 
@@ -680,32 +734,10 @@ FROM j
 """
 
 
-def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (adapted: testdata lineitem has no shipmode, so
-    the two-way split keys on order priority class): per linestatus,
-    high-priority vs low-priority order-line counts — join + two
-    conditional counts."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    return j.groupBy("l_linestatus").agg(
-        F.count(F.when(F.col("is_high"), True)).alias("high_line_count"),
-        F.count(F.when(~F.col("is_high"), True)).alias("low_line_count"),
-    )
+def _hw_block_pred() -> str:
+    from firefox_public_data_report_etl_spark.plans.hardware import _BLOCK_PRED
 
-
-PRIORITY_LINESTATUS_ORACLE = """
-SELECT l_linestatus,
-       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
-         AS high_line_count,
-       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
-         AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY l_linestatus
-"""
+    return _BLOCK_PRED
 
 
 QUERIES = {
@@ -715,13 +747,10 @@ QUERIES = {
     "late_ship_priority": late_ship_priority,
     "top_customers_per_nation": top_customers_per_nation,
     "parts_never_ordered": parts_never_ordered,
-    "small_quantity_revenue": small_quantity_revenue,
     "big_order_customers": big_order_customers,
     "brand_supplier_variety": brand_supplier_variety,
     "nation_market_share": nation_market_share,
     "unshipped_orders_top10": unshipped_orders_top10,
-    "promo_revenue_share": promo_revenue_share,
-    "priority_linestatus_counts": priority_linestatus_counts,
 }
 
 ORACLES = {
@@ -731,11 +760,10 @@ ORACLES = {
     "late_ship_priority": LATE_SHIP_PRIORITY_ORACLE,
     "top_customers_per_nation": TOP_CUSTOMERS_ORACLE,
     "parts_never_ordered": PARTS_NEVER_ORDERED_ORACLE,
-    "small_quantity_revenue": SMALL_QTY_REVENUE_ORACLE,
     "big_order_customers": BIG_ORDER_CUSTOMERS_ORACLE,
-    "brand_supplier_variety": BRAND_SUPPLIER_VARIETY_ORACLE,
+    "brand_supplier_variety": BRAND_SUPPLIER_VARIETY_ORACLE.format(
+        block_pred=_hw_block_pred()
+    ),
     "nation_market_share": NATION_MARKET_SHARE_ORACLE,
     "unshipped_orders_top10": UNSHIPPED_TOP10_ORACLE,
-    "promo_revenue_share": PROMO_SHARE_ORACLE,
-    "priority_linestatus_counts": PRIORITY_LINESTATUS_ORACLE,
 }

@@ -3,16 +3,15 @@
 The reference itself needs no window frames (SURVEY.md §2.9) — these
 complete the engine's surface for the operations any analytics user of
 the reference would reach for next: sessionization (lag + cumulative
-boundary counts) and running totals (ordered frame aggregation). Both
-are exactly-deterministic (integer micros / exact cents), so they get
-full DuckDB oracles.
+boundary counts) and both frame families (RANGE value-bounded trailing
+windows, ROWS running totals). All exactly-deterministic (integer
+micros / exact cents), so they get full DuckDB oracles.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from firefox_public_data_report_etl_spark.functions import cents, week_start
 from firefox_public_data_report_etl_spark.sources import load_table
 
 SESSION_GAP_MIN = 30
@@ -87,50 +86,69 @@ GROUP BY user_id
 """
 
 
-def running_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals: weekly order revenue per priority with a
-    cumulative sum over an ordered unbounded-preceding frame."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        week_start(F.col("o_orderdate")).alias("w"),
-        cents(F.col("o_totalprice")).alias("c"),
-    )
-    weekly = orders.groupBy("o_orderpriority", "w").agg(
-        F.sum("c").alias("week_cents")
-    )
-    cum = Window.partitionBy("o_orderpriority").orderBy("w").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return weekly.select(
-        "o_orderpriority",
-        F.date_format("w", "yyyy-MM-dd").alias("week_start"),
-        "week_cents",
-        F.sum("week_cents").over(cum).alias("cum_cents"),
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window frame families over one daily revenue spine, issued
+    as RAW SPARK SQL over a registered temp view (S3 — the reference
+    submits SQL text, annotations.py; the engine's SQL entry point
+    must behave identically to the DataFrame API):
+
+    - RANGE frame: 28-day trailing revenue sum/avg per priority —
+      value-bounded (a gap in days still spans 28 calendar days);
+    - ROWS frame: running cumulative revenue per priority.
+
+    Scale: one shuffle to daily grain, then one window shuffle on the
+    5-key priority partitioning; both frames are computed in the same
+    window pass (same partition + order), and the RANGE frame's state
+    is time-bounded so memory per partition is constant.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT o_orderpriority,
+                 datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS day_no,
+                 sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100 + 0.5) AS BIGINT))
+                   AS day_cents
+          FROM orders_v GROUP BY o_orderpriority, day_no
+        )
+        SELECT o_orderpriority, day_no, day_cents,
+               sum(day_cents) OVER w AS trail_cents,
+               count(*) OVER w AS trail_days,
+               CAST(sum(day_cents) OVER w AS DOUBLE) / 100 / count(*) OVER w AS trail_avg,
+               sum(day_cents) OVER c AS cum_cents
+        FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no
+                     RANGE BETWEEN 27 PRECEDING AND CURRENT ROW),
+               c AS (PARTITION BY o_orderpriority ORDER BY day_no
+                     ROWS UNBOUNDED PRECEDING)
+        """
     )
 
 
-RUNNING_REVENUE_ORACLE = """
-WITH weekly AS (
+WINDOW_FRAMES_ORACLE = """
+WITH daily AS (
   SELECT o_orderpriority,
-         CAST(date_trunc('week', o_orderdate) AS DATE) AS w,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS week_cents
-  FROM orders GROUP BY o_orderpriority, w
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY o_orderpriority, day_no
 )
-SELECT o_orderpriority,
-       strftime(w, '%Y-%m-%d') AS week_start,
-       week_cents,
-       CAST(sum(week_cents) OVER (PARTITION BY o_orderpriority ORDER BY w
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
-FROM weekly
+SELECT o_orderpriority, day_no, day_cents,
+       CAST(sum(day_cents) OVER w AS BIGINT) AS trail_cents,
+       CAST(count(*) OVER w AS BIGINT) AS trail_days,
+       CAST(sum(day_cents) OVER w AS DOUBLE) / 100 / count(*) OVER w AS trail_avg,
+       CAST(sum(day_cents) OVER c AS BIGINT) AS cum_cents
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no RANGE BETWEEN 27 PRECEDING AND CURRENT ROW),
+       c AS (PARTITION BY o_orderpriority ORDER BY day_no ROWS UNBOUNDED PRECEDING)
 """
 
 
 QUERIES = {
     "user_sessions": user_sessions,
-    "running_weekly_revenue": running_weekly_revenue,
+    "window_frames": window_frames,
 }
 
 ORACLES = {
     "user_sessions": USER_SESSIONS_ORACLE,
-    "running_weekly_revenue": RUNNING_REVENUE_ORACLE,
+    "window_frames": WINDOW_FRAMES_ORACLE,
 }

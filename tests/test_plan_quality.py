@@ -144,8 +144,16 @@ def test_late_ship_derived_probe_pushdown(spark, sf_dir):
 def test_intersect_aggregates_before_set_op(spark, sf_dir):
     """INTERSECT must hash pre-aggregated key sets, not order rows:
     each side's distinct collapses to custkey grain before the set-op
-    join, and the orders scans carry only the two needed columns."""
-    plan = _executed_plan(spark, "repeat_customers_intersect", sf_dir)
+    join, and its orders scans carry only the two needed columns.
+    (repeat_customers_intersect rides inside kpi_snapshot now — check
+    the intersect branch's scans there.)"""
+    from firefox_public_data_report_etl_spark.plans.shapes import (
+        repeat_customers_intersect,
+    )
+
+    df = repeat_customers_intersect(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     for l in plan.splitlines():
         if "FileScan parquet" in l:
