@@ -76,19 +76,22 @@ def cosine_topk_matmul(
     )
 
 
-def ivf_assign(vectors, centroids, id_col: str = "vec_id"):
-    """IVF coarse quantizer: assign every vector to its nearest
-    centroid by exact quantized cosine (ties → lowest centroid id).
+def ivf_assign(vectors, centroids, id_col: str = "vec_id", nprobe: int = 1):
+    """IVF coarse quantizer: assign every vector to its ``nprobe``
+    nearest centroids by exact quantized cosine (ties → lowest
+    centroid id).
 
     One integer matmul per Arrow batch against the (small by
     definition) centroid matrix riding in the closure — vectors never
-    shuffle for assignment. Returns (id, cell).
+    shuffle for assignment. Returns (id, cell) rows, ``nprobe`` per
+    vector (fewer if there are fewer centroids); index vectors use
+    nprobe=1, query vectors probe nprobe>1 cells for recall.
 
     Determinism note: per-pair cosines are elementwise FP (int64 dot,
     one divide, one sqrt — no accumulation), so numpy and any SQL
-    engine agree bit-for-bit; np.argmax takes the FIRST max, which
-    equals the lowest-centroid-id tie-break when centroids are scanned
-    in ascending id order.
+    engine agree bit-for-bit; the stable argsort on -cos takes equal
+    scores in ascending centroid-id order (c_mat rows are id-sorted),
+    which equals the lowest-centroid-id tie-break.
     """
     crows = sorted(
         centroids.select(id_col, "q", "norm").collect(), key=lambda r: r[0]
@@ -96,16 +99,18 @@ def ivf_assign(vectors, centroids, id_col: str = "vec_id"):
     c_ids = np.asarray([r[0] for r in crows], dtype=np.int64)
     c_mat = np.asarray([r[1] for r in crows], dtype=np.int64)
     c_norm = np.asarray([r[2] for r in crows], dtype=np.float64)
+    p = min(nprobe, len(c_ids))
 
     def _assign(batches):
         for pdf in batches:
             v_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
             v_norm = pdf["norm"].to_numpy(dtype=np.float64)
             cos = (v_mat @ c_mat.T) / np.sqrt(v_norm[:, None] * c_norm[None, :])
+            nearest = np.argsort(-cos, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": c_ids[np.argmax(cos, axis=1)],
+                    id_col: np.repeat(pdf[id_col].to_numpy(dtype=np.int64), p),
+                    "cell": c_ids[nearest].ravel(),
                 }
             )
 
@@ -118,23 +123,34 @@ def cosine_topk_ivf(
     query_mod: int,
     centroid_mod: int,
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ):
     """IVF ANN: deterministic centroid subset (id % centroid_mod == 1),
-    cell assignment via ``ivf_assign``, then exact cosine rank WITHIN
-    the query's cell (nprobe=1).
+    cell assignment via ``ivf_assign``, then exact cosine rank over
+    the ``nprobe`` cells nearest to each query.
 
     The scale path for corpus-sized candidate sets: candidates
     partition by cell (one shuffle on an 8-byte key), each query
-    scores only its own cell — |cell| ≈ N/num_centroids work instead
-    of N. Recall improves with nprobe>1 (probe the next-nearest
-    cells); the single-probe form is the oracle-checked baseline.
+    scores only the cells it probes — nprobe·N/num_centroids work
+    instead of N. nprobe=1 is the oracle-checked baseline; nprobe>1
+    unions the next-nearest cells for recall (a planted-near-copy
+    recall test pins nprobe=2 above nprobe=1). Each candidate lives
+    in exactly one cell and a query's probed cells are distinct, so
+    the probe union is duplicate-free by construction — no DISTINCT
+    pass needed before ranking.
     """
     from pyspark.sql import Window
 
     centroids = quantized_emb.filter(F.col(id_col) % centroid_mod == 1)
     cells = ivf_assign(quantized_emb, centroids, id_col)
     with_cell = quantized_emb.join(cells, id_col)
-    q = with_cell.filter(F.col(id_col) % query_mod == 0).select(
+    qvecs = quantized_emb.filter(F.col(id_col) % query_mod == 0)
+    qcells = (
+        cells.join(qvecs.select(id_col), id_col)
+        if nprobe == 1
+        else ivf_assign(qvecs, centroids, id_col, nprobe=nprobe)
+    )
+    q = qvecs.join(qcells, id_col).select(
         F.col(id_col).alias("q_id"),
         F.col("q").alias("qa"),
         F.col("norm").alias("na"),

@@ -65,6 +65,46 @@ def test_multi_table_ann_recall(spark):
     emb.unpersist()
 
 
+def test_ivf_multiprobe_recall(spark):
+    """Planted-near-copy ground truth for the IVF path: 20 queries
+    (ids = multiples of 1000) each with a near-copy (±0.08 noise,
+    cos ≈ 0.99 — still the clear global top-1 against random
+    background), 300 background vectors, centroids = ids % 7 == 1.
+    Near-copies sitting close to a cell boundary land in a different
+    cell than their query under nprobe=1; probing the second-nearest
+    cell must recover them. With k=1 and the planted copy the global
+    best, the candidate set grows monotonically with nprobe, so
+    recall can only rise — the test pins both the monotonicity and
+    the strict nprobe=2 > nprobe=1 improvement this seed exhibits."""
+    import random
+
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    rnd = random.Random(7)
+    dim, n_q, n_bg = 64, 20, 300
+    rows = []
+    for qid in range(1, n_q + 1):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        rows.append((qid * 1000, v))
+        rows.append((qid * 1000 + 3, [x + rnd.uniform(-0.08, 0.08) for x in v]))
+    for b in range(n_bg):
+        rows.append((9_000_001 + b, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    emb = quantized(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    truth = {(q * 1000, q * 1000 + 3) for q in range(1, n_q + 1)}
+
+    recall = {}
+    for nprobe in (1, 2):
+        got = _pairs(cosine_topk_ivf(emb, 1, 1000, 7, nprobe=nprobe))
+        recall[nprobe] = len(got & truth) / len(truth)
+    assert recall[2] > recall[1]  # second probe recovers boundary misses
+    assert recall[2] == 1.0
+    emb.unpersist()
+
+
 def test_jaccard_pairs_shuffle_fallback_matches_broadcast(spark, sf_dir):
     sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
     cand = lsh_candidate_pairs(minhash_signatures(sh))
