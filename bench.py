@@ -58,10 +58,15 @@ def main() -> None:
     # so sf0.1 timings measure steady-state execution, not first-call
     # compilation. Two passes: C2 JIT promotion needs more invocations
     # than one. Caches are cleared so no data is reused.
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        dedup_minhash_lsh_prod,
+    )
+
     for _ in range(2):
         for name in HEADLINE:
             if name in QUERIES:
                 QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        dedup_minhash_lsh_prod(spark, "/root/testdata/sf0.001").collect()
         spark.catalog.clearCache()
 
     def best_of(fn, n: int = 3) -> float:
@@ -115,6 +120,16 @@ def main() -> None:
             continue
         times[name] = best_of(lambda: QUERIES[name](spark, sf_dir).collect())
 
+    # Production-path control row: the xxHash64 minhash pipeline (no
+    # oracle, so not a registry query). Reported under "extra" — NOT in
+    # the headline total — so round-over-round totals stay comparable
+    # while the md5-vs-xxhash64 gap is measured, not asserted.
+    extra = {
+        "dedup_minhash_xxhash64": best_of(
+            lambda: dedup_minhash_lsh_prod(spark, sf_dir).collect()
+        )
+    }
+
     duck_control_post_sec = _duck_control()
 
     print(
@@ -124,6 +139,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "extra": extra,
                 "sf": sf,
                 "floor_sec": floor_sec,
                 "duck_control_sec": duck_control_sec,

@@ -13,11 +13,17 @@ A17); these are the operators a 100 TB text-corpus pipeline needs:
     at scale reuses the same banding trick (pigeonhole: hamming ≤ k
     ⇒ some band of k+1 equal).
 
-All hashes are the md5-prefix integer (functions.md5_int_sql) — Spark
-computes it via the fast single-``conv`` form (md5_int_spark_sql), the
-DuckDB oracle via the portable instr fragment; both yield identical
-values, so results match bit-for-bit. A production deployment would
-swap in xxhash64 (JVM-side, no md5 string cost) and drop oracle parity.
+All hashes default to the md5-prefix integer (functions.md5_int_sql) —
+Spark computes it via the fast single-``conv`` form
+(md5_int_spark_sql), the DuckDB oracle via the portable instr
+fragment; both yield identical values, so results match bit-for-bit.
+``hash_mode="xxhash64"`` is the production path: xxHash64 masked to
+the same 28 bits (JVM-side sip of the raw bytes, no md5 hex-string
+materialization). It cannot be oracle-checked (DuckDB has no
+xxHash64), so an agreement test pins the thresholded near-dup pair
+set against the parity path instead — hashed-shingle Jaccard is
+hash-agnostic up to collisions, only the LSH candidate generation
+differs.
 
 Spark-first: everything below is built-in column expressions —
 shingling is ``transform``/``sequence``/``element_at`` (codegen'd,
@@ -47,6 +53,21 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 N_BANDS = 4
 ROWS_PER_BAND = 4
 
+# Both hash modes emit 28-bit non-negative ints so the minhash
+# universal-hash arithmetic (a*h + b, a < 2^29) stays inside int64.
+HASH28_MASK = (1 << 28) - 1
+
+
+def _hash28(col: str, hash_mode: str):
+    """28-bit integer hash of a string column. ``parity`` = md5-prefix
+    (bit-identical in DuckDB); ``xxhash64`` = production path (JVM
+    xxHash64 on raw bytes, low 28 bits — no hex-string cost)."""
+    if hash_mode == "parity":
+        return F.expr(md5_int_spark_sql(col))
+    if hash_mode == "xxhash64":
+        return F.expr(f"xxhash64({col}) & {HASH28_MASK}")
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
 # Word 3-gram shingles from a token array column `t` — same logic in
 # both dialects (Spark subscripts are 0-based → element_at; DuckDB
 # lists are 1-based).
@@ -59,7 +80,12 @@ DUCK_SHINGLES = (
 )
 
 
-def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "parity",
+) -> DataFrame:
     """(id, h): one row per distinct HASHED word-3-gram per document.
 
     Hash-then-distinct: all downstream set operations (sizes, pair
@@ -79,7 +105,7 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     raw = t.select(
         id_col, F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
     )
-    return raw.select(id_col, F.expr(md5_int_spark_sql("g")).alias("h"))
+    return raw.select(id_col, _hash28("g", hash_mode).alias("h"))
 
 
 def minhash_signatures(
@@ -228,7 +254,12 @@ def all_pairs_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 SIMHASH_BITS = 28
 
 
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "parity",
+) -> DataFrame:
     """(id, simhash): 28-bit SimHash over tokens (with multiplicity).
 
     Bit b is set iff the +1/−1 vote of token-hash bit b is positive.
@@ -238,7 +269,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    h = toks.withColumn("h", F.expr(md5_int_spark_sql("w")))
+    h = toks.withColumn("h", _hash28("w", hash_mode))
     votes = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)

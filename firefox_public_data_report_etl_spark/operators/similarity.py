@@ -5,8 +5,10 @@ sign-bucket LSH variant as the scale path. Both operate on QUANTIZED
 embeddings — ``floor(x * 1000)`` int64 components — so dot products
 and norms are exact integer arithmetic and the final cosine is a
 single deterministic FP expression, bit-identical in Spark and the
-DuckDB oracle. (Production would keep float32 and lose oracle
-exactness, not correctness.)
+DuckDB oracle. The production path keeps float32 and loses oracle
+exactness, not correctness: operators.vectorized.cosine_topk_matmul_f32
+runs the same broadcast-queries/stream-candidates shape over raw
+embeddings, pinned against this parity path by an agreement test.
 
 Scale notes: brute force is |Q| x |C| — fine for |Q| small (the
 queries side is broadcast, candidates never shuffle). The LSH variant

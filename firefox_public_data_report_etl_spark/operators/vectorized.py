@@ -76,6 +76,57 @@ def cosine_topk_matmul(
     )
 
 
+def cosine_topk_matmul_f32(
+    queries, candidates, k: int, id_col: str = "vec_id", emb_col: str = "embedding"
+):
+    """Production float32 brute-force cosine top-k: same shape as
+    ``cosine_topk_matmul`` (query matrix in the closure, candidates
+    stream through ``mapInPandas``, never shuffle) but over the RAW
+    float embeddings — no quantization pass, float32 matmul (half the
+    memory bandwidth of the int64 parity path, and BLAS sgemm where
+    numpy is linked against one).
+
+    Float32 accumulation order makes results engine-specific, so this
+    path has no DuckDB oracle; test_production_paths pins its top-k
+    pair set against the quantized parity path instead (quantization
+    error is 1e-3 per component — rank flips only on near-ties).
+    """
+    from pyspark.sql import Window
+
+    qrows = queries.select(id_col, emb_col).collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in qrows], dtype=np.float32)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    nq = len(q_ids)
+
+    def _score(batches):
+        for pdf in batches:
+            c_mat = np.stack(
+                pdf[emb_col].map(lambda v: np.asarray(v, dtype=np.float32))
+            )
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            cos = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, len(pdf)),
+                    "n_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), nq
+                    ),
+                    "cos": cos.astype(np.float64).ravel(),
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        _score, "q_id long, n_id long, cos double"
+    ).filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def ivf_assign(vectors, centroids, id_col: str = "vec_id", nprobe: int = 1):
     """IVF coarse quantizer: assign every vector to its ``nprobe``
     nearest centroids by exact quantized cosine (ties → lowest

@@ -128,6 +128,25 @@ WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``dedup_minhash_lsh``: identical
+    pipeline with ``hash_mode="xxhash64"`` (28-bit-masked xxHash64
+    instead of the md5-prefix parity hash). Not in the query registry —
+    DuckDB has no xxHash64, so there is no oracle; the agreement test
+    (test_production_paths) pins its thresholded pair set against the
+    parity query, and bench.py reports its wall time as an extra row
+    (the hash swap removes the md5 hex-string materialization from the
+    shingle scan, the dominant map-side cost)."""
+    sh = shingle_rows(
+        load_table(spark, sf_dir, "documents"), hash_mode="xxhash64"
+    ).cache()
+    sigs = minhash_signatures(sh, with_size=True).cache()
+    cand = lsh_candidate_pairs(sigs)
+    return jaccard_for_pairs(cand, sh, sizes=sigs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup clusters: iterative min-label connected
     components over the verified MinHash-LSH pair graph (the step that

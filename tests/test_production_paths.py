@@ -1,0 +1,98 @@
+"""Agreement tests for the flag-gated production paths.
+
+The oracle-checked queries run "parity" variants (md5-prefix hashes,
+int64-quantized cosine) so DuckDB can reproduce them bit-for-bit. The
+production variants — xxHash64 shingle/token hashing and float32
+cosine — cannot be oracle-checked (DuckDB has no xxHash64; float32
+accumulation order is engine-specific), so these tests pin each one
+against its parity twin on the same inputs instead: same near-dup
+decisions, same top-k neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash_signatures,
+)
+from firefox_public_data_report_etl_spark.operators.similarity import quantized
+from firefox_public_data_report_etl_spark.operators.vectorized import (
+    cosine_topk_matmul,
+    cosine_topk_matmul_f32,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+THRESHOLD = 0.5
+
+
+def _dup_pairs(spark, sf_dir, hash_mode):
+    sh = shingle_rows(
+        load_table(spark, sf_dir, "documents"), hash_mode=hash_mode
+    ).cache()
+    sigs = minhash_signatures(sh, with_size=True).cache()
+    out = jaccard_for_pairs(lsh_candidate_pairs(sigs), sh, sizes=sigs).filter(
+        F.col("jaccard") >= THRESHOLD
+    )
+    rows = {(r["da"], r["db"], round(r["jaccard"], 6)) for r in out.collect()}
+    sh.unpersist()
+    sigs.unpersist()
+    return rows
+
+
+def test_minhash_xxhash64_agrees_with_parity(spark, sf_dir):
+    """The thresholded near-dup pair set must be identical under both
+    hash modes: exact Jaccard over hashed shingles is hash-agnostic up
+    to 28-bit collisions (immaterial at corpus scale), and with planted
+    dups at jaccard ~0.97 both LSH band layouts recover every pair —
+    including the jaccard VALUES, which count distinct hashed shingles
+    and so agree exactly when no collision fires."""
+    parity = _dup_pairs(spark, sf_dir, "parity")
+    prod = _dup_pairs(spark, sf_dir, "xxhash64")
+    assert len(parity) > 0
+    assert prod == parity
+
+
+def test_simhash_xxhash64_separates_near_dups(spark, sf_dir):
+    """SimHash bit values differ per hash, but the METRIC property must
+    survive the hash swap: planted near-dup pairs (from the verified
+    minhash set) sit at small hamming distance, far below the ~14-bit
+    expectation for unrelated docs, under BOTH hash modes."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup_pairs = [(da, db) for (da, db, _) in _dup_pairs(spark, sf_dir, "parity")]
+    assert dup_pairs
+    for mode in ("parity", "xxhash64"):
+        sims = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, hash_mode=mode).collect()
+        }
+        for da, db in dup_pairs:
+            ham = bin(sims[da] ^ sims[db]).count("1")
+            assert ham <= 8, (mode, da, db, ham)
+
+
+def test_cosine_f32_agrees_with_parity(spark, sf_dir):
+    """Float32 brute-force top-3 vs the int64-quantized parity path on
+    the same queries: identical (q_id, n_id) pair sets. Quantization
+    error is 1e-3 per component — a rank flip would need a near-exact
+    cosine tie, which the testdata embeddings don't have."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantized(emb).cache()
+    queries_q = q.filter(F.col("vec_id") % 50 == 0)
+    parity = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk_matmul(queries_q, q, 3).collect()
+    }
+    raw = emb.select("vec_id", "embedding")
+    queries_raw = raw.filter(F.col("vec_id") % 50 == 0)
+    prod = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk_matmul_f32(queries_raw, raw, 3).collect()
+    }
+    assert len(parity) > 0
+    assert prod == parity
+    q.unpersist()
