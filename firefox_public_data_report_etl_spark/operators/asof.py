@@ -132,6 +132,16 @@ def asof_latest_cogroup(
     Shuffle shape is the same as the union-window form (both sides
     hash-partition on the key); reach for this one when the as-of
     needs pandas-only variants (tolerance windows, forward/nearest).
+
+    PRECONDITION (all three strategies): right_time values must be
+    unique per key. With duplicate timestamps, merge_asof keeps the
+    last duplicate in INPUT order and the union-window twin's last()
+    keeps the last in partition order — both orders depend on how
+    Spark happened to partition the right side, so the result is
+    nondeterministic and the strategies can disagree. Pre-aggregate
+    the right side to one value per (key, timestamp) — e.g.
+    max_by(value, revision) — before the lookup; the agreement test
+    (test_operators) runs on unique-timestamp fixtures.
     """
     import pandas as pd
 

@@ -35,9 +35,15 @@ def merge_rows(
     target: DataFrame, source: DataFrame, keys: list[str]
 ) -> DataFrame:
     """MERGE semantics: source rows update matching target keys and
-    insert new keys; unmatched target rows pass through. Source must be
-    unique per key (enforced upstream; duplicate source keys would be
-    nondeterministic in any MERGE)."""
+    insert new keys; unmatched target rows pass through. BOTH sides
+    must be unique per key: duplicate source keys would be
+    nondeterministic in any MERGE (enforced upstream, e.g.
+    ``upsert_batch``'s pre-collapse), and key-unique target is the
+    invariant this operator itself maintains — every output is unique
+    per key, so it holds inductively from an empty or deduplicated
+    initial target. A target that violates it (row_number ties among
+    _src=0 rows) would keep an arbitrary duplicate; dedupe it once
+    with ``dropDuplicates(keys)`` before adopting this operator."""
     if target.columns != source.columns:
         raise ValueError(
             f"schema mismatch: target={target.columns} source={source.columns}"

@@ -19,11 +19,26 @@ wiring are unchanged — only the sink write strategy swaps.
 
 from __future__ import annotations
 
+import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from firefox_public_data_report_etl_spark.operators.merge import merge_rows
+
+
+def _recover(target_path: str) -> None:
+    """Roll forward/back an interrupted swap so checkpoint replay never
+    merges against a half-written target. Invariant of the swap
+    protocol below: ``._old`` only exists between the two renames, and
+    the target dir is only ever a COMPLETE table (staging is written
+    aside, never in place)."""
+    old = f"{target_path}._old"
+    if Path(old).exists() and not Path(target_path).exists():
+        os.rename(old, target_path)  # crashed between the two renames
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(f"{target_path}._staging", ignore_errors=True)
 
 
 def upsert_batch(
@@ -35,10 +50,24 @@ def upsert_batch(
 ) -> None:
     """One micro-batch MERGE into the parquet target.
 
-    A micro-batch can carry several revisions of one key; they collapse
-    to the latest (by ``order_col``, else arbitrary-but-deterministic
-    max) BEFORE the merge, since MERGE requires unique source keys.
+    With ``order_col``, each key's LATEST revision wins globally: the
+    winner is picked over union(target, batch) ordered by order_col
+    (tie → the incoming batch row), so an out-of-order older revision
+    arriving in a later micro-batch can NOT overwrite a newer row
+    already in the target. Without ``order_col`` the contract is
+    last-write-wins: the batch row replaces the target row
+    (within-batch duplicates collapse arbitrarily-but-deterministically
+    first, since MERGE requires unique source keys).
+
+    The target rewrite is crash-safe on a POSIX filesystem: write to a
+    staging dir, rename the live target aside, rename staging into
+    place (both renames atomic), then delete the old copy — and
+    ``_recover`` rolls an interrupted swap forward on the next batch.
+    On an object store without atomic rename, swap the sink for a
+    manifest-pointer flip or a MERGE-native table format; the merge
+    logic is unchanged.
     """
+    _recover(target_path)
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
         batch = (
@@ -50,13 +79,34 @@ def upsert_batch(
         batch = batch.dropDuplicates(keys)
     if Path(target_path).exists():
         target = spark.read.parquet(target_path)
-        merged = merge_rows(target, batch, keys)
+        if order_col is not None:
+            # Latest-wins ACROSS batches: rank over union(target, batch)
+            # by order_col desc; _src breaks exact-timestamp ties toward
+            # the incoming row (same one-shuffle shape as merge_rows).
+            tagged = target.withColumn("_src", F.lit(0)).unionByName(
+                batch.withColumn("_src", F.lit(1))
+            )
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(order_col), F.desc("_src")
+            )
+            merged = (
+                tagged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_src", "_rn")
+            )
+        else:
+            merged = merge_rows(target, batch, keys)
     else:
         merged = batch
-    # Rewrite via a staging dir: the merge reads the files it replaces.
+    # Staging-then-swap: the merge reads the files it replaces, so the
+    # new table is fully materialized aside before any rename.
     staging = f"{target_path}._staging"
+    old = f"{target_path}._old"
     merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+    if Path(target_path).exists():
+        os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def stream_upsert(

@@ -82,6 +82,19 @@ def test_stream_upsert_latest_wins(spark, tmp_path):
     }
     assert got == {1: (1, "one.v1"), 2: (3, "two.v3"), 3: (1, "three.v1")}
 
+    # Out-of-order delivery: an OLDER revision arriving in a LATER
+    # micro-batch must not clobber the newer row already in the target
+    # (latest-wins is by rev across batches, not last-write-wins).
+    run_wave([(2, 2, "two.v2-late"), (3, 2, "three.v2")])
+    got = {
+        r["doc_id"]: (r["rev"], r["text"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: (1, "one.v1"), 2: (3, "two.v3"), 3: (2, "three.v2")}
+    # the swap protocol leaves no staging/old debris behind
+    assert not (tmp_path / "target._staging").exists()
+    assert not (tmp_path / "target._old").exists()
+
 
 def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     """Duplicated deliveries through the watermarked streaming dedup:
