@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan INSIDE cached plans too: off (the default)
+        # a .cache() pins its shuffle at the static partition count, so
+        # every consumer of a multi-use cached intermediate (the
+        # flagship's 5-consumer weekly frame) launches full-width task
+        # waves over mostly-empty partitions. Sole trade-off is cache
+        # reuse across plans with different partitioning needs - not a
+        # pattern this engine uses (caches are single-query scoped).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Idempotent per-partition overwrite (reference S5 semantics:
         # hardware_report.py:458-465 WRITE_TRUNCATE to table$YYYYMMDD).
