@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.functions import md5_int_sql, minhash_perm_sql
+from firefox_public_data_report_etl_spark.operators.parallelism import (
+    widen_partitions,
+)
 from firefox_public_data_report_etl_spark.operators.dedup import (
     DUCK_SHINGLES,
     MINHASH_PERMS,
@@ -81,8 +84,15 @@ WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, verified with
-    exact Jaccard — the scale path: no all-pairs join ever happens."""
-    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    exact Jaccard — the scale path: no all-pairs join ever happens.
+
+    The documents scan is widened before shingling: the 50x shingle
+    explosion plus per-shingle hashing otherwise runs inside the scan
+    task (single-row-group files scan as ONE split), and the shuffle
+    moves the compact pre-explosion rows (operators.parallelism)."""
+    sh = shingle_rows(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    ).cache()
     # one aggregation produces signatures AND set sizes; cached so the
     # band join and the verify's size lookups both read it for free
     sigs = minhash_signatures(sh, with_size=True).cache()
@@ -138,7 +148,8 @@ def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the hash swap removes the md5 hex-string materialization from the
     shingle scan, the dominant map-side cost)."""
     sh = shingle_rows(
-        load_table(spark, sf_dir, "documents"), hash_mode="xxhash64"
+        widen_partitions(load_table(spark, sf_dir, "documents")),
+        hash_mode="xxhash64",
     ).cache()
     sigs = minhash_signatures(sh, with_size=True).cache()
     cand = lsh_candidate_pairs(sigs)
