@@ -62,11 +62,22 @@ def main() -> None:
         dedup_minhash_lsh_prod,
     )
 
+    # Fault isolation: a query that raises must cost one row of the
+    # artifact, not the artifact (round 3 lost its entire bench JSON to
+    # one AnalysisException in the warm loop).
+    errors: dict[str, str] = {}
+
     for _ in range(2):
         for name in HEADLINE:
             if name in QUERIES:
-                QUERIES[name](spark, "/root/testdata/sf0.001").collect()
-        dedup_minhash_lsh_prod(spark, "/root/testdata/sf0.001").collect()
+                try:
+                    QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+                except Exception as e:  # noqa: BLE001 — record, keep going
+                    errors[name] = f"{type(e).__name__}: {e}"[:500]
+        try:
+            dedup_minhash_lsh_prod(spark, "/root/testdata/sf0.001").collect()
+        except Exception as e:  # noqa: BLE001
+            errors["dedup_minhash_xxhash64"] = f"{type(e).__name__}: {e}"[:500]
         spark.catalog.clearCache()
 
     def best_of(fn, n: int = 3) -> float:
@@ -77,6 +88,13 @@ def main() -> None:
             fn()
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
+
+    def best_of_safe(name: str, fn, n: int = 3) -> float | None:
+        try:
+            return best_of(fn, n)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return None
 
     # Scheduling-floor control: one shuffle + collect over one row.
     from pyspark.sql import functions as F
@@ -122,19 +140,23 @@ def main() -> None:
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        times[name] = best_of(
-            lambda: QUERIES[name](spark, sf_dir).collect(), n=5
+        t = best_of_safe(
+            name, lambda: QUERIES[name](spark, sf_dir).collect(), n=5
         )
+        if t is not None:
+            times[name] = t
 
     # Production-path control row: the xxHash64 minhash pipeline (no
     # oracle, so not a registry query). Reported under "extra" — NOT in
     # the headline total — so round-over-round totals stay comparable
     # while the md5-vs-xxhash64 gap is measured, not asserted.
-    extra = {
-        "dedup_minhash_xxhash64": best_of(
-            lambda: dedup_minhash_lsh_prod(spark, sf_dir).collect()
-        )
-    }
+    extra = {}
+    t = best_of_safe(
+        "dedup_minhash_xxhash64",
+        lambda: dedup_minhash_lsh_prod(spark, sf_dir).collect(),
+    )
+    if t is not None:
+        extra["dedup_minhash_xxhash64"] = t
 
     duck_control_post_sec = _duck_control()
 
@@ -150,6 +172,7 @@ def main() -> None:
                 "floor_sec": floor_sec,
                 "duck_control_sec": duck_control_sec,
                 "duck_control_post_sec": duck_control_post_sec,
+                "errors": errors,
             }
         )
     )

@@ -15,8 +15,12 @@ from firefox_public_data_report_etl_spark.functions import (
     bitcount_lowest_7,
     is_last_day_of_week,
     pos_of_trailing_set_bit,
+    week_start,
 )
-from firefox_public_data_report_etl_spark.operators import explode_preserving_empty
+from firefox_public_data_report_etl_spark.operators import (
+    explode_preserving_empty,
+    with_total_group,
+)
 from firefox_public_data_report_etl_spark.sources import load_table
 
 # Knuth multiplicative hash → synthetic 28-bit activity bitfield, the
@@ -142,12 +146,135 @@ GROUP BY o_orderpriority
 """
 
 
+def channel_struct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 in its TRUE struct-nested form: a dotted filter on a nested
+    struct column (the reference's ``environment.settings.channel =
+    'release'`` predicate, …user_activity.sql:161-162), oracle-backed.
+
+    The testdata has no struct columns, so the plan builds the
+    reference's shape honestly: ``from_json`` parses props into a
+    typed struct, a two-level ``environment.settings`` struct is
+    assembled around it, and the filter + aggregate access fields ONLY
+    through dotted struct paths — the Catalyst struct-field extraction
+    operator, not JSON re-parsing. DuckDB twin computes the same values
+    from the flat JSON, proving the struct path yields identical
+    results.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.from_json("props", "k BIGINT").alias("payload")
+    k = F.col("payload.k")
+    parsed = ev.select("user_id", "event_type", payload).select(
+        "user_id",
+        "event_type",
+        F.struct(
+            F.struct(
+                k.alias("k"),
+                F.when(k % 4 == 0, "release")
+                .when(k % 4 == 1, "beta")
+                .when(k % 4 == 2, "nightly")
+                .otherwise("esr")
+                .alias("channel"),
+            ).alias("settings")
+        ).alias("environment"),
+    )
+    release = parsed.filter(
+        F.col("environment.settings.channel") == "release"
+    )
+    return release.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum("environment.settings.k").alias("sum_k"),
+    )
+
+
+CHANNEL_STRUCT_ORACLE = """
+WITH parsed AS (
+  SELECT user_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS users,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM parsed
+WHERE k % 4 = 0
+GROUP BY event_type
+"""
+
+
+def locale_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: distinct-user counts at the (week, country, locale) grain
+    with the Worldwide rollup fan-out (reference
+    …user_activity.sql:286-301 counts clients per (week, country,
+    locale) including the UNNEST'd 'Worldwide' group).
+
+    Testdata mapping: country := event_type (+ Worldwide fan-out via
+    J2), locale := a 5-way categorical derived from props.k. The grain
+    and the exact-distinct-at-finer-grain shape are the operator; the
+    column sources are the sandbox analogs.
+
+    Scale notes: one shuffle keyed (week, country, locale); the
+    Worldwide rows are the skewed rollup group the reference also
+    carries — AQE skew handling plus partial aggregation (distinct is
+    a two-phase Expand here, fine at this grain count) keep it safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        week_start(F.col("ts")).alias("week_start"),
+        F.col("event_type").alias("etype"),
+        F.concat(
+            F.lit("loc-"),
+            (F.get_json_object("props", "$.k").cast("long") % 5).cast(
+                "string"
+            ),
+        ).alias("locale"),
+        "user_id",
+    )
+    fanned = with_total_group(base, "etype", "country")
+    agg = fanned.groupBy("week_start", "country", "locale").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+    # X19 edge convention: dates string-formatted at export (also
+    # disambiguates DATE vs TIMESTAMP across engines in the gate).
+    return agg.select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "country",
+        "locale",
+        "distinct_users",
+    )
+
+
+LOCALE_DISTINCT_ORACLE = """
+WITH base AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         event_type AS etype,
+         'loc-' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                        AS VARCHAR) AS locale,
+         user_id
+  FROM events
+),
+fanned AS (
+  SELECT week_start, u.country, locale, user_id
+  FROM base, UNNEST([etype, 'Worldwide']) AS u(country)
+)
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start, country, locale,
+       count(DISTINCT user_id) AS distinct_users
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "scalar_expr_showcase": scalar_expr_showcase,
     "empty_preserving_unnest": empty_preserving_unnest,
+    "channel_struct_rollup": channel_struct_rollup,
+    "locale_distinct_counts": locale_distinct_counts,
 }
 
 ORACLES = {
     "scalar_expr_showcase": SCALAR_SHOWCASE_ORACLE,
     "empty_preserving_unnest": EMPTY_PRESERVING_ORACLE,
+    "channel_struct_rollup": CHANNEL_STRUCT_ORACLE,
+    "locale_distinct_counts": LOCALE_DISTINCT_ORACLE,
 }

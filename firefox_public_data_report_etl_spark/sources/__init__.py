@@ -4,6 +4,7 @@ from firefox_public_data_report_etl_spark.sources.tables import (
     date_spine,
     load_table,
     load_tables,
+    normalize_timestamps,
     write_partitioned,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "date_spine",
     "load_table",
     "load_tables",
+    "normalize_timestamps",
     "write_partitioned",
 ]

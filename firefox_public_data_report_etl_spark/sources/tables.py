@@ -29,10 +29,19 @@ TABLES = (
     "embeddings",
 )
 
-# Testdata parquet stores these as TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong they arrive as LongType ns since
-# epoch. Converted to TimestampType micros (lossless: data has micro
-# precision), matching DuckDB's naive read.
+# Timestamp columns the loader normalizes. The testdata generator has
+# shipped two physical forms over time:
+#   - current: plain ``timestamp[us]`` (no timezone) — Spark reads it
+#     as TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ pinned UTC, so
+#     the cast is value-preserving and matches DuckDB's naive read);
+#   - legacy: TIMESTAMP(NANOS), read as LongType ns-since-epoch under
+#     ``nanosAsLong`` and converted to micros (lossless at micro
+#     precision).
+# NTZ normalization is applied to EVERY timestamp_ntz column generically
+# (not just these), so a regenerated table never reaches NTZ-strict APIs
+# (unix_micros, withWatermark) unnormalized; this dict only scopes the
+# legacy bigint conversion, where "is it a timestamp?" can't be read
+# off the dtype.
 TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -57,30 +66,55 @@ def load_table(
     """Scan operator (S1/S4): one parquet table, timestamps normalized.
 
     ``prune=(ts_col, lo, hi)`` applies a CONSERVATIVE [lo, hi) range
-    filter on the raw nanos long BEFORE timestamp conversion, so it
-    reaches the parquet scan as a row-group filter (the converted
-    column is a derived expression Catalyst can't push). Queries still
-    apply their exact predicate on the converted column; this is purely
-    scan pruning — essential at 100 TB where the conversion otherwise
-    forces a full scan.
+    filter on the RAW stored column (timestamp_ntz or legacy nanos
+    long) BEFORE normalization, so it reaches the parquet scan as a
+    row-group filter — the normalized column is a derived expression
+    Catalyst won't reliably push through. Queries still apply their
+    exact predicate on the normalized column; this is purely scan
+    pruning — essential at 100 TB where the cast otherwise forces a
+    full scan.
     """
     # Harness-proofing: callers may pass a session built WITHOUT our
     # factory (session.py). Both confs are runtime-settable and
-    # idempotent; without nanosAsLong any read of events.parquet
-    # (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL, and without UTC
-    # the micros conversion drifts from the DuckDB oracle's naive read.
+    # idempotent; nanosAsLong keeps legacy TIMESTAMP(NANOS) parquet
+    # readable (no-op on current timestamp[us] data), and without UTC
+    # the NTZ->TIMESTAMP cast drifts from the DuckDB oracle's naive
+    # read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
-    if prune is not None and dtypes.get(prune[0]) == "bigint":
+    if prune is not None:
         c, lo, hi = prune
-        if lo is not None:
-            df = df.filter(F.col(c) >= F.lit(_ns(lo)))
-        if hi is not None:
-            df = df.filter(F.col(c) < F.lit(_ns(hi)))
-    for c in TIMESTAMP_COLUMNS.get(name, ()):
-        if dtypes.get(c) == "bigint":
+        dt = dtypes.get(c)
+        if dt == "bigint":  # legacy nanos form
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(_ns(lo)))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(_ns(hi)))
+        elif dt in ("timestamp_ntz", "timestamp"):
+            # Literal cast to the RAW column's type: the comparison is
+            # same-typed, so it pushes into the scan (plan-asserted in
+            # test_plan_quality).
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo).cast(dt))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(hi).cast(dt))
+    return normalize_timestamps(df, name)
+
+
+def normalize_timestamps(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Edge normalization (reference analog: fixed schemas at the BQ
+    edge, hardware_report.py:59-84): every TIMESTAMP_NTZ column is cast
+    to TIMESTAMP (session TZ is pinned UTC, so this is value-preserving
+    and oracle-neutral), and legacy bigint-nanos columns listed in
+    ``TIMESTAMP_COLUMNS[name]`` are converted to micros. Downstream
+    code — unix_micros, withWatermark, window() — can then assume plain
+    TIMESTAMP everywhere."""
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt == "bigint" and name and c in TIMESTAMP_COLUMNS.get(name, ()):
             # integer div, NOT / : float division of ~1e18 ns loses the
             # last microsecond to double rounding.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

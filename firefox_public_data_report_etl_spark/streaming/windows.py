@@ -48,8 +48,13 @@ def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from a
-    batch read; nanos column normalized exactly like the batch loader)."""
-    from firefox_public_data_report_etl_spark.sources import load_table
+    batch read; the ts column normalized exactly like the batch loader
+    — NTZ cast or legacy-nanos conversion — so watermarks and windows
+    always see plain TIMESTAMP)."""
+    from firefox_public_data_report_etl_spark.sources import (
+        load_table,
+        normalize_timestamps,
+    )
 
     # load_table harness-proofs the session (nanosAsLong + UTC) and is
     # the schema source of truth; we only need its raw footer schema.
@@ -63,6 +68,4 @@ def stream_events(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return normalize_timestamps(raw, "events")

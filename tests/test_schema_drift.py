@@ -1,0 +1,41 @@
+"""Schema-drift canary (round-3 postmortem).
+
+The driver regenerates /root/testdata between rounds and has already
+changed the physical timestamp encoding once (TIMESTAMP(NANOS) ->
+plain timestamp[us], which Spark reads as TIMESTAMP_NTZ). Round 3
+ended red because that drift reached NTZ-strict APIs (unix_micros,
+withWatermark) at query time. These tests make the next drift a
+one-line assertion failure instead of a round-ending surprise:
+
+  - every table loaded via ``load_table`` must come back with ZERO
+    timestamp_ntz columns (the loader's edge normalization contract);
+  - every registry query must pass Spark ANALYSIS against the current
+    testdata (schema resolution without executing — cheap, catches
+    dtype mismatches in all 50 plans in seconds).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from firefox_public_data_report_etl_spark.plans import QUERIES
+from firefox_public_data_report_etl_spark.sources import TABLES, load_table
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_no_ntz_columns_after_load(spark, sf_dir, name):
+    df = load_table(spark, sf_dir, name)
+    ntz = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    assert not ntz, (
+        f"load_table({name!r}) leaked TIMESTAMP_NTZ columns {ntz}; "
+        "normalize_timestamps must cast them to TIMESTAMP"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_query_analyzes(spark, sf_dir, name):
+    # .schema forces analysis (resolution + type checking) without
+    # running the job; an NTZ-vs-TIMESTAMP mismatch anywhere in the
+    # plan raises AnalysisException right here.
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.schema.fields) > 0
