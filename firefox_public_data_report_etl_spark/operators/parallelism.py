@@ -40,6 +40,10 @@ def widen_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
+    # ``.rdd`` here only materializes the physical plan's partitioning
+    # metadata (driver-side analysis, no job runs and no data moves);
+    # ``getNumPartitions`` is the stable public API for that read —
+    # DataFrame exposes no plan-level equivalent.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
