@@ -104,9 +104,27 @@ def test_regional_revenue_explicit_bloom_prunes_lineitem(spark, sf_dir):
     assert filt, "bloom probe not found as a lineitem-side Filter"
 
 
-def test_late_ship_uses_semi_join(spark, sf_dir):
+def test_late_ship_agg_form_preaggregates(spark, sf_dir):
+    """Default strategy rewrites the inequality EXISTS as MAX-per-key:
+    the plan must collapse lineitem with a partial HashAggregate
+    (map-side combine) before the join — the 100 TB shuffle saver."""
     plan = _executed_plan(spark, "late_ship_priority", sf_dir)
-    assert "LeftSemi" in plan
+    assert "max(l_shipdate" in plan
+
+
+def test_late_ship_semi_strategy_and_agreement(spark, sf_dir):
+    """The literal EXISTS plan must be a left-semi join, and both
+    strategies must return identical results."""
+    from firefox_public_data_report_etl_spark.plans.tpch import (
+        late_ship_priority,
+    )
+
+    semi = late_ship_priority(spark, sf_dir, strategy="semi")
+    assert "LeftSemi" in semi._jdf.queryExecution().executedPlan().toString()
+    agg = late_ship_priority(spark, sf_dir)
+    assert {tuple(r) for r in semi.collect()} == {
+        tuple(r) for r in agg.collect()
+    }
 
 
 def test_weekly_engagement_scan_prune(spark, sf_dir):
