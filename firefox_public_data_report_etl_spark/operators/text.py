@@ -285,3 +285,54 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard LLM
+    pretraining layout: documents are concatenated in deterministic
+    order into a token stream and cut into fixed-``capacity`` context
+    windows; a document belongs to the window its FIRST token lands in
+    (straddling documents continue into the next window, handled
+    downstream by EOD tokens / attention masks).
+
+    Packing is per-shard (``hash-mod n_shards``), which is how real
+    pipelines run it: each worker packs its shard independently, so
+    the ordered prefix-sum is a window PARTITIONED by shard — never a
+    global single-partition sort. Widen ``n_shards`` with the data
+    (target: shard fits one task's memory for the sort); assignments
+    stay deterministic at any partitioning because order is
+    (shard, doc_id) and tokens are a pure function of the text.
+
+    Returns per-doc: shard, tokens (chars/4 estimate), bin_id (chunk
+    index within shard), bin_offset (token offset of the doc's start
+    inside its chunk).
+    """
+    toks = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        .cast("long")
+        .alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("tokens").over(w))
+    # integer div/mod (not float /): exact at any stream length
+    return cum.select(
+        id_col,
+        "shard",
+        "tokens",
+        F.expr(f"(cum - tokens) div {capacity}").cast("long").alias("bin_id"),
+        ((F.col("cum") - F.col("tokens")) % capacity)
+        .cast("long")
+        .alias("bin_offset"),
+    )

@@ -21,6 +21,7 @@ from firefox_public_data_report_etl_spark.operators.text import (
     hash_split,
     inverted_index,
     langid_heuristic,
+    pack_sequences,
     quality_features,
     repetition_features,
     stratified_sample,
@@ -299,6 +300,59 @@ FROM r WHERE rank_in_stratum <= 25
 """
 
 
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly: pack the corpus into fixed-capacity
+    context windows (operators.text.pack_sequences — concat-then-chunk
+    in deterministic (shard, doc_id) order) and report per-chunk fill
+    stats: docs starting in the chunk, their token mass, and the span
+    of doc ids the chunk covers. The per-doc assignment is the
+    operator; the rollup keeps the registry row report-sized.
+
+    Scale: the prefix-sum window is partitioned by shard (each worker
+    packs its shard — no global sort); the rollup reuses the same
+    (shard) partitioning, so the whole plan is one shuffle plus a
+    shard-local window pass.
+    """
+    packed = pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("start_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+)
+SELECT shard,
+       CAST((c - tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS start_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_profile": text_profile,
@@ -307,6 +361,7 @@ QUERIES = {
     "corpus_sampling": corpus_sampling,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
+    "sequence_packing": sequence_packing,
 }
 
 ORACLES = {
@@ -317,4 +372,5 @@ ORACLES = {
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
+    "sequence_packing": SEQUENCE_PACKING_ORACLE,
 }

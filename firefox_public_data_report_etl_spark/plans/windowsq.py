@@ -143,12 +143,71 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no RANGE BETWEEN 27 PRECE
 """
 
 
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session-window operator (``F.session_window``, the
+    Structured Streaming sessionization primitive) on its batch path,
+    at per-session grain — the oracle twin of the lag+cumsum form
+    (``user_sessions`` rolls up per user; this exposes each session).
+
+    Semantics note the oracle mirrors exactly: ``session_window``
+    merges an event into the current session iff it starts STRICTLY
+    before session end (= last event + gap), so a gap of exactly 30
+    minutes starts a NEW session — the lag formulation's ``>`` becomes
+    ``>=`` here. ``end_us`` is last event + gap, Spark's definition.
+
+    Scale: one shuffle on user_id; session merging is a sorted
+    single pass per user (same cost shape as the lag form), and the
+    identical code serves ``readStream`` input with a watermark
+    (streaming/sessions.py) — state is gap-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        "user_id",
+    ).agg(F.count("*").alias("n_events"))
+    return per.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("start_us"),
+        F.unix_micros(F.col("w.end")).alias("end_us"),
+        "n_events",
+    )
+
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+SESSION_WINDOW_ROLLUP_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(us) AS start_us,
+       max(us) + {_GAP_US} AS end_us,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "window_frames": window_frames,
+    "session_window_rollup": session_window_rollup,
 }
 
 ORACLES = {
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
+    "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
 }

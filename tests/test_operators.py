@@ -245,3 +245,34 @@ def test_aqe_skew_join_split_fires(spark):
             "spark.sql.autoBroadcastJoinThreshold",
         ):
             spark.conf.unset(k)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Concat-then-chunk packing: offsets stay inside the window,
+    chunks fill contiguously per shard, and assignments are identical
+    at any input partitioning (determinism is what makes a packed
+    dataset reproducible across cluster sizes)."""
+    from firefox_public_data_report_etl_spark.operators.text import pack_sequences
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, capacity=128, n_shards=4).collect()
+    assert len(packed) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert 0 <= r.bin_offset < 128
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # first doc of a shard starts chunk 0 at offset 0
+        assert rows[0].bin_id == 0 and rows[0].bin_offset == 0
+        for a, b in zip(rows, rows[1:]):
+            # stream position advances by exactly a.tokens
+            pos_a = a.bin_id * 128 + a.bin_offset
+            pos_b = b.bin_id * 128 + b.bin_offset
+            assert pos_b == pos_a + a.tokens
+
+    repart = pack_sequences(
+        docs.repartition(7), capacity=128, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, repart)) == sorted(map(tuple, packed))
