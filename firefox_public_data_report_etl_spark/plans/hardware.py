@@ -200,14 +200,80 @@ GROUP BY p_brand
 """
 
 
+# X21 analog of the reference's static (vendor_id, device_id) → model
+# map (hardware_report.py:148-166 joins the broadcast device table and
+# defaults misses to 'Other'): a composite-key literal dimension over
+# (brand, type-class).
+MODEL_MAP = (
+    ("Brand#11", "ECONOMY", "Economy 11"),
+    ("Brand#12", "STANDARD", "Standard 12"),
+    ("Brand#13", "PROMO", "Promo 13"),
+    ("Brand#21", "ECONOMY", "Economy 21"),
+    ("Brand#22", "MEDIUM", "Medium 22"),
+    ("Brand#31", "LARGE", "Large 31"),
+    ("Brand#41", "SMALL", "Small 41"),
+    ("Brand#51", "STANDARD", "Standard 51"),
+)
+
+
+def part_model_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: composite-key broadcast lookup join with an 'Other'
+    default — the (vendor, device) → model shape. The lookup is a
+    literal in-memory dimension (like the reference's packaged device
+    map), broadcast so the fact side never shuffles; unmatched rows
+    coalesce to 'Other' (left join, X3).
+
+    Scale: broadcast stays constant-size however big `part` grows;
+    the only shuffle is the final model-grain aggregate.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.split(F.col("p_type"), " ").getItem(0).alias("tclass"),
+    )
+    lookup = spark.createDataFrame(
+        list(MODEL_MAP), ["b", "t", "model"]
+    )
+    joined = part.join(
+        F.broadcast(lookup),
+        (part.p_brand == lookup.b) & (part.tclass == lookup.t),
+        "left",
+    )
+    return (
+        joined.withColumn("model", F.coalesce(F.col("model"), F.lit("Other")))
+        .groupBy("model")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+_MODEL_VALUES = ", ".join(f"('{b}', '{t}', '{m}')" for b, t, m in MODEL_MAP)
+
+PART_MODEL_LOOKUP_ORACLE = f"""
+WITH lookup(b, t, model) AS (VALUES {_MODEL_VALUES}),
+part_c AS (
+  SELECT p_partkey, p_brand, split_part(p_type, ' ', 1) AS tclass FROM part
+)
+SELECT coalesce(model, 'Other') AS model,
+       count(*) AS n_parts,
+       count(DISTINCT p_brand) AS n_brands
+FROM part_c LEFT JOIN lookup ON p_brand = b AND tclass = t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "hardware_dims_grouping_sets": hardware_dims_grouping_sets,
     "bucket_collapse_ptype": bucket_collapse_ptype,
     "pivot_weekly_events": pivot_weekly_events,
+    "part_model_lookup": part_model_lookup,
 }
 
 ORACLES = {
     "hardware_dims_grouping_sets": HARDWARE_DIMS_ORACLE,
     "bucket_collapse_ptype": BUCKET_COLLAPSE_ORACLE,
     "pivot_weekly_events": PIVOT_WEEKLY_ORACLE,
+    "part_model_lookup": PART_MODEL_LOOKUP_ORACLE,
 }
