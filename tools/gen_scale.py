@@ -86,7 +86,38 @@ def main() -> None:
         stacked = stacked.unionByName(p)
     stacked.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    for t in ("events", "documents"):
+    # orders + lineitem: disjoint orderkey spaces per replica, per-order
+    # lineitem structure preserved (custkeys unchanged — fine for the
+    # order-grain queries this feeds; regional_revenue's customer joins
+    # would need a stacked customer too, which this deliberately skips).
+    orders = load_table(spark, SRC, "orders")
+    stacked = None
+    for k in range(replicas):
+        p = orders.select(
+            (F.col("o_orderkey") + F.lit(k * 10**9)).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        stacked = p if stacked is None else stacked.unionByName(p)
+    stacked.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+
+    li = load_table(spark, SRC, "lineitem")
+    stacked = None
+    for k in range(replicas):
+        p = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9)
+        )
+        stacked = p if stacked is None else stacked.unionByName(p)
+    stacked.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+
+    for t in ("events", "documents", "orders", "lineitem"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows -> {out}/{t}.parquet")
     spark.stop()
