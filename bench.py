@@ -158,6 +158,26 @@ def main() -> None:
     if t is not None:
         extra["dedup_minhash_xxhash64"] = t
 
+    # Round-4 additions, reported as extras (NOT in the headline total,
+    # which stays the fixed round-over-round comparison set).
+    for name in (
+        "session_window_rollup",
+        "click_purchase_pairs_weekly",
+        "sequence_packing",
+    ):
+        if name not in QUERIES:
+            continue
+        for _ in range(2):
+            try:
+                QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+            except Exception:  # noqa: BLE001 — warm failure recorded below
+                break
+        t = best_of_safe(
+            name, lambda: QUERIES[name](spark, sf_dir).collect()
+        )
+        if t is not None:
+            extra[name] = t
+
     duck_control_post_sec = _duck_control()
 
     print(

@@ -1,6 +1,9 @@
 from firefox_public_data_report_etl_spark.streaming.dedupe import (
     stream_dedup_events,
 )
+from firefox_public_data_report_etl_spark.streaming.joins import (
+    click_purchase_attribution,
+)
 from firefox_public_data_report_etl_spark.streaming.tws import (
     running_user_totals_tws,
 )
@@ -14,6 +17,7 @@ from firefox_public_data_report_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "click_purchase_attribution",
     "stream_dedup_events",
     "running_user_totals_tws",
     "stream_events",

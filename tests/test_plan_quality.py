@@ -234,3 +234,11 @@ def test_top10_uses_take_ordered_not_full_sort(spark, sf_dir):
     and sorting 100 TB."""
     plan = _executed_plan(spark, "unshipped_orders_top10", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_is_equi_keyed(spark, sf_dir):
+    """The click->purchase interval join must hash/sort on user_id with
+    the time bounds as a residual condition — never a cross product."""
+    plan = _executed_plan(spark, "click_purchase_pairs_weekly", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -150,3 +150,41 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
         for r in stream_dedup_events(batch).collect()
     )
     assert got == expected == [(1, "click"), (2, "view"), (3, "click")]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """The interval join must yield the same pair set whether run as a
+    batch non-equi join or as a watermarked stream-stream join."""
+    from firefox_public_data_report_etl_spark.streaming import (
+        click_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert expected, "fixture has no click->purchase pairs"
+
+    s_clicks = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    s_purch = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = click_purchase_attribution(s_clicks, s_purch, watermark="2 hours")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    assert got == expected
