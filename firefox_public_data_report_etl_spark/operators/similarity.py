@@ -182,3 +182,45 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+def int8_quantize(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Adaptive int8 quantization with a per-vector max-abs scale —
+    the storage/serving compression step of an embedding pipeline
+    (vs the fixed x1000 parity quantization above, which exists for
+    exact cross-engine arithmetic, not compression).
+
+    Returns (id, amax, q, err6_max): the double scale, the int8-range
+    components ``sign(x) * floor(|x|/amax * 127)``, and the max
+    per-component reconstruction error in integer micro-units
+    (``floor(|x - q*amax/127| * 1e6)``). All expression-level
+    higher-order functions — no Python in the row path; the FP chains
+    are identical IEEE double sequences in Spark and DuckDB, so the
+    audit is oracle-exact. Zero vectors quantize to all-zero (amax
+    NULLIF guard).
+    """
+    with_amax = emb.select(
+        id_col,
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("amax"),
+    )
+    # per-element guard (NOT nullif on the array: that would yield
+    # NULL elements, never a NULL array): zero/empty vectors get q=0.
+    q = (
+        "transform(embedding, x -> CAST(CASE WHEN amax IS NULL OR amax = 0"
+        " THEN 0 ELSE sign(CAST(x AS DOUBLE)) * "
+        "floor(abs(CAST(x AS DOUBLE)) / amax * 127) END AS BIGINT))"
+    )
+    with_q = with_amax.select(
+        id_col, "embedding", "amax", F.expr(q).alias("q")
+    )
+    err6 = (
+        "CAST(floor(array_max(zip_with(embedding, q, (x, v) -> "
+        "abs(CAST(x AS DOUBLE) - v * coalesce(amax, CAST(0 AS DOUBLE))"
+        " / 127))) * 1000000) AS BIGINT)"
+    )
+    return with_q.select(
+        id_col, "amax", "q", F.expr(err6).alias("err6_max")
+    )

@@ -257,11 +257,60 @@ SELECT q_id, n_id, rank, cos, 'multi' AS mode FROM ({_ann_multi_oracle()})
 """
 
 
+def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 storage-quantization audit (operators.similarity.
+    int8_quantize): per vector, the max-abs scale, worst per-component
+    reconstruction error (integer micro-units), saturation count, and
+    the exact integer mass of the quantized components — the checks a
+    pipeline runs before swapping float32 embeddings for int8 at rest.
+
+    Scale: narrow per-row higher-order expressions only (no shuffle,
+    no Python); output is vector grain.
+    """
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    q = int8_quantize(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "amax",
+        "err6_max",
+        F.expr("CAST(size(filter(q, v -> abs(v) = 127)) AS BIGINT)").alias(
+            "n_sat"
+        ),
+        F.expr("aggregate(q, 0L, (s, v) -> s + abs(v))").alias("sum_abs_q"),
+    )
+
+
+EMBEDDING_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+am AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS amax FROM e GROUP BY vec_id),
+qv AS (
+  SELECT e.vec_id, CAST(x AS DOUBLE) AS xd, amax,
+         CASE WHEN amax IS NULL OR amax = 0 THEN 0
+              ELSE CAST(sign(CAST(x AS DOUBLE))
+                        * floor(abs(CAST(x AS DOUBLE)) / amax * 127) AS BIGINT)
+         END AS v
+  FROM e JOIN am USING (vec_id)
+)
+SELECT vec_id,
+       any_value(amax) AS amax,
+       CAST(floor(max(abs(xd - v * coalesce(amax, 0) / 127)) * 1000000)
+            AS BIGINT) AS err6_max,
+       CAST(sum(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs_q
+FROM qv
+GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "embedding_quantization_audit": embedding_quantization_audit,
 }
 
 ORACLES = {
@@ -269,4 +318,5 @@ ORACLES = {
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
+    "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }

@@ -300,6 +300,73 @@ FROM r WHERE rank_in_stratum <= 25
 """
 
 
+def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check — the audit every pretraining corpus runs
+    before the eval table is trusted: for each TRAIN document, the
+    fraction of its distinct word-3-grams that also occur anywhere in
+    the held-out (val/test) splits. Composed from the engine's own
+    primitives: the deterministic md5 hash split (operators.text.
+    hash_split — recomputable on any frame carrying doc_id) and the
+    hashed-shingle rows the dedup family uses (operators.dedup.
+    shingle_rows — 8-byte gram keys, never gram strings).
+
+    Scale: the held-out gram set is DISTINCT-collapsed before the
+    join (bounded by gram space, far below corpus size), then the
+    train-side probe is a hash equi-join on the 28-bit gram key; per
+    shuffle, 8-byte keys only. Output is train-doc grain.
+    """
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hash_split(shingle_rows(docs))  # split derives from doc_id
+    train = sh.filter(F.col("split") == "train")
+    heldout_grams = (
+        sh.filter(F.col("split") != "train").select("h").distinct()
+    )
+    probe = train.join(
+        heldout_grams.withColumn("hit", F.lit(1)), "h", "left"
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("contamination"),
+    )
+
+
+def _contamination_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        DUCK_SHINGLES,
+    )
+
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT doc_id, {md5_int_sql('g')} AS h,
+              CASE WHEN {bucket} < 80 THEN 'train'
+                   WHEN {bucket} < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM raw),
+held AS (SELECT DISTINCT h FROM sh WHERE split <> 'train')
+SELECT s.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN held.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN held.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS contamination
+FROM sh s LEFT JOIN held ON s.h = held.h
+WHERE s.split = 'train'
+GROUP BY s.doc_id
+"""
+
+
 PACK_CAPACITY = 512
 PACK_SHARDS = 8
 
@@ -362,6 +429,7 @@ QUERIES = {
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "sequence_packing": sequence_packing,
+    "train_eval_contamination": train_eval_contamination,
 }
 
 ORACLES = {
@@ -373,4 +441,5 @@ ORACLES = {
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
+    "train_eval_contamination": _contamination_oracle(),
 }

@@ -39,3 +39,17 @@ def test_registry_query_analyzes(spark, sf_dir, name):
     # plan raises AnalysisException right here.
     df = QUERIES[name](spark, sf_dir)
     assert len(df.schema.fields) > 0
+
+
+def test_registry_is_fully_oracle_backed():
+    """Every queries() entry must carry an oracle_sql() twin (the
+    driver's strong gate) unless explicitly exempted here. An empty
+    exemption set is the point: additions that can't be oracle-backed
+    must be argued into this list, not silently weaker-gated."""
+    from firefox_public_data_report_etl_spark.plans import ORACLES, QUERIES
+
+    rows_only_exempt: set[str] = set()
+    missing = set(QUERIES) - set(ORACLES) - rows_only_exempt
+    orphaned = set(ORACLES) - set(QUERIES)
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+    assert not orphaned, f"oracles without queries: {sorted(orphaned)}"
