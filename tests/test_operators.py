@@ -276,3 +276,26 @@ def test_pack_sequences_invariants(spark, sf_dir):
         docs.repartition(7), capacity=128, n_shards=4
     ).collect()
     assert sorted(map(tuple, repart)) == sorted(map(tuple, packed))
+
+
+def test_int8_quantize_error_bound(spark, sf_dir):
+    """Floor quantization with a max-abs scale guarantees per-component
+    reconstruction error < one step (amax/127), and the max-magnitude
+    component always saturates to exactly +-127."""
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        int8_quantize,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    rows = int8_quantize(load_table(spark, sf_dir, "embeddings")).collect()
+    assert rows
+    for r in rows:
+        assert all(abs(v) <= 127 for v in r.q)
+        if r.amax and r.amax > 0:
+            # err6_max is floor(err * 1e6); one step is amax/127
+            assert r.err6_max <= int(r.amax / 127 * 1_000_000) + 1, (
+                r.vec_id,
+                r.err6_max,
+                r.amax,
+            )
+            assert max(abs(v) for v in r.q) == 127, r.vec_id
