@@ -188,3 +188,64 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()
     )
     assert got == expected
+
+
+def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
+    """A click and its purchase arriving in DIFFERENT micro-batches
+    must still pair (join state buffers the click until the other
+    side's watermark passes), and a purchase outside the delay window
+    must not."""
+    from firefox_public_data_report_etl_spark.streaming import (
+        click_purchase_attribution,
+    )
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    schema = (
+        "event_id long, user_id long, ts string, "
+        "event_type string, value double"
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 10:00:00", "click", 0.0),
+            (11, 2, "2024-01-01 10:00:00", "click", 0.0),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    purchases = spark.createDataFrame(
+        [
+            (20, 1, "2024-01-01 10:30:00", "purchase", 9.99),
+            # 90 min after the click: outside the 1 h window
+            (21, 2, "2024-01-01 11:30:00", "purchase", 5.0),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    clicks.coalesce(1).write.parquet(str(src / "w1"))
+    purchases.coalesce(1).write.parquet(str(src / "w2"))
+
+    def reader():
+        return (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    joined = click_purchase_attribution(
+        reader().filter(F.col("event_type") == "click"),
+        reader().filter(F.col("event_type") == "purchase"),
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_xbatch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_xbatch_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_xbatch").collect()
+    )
+    assert got == [(1, 10, 20)]
