@@ -200,14 +200,106 @@ GROUP BY user_id, session_id
 """
 
 
+_INCIDENT_WINDOW_US = 6 * 3600 * 1_000_000
+_INCIDENT_MIN_ERRORS = 3
+
+
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-×-fact interval overlap via the grid-bucketed range join
+    (operators.rangejoin — NO BroadcastNestedLoopJoin, plan-asserted):
+    user sessions overlapped in time with 'incident' windows (6-hour
+    tumbling windows holding ≥3 error events). The classic ops
+    question — which sessions ran during an incident — that a naive
+    theta join cannot answer at scale.
+
+    Scale: both interval sets derive from the same fact table with
+    their own single aggregations; the overlap join's only shuffle is
+    the equi-join on the 1-hour grid cell; the canonical-cell filter
+    dedups pairs without a distinct.
+    """
+    from firefox_public_data_report_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    sessions = session_window_rollup(spark, sf_dir).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            (
+                F.expr(f"unix_micros(ts) div {_INCIDENT_WINDOW_US}")
+            ).alias("iwin")
+        )
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= _INCIDENT_MIN_ERRORS)
+        .select(
+            (F.col("iwin") * _INCIDENT_WINDOW_US).alias("i_start_us"),
+            ((F.col("iwin") + 1) * _INCIDENT_WINDOW_US).alias("i_end_us"),
+            "n_errors",
+        )
+    )
+    pairs = interval_overlap_join(
+        sessions, incidents, "start_us", "end_us", "i_start_us", "i_end_us"
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("n_errors").alias("incident_errors"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+SESSION_INCIDENT_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, min(us) AS start_us, max(us) + {_GAP_US} AS end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+),
+incidents AS (
+  SELECT iwin * {_INCIDENT_WINDOW_US} AS i_start_us,
+         (iwin + 1) * {_INCIDENT_WINDOW_US} AS i_end_us,
+         n_errors
+  FROM (SELECT epoch_us(ts) // {_INCIDENT_WINDOW_US} AS iwin,
+               count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1)
+  WHERE n_errors >= {_INCIDENT_MIN_ERRORS}
+)
+SELECT s.user_id,
+       count(*) AS n_overlaps,
+       CAST(sum(n_errors) AS BIGINT) AS incident_errors,
+       CAST(max(s.n_events) AS BIGINT) AS max_session_events
+FROM sessions s JOIN incidents i
+  ON s.start_us < i.i_end_us AND i.i_start_us < s.end_us
+GROUP BY s.user_id
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
+    "session_incident_overlap": session_incident_overlap,
 }
 
 ORACLES = {
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
+    "session_incident_overlap": SESSION_INCIDENT_ORACLE,
 }

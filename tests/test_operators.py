@@ -299,3 +299,38 @@ def test_int8_quantize_error_bound(spark, sf_dir):
                 r.amax,
             )
             assert max(abs(v) for v in r.q) == 127, r.vec_id
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Grid-bucketed overlap join == brute-force theta join, with no
+    duplicate pairs (canonical-cell emission), across intervals that
+    span zero, one, and many grid cells."""
+    from firefox_public_data_report_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    grid = 1000
+    left = spark.range(200).select(
+        F.col("id").alias("l_id"),
+        (F.col("id") * 137 % 9000).alias("ls"),
+        (F.col("id") * 137 % 9000 + 1 + (F.col("id") * 31 % 2500)).alias("le"),
+    )
+    right = spark.range(60).select(
+        F.col("id").alias("r_id"),
+        (F.col("id") * 211 % 9500).alias("rs"),
+        (F.col("id") * 211 % 9500 + 1 + (F.col("id") * 17 % 4000)).alias("re"),
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", grid_us=grid
+        ).collect()
+    )
+    brute = sorted(
+        (r.l_id, r.r_id)
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    )
+    assert got == brute
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
