@@ -23,7 +23,16 @@ def main() -> None:
     from firefox_public_data_report_etl_spark import get_spark
     from firefox_public_data_report_etl_spark.plans import QUERIES
 
-    names = ["user_activity_flagship", "dedup_minhash_lsh"]
+    names = [
+        "user_activity_flagship",
+        "dedup_minhash_lsh",
+        # round-4 additions (events/documents-backed, so the self-stacks
+        # exercise them too)
+        "user_sessions",
+        "session_window_rollup",
+        "sequence_packing",
+        "train_eval_contamination",
+    ]
     points = [
         ("/root/testdata/sf0.001", 0.001),
         ("/root/testdata/sf0.01", 0.01),
