@@ -204,6 +204,40 @@ _INCIDENT_WINDOW_US = 6 * 3600 * 1_000_000
 _INCIDENT_MIN_ERRORS = 3
 
 
+def _sessions_lag_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session intervals with ``session_window``-identical
+    semantics (new session when gap >= 30 min; end = last + gap),
+    computed via the lag+cumsum window form.
+
+    Why not call ``session_window_rollup``: the native MergingSessions
+    operator hash-aggregates and sorts on a per-event STRUCT key
+    (start, end) — measured 10.4x per 10x data at the top decade
+    (SCALING.md round-4 curve), i.e. 16x slower than this form at 10M
+    events. The window form shuffles once on user_id and sorts plain
+    longs; results are identical (both are gate-checked against the
+    same lag+cumsum oracle SQL)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= _GAP_US), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("start_us"),
+        (F.max("us") + F.lit(_GAP_US)).alias("end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-×-fact interval overlap via the grid-bucketed range join
     (operators.rangejoin — NO BroadcastNestedLoopJoin, plan-asserted):
@@ -221,7 +255,7 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_join,
     )
 
-    sessions = session_window_rollup(spark, sf_dir).select(
+    sessions = _sessions_lag_form(spark, sf_dir).select(
         "user_id", "start_us", "end_us", "n_events"
     )
     ev = load_table(spark, sf_dir, "events")
