@@ -164,6 +164,8 @@ def main() -> None:
         "session_window_rollup",
         "click_purchase_pairs_weekly",
         "sequence_packing",
+        "train_eval_contamination",
+        "session_incident_overlap",
     ):
         if name not in QUERIES:
             continue
