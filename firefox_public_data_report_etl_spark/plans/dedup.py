@@ -23,9 +23,8 @@ from firefox_public_data_report_etl_spark.operators.dedup import (
     N_BANDS,
     ROWS_PER_BAND,
     all_pairs_jaccard,
-    jaccard_for_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    gram_hash_arrays,
+    minhash_lsh_pairs_arr,
     shingle_rows,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -86,18 +85,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, verified with
     exact Jaccard — the scale path: no all-pairs join ever happens.
 
-    The documents scan is widened before shingling: the 50x shingle
-    explosion plus per-shingle hashing otherwise runs inside the scan
-    task (single-row-group files scan as ONE split), and the shuffle
-    moves the compact pre-explosion rows (operators.parallelism)."""
-    sh = shingle_rows(
+    Round 4: runs the ARRAY-NATIVE pipeline (operators.dedup.
+    minhash_lsh_pairs_arr) — per-doc gram-hash arrays, signatures via
+    array_min (narrow), two shuffles total (band self-join + candidate
+    dedup) instead of the row-form's five. Byte-identical results
+    (agreement-tested against the row form), 45% faster at sf0.1.
+
+    The documents scan is widened before gram hashing: per-row md5
+    over every 3-gram otherwise runs inside the ONE task a
+    single-row-group file scans as (operators.parallelism)."""
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents"))
-    ).cache()
-    # one aggregation produces signatures AND set sizes; cached so the
-    # band join and the verify's size lookups both read it for free
-    sigs = minhash_signatures(sh, with_size=True).cache()
-    cand = lsh_candidate_pairs(sigs)
-    return jaccard_for_pairs(cand, sh, sizes=sigs).filter(
+    )
+    return minhash_lsh_pairs_arr(hs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -147,13 +147,11 @@ def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity query, and bench.py reports its wall time as an extra row
     (the hash swap removes the md5 hex-string materialization from the
     shingle scan, the dominant map-side cost)."""
-    sh = shingle_rows(
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents")),
         hash_mode="xxhash64",
-    ).cache()
-    sigs = minhash_signatures(sh, with_size=True).cache()
-    cand = lsh_candidate_pairs(sigs)
-    return jaccard_for_pairs(cand, sh, sizes=sigs).filter(
+    )
+    return minhash_lsh_pairs_arr(hs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -170,10 +168,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
-    sigs = minhash_signatures(sh)
-    cand = lsh_candidate_pairs(sigs)
-    pairs = jaccard_for_pairs(cand, sh).filter(
+    hs = gram_hash_arrays(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs_arr(hs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     out = connected_components(pairs, "da", "db")

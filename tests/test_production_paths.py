@@ -96,3 +96,33 @@ def test_cosine_f32_agrees_with_parity(spark, sf_dir):
     assert len(parity) > 0
     assert prod == parity
     q.unpersist()
+
+
+def test_minhash_array_form_matches_row_form(spark, sf_dir):
+    """The array-native pipeline (two shuffles) must produce the same
+    thresholded pair set as the row-form pipeline it replaced."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        minhash_lsh_pairs_arr,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).cache()
+    sigs = minhash_signatures(sh, with_size=True).cache()
+    row_form = {
+        (r.da, r.db, round(r.jaccard, 9))
+        for r in jaccard_for_pairs(lsh_candidate_pairs(sigs), sh, sizes=sigs)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    arr_form = {
+        (r.da, r.db, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_arr(gram_hash_arrays(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert arr_form == row_form and row_form
