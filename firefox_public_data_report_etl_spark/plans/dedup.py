@@ -246,12 +246,66 @@ SELECT da, db, cos FROM sc WHERE cos >= {EMBED_NEARDUP_THRESHOLD}
 """
 
 
+def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: per near-dup cluster, keep
+    exactly one document — the one with the richest vocabulary
+    (highest distinct-token count; ties break to the lowest doc_id) —
+    and mark the rest for removal. Composes three operator families:
+    array-native MinHash-LSH pairs → connected components → quality
+    ranking. Integer keep-criterion, so the decision is deterministic
+    in any engine.
+
+    Scale: clusters and quality scores are both doc-grain; the rank is
+    a window over components (cluster-sized partitions — bounded by
+    near-dup group sizes, not corpus size).
+    """
+    from firefox_public_data_report_etl_spark.operators.text import (
+        quality_features,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_features(docs).select("doc_id", "n_types")
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_types"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.select(
+        "doc_id", "component", "n_types", (F.col("rnk") == 1).alias("keep")
+    )
+
+
+def _decisions_oracle() -> str:
+    clusters = _clusters_oracle().strip()
+    return f"""
+WITH clusters AS (SELECT * FROM ({clusters}) c),
+quality AS (
+  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_types
+  FROM documents
+),
+ranked AS (
+  SELECT cl.doc_id, cl.component, q.n_types,
+         row_number() OVER (PARTITION BY cl.component
+                            ORDER BY q.n_types DESC, cl.doc_id ASC) AS rnk
+  FROM clusters cl JOIN quality q USING (doc_id)
+)
+SELECT doc_id, component, n_types, rnk = 1 AS keep FROM ranked
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_decisions": dedup_decisions,
 }
 
 ORACLES = {
@@ -260,4 +314,5 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
+    "dedup_decisions": _decisions_oracle(),
 }
