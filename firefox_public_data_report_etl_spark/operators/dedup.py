@@ -86,26 +86,21 @@ def shingle_rows(
     text_col: str = "text",
     hash_mode: str = "parity",
 ) -> DataFrame:
-    """(id, h): one row per distinct HASHED word-3-gram per document.
+    """(id, h): one row per DISTINCT 28-bit hash of a word-3-gram per
+    document — the exploded form of ``gram_hash_arrays``.
 
     Hash-then-distinct: all downstream set operations (sizes, pair
     intersections, minhash) run on the 28-bit int, so shuffles and
     joins move 8-byte keys instead of shingle strings — the difference
     between shuffling the corpus and shuffling fingerprints at 100 TB.
-    Jaccard is therefore measured over the hashed shingle space
-    (collision probability ~|shingles|/2^28 per doc pair; immaterial
-    against near-dup thresholds), identically in both engines.
+    Jaccard is measured over the DISTINCT hashed shingle space (two
+    grams colliding in 28 bits count once), identically in both the
+    row form, the array form, and the DuckDB oracle — so a collision
+    can never make the engines diverge. The dedup is per-row
+    ``array_distinct`` before the explode: narrow, no shuffle.
     """
-    t = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("t")
-    ).filter(F.size("t") >= 3)
-    # array_distinct dedups WITHIN the row (narrow, no shuffle); rows
-    # are already unique per (doc, shingle) afterwards, so no global
-    # distinct is needed.
-    raw = t.select(
-        id_col, F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
-    )
-    return raw.select(id_col, _hash28("g", hash_mode).alias("h"))
+    hs = gram_hash_arrays(docs, id_col, text_col, hash_mode)
+    return hs.select(id_col, F.explode("hs").alias("h"))
 
 
 def minhash_signatures(
@@ -168,28 +163,59 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Auto-broadcast ceiling for the candidate-pair table: 2M (da, db)
+# rows ≈ 32 MB of long-pairs plus row overhead — comfortably inside
+# default driver/broadcast budgets, yet far above any sane post-LSH
+# candidate count (candidates ≈ dup pairs, not corpus pairs). A
+# dup-heavy corpus that exceeds it falls back to the shuffle join
+# automatically instead of OOMing the driver.
+MAX_BROADCAST_PAIRS = 2_000_000
+
+
+def _decide_broadcast_pairs(
+    pairs: DataFrame,
+    broadcast_pairs: bool | None,
+    max_broadcast_pairs: int,
+) -> tuple[DataFrame, bool]:
+    """Resolve the auto (None) broadcast mode by measuring the
+    candidate set. The count requires materializing `pairs`, so it is
+    persisted first — the SAME materialization then feeds the verify
+    join (post-LSH candidates are fingerprint-sized; the module
+    docstring covers cache lifecycle)."""
+    if broadcast_pairs is not None:
+        return pairs, broadcast_pairs
+    pairs = pairs.persist()
+    return pairs, pairs.count() <= max_broadcast_pairs
+
+
 def jaccard_for_pairs(
     pairs: DataFrame,
     sh: DataFrame,
     id_col: str = "doc_id",
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool | None = None,
     sizes: DataFrame | None = None,
+    max_broadcast_pairs: int = MAX_BROADCAST_PAIRS,
 ) -> DataFrame:
     """(da, db, jaccard): exact Jaccard over distinct shingles, computed
     only for the given candidate pairs.
 
-    ``broadcast_pairs=True`` (default) broadcasts the candidate set —
-    right after LSH pruning, where candidates are a vanishing fraction
-    of the pair space. A dup-heavy corpus can yield more candidates
-    than the driver can broadcast; pass ``False`` to shuffle-join the
-    pair table instead (same results, keys co-partition on da then
-    (db, h)). Callers can gate on a candidate count estimate.
+    ``broadcast_pairs=None`` (default) SIZE-GATES the broadcast: the
+    candidate set is persisted, counted, and broadcast only when it
+    holds at most ``max_broadcast_pairs`` rows — right after LSH
+    pruning candidates are normally a vanishing fraction of the pair
+    space, but a dup-heavy corpus can exceed what the driver can
+    broadcast, and then the shuffle join is chosen automatically
+    (same results; keys co-partition on da then (db, h)). Pass
+    True/False to force a path and skip the gating count.
 
     ``sizes`` (id, n): pre-computed shingle-set sizes — pass the fused
     output of ``minhash_signatures(with_size=True)`` to avoid a second
     aggregation over the shingle table. The size table is corpus-
     cardinality (one row per doc), so it is never broadcast; the
     candidate-pair side is the small one and carries the hint."""
+    pairs, broadcast_pairs = _decide_broadcast_pairs(
+        pairs, broadcast_pairs, max_broadcast_pairs
+    )
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     else:
@@ -291,9 +317,15 @@ def gram_hash_arrays(
     hash_mode: str = "parity",
 ) -> DataFrame:
     """(id, hs, n): the per-doc DISTINCT hashed word-3-gram set as an
-    int array, plus its size — the array-native form of
-    ``shingle_rows``. Entirely narrow: the text never leaves its row;
-    downstream shuffles move 8-byte-int arrays."""
+    int array, plus its size — the array-native base of the dedup
+    pipeline (``shingle_rows`` is its exploded view). Entirely narrow:
+    the text never leaves its row; downstream shuffles move 8-byte-int
+    arrays.
+
+    The outer ``array_distinct`` dedups at the HASH level: two
+    distinct grams colliding in the 28-bit space count once, so
+    ``n``, ``array_intersect`` verifies, and the row-join oracle all
+    measure the same distinct-hash Jaccard."""
     if hash_mode == "parity":
         h = md5_int_spark_sql("g")
     elif hash_mode == "xxhash64":
@@ -306,7 +338,7 @@ def gram_hash_arrays(
     return t.select(
         id_col,
         F.expr(
-            f"transform(array_distinct({SPARK_SHINGLES}), g -> {h})"
+            f"array_distinct(transform(array_distinct({SPARK_SHINGLES}), g -> {h}))"
         ).alias("hs"),
     ).withColumn("n", F.size("hs").cast("long"))
 

@@ -43,6 +43,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # The changed-flag rides the label row itself (ncomp < comp ⇔
+        # this round improved the label), so convergence needs no
+        # re-join of new vs old. The lazy localCheckpoint materializes
+        # inside the SAME job as the changed-count action below: one
+        # job launch per iteration instead of three (eager checkpoint +
+        # join + count).
         new_labels = (
             labels.join(neigh, labels.node == neigh.a, "left")
             .select(
@@ -50,16 +56,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")
+                ).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

@@ -52,8 +52,15 @@ def interval_overlap_join(
             f"sequence(`{s}` div {grid_us}, (`{e}` - 1) div {grid_us})"
         )
 
-    lt = left.withColumn("_cell", F.explode(cells(l_start, l_end)))
-    rt = right.withColumn("_cell", F.explode(cells(r_start, r_end)))
+    # Empty intervals ([s, s)) overlap nothing under the half-open
+    # predicate, and sequence(s div g, (s-1) div g) would auto-step -1
+    # into a phantom DESCENDING cell list — drop them before exploding.
+    lt = left.filter(F.col(l_start) < F.col(l_end)).withColumn(
+        "_cell", F.explode(cells(l_start, l_end))
+    )
+    rt = right.filter(F.col(r_start) < F.col(r_end)).withColumn(
+        "_cell", F.explode(cells(r_start, r_end))
+    )
     joined = lt.join(rt.withColumnRenamed("_cell", "_rcell"),
                      F.col("_cell") == F.col("_rcell"))
     overlap = (F.col(l_start) < F.col(r_end)) & (

@@ -216,10 +216,13 @@ def int8_quantize(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     with_q = with_amax.select(
         id_col, "embedding", "amax", F.expr(q).alias("q")
     )
+    # outer coalesce: an EMPTY embedding has array_max(zip_with(..)) =
+    # NULL — report 0 error (nothing to mis-reconstruct), keeping the
+    # row aligned with the oracle's LEFT-JOIN form.
     err6 = (
-        "CAST(floor(array_max(zip_with(embedding, q, (x, v) -> "
+        "coalesce(CAST(floor(array_max(zip_with(embedding, q, (x, v) -> "
         "abs(CAST(x AS DOUBLE) - v * coalesce(amax, CAST(0 AS DOUBLE))"
-        " / 127))) * 1000000) AS BIGINT)"
+        " / 127))) * 1000000) AS BIGINT), 0L)"
     )
     return with_q.select(
         id_col, "amax", "q", F.expr(err6).alias("err6_max")

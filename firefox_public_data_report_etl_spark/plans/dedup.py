@@ -63,7 +63,7 @@ _DUCK_SHINGLE_CTES = f"""
 d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
 raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
-sh AS (SELECT doc_id, {md5_int_sql('g')} AS h FROM raw),
+sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h FROM raw),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 

@@ -283,6 +283,9 @@ def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# anchored on the embeddings table (LEFT JOIN to the unnested agg) so
+# an EMPTY embedding still yields a row — matching Spark, which keeps
+# the row with amax NULL and err6_max/n_sat/sum_abs_q = 0
 EMBEDDING_QUANT_ORACLE = """
 WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
 am AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS amax FROM e GROUP BY vec_id),
@@ -293,15 +296,23 @@ qv AS (
                         * floor(abs(CAST(x AS DOUBLE)) / amax * 127) AS BIGINT)
          END AS v
   FROM e JOIN am USING (vec_id)
+),
+agg AS (
+  SELECT vec_id,
+         any_value(amax) AS amax,
+         CAST(floor(max(abs(xd - v * coalesce(amax, 0) / 127)) * 1000000)
+              AS BIGINT) AS err6_max,
+         CAST(sum(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs_q
+  FROM qv
+  GROUP BY vec_id
 )
-SELECT vec_id,
-       any_value(amax) AS amax,
-       CAST(floor(max(abs(xd - v * coalesce(amax, 0) / 127)) * 1000000)
-            AS BIGINT) AS err6_max,
-       CAST(sum(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
-       CAST(sum(abs(v)) AS BIGINT) AS sum_abs_q
-FROM qv
-GROUP BY vec_id
+SELECT emb.vec_id,
+       agg.amax,
+       CAST(coalesce(agg.err6_max, 0) AS BIGINT) AS err6_max,
+       CAST(coalesce(agg.n_sat, 0) AS BIGINT) AS n_sat,
+       CAST(coalesce(agg.sum_abs_q, 0) AS BIGINT) AS sum_abs_q
+FROM embeddings emb LEFT JOIN agg ON emb.vec_id = agg.vec_id
 """
 
 

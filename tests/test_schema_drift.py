@@ -11,7 +11,7 @@ one-line assertion failure instead of a round-ending surprise:
     timestamp_ntz columns (the loader's edge normalization contract);
   - every registry query must pass Spark ANALYSIS against the current
     testdata (schema resolution without executing — cheap, catches
-    dtype mismatches in all 50 plans in seconds).
+    dtype mismatches in every registry query in seconds).
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.dedup import (
+    _decide_broadcast_pairs,
     jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -118,4 +119,35 @@ def test_jaccard_pairs_shuffle_fallback_matches_broadcast(spark, sf_dir):
     }
     assert via_broadcast == via_shuffle
     assert len(via_broadcast) > 0
+    sh.unpersist()
+
+
+def test_jaccard_pairs_broadcast_auto_gate(spark, sf_dir):
+    """The default (None) mode size-gates the candidate broadcast: a
+    candidate set over ``max_broadcast_pairs`` takes the shuffle path
+    AUTOMATICALLY (no caller opt-out needed) and still agrees with the
+    forced-broadcast results; a small set keeps the broadcast."""
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+
+    # decision level: the same candidate set flips paths on the gate
+    _, decided_small_limit = _decide_broadcast_pairs(cand, None, 0)
+    _, decided_big_limit = _decide_broadcast_pairs(cand, None, 10**9)
+    assert decided_small_limit is False  # "dup-heavy" corpus → shuffle
+    assert decided_big_limit is True
+    # explicit modes bypass the gating count entirely
+    assert _decide_broadcast_pairs(cand, False, 0)[1] is False
+    assert _decide_broadcast_pairs(cand, True, 0)[1] is True
+
+    # end to end: auto-shuffle (gate=0) ≡ forced broadcast
+    via_auto_shuffle = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in jaccard_for_pairs(cand, sh, max_broadcast_pairs=0).collect()
+    }
+    via_broadcast = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in jaccard_for_pairs(cand, sh, broadcast_pairs=True).collect()
+    }
+    assert via_auto_shuffle == via_broadcast
+    assert len(via_auto_shuffle) > 0
     sh.unpersist()
