@@ -9,13 +9,17 @@ SURVEY.md §2 with its DuckDB twin.
 
 from __future__ import annotations
 
-import os
-import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+try:  # installed package (pip install -e .) wins; fall back to the
+    import firefox_public_data_report_etl_spark  # noqa: F401
+except ImportError:  # repo-relative layout the round driver uses
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -182,6 +182,20 @@ def main() -> None:
 
     duck_control_post_sec = _duck_control()
 
+    # Programmatic scale classification (plans.SCALE_CLASS): any
+    # measured query that is NOT a 100 TB path is labeled here so a
+    # baseline's bench number can't be read as a scale claim.
+    from firefox_public_data_report_etl_spark.plans import (
+        SCALE_CLASS,
+        SCALE_PATH_FOR,
+    )
+
+    scale_class = {
+        n: {"class": SCALE_CLASS[n], "scale_path": SCALE_PATH_FOR.get(n)}
+        for n in list(times) + list(extra)
+        if SCALE_CLASS.get(n, "scale") != "scale"
+    }
+
     print(
         json.dumps(
             {
@@ -194,6 +208,7 @@ def main() -> None:
                 "floor_sec": floor_sec,
                 "duck_control_sec": duck_control_sec,
                 "duck_control_post_sec": duck_control_post_sec,
+                "scale_class": scale_class,
                 "errors": errors,
             }
         )

@@ -316,3 +316,14 @@ ORACLES = {
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
 }
+
+# brute-force ground truths for the banded scale paths (registry.py
+# SCALE_CLASS contract): run at test SF only
+SCALE_CLASS = {
+    "dedup_ngram_jaccard": "baseline",
+    "dedup_embedding_cosine": "baseline",
+}
+SCALE_PATH_FOR = {
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",
+    "dedup_embedding_cosine": "ann_lsh",
+}

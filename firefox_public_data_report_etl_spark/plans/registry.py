@@ -44,8 +44,25 @@ _MODULES = [
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Programmatic scale classification — consumed by bench.py and the
+# README table so a correctness baseline can never be mistaken for a
+# scale path by reading the registry alone:
+#   "scale"             (default) designed and measured for 100 TB;
+#   "baseline"          deliberately brute-force (O(n^2)-ish) ground
+#                       truth for an approximate/banded operator — run
+#                       at test SF only; SCALE_PATH_FOR names the
+#                       production sibling;
+#   "streaming_binding" correctness binding for a streaming operator;
+#                       its BATCH form is linear-at-best and the
+#                       registry's window-form twin is the batch path.
+SCALE_CLASS: dict[str, str] = {}
+SCALE_PATH_FOR: dict[str, str] = {}
+
 for _m in _MODULES:
     for _name, _fn in _m.QUERIES.items():
         assert _name not in QUERIES, f"duplicate query name {_name}"
         QUERIES[_name] = _fn
+        SCALE_CLASS[_name] = "scale"
     ORACLES.update(getattr(_m, "ORACLES", {}))
+    SCALE_CLASS.update(getattr(_m, "SCALE_CLASS", {}))
+    SCALE_PATH_FOR.update(getattr(_m, "SCALE_PATH_FOR", {}))

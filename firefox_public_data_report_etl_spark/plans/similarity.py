@@ -331,3 +331,8 @@ ORACLES = {
     "ann_ivf": ANN_IVF_ORACLE,
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }
+
+# exact |Q| x |C| top-k is the recall ground truth for the ANN paths
+# (registry.py SCALE_CLASS contract): run at test SF only
+SCALE_CLASS = {"embedding_cosine_topk": "baseline"}
+SCALE_PATH_FOR = {"embedding_cosine_topk": "ann_ivf"}

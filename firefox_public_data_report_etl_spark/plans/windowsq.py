@@ -337,3 +337,10 @@ ORACLES = {
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
     "session_incident_overlap": SESSION_INCIDENT_ORACLE,
 }
+
+# native F.session_window measured LINEAR-at-best as a batch operator
+# (SCALING.md round-4 finding: 16x the window form at 10M events); it
+# stays registered as the STREAMING operator's correctness binding,
+# and the lag+cumsum window form (user_sessions) is the batch path.
+SCALE_CLASS = {"session_window_rollup": "streaming_binding"}
+SCALE_PATH_FOR = {"session_window_rollup": "user_sessions"}

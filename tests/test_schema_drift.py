@@ -41,6 +41,37 @@ def test_registry_query_analyzes(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_scale_class_contract():
+    """SCALE_CLASS must cover exactly the registry, default to
+    'scale', and give every non-scale query a named scale sibling
+    that IS a scale-classed registry query — so brute-force baselines
+    are machine-distinguishable from 100 TB paths."""
+    from firefox_public_data_report_etl_spark.plans import (
+        QUERIES,
+        SCALE_CLASS,
+        SCALE_PATH_FOR,
+    )
+
+    assert set(SCALE_CLASS) == set(QUERIES)
+    allowed = {"scale", "baseline", "streaming_binding"}
+    assert set(SCALE_CLASS.values()) <= allowed
+    non_scale = {n for n, c in SCALE_CLASS.items() if c != "scale"}
+    assert non_scale == set(SCALE_PATH_FOR), (
+        "every baseline/streaming_binding query needs a scale_path "
+        "and vice versa"
+    )
+    for name, sibling in SCALE_PATH_FOR.items():
+        assert sibling in QUERIES, f"{name}: unknown scale path {sibling}"
+        assert SCALE_CLASS[sibling] == "scale", (
+            f"{name}: scale path {sibling} is itself {SCALE_CLASS[sibling]}"
+        )
+    # the known brute-force set stays marked (regression pin)
+    assert SCALE_CLASS["dedup_ngram_jaccard"] == "baseline"
+    assert SCALE_CLASS["dedup_embedding_cosine"] == "baseline"
+    assert SCALE_CLASS["embedding_cosine_topk"] == "baseline"
+    assert SCALE_CLASS["session_window_rollup"] == "streaming_binding"
+
+
 def test_registry_is_fully_oracle_backed():
     """Every queries() entry must carry an oracle_sql() twin (the
     driver's strong gate) unless explicitly exempted here. An empty

@@ -86,16 +86,20 @@ def main() -> None:
         stacked = stacked.unionByName(p)
     stacked.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    # orders + lineitem: disjoint orderkey spaces per replica, per-order
-    # lineitem structure preserved (custkeys unchanged — fine for the
-    # order-grain queries this feeds; regional_revenue's customer joins
-    # would need a stacked customer too, which this deliberately skips).
+    # orders + lineitem + customer + part + embeddings: disjoint key
+    # spaces per replica with FOREIGN KEYS REMAPPED to the same replica
+    # (o_custkey→stacked customer, l_partkey→stacked part), so every
+    # per-key cardinality ratio — orders per customer, lineitems per
+    # part, vectors per query — stays fixed while row volume scales.
+    # region/nation/supplier are copied unchanged: true fixed dims
+    # (customers-per-nation growing with SF matches how real dims lag
+    # facts, and both stay broadcast-sized at any replica count).
     orders = load_table(spark, SRC, "orders")
     stacked = None
     for k in range(replicas):
         p = orders.select(
             (F.col("o_orderkey") + F.lit(k * 10**9)).alias("o_orderkey"),
-            "o_custkey",
+            (F.col("o_custkey") + F.lit(k * 10**6)).alias("o_custkey"),
             "o_orderstatus",
             "o_totalprice",
             "o_orderdate",
@@ -111,13 +115,52 @@ def main() -> None:
     for k in range(replicas):
         p = li.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9)
-        )
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10**7))
         stacked = p if stacked is None else stacked.unionByName(p)
     stacked.repartition(32).write.mode("overwrite").parquet(
         f"{out}/lineitem.parquet"
     )
 
-    for t in ("events", "documents", "orders", "lineitem"):
+    cust = load_table(spark, SRC, "customer")
+    stacked = None
+    for k in range(replicas):
+        p = cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(k * 10**6)
+        )
+        stacked = p if stacked is None else stacked.unionByName(p)
+    stacked.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+
+    part = load_table(spark, SRC, "part")
+    stacked = None
+    for k in range(replicas):
+        p = part.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * 10**7)
+        )
+        stacked = p if stacked is None else stacked.unionByName(p)
+    stacked.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+
+    emb = load_table(spark, SRC, "embeddings")
+    stacked = None
+    for k in range(replicas):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**7))
+        stacked = p if stacked is None else stacked.unionByName(p)
+    stacked.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    for t in ("region", "nation", "supplier"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    for t in (
+        "events", "documents", "orders", "lineitem",
+        "customer", "part", "embeddings",
+    ):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows -> {out}/{t}.parquet")
     spark.stop()
