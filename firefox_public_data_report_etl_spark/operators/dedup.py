@@ -44,14 +44,26 @@ from firefox_public_data_report_etl_spark.functions import (
     minhash_perm_sql,
 )
 
-# Fixed universal-hash constants (a, b): a < 2^29 and base < 2^28 keep
+# Fixed universal-hash constants (a, b): a < 2^31 and h < 2^28 keep
 # a*h + b inside int64. Shared by the Spark plan and the DuckDB oracle.
-MINHASH_PERMS: list[tuple[int, int]] = [
-    ((2 * k + 1) * 12582917 % 2147483629, (k * 15485863 + 32452843) % 2147483647)
-    for k in range(16)
-]
+# Deterministic in k, so any (n_bands x rows_per_band) configuration
+# derives the same prefix — the banding knob changes recall, never
+# the hash family.
+
+
+def make_perms(n: int) -> list[tuple[int, int]]:
+    return [
+        (
+            (2 * k + 1) * 12582917 % 2147483629,
+            (k * 15485863 + 32452843) % 2147483647,
+        )
+        for k in range(n)
+    ]
+
+
 N_BANDS = 4
 ROWS_PER_BAND = 4
+MINHASH_PERMS: list[tuple[int, int]] = make_perms(N_BANDS * ROWS_PER_BAND)
 
 # Both hash modes emit 28-bit non-negative ints so the minhash
 # universal-hash arithmetic (a*h + b, a < 2^29) stays inside int64.
@@ -95,12 +107,31 @@ def shingle_rows(
     between shuffling the corpus and shuffling fingerprints at 100 TB.
     Jaccard is measured over the DISTINCT hashed shingle space (two
     grams colliding in 28 bits count once), identically in both the
-    row form, the array form, and the DuckDB oracle — so a collision
-    can never make the engines diverge. The dedup is per-row
-    ``array_distinct`` before the explode: narrow, no shuffle.
+    row form, the array form (``array_distinct`` over the hash array),
+    and the DuckDB oracle (DISTINCT in the sh CTE) — so a collision
+    can never make the engines diverge.
+
+    Implementation note (measured, round 5): the hash runs in a
+    codegen'd Project AFTER the explode — hashing inside a
+    ``transform`` lambda is interpreted expression eval, ~12x slower
+    for the md5 parity fragment (0.44 s vs 5.4 s over sf0.1). The
+    hash-level dedup is therefore a ``dropDuplicates`` — one
+    fingerprint-sized (16-byte rows) exchange, which every consumer
+    re-shuffles right after anyway. The array form keeps its hashes
+    inside ``transform`` instead: staying narrow matters more there
+    (the arrays feed the band join directly), its callers widen the
+    scan so the lambda cost parallelizes, and its production
+    ``hash_mode="xxhash64"`` avoids the interpreted-md5 cost.
     """
-    hs = gram_hash_arrays(docs, id_col, text_col, hash_mode)
-    return hs.select(id_col, F.explode("hs").alias("h"))
+    t = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    raw = t.select(
+        id_col, F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
+    )
+    return raw.select(
+        id_col, _hash28("g", hash_mode).alias("h")
+    ).dropDuplicates([id_col, "h"])
 
 
 def minhash_signatures(
@@ -122,10 +153,12 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def _band_expr(band: int):
-    """Combine ROWS_PER_BAND signature values into one band key
-    (Horner, base 31 — max ~2^46, safe in int64)."""
-    cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+def _band_expr(band: int, rows_per_band: int = ROWS_PER_BAND):
+    """Combine ``rows_per_band`` signature values into one band key
+    (Horner, base 31 — max ~2^46 at 4 rows, safe in int64)."""
+    cols = [
+        F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
+    ]
     out = cols[0]
     for c in cols[1:]:
         out = out * 31 + c
@@ -318,9 +351,9 @@ def gram_hash_arrays(
 ) -> DataFrame:
     """(id, hs, n): the per-doc DISTINCT hashed word-3-gram set as an
     int array, plus its size — the array-native base of the dedup
-    pipeline (``shingle_rows`` is its exploded view). Entirely narrow:
-    the text never leaves its row; downstream shuffles move 8-byte-int
-    arrays.
+    pipeline (``shingle_rows`` yields the same distinct (id, hash)
+    set in row form). Entirely narrow: the text never leaves its row;
+    downstream shuffles move 8-byte-int arrays.
 
     The outer ``array_distinct`` dedups at the HASH level: two
     distinct grams colliding in the 28-bit space count once, so
@@ -344,7 +377,10 @@ def gram_hash_arrays(
 
 
 def minhash_lsh_pairs_arr(
-    hs_df: DataFrame, id_col: str = "doc_id"
+    hs_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """(da, db, jaccard): the MinHash-LSH near-dup pipeline over
     ``gram_hash_arrays`` output, ARRAY-NATIVE end to end. Same math as
@@ -364,12 +400,19 @@ def minhash_lsh_pairs_arr(
     materialization), so it survives scale. Trade-off: band-join
     shuffle bytes are ~2× the row form's signature shuffle (arrays
     replicated once per band); both are fingerprint-sized, orders
-    below the corpus text."""
+    below the corpus text.
+
+    ``n_bands``/``rows_per_band`` are the RECALL knob: candidate
+    probability at Jaccard J is 1 - (1 - J^rows)^bands. The 4x4
+    default gives ~0.88 recall at J = 0.8; 8 bands x 4 rows gives
+    ~0.98 at ~2x band-join volume (measured curves: SCALING.md
+    round-5 recall table)."""
+    perms = make_perms(n_bands * rows_per_band)
     sig_exprs = [
         F.expr(
             f"array_min(transform(hs, h -> {minhash_perm_sql('h', a, b)}))"
         ).alias(f"mh{k}")
-        for k, (a, b) in enumerate(MINHASH_PERMS)
+        for k, (a, b) in enumerate(perms)
     ]
     sigs = hs_df.select(id_col, "hs", "n", *sig_exprs)
     bands = sigs.select(
@@ -379,8 +422,11 @@ def minhash_lsh_pairs_arr(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("bi"), _band_expr(i).alias("bv"))
-                    for i in range(N_BANDS)
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        _band_expr(i, rows_per_band).alias("bv"),
+                    )
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),

@@ -19,11 +19,11 @@ from firefox_public_data_report_etl_spark.operators.parallelism import (
 )
 from firefox_public_data_report_etl_spark.operators.dedup import (
     DUCK_SHINGLES,
-    MINHASH_PERMS,
     N_BANDS,
     ROWS_PER_BAND,
     all_pairs_jaccard,
     gram_hash_arrays,
+    make_perms,
     minhash_lsh_pairs_arr,
     shingle_rows,
 )
@@ -102,14 +102,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
     mins = ",\n         ".join(
         f"min({minhash_perm_sql('h', a, b)}) AS mh{k}"
-        for k, (a, b) in enumerate(MINHASH_PERMS)
+        for k, (a, b) in enumerate(make_perms(n_bands * rows_per_band))
     )
     band_selects = []
-    for i in range(N_BANDS):
-        cols = [f"mh{i * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    for i in range(n_bands):
+        cols = [f"mh{i * rows_per_band + r}" for r in range(rows_per_band)]
         expr = cols[0]
         for c in cols[1:]:
             expr = f"({expr} * 31 + {c})"
@@ -152,6 +154,25 @@ def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="xxhash64",
     )
     return minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+HIRECALL_BANDS = 8
+
+
+def dedup_minhash_lsh_hirecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall knob exercised end-to-end: same array-native pipeline
+    with 8 bands x 4 rows (32 permutations). Candidate probability at
+    Jaccard J is 1-(1-J^4)^8 — ~0.98 at J = 0.8 where the 4x4 default
+    sits at ~0.88 (measured curves in SCALING.md round 5) — for ~2x
+    band-join volume. The verify step is identical, so precision is
+    unchanged; the oracle is code-generated from the same banding
+    parameters."""
+    hs = gram_hash_arrays(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    return minhash_lsh_pairs_arr(hs, n_bands=HIRECALL_BANDS).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -303,6 +324,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_hirecall": dedup_minhash_lsh_hirecall,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
@@ -312,6 +334,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_lsh_hirecall": _minhash_oracle(n_bands=HIRECALL_BANDS),
     "dedup_clusters": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),

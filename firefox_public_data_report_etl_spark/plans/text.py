@@ -349,7 +349,7 @@ def _contamination_oracle() -> str:
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
 raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
-sh AS (SELECT doc_id, {md5_int_sql('g')} AS h,
+sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h,
               CASE WHEN {bucket} < 80 THEN 'train'
                    WHEN {bucket} < 90 THEN 'val'
                    ELSE 'test' END AS split

@@ -1,16 +1,26 @@
 #!/usr/bin/env python
-"""Measure the scaling curve for the two headline heavy queries
-(user_activity_flagship over events, dedup_minhash_lsh over documents)
-across sf0.001 / sf0.01 / sf0.1 / the self-generated 10x stack
-(tools/gen_scale.py). Prints one JSON line per SF point with wall
-seconds (best of 2, caches cleared between runs, JIT warmed at
-sf0.001) — the data behind SCALING.md's measured-slope table.
+"""Measure scaling curves for registry queries across sf0.1 and the
+self-generated 10x/100x stacks (tools/gen_scale.py — facts, customer,
+part, and embeddings stacked with remapped foreign keys; region/
+nation/supplier fixed dims). Prints one JSON line per SF point with
+wall seconds (best of N, caches cleared between runs, JIT warmed at
+sf0.001) plus a fixed-size drift-control query per point — the data
+behind SCALING.md's measured-slope tables.
 
-Usage: python tools/scaling_run.py [sf1_dir]
+SCALE_CLASS-aware: queries classed "baseline" (deliberate brute
+force) are skipped above the --baseline-cap point so the runner
+itself can't accidentally present an O(n^2) ground truth as a scale
+measurement; pass a higher cap to measure them anyway.
+
+Usage:
+  python tools/scaling_run.py                          # default set
+  python tools/scaling_run.py --names q1,q2 --points sf0.1,sf1
+  python tools/scaling_run.py --samples 2 --points sf10
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -18,38 +28,75 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+POINTS = {
+    "sf0.001": ("/root/testdata/sf0.001", 0.001),
+    "sf0.01": ("/root/testdata/sf0.01", 0.01),
+    "sf0.1": ("/root/testdata/sf0.1", 0.1),
+    "sf1": (".scale/sf1", 1.0),
+    "sf10": (".scale/sf10", 10.0),
+}
+
+# the priced-12 (BASELINE.md table) + round-4 curve set + the scale
+# siblings of the capped baselines + the MAU salting measurement twin
+DEFAULT_NAMES = [
+    "user_activity_flagship",
+    "mau_wau_weekly",
+    "mau_wau_weekly_salted",
+    "pricing_summary",
+    "regional_revenue",
+    "late_ship_priority",
+    "top_customers_per_nation",
+    "hardware_dims_grouping_sets",
+    "bucket_collapse_ptype",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "ann_ivf",
+    "text_quality_scores",
+    "user_sessions",
+    "sequence_packing",
+    "train_eval_contamination",
+]
+
 
 def main() -> None:
-    from firefox_public_data_report_etl_spark import get_spark
-    from firefox_public_data_report_etl_spark.plans import QUERIES
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", default=",".join(DEFAULT_NAMES))
+    ap.add_argument("--points", default="sf0.1,sf1,sf10")
+    ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument(
+        "--baseline-cap",
+        type=float,
+        default=1.0,
+        help="max sf at which SCALE_CLASS=baseline queries still run",
+    )
+    args = ap.parse_args()
 
-    names = [
-        "user_activity_flagship",
-        "dedup_minhash_lsh",
-        # round-4 additions (events/documents-backed, so the self-stacks
-        # exercise them too)
-        "user_sessions",
-        "session_window_rollup",
-        "sequence_packing",
-        "train_eval_contamination",
-    ]
-    points = [
-        ("/root/testdata/sf0.001", 0.001),
-        ("/root/testdata/sf0.01", 0.01),
-        ("/root/testdata/sf0.1", 0.1),
-        (".scale/sf1", 1.0),
-        (".scale/sf10", 10.0),
-    ]
-    if len(sys.argv) > 1:
-        points = [(d, -1.0) for d in sys.argv[1:]]
+    from firefox_public_data_report_etl_spark import get_spark
+    from firefox_public_data_report_etl_spark.plans import (
+        QUERIES,
+        SCALE_CLASS,
+    )
+    from firefox_public_data_report_etl_spark.plans.activity import (
+        mau_wau_weekly_salted,
+    )
+
+    queries = dict(QUERIES)
+    queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
+
+    names = [n for n in args.names.split(",") if n]
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    points = [POINTS[p] for p in args.points.split(",") if p]
 
     spark = get_spark(app_name="scaling-run")
     for _ in range(2):  # JIT/codegen warm
         for n in names:
-            QUERIES[n](spark, "/root/testdata/sf0.001").collect()
+            queries[n](spark, "/root/testdata/sf0.001").collect()
         spark.catalog.clearCache()
 
-    def best_of(fn, n: int = 3) -> float:
+    def best_of(fn, n: int) -> float:
         best = float("inf")
         for _ in range(n):
             spark.catalog.clearCache()
@@ -65,10 +112,19 @@ def main() -> None:
         # 2-3x between minutes; slopes are only meaningful after
         # normalizing each point by its control.
         row["control"] = best_of(
-            lambda: QUERIES[names[0]](spark, "/root/testdata/sf0.01").collect()
+            lambda: queries[names[0]](spark, "/root/testdata/sf0.01").collect(),
+            args.samples,
         )
         for n in names:
-            row[n] = best_of(lambda: QUERIES[n](spark, sf_dir).collect())
+            if (
+                SCALE_CLASS.get(n) == "baseline"
+                and sf > args.baseline_cap
+            ):
+                row[n] = None  # capped: brute-force ground truth
+                continue
+            row[n] = best_of(
+                lambda: queries[n](spark, sf_dir).collect(), args.samples
+            )
         print(json.dumps(row), flush=True)
     spark.stop()
 
