@@ -336,3 +336,118 @@ def pack_sequences(
         .cast("long")
         .alias("bin_offset"),
     )
+
+
+# --- cross-document boilerplate (corpus-repeated n-grams) -----------
+
+BOILER_GRAM = 3  # token n-gram length for the boilerplate signal
+BOILER_MIN_DF = 5  # a gram in >= this many distinct docs is boilerplate
+
+
+def doc_ngrams(
+    docs: DataFrame,
+    n: int = BOILER_GRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, token-position): the word n-gram starting at
+    that position, joined with single spaces. Docs shorter than ``n``
+    tokens emit no rows (same as DuckDB UNNEST of an empty list).
+
+    The gram string is built AFTER posexplode (slice + array_join run
+    inside WholeStageCodegen per exploded row) — never inside a
+    higher-order-function lambda, per the interpreted-lambda rule in
+    SCALING.md.
+    """
+    d = docs.select(id_col, F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= n
+    )
+    pos = d.select(
+        id_col,
+        "t",
+        F.explode(F.expr(f"sequence(1, size(t) - {n - 1})")).alias("i"),
+    )
+    return pos.select(
+        id_col,
+        F.array_join(F.expr(f"slice(t, i, {n})"), " ").alias("gram"),
+    )
+
+
+def boilerplate_scores(
+    docs: DataFrame,
+    n: int = BOILER_GRAM,
+    min_df: int = BOILER_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/C4-style cross-document boilerplate signal: an n-gram
+    appearing in >= ``min_df`` DISTINCT documents is boilerplate
+    (headers, footers, license blurbs, nav text); each doc is scored
+    by the fraction of its gram positions covered by such grams.
+
+    This is the cross-corpus complement of ``repetition_features``
+    (within-doc repetition): a doc can be internally clean yet mostly
+    boilerplate shared with thousands of siblings — the thing a
+    training-data filter must catch corpus-wide, not per-row.
+
+    Scale: two equi shuffles — (1) distinct (doc, gram) -> groupBy
+    gram for document frequency; (2) grams join df on gram -> groupBy
+    doc. The df side is gram-cardinality (never broadcast); at
+    production scale swap the gram string for xxhash64(gram) as the
+    join key to cut shuffle width ~5x (same plan shape).
+    """
+    grams = doc_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
+    df = (
+        grams.dropDuplicates([id_col, "gram"])
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("gram_df"))
+    )
+    scored = grams.join(df, "gram")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum((F.col("gram_df") >= min_df).cast("long"))
+        .cast("long")
+        .alias("n_boiler"),
+        (
+            F.sum((F.col("gram_df") >= min_df).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("boiler_frac"),
+    )
+
+
+# --- PII redaction --------------------------------------------------
+
+# Patterns restricted to the Java-regex AND RE2 common subset (no
+# lookaround, no backreferences, ASCII classes) so the Spark plan and
+# the DuckDB oracle compile the same automaton.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, phone numbers, IPv4 addresses, and long digit
+    runs; return per-doc match counts per category plus the scrubbed
+    text. Categories apply IN ORDER, each counting against the text as
+    already scrubbed by earlier categories, so one span is never
+    counted twice (an email's digits are gone before the digit-run
+    pass sees them).
+
+    Pure regexp column expressions — per-row, shuffle-free, inside
+    WholeStageCodegen; at 100 TB this is scan-speed work.
+    """
+    x = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(x, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        x = F.regexp_replace(x, pat, repl)
+    return docs.select(id_col, *counts, x.alias("scrubbed"))

@@ -12,16 +12,21 @@ from firefox_public_data_report_etl_spark.operators.multimodal import (
     resize_plan,
 )
 from firefox_public_data_report_etl_spark.operators.text import (
+    BOILER_GRAM,
+    BOILER_MIN_DF,
     BPE_PRETOKEN_RE,
     CHARS_PER_TOKEN_EST,
     FINGERPRINT_GRAM,
     LANG_MARKERS,
+    PII_PATTERNS,
     STOPWORDS,
+    boilerplate_scores,
     fingerprint,
     hash_split,
     inverted_index,
     langid_heuristic,
     pack_sequences,
+    pii_scrub,
     quality_features,
     repetition_features,
     stratified_sample,
@@ -420,8 +425,105 @@ GROUP BY 1, 2
 """
 
 
+def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scores: fraction of each doc's
+    word-3-gram positions whose gram occurs in >= BOILER_MIN_DF
+    distinct documents (Gopher/C4-style shared-text filter — the
+    corpus-wide complement of text_profile's within-doc repetition).
+
+    Scale: two equi shuffles, both on the gram key (distinct->df, then
+    grams join df -> per-doc rollup); nothing broadcast, nothing
+    quadratic — see operators.text.boilerplate_scores.
+    """
+    return boilerplate_scores(load_table(spark, sf_dir, "documents"))
+
+
+CORPUS_BOILERPLATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {BOILER_GRAM}
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {BOILER_GRAM - 2}),
+                i -> array_to_string(list_slice(t, i, i + {BOILER_GRAM - 1}), ' '))) AS gram
+  FROM d
+),
+dfreq AS (
+  SELECT gram, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY gram
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS boiler_frac
+FROM g JOIN dfreq USING (gram)
+GROUP BY doc_id
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic documents carry no
+    PII, so the query first APPENDS deterministic doc_id-derived PII
+    (an email, a phone, an IPv4, a 9-digit account number) to every
+    text — a self-exercising fixture, mirrored verbatim in the oracle
+    — then scrubs with operators.text.pii_scrub and returns per-doc
+    category counts plus the scrubbed text. The value-hash compare
+    therefore proves both engines matched and replaced the exact same
+    spans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 acct "),
+            (F.col("doc_id") + 900000000).cast("string"),
+        ),
+    )
+    return pii_scrub(injected)
+
+
+def _pii_oracle() -> str:
+    """Chain one CTE per category so each pattern counts against the
+    text as scrubbed by earlier categories — same order-sensitive
+    semantics as pii_scrub."""
+    inj = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call 555-000-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' host 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.0.1 acct ' || CAST(doc_id + 900000000 AS VARCHAR) AS x"
+        " FROM documents"
+    )
+    ctes = [f"s0 AS ({inj})"]
+    names = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        names.append(f"n_{name}")
+        carry = ", ".join(names[:-1])
+        carry = carry + ", " if carry else ""
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all(x, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(x, '{pat}', '{repl}', 'g') AS x FROM s{i})"
+        )
+    cols = ", ".join(names)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {cols}, x AS scrubbed FROM s{len(PII_PATTERNS)}"
+    )
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "corpus_boilerplate": corpus_boilerplate,
+    "pii_redaction": pii_redaction,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -434,6 +536,8 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
+    "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
+    "pii_redaction": _pii_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,

@@ -334,3 +334,49 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     )
     assert got == brute
     assert len(got) == len(set(got)), "duplicate pairs emitted"
+
+
+def test_boilerplate_scores_known_corpus(spark):
+    """Hand-computed corpus: gram 'x y z' appears in 5 distinct docs
+    (boilerplate at min_df=5); everything else is unique."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        boilerplate_scores,
+    )
+
+    rows = [(i, f"u{i} v{i} x y z") for i in range(5)]  # 3 grams each
+    rows.append((5, "p q"))  # shorter than the gram -> no output row
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scores(docs, n=3, min_df=5).collect()
+    }
+    assert 5 not in out
+    for i in range(5):
+        # grams: "u v x", "v x y", "x y z" -> only the last is shared
+        assert out[i]["n_grams"] == 3
+        assert out[i]["n_boiler"] == 1
+        assert abs(out[i]["boiler_frac"] - 1 / 3) < 1e-12
+
+
+def test_pii_scrub_categories_and_order(spark):
+    """Each category redacts; ordering prevents double counting (an
+    email's digits never reach the digit-run pass)."""
+    from firefox_public_data_report_etl_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a1_2@x.io and acct 123456789 done"),
+            (2, "call 555-123-4567 from 10.0.0.1 now"),
+            (3, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_idnum"] == 1
+    assert out[1]["scrubbed"] == "mail <EMAIL> and acct <ID> done"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["scrubbed"] == "call <PHONE> from <IP> now"
+    assert out[3]["scrubbed"] == "clean text only"
+    assert all(
+        out[3][c] == 0 for c in ("n_email", "n_phone", "n_ipv4", "n_idnum")
+    )
