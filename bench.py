@@ -166,6 +166,8 @@ def main() -> None:
         "sequence_packing",
         "train_eval_contamination",
         "session_incident_overlap",
+        "corpus_boilerplate",
+        "pii_redaction",
     ):
         if name not in QUERIES:
             continue

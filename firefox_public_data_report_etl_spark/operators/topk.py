@@ -59,3 +59,39 @@ def top_k_array(
     return df.groupBy(*group_cols).agg(
         F.transform(arr, lambda s: s["v"]).alias(out_col)
     )
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+    salt: Column | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase top-K for LOW-CARDINALITY groups: a plain window on
+    25 nation keys funnels every row into 25 shuffle partitions no
+    matter how many cores the cluster has. Phase 1 ranks within
+    (group, salt) — group_cardinality x n_salts partitions, each
+    sorting 1/n_salts of a group — and keeps k rows per salt; phase 2
+    re-ranks the surviving group_cardinality x n_salts x k rows with
+    the plain window, which is now trivially small.
+
+    Identical output to ``top_k_per_group`` for any salt assignment:
+    every global top-k row is necessarily in its own salt's local
+    top-k, and phase 2's total order (the same ``order_by``; pass
+    tie-breakers) re-derives the exact ranks. Default salt is
+    ``spark_partition_id()`` — zero extra columns read; pass a
+    key-derived hash instead if the input partitioning is itself
+    skewed.
+    """
+    s = salt if salt is not None else F.spark_partition_id() % n_salts
+    local_w = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("_salt", s)
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_salt", "_lr")
+    )
+    return top_k_per_group(survivors, group_cols, order_by, k, rank_col)

@@ -163,6 +163,30 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, CENTROID_MOD)
 
 
+def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of ``ann_ivf`` with sqrt-N codebook sizing (round-5
+    scaling finding): the registry query's FIXED centroid_mod=100 is a
+    correctness device — it makes the oracle SQL a static string — but
+    it grows the codebook as N/100, so cell assignment (every vector
+    against every centroid) degenerates to O(N^2/100): measured 106 s
+    at the 100x stack (200k vectors -> 2000 centroids). Standard IVF
+    sizing keeps #centroids ~= sqrt(N) (assignment O(N^1.5 * d), cell
+    size ~= sqrt(N)); this twin derives centroid_mod from a corpus
+    count so #centroids ~= sqrt(N), floored at the registry constant
+    so it is bit-identical to ``ann_ivf`` at oracle scales. Not a
+    registry entry (the mod depends on a runtime count, so no static
+    oracle); measured in tools/scaling_run.py.
+    """
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    cmod = max(CENTROID_MOD, int(n**0.5))
+    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, cmod)
+
+
 ANN_IVF_ORACLE = f"""
 WITH {_QUANT_CTES.strip()},
 cents AS (SELECT vec_id AS cid FROM qt WHERE vec_id % {CENTROID_MOD} = 1),

@@ -380,3 +380,33 @@ def test_pii_scrub_categories_and_order(spark):
     assert all(
         out[3][c] == 0 for c in ("n_email", "n_phone", "n_ipv4", "n_idnum")
     )
+
+
+def test_top_k_salted_agrees_with_plain(spark):
+    """Salted two-phase top-K returns byte-identical (group, row,
+    rank) sets to the single-window form, for any salt assignment —
+    including a deliberately skewed constant salt."""
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    df = (
+        spark.range(2000)
+        .withColumn("g", (F.col("id") % 7).cast("int"))
+        .withColumn("v", F.xxhash64("id") % 100)  # heavy ties
+    )
+    order = [F.desc("v"), F.asc("id")]
+    plain = sorted(
+        map(tuple, top_k_per_group(df, ["g"], order, 5).collect())
+    )
+    for salt in (None, F.lit(0), (F.col("id") % 3).cast("int")):
+        salted = sorted(
+            map(
+                tuple,
+                top_k_per_group_salted(df, ["g"], order, 5, salt=salt).collect(),
+            )
+        )
+        assert salted == plain

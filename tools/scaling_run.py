@@ -70,6 +70,18 @@ def main() -> None:
         default=1.0,
         help="max sf at which SCALE_CLASS=baseline queries still run",
     )
+    ap.add_argument(
+        "--sink",
+        choices=["collect", "noop"],
+        default="collect",
+        help=(
+            "how to materialize each query: collect (driver round-trip"
+            " included — comparable to bench.py and earlier rounds) or"
+            " noop (spark's no-op batch sink: executes the full plan,"
+            " writes nothing, isolates engine time from driver"
+            " materialization for per-row-output queries)"
+        ),
+    )
     args = ap.parse_args()
 
     from firefox_public_data_report_etl_spark import get_spark
@@ -80,9 +92,13 @@ def main() -> None:
     from firefox_public_data_report_etl_spark.plans.activity import (
         mau_wau_weekly_salted,
     )
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        ann_ivf_scaled,
+    )
 
     queries = dict(QUERIES)
     queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
+    queries["ann_ivf_scaled"] = ann_ivf_scaled
 
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
@@ -91,9 +107,16 @@ def main() -> None:
     points = [POINTS[p] for p in args.points.split(",") if p]
 
     spark = get_spark(app_name="scaling-run")
+
+    def run(df) -> None:
+        if args.sink == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
     for _ in range(2):  # JIT/codegen warm
         for n in names:
-            queries[n](spark, "/root/testdata/sf0.001").collect()
+            run(queries[n](spark, "/root/testdata/sf0.001"))
         spark.catalog.clearCache()
 
     def best_of(fn, n: int) -> float:
@@ -111,8 +134,9 @@ def main() -> None:
         # alongside every point. This sandbox's absolute speed swings
         # 2-3x between minutes; slopes are only meaningful after
         # normalizing each point by its control.
+        row["sink"] = args.sink
         row["control"] = best_of(
-            lambda: queries[names[0]](spark, "/root/testdata/sf0.01").collect(),
+            lambda: run(queries[names[0]](spark, "/root/testdata/sf0.01")),
             args.samples,
         )
         for n in names:
@@ -123,7 +147,7 @@ def main() -> None:
                 row[n] = None  # capped: brute-force ground truth
                 continue
             row[n] = best_of(
-                lambda: queries[n](spark, sf_dir).collect(), args.samples
+                lambda: run(queries[n](spark, sf_dir)), args.samples
             )
         print(json.dumps(row), flush=True)
     spark.stop()
