@@ -266,3 +266,87 @@ def cosine_to_query(query_vec: list[float]) -> Column:
         return pd.Series(dots / (norms * qn))
 
     return _cos
+
+
+def kmeans_lloyd(
+    quantized_emb,
+    init_mod: int,
+    iters: int,
+    id_col: str = "vec_id",
+):
+    """Integer-exact Lloyd k-means refinement — the iterative-algorithm
+    pattern (like operators.graph.connected_components) applied to the
+    IVF codebook: deterministic seed centroids (``vec_id % init_mod ==
+    1``), then ``iters`` rounds of (assign to argmin squared-L2
+    centroid, tie -> lowest centroid id) + (centroid = element-wise
+    floor(sum/count)). Everything is int64 — quantized components,
+    squared distances, sums, and a sign-safe floor division
+    ``(s - ((s % n + n) % n)) div n`` — so numpy, Spark SQL, and the
+    DuckDB oracle agree bit-for-bit with NO floating-point anywhere in
+    the loop, which is what makes an iterative algorithm oracle-
+    checkable at all. A centroid that loses every member drops out (k
+    shrinks), identically in both engines.
+
+    Scale: per round, assignment is one mapInPandas matmul against the
+    collected codebook (k*d int64s in the task closure — vectors never
+    shuffle to assign) and the update is one (cid, pos)-keyed aggregate
+    with map-side partial sums. Driver round-trips = ``iters`` codebook
+    collects, same as any k-means. Returns (cid, pos, c, n) at
+    codebook grain.
+    """
+    comp = quantized_emb.select(
+        id_col, F.posexplode("q").alias("pos", "v")
+    ).cache()
+    cent = comp.filter(F.col(id_col) % init_mod == 1).select(
+        F.col(id_col).alias("cid"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("v").alias("c"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    vecs = quantized_emb.select(id_col, "q")
+    for _ in range(iters):
+        rows = cent.select("cid", "pos", "c").collect()
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        c_ids = np.asarray(sorted(by_cid), dtype=np.int64)
+        c_mat = np.asarray(
+            [[by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in c_ids],
+            dtype=np.int64,
+        )
+        c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
+
+        def _assign(batches, _ids=c_ids, _mat=c_mat, _sq=c_sq):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(
+                    pdf["q"].map(lambda a: np.asarray(a, dtype=np.int64))
+                )
+                # argmin ||v-c||^2 == argmin(-2 v.c + ||c||^2): int64
+                # exact, stable sort -> lowest centroid id on ties
+                scores = -2 * (v @ _mat.T) + _sq[None, :]
+                nearest = np.argsort(scores, axis=1, kind="stable")[:, 0]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                        "cid": _ids[nearest],
+                    }
+                )
+
+        assign = vecs.mapInPandas(_assign, f"{id_col} long, cid long")
+        upd = (
+            comp.join(assign, id_col)
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        cent = upd.select(
+            "cid",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr("(s - ((s % n + n) % n)) div n").cast("long").alias("c"),
+            "n",
+        )
+    return cent

@@ -340,8 +340,80 @@ FROM embeddings emb LEFT JOIN agg ON emb.vec_id = agg.vec_id
 """
 
 
+KM_INIT_MOD = 50
+KM_ITERS = 2
+
+
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining a deterministic seed codebook
+    (operators.vectorized.kmeans_lloyd) — the training step that
+    produces the centroids ann_ivf consumes. Integer-exact end to end
+    (quantized components, int64 L2, sign-safe floor-div update), so
+    the iterative loop is oracle-checked bit-for-bit: the DuckDB twin
+    unrolls the same two rounds as chained CTEs."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        kmeans_lloyd,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    return kmeans_lloyd(emb, KM_INIT_MOD, KM_ITERS)
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        """qt AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+e0 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v FROM
+       (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt))""",
+        f"""cent0 AS (SELECT vec_id AS cid, pos, v AS c FROM e0
+           WHERE vec_id % {KM_INIT_MOD} = 1)""",
+    ]
+    for t in range(KM_ITERS):
+        parts.append(
+            f"""dist{t} AS (
+  SELECT a.vec_id, c.cid, CAST(sum((a.v - c.c) * (a.v - c.c)) AS BIGINT) AS d2
+  FROM e0 a JOIN cent{t} c ON c.pos = a.pos GROUP BY a.vec_id, c.cid)"""
+        )
+        parts.append(
+            f"""asn{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist{t}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cent{t + 1} AS (
+  SELECT cid, pos, (s - ((s % n + n) % n)) // n AS c, n FROM (
+    SELECT asn.cid, a.pos, CAST(sum(a.v) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e0 a JOIN asn{t} asn USING (vec_id) GROUP BY asn.cid, a.pos))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cid, pos, c, n FROM cent{KM_ITERS}"
+    )
+
+
+def kmeans_refine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of ``kmeans_lloyd_refine`` with sqrt-N codebook
+    sizing (same law as ``ann_ivf_scaled``; the registry constant
+    KM_INIT_MOD=50 would grow k as N/50 and make each assignment round
+    O(N^2/50)). Not a registry entry (mod depends on a runtime count);
+    measured in tools/scaling_run.py."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        kmeans_lloyd,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    return kmeans_lloyd(emb, max(KM_INIT_MOD, int(n**0.5)), KM_ITERS)
+
+
 QUERIES = {
     "label_centroids": label_centroids,
+    "kmeans_lloyd_refine": kmeans_lloyd_refine,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -350,6 +422,7 @@ QUERIES = {
 
 ORACLES = {
     "label_centroids": LABEL_CENTROIDS_ORACLE,
+    "kmeans_lloyd_refine": _kmeans_oracle(),
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,

@@ -52,3 +52,30 @@ def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
         vn = math.sqrt(sum(x * x for x in v))
         expected = dot / (vn * qn)
         assert abs(got[r["vec_id"]] - expected) < 1e-9
+
+
+def test_kmeans_lloyd_converges_to_cluster_means(spark):
+    """Two well-separated clusters; seeds (id % 3 == 1) start one in
+    each. After 2 iterations centroids equal the exact floor-div
+    cluster means and every vector is in its true cluster."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        kmeans_lloyd,
+    )
+
+    rows = [
+        (1, [0, 0, 3]), (2, [1, 0, 0]), (3, [0, 2, 0]),   # cluster A
+        (4, [1000, 1000, 1000]), (5, [1001, 999, 1000]),  # cluster B
+        (6, [999, 1002, 1001]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in rows], "vec_id long, q array<long>"
+    )
+    out = kmeans_lloyd(emb, init_mod=3, iters=2).collect()
+    cent = {}
+    for r in out:
+        cent.setdefault(r["cid"], {})[r["pos"]] = (r["c"], r["n"])
+    assert sorted(cent) == [1, 4]
+    # floor-div means: A = floor([1,2,3]/3)=[0,0,1]; B = [1000,1000,1000]
+    assert [cent[1][p][0] for p in range(3)] == [0, 0, 1]
+    assert [cent[4][p][0] for p in range(3)] == [1000, 1000, 1000]
+    assert all(cent[1][p][1] == 3 and cent[4][p][1] == 3 for p in range(3))

@@ -94,11 +94,13 @@ def main() -> None:
     )
     from firefox_public_data_report_etl_spark.plans.similarity import (
         ann_ivf_scaled,
+        kmeans_refine_scaled,
     )
 
     queries = dict(QUERIES)
     queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
     queries["ann_ivf_scaled"] = ann_ivf_scaled
+    queries["kmeans_refine_scaled"] = kmeans_refine_scaled
 
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
