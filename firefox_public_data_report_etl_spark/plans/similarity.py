@@ -173,9 +173,10 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing keeps #centroids ~= sqrt(N) (assignment O(N^1.5 * d), cell
     size ~= sqrt(N)); this twin derives centroid_mod from a corpus
     count so #centroids ~= sqrt(N), floored at the registry constant
-    so it is bit-identical to ``ann_ivf`` at oracle scales. Not a
-    registry entry (the mod depends on a runtime count, so no static
-    oracle); measured in tools/scaling_run.py.
+    so it is bit-identical to ``ann_ivf`` at oracle scales — which is
+    also why it can share ann_ivf's oracle SQL as a registry entry
+    (valid whenever N < mod^2 = 10,000; every testdata SF qualifies).
+    Measured at the stacks in tools/scaling_run.py.
     """
     from firefox_public_data_report_etl_spark.operators.vectorized import (
         cosine_topk_ivf,
@@ -400,8 +401,9 @@ def kmeans_refine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twin of ``kmeans_lloyd_refine`` with sqrt-N codebook
     sizing (same law as ``ann_ivf_scaled``; the registry constant
     KM_INIT_MOD=50 would grow k as N/50 and make each assignment round
-    O(N^2/50)). Not a registry entry (mod depends on a runtime count);
-    measured in tools/scaling_run.py."""
+    O(N^2/50)). Shares the fixed-mod oracle: sqrt(N) < 50 at every
+    testdata SF, so the mod floors at the registry constant there.
+    Measured at the stacks in tools/scaling_run.py."""
     from firefox_public_data_report_etl_spark.operators.vectorized import (
         kmeans_lloyd,
     )
@@ -414,22 +416,43 @@ def kmeans_refine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
+    "kmeans_refine_scaled": kmeans_refine_scaled,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_ivf_scaled": ann_ivf_scaled,
     "embedding_quantization_audit": embedding_quantization_audit,
 }
 
+# The _scaled twins reuse the fixed-mod oracles: their sqrt-N mod
+# floors at the registry constant whenever N < registry_mod^2 (10,000
+# vectors), which holds at every testdata SF (500-2,000 vectors), so
+# at oracle scales they are bit-identical to the fixed forms — while
+# being the measured scale path at the 10x/100x stacks (SCALING.md).
 ORACLES = {
     "label_centroids": LABEL_CENTROIDS_ORACLE,
     "kmeans_lloyd_refine": _kmeans_oracle(),
+    "kmeans_refine_scaled": _kmeans_oracle(),
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
+    "ann_ivf_scaled": ANN_IVF_ORACLE,
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }
 
-# exact |Q| x |C| top-k is the recall ground truth for the ANN paths
-# (registry.py SCALE_CLASS contract): run at test SF only
-SCALE_CLASS = {"embedding_cosine_topk": "baseline"}
-SCALE_PATH_FOR = {"embedding_cosine_topk": "ann_ivf"}
+# Scale classification (registry.py contract): exact |Q| x |C| top-k
+# is the brute-force ground truth for the ANN paths; ann_ivf and
+# kmeans_lloyd_refine are fixed_param — their static centroid mod is
+# what makes the oracle SQL a fixed string, but it grows the codebook
+# as N/mod (quadratic assignment, measured in SCALING.md round 5).
+# The sqrt-N twins are the scale paths.
+SCALE_CLASS = {
+    "embedding_cosine_topk": "baseline",
+    "ann_ivf": "fixed_param",
+    "kmeans_lloyd_refine": "fixed_param",
+}
+SCALE_PATH_FOR = {
+    "embedding_cosine_topk": "ann_ivf_scaled",
+    "ann_ivf": "ann_ivf_scaled",
+    "kmeans_lloyd_refine": "kmeans_refine_scaled",
+}

@@ -53,7 +53,7 @@ def test_scale_class_contract():
     )
 
     assert set(SCALE_CLASS) == set(QUERIES)
-    allowed = {"scale", "baseline", "streaming_binding"}
+    allowed = {"scale", "baseline", "streaming_binding", "fixed_param"}
     assert set(SCALE_CLASS.values()) <= allowed
     non_scale = {n for n, c in SCALE_CLASS.items() if c != "scale"}
     assert non_scale == set(SCALE_PATH_FOR), (
@@ -70,6 +70,9 @@ def test_scale_class_contract():
     assert SCALE_CLASS["dedup_embedding_cosine"] == "baseline"
     assert SCALE_CLASS["embedding_cosine_topk"] == "baseline"
     assert SCALE_CLASS["session_window_rollup"] == "streaming_binding"
+    # fixed-parameter correctness devices (round-5 measured finding)
+    assert SCALE_CLASS["ann_ivf"] == "fixed_param"
+    assert SCALE_CLASS["kmeans_lloyd_refine"] == "fixed_param"
 
 
 def test_registry_is_fully_oracle_backed():

@@ -92,15 +92,8 @@ def main() -> None:
     from firefox_public_data_report_etl_spark.plans.activity import (
         mau_wau_weekly_salted,
     )
-    from firefox_public_data_report_etl_spark.plans.similarity import (
-        ann_ivf_scaled,
-        kmeans_refine_scaled,
-    )
-
     queries = dict(QUERIES)
     queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
-    queries["ann_ivf_scaled"] = ann_ivf_scaled
-    queries["kmeans_refine_scaled"] = kmeans_refine_scaled
 
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
@@ -143,10 +136,10 @@ def main() -> None:
         )
         for n in names:
             if (
-                SCALE_CLASS.get(n) == "baseline"
+                SCALE_CLASS.get(n) in ("baseline", "fixed_param")
                 and sf > args.baseline_cap
             ):
-                row[n] = None  # capped: brute-force ground truth
+                row[n] = None  # capped: non-scaling correctness device
                 continue
             row[n] = best_of(
                 lambda: run(queries[n](spark, sf_dir)), args.samples
