@@ -168,6 +168,8 @@ def main() -> None:
         "session_incident_overlap",
         "corpus_boilerplate",
         "pii_redaction",
+        "corpus_curation_pipeline",
+        "kmeans_lloyd_refine",
     ):
         if name not in QUERIES:
             continue

@@ -429,7 +429,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def pii_scrub(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Redact emails, phone numbers, IPv4 addresses, and long digit
     runs; return per-doc match counts per category plus the scrubbed
@@ -450,4 +453,4 @@ def pii_scrub(
             .alias(f"n_{name}")
         )
         x = F.regexp_replace(x, pat, repl)
-    return docs.select(id_col, *counts, x.alias("scrubbed"))
+    return docs.select(id_col, *keep_cols, *counts, x.alias("scrubbed"))

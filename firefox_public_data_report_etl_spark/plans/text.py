@@ -520,10 +520,143 @@ def _pii_oracle() -> str:
     )
 
 
+CURATE_MIN_TOKENS = 20
+# integer-exact gate forms (no FP threshold compares cross-engine):
+# ttr >= 0.3  <=>  n_types * 10 >= n_tokens * 3
+# boiler_frac < 0.05  <=>  n_boiler * 20 < n_grams
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation DAG in ONE oracle-backed
+    plan — the capstone composition of the LLM-pipeline operator
+    family: (1) PII scrub (operators.text.pii_scrub; everything
+    downstream sees scrubbed text), (2) quality gate (token count +
+    type-token ratio as integer cross-multiplications — no FP
+    threshold compares), (3) cross-doc boilerplate gate computed over
+    the quality-passing corpus, (4) exact-dedup keep decision (lowest
+    doc_id per portable text hash), (5) deterministic train/val/test
+    split. Output: one row per surviving document with its gate
+    measurements and split.
+
+    Scale: stages 1-2 are one narrow projection pass (scrub + quality
+    features fused before any shuffle); the boilerplate stage is the
+    pipeline's two gram-keyed shuffles; dedup-keep is one hash-key
+    aggregate + self-join on the 28-bit hash; the split is a
+    projection. Nothing quadratic, nothing broadcast-unbounded — each
+    stage is the same plan its standalone registry entry runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = pii_scrub(docs, keep_cols=("lang",))
+    base = scrub.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_idnum")
+        ).cast("long").alias("n_pii"),
+        F.col("scrubbed").alias("text"),
+    )
+    # quality gate inline on the scrubbed projection (same exprs as
+    # operators.text.quality_features) — NOT a join back against a
+    # second reading of the scrub: one narrow pass, no shuffle, no
+    # double regexp work; codegen CSEs the repeated split().
+    qual = base.select(
+        "doc_id",
+        "lang",
+        "n_pii",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_types"),
+    ).filter(
+        (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        & (F.col("n_types") * 10 >= F.col("n_tokens") * 3)
+    )
+    b = boilerplate_scores(qual).select("doc_id", "n_grams", "n_boiler")
+    clean = (
+        qual.join(b, "doc_id")
+        .filter(F.col("n_boiler") * 20 < F.col("n_grams"))
+        .withColumn("_h", F.expr(md5_int_sql("text")))
+        .cache()
+    )
+    keeper = clean.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    kept = clean.join(keeper, "_h").filter(F.col("doc_id") == F.col("keep_id"))
+    return hash_split(kept).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_grams",
+        "n_boiler",
+        "n_pii",
+        "split",
+    )
+
+
+def _curation_oracle() -> str:
+    ctes = ["s0 AS (SELECT doc_id, lang, text AS x FROM documents)"]
+    names = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        names.append(f"n_{name}")
+        carry = ", ".join(names[:-1])
+        carry = carry + ", " if carry else ""
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, lang, {carry}"
+            f"CAST(len(regexp_extract_all(x, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(x, '{pat}', '{repl}', 'g') AS x FROM s{i})"
+        )
+    npii = " + ".join(names)
+    ctes.append(
+        f"""base AS (SELECT doc_id, lang, CAST({npii} AS BIGINT) AS n_pii, x,
+         string_split(x, ' ') AS t FROM s{len(PII_PATTERNS)})"""
+    )
+    ctes.append(
+        f"""qual AS (SELECT doc_id, lang, n_pii, x, t,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+       FROM base
+       WHERE len(t) >= {CURATE_MIN_TOKENS}
+         AND len(list_distinct(t)) * 10 >= len(t) * 3)"""
+    )
+    ctes.append(
+        f"""g AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {BOILER_GRAM - 2}),
+                i -> array_to_string(list_slice(t, i, i + {BOILER_GRAM - 1}), ' '))) AS gram
+       FROM qual)"""
+    )
+    ctes.append(
+        "dfreq AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY gram)"
+    )
+    ctes.append(
+        f"""b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       FROM g JOIN dfreq USING (gram) GROUP BY doc_id)"""
+    )
+    ctes.append(
+        f"""clean AS (SELECT qual.*, b.n_grams, b.n_boiler,
+         {md5_int_sql("x")} AS h
+       FROM qual JOIN b USING (doc_id) WHERE b.n_boiler * 20 < b.n_grams)"""
+    )
+    ctes.append(
+        "keep AS (SELECT h, min(doc_id) AS keep_id FROM clean GROUP BY h)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, lang, n_tokens, n_types, n_grams, n_boiler, n_pii,
+       CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80 THEN 'train'
+            WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM clean JOIN keep USING (h) WHERE doc_id = keep_id"""
+    )
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_boilerplate": corpus_boilerplate,
     "pii_redaction": pii_redaction,
+    "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -538,6 +671,7 @@ ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
     "pii_redaction": _pii_oracle(),
+    "corpus_curation_pipeline": _curation_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,

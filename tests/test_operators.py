@@ -410,3 +410,22 @@ def test_top_k_salted_agrees_with_plain(spark):
             )
         )
         assert salted == plain
+
+
+def test_curation_pipeline_gates_hold(spark):
+    """Every output row satisfies all three gates, splits are valid,
+    and kept doc_ids are unique (dedup keep decision applied)."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        CURATE_MIN_TOKENS,
+        corpus_curation_pipeline,
+    )
+
+    rows = corpus_curation_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["n_tokens"] >= CURATE_MIN_TOKENS
+        assert r["n_types"] * 10 >= r["n_tokens"] * 3
+        assert r["n_boiler"] * 20 < r["n_grams"]
+        assert r["split"] in ("train", "val", "test")
