@@ -249,3 +249,47 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_xbatch").collect()
     )
     assert got == [(1, 10, 20)]
+
+
+def test_stream_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """pii_scrub is a pure projection, so the SAME operator runs
+    unchanged over readStream — the per-row text operators extend to
+    the streaming surface with zero reimplementation (append mode, no
+    state, no watermark needed)."""
+    from firefox_public_data_report_etl_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@x.io ip 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    expected = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["scrubbed"])
+        for r in pii_scrub(injected).collect()
+    }
+    assert expected and all(v[0] == 1 and v[1] == 1 for v in expected.values())
+
+    src = tmp_path / "docs_src"
+    injected.write.parquet(str(src))
+    stream_docs = spark.readStream.schema(injected.schema).parquet(str(src))
+    q = (
+        pii_scrub(stream_docs)
+        .writeStream.format("memory")
+        .queryName("pii_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["scrubbed"])
+        for r in spark.sql("SELECT * FROM pii_stream_test").collect()
+    }
+    assert got == expected
