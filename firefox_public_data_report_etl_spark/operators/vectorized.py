@@ -172,9 +172,10 @@ def cosine_topk_ivf(
     quantized_emb,
     k: int,
     query_mod: int,
-    centroid_mod: int,
+    centroid_mod: int = None,
     id_col: str = "vec_id",
     nprobe: int = 1,
+    centroids=None,
 ):
     """IVF ANN: deterministic centroid subset (id % centroid_mod == 1),
     cell assignment via ``ivf_assign``, then exact cosine rank over
@@ -189,10 +190,18 @@ def cosine_topk_ivf(
     in exactly one cell and a query's probed cells are distinct, so
     the probe union is duplicate-free by construction — no DISTINCT
     pass needed before ranking.
+
+    ``centroids`` overrides the mod-derived codebook with an explicit
+    (id, q, norm) DataFrame — e.g. a ``kmeans_lloyd``-refined one
+    (train+search composition); exactly one of ``centroid_mod`` /
+    ``centroids`` must be given.
     """
     from pyspark.sql import Window
 
-    centroids = quantized_emb.filter(F.col(id_col) % centroid_mod == 1)
+    if (centroids is None) == (centroid_mod is None):
+        raise ValueError("pass exactly one of centroid_mod / centroids")
+    if centroids is None:
+        centroids = quantized_emb.filter(F.col(id_col) % centroid_mod == 1)
     cells = ivf_assign(quantized_emb, centroids, id_col)
     with_cell = quantized_emb.join(cells, id_col)
     qvecs = quantized_emb.filter(F.col(id_col) % query_mod == 0)

@@ -413,10 +413,96 @@ def kmeans_refine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, max(KM_INIT_MOD, int(n**0.5)), KM_ITERS)
 
 
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the k-means-REFINED codebook — the train+search
+    composition a production ANN deployment runs (FAISS shape: train
+    the coarse quantizer with Lloyd iterations, then assign + probe):
+    ``kmeans_lloyd`` refines the deterministic seed codebook for
+    KM_ITERS rounds, its (cid, pos, c) rows are reshaped to centroid
+    vectors, and ``cosine_topk_ivf`` runs the same nprobe=1 cell-join
+    search as ``ann_ivf`` against them. Oracle: the k-means CTE chain
+    extended with cosine cell assignment + within-cell ranking.
+
+    Scale: codebook reshape is k x d rows (tiny); everything else is
+    the measured ann_ivf/kmeans plan shapes — sqrt-N codebook sizing
+    applies to the seed mod exactly as for the components.
+    """
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+        kmeans_lloyd,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    cent = kmeans_lloyd(emb, KM_INIT_MOD, KM_ITERS)
+    codebook = cent.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("q")
+    ).select(
+        F.col("cid").alias("vec_id"),
+        "q",
+        F.expr(
+            "aggregate(transform(q, x -> x * x), 0L, (s, v) -> s + v)"
+        ).alias("norm"),
+    )
+    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, centroids=codebook)
+
+
+def _ann_ivf_trained_oracle() -> str:
+    km = _kmeans_oracle()
+    # reuse the k-means CTE chain (ends selecting from cent{KM_ITERS});
+    # keep only its WITH block and extend it with the search stages.
+    with_block = km[: km.rindex("\nSELECT ")]
+    return (
+        with_block
+        + f""",
+vnorms AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS norm
+           FROM e0 GROUP BY vec_id),
+cnorms AS (SELECT cid, CAST(sum(c * c) AS BIGINT) AS cnorm
+           FROM cent{KM_ITERS} GROUP BY cid),
+vc AS (
+  SELECT a.vec_id, c.cid, CAST(sum(a.v * c.c) AS BIGINT) AS dot
+  FROM e0 a JOIN cent{KM_ITERS} c ON c.pos = a.pos
+  GROUP BY a.vec_id, c.cid
+),
+sa AS (
+  SELECT vc.vec_id, vc.cid,
+         CAST(vc.dot AS DOUBLE) / sqrt(CAST(n.norm AS DOUBLE) * CAST(cn.cnorm AS DOUBLE)) AS cos
+  FROM vc JOIN vnorms n ON vc.vec_id = n.vec_id
+          JOIN cnorms cn ON vc.cid = cn.cid
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM sa) WHERE rn = 1
+),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e0 a JOIN cells x ON x.vec_id = a.vec_id
+       JOIN cells y ON y.cell = x.cell
+       JOIN e0 b ON b.vec_id = y.vec_id AND b.pos = a.pos
+  WHERE a.vec_id % {QUERY_MOD} = 0 AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN vnorms x ON q_id = x.vec_id JOIN vnorms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}"""
+    )
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
     "kmeans_refine_scaled": kmeans_refine_scaled,
+    "ann_ivf_trained": ann_ivf_trained,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -433,6 +519,7 @@ ORACLES = {
     "label_centroids": LABEL_CENTROIDS_ORACLE,
     "kmeans_lloyd_refine": _kmeans_oracle(),
     "kmeans_refine_scaled": _kmeans_oracle(),
+    "ann_ivf_trained": _ann_ivf_trained_oracle(),
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
@@ -450,9 +537,11 @@ SCALE_CLASS = {
     "embedding_cosine_topk": "baseline",
     "ann_ivf": "fixed_param",
     "kmeans_lloyd_refine": "fixed_param",
+    "ann_ivf_trained": "fixed_param",
 }
 SCALE_PATH_FOR = {
     "embedding_cosine_topk": "ann_ivf_scaled",
     "ann_ivf": "ann_ivf_scaled",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
+    "ann_ivf_trained": "ann_ivf_scaled",
 }
