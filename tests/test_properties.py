@@ -113,3 +113,65 @@ def test_cents_matches_spark_round_on_random_doubles(spark):
         .count()
     )
     assert bad == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pii_scrub_idempotent(spark, texts):
+    """Scrubbing already-scrubbed text finds nothing: replacement
+    tokens contain no digits or @, so no pattern can re-fire — a
+    double-redaction pass is a no-op for ANY input."""
+    from firefox_public_data_report_etl_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = pii_scrub(docs).withColumnRenamed("scrubbed", "text")
+    twice = pii_scrub(once.select("doc_id", "text")).collect()
+    for r in twice:
+        assert (
+            r["n_email"] == r["n_phone"] == r["n_ipv4"] == r["n_idnum"] == 0
+        ), r
+
+
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_boilerplate_bounds(spark, docs_words):
+    """For any corpus: every doc with >= n tokens gets exactly
+    len-n+1 grams, 0 <= n_boiler <= n_grams, and with min_df=1 every
+    gram is 'boilerplate' (frac == 1)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        boilerplate_scores,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_scores(docs, n=3, min_df=5).collect()}
+    for i, ws in enumerate(docs_words):
+        n_tok = len(" ".join(ws).split(" "))  # split semantics: '' -> ['']
+        if n_tok < 3:
+            assert i not in out
+        else:
+            assert out[i]["n_grams"] == n_tok - 2
+            assert 0 <= out[i]["n_boiler"] <= out[i]["n_grams"]
+    allb = boilerplate_scores(docs, n=3, min_df=1).collect()
+    assert all(r["n_boiler"] == r["n_grams"] for r in allb)

@@ -56,6 +56,12 @@ DEFAULT_NAMES = [
     "user_sessions",
     "sequence_packing",
     "train_eval_contamination",
+    "corpus_boilerplate",
+    "pii_redaction",
+    "corpus_curation_pipeline",
+    "kmeans_lloyd_refine",
+    "kmeans_refine_scaled",
+    "ann_ivf_scaled",
 ]
 
 
