@@ -403,15 +403,18 @@ def boilerplate_scores(
         .agg(F.count("*").cast("long").alias("gram_df"))
     )
     scored = grams.join(df, "gram")
-    return scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_grams"),
-        F.sum((F.col("gram_df") >= min_df).cast("long"))
-        .cast("long")
-        .alias("n_boiler"),
-        (
-            F.sum((F.col("gram_df") >= min_df).cast("long")).cast("double")
-            / F.count("*")
-        ).alias("boiler_frac"),
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("gram_df") >= min_df).cast("long"))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler").cast("double") / F.col("n_grams"),
+        )
     )
 
 

@@ -86,6 +86,12 @@ def top_k_per_group_salted(
     key-derived hash instead if the input partitioning is itself
     skewed.
     """
+    for tmp in ("_salt", "_lr"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"input already has a {tmp!r} column; rename it before "
+                "the salted top-K (temp columns would clobber it)"
+            )
     s = salt if salt is not None else F.spark_partition_id() % n_salts
     local_w = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
     survivors = (

@@ -172,7 +172,7 @@ def cosine_topk_ivf(
     quantized_emb,
     k: int,
     query_mod: int,
-    centroid_mod: int = None,
+    centroid_mod: int | None = None,
     id_col: str = "vec_id",
     nprobe: int = 1,
     centroids=None,
@@ -333,9 +333,11 @@ def kmeans_lloyd(
                     pdf["q"].map(lambda a: np.asarray(a, dtype=np.int64))
                 )
                 # argmin ||v-c||^2 == argmin(-2 v.c + ||c||^2): int64
-                # exact, stable sort -> lowest centroid id on ties
+                # exact; np.argmin returns the FIRST minimum, i.e. the
+                # lowest centroid id on ties (c_ids sorted) — O(k), no
+                # full-row sort needed for top-1
                 scores = -2 * (v @ _mat.T) + _sq[None, :]
-                nearest = np.argsort(scores, axis=1, kind="stable")[:, 0]
+                nearest = np.argmin(scores, axis=1)
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col].to_numpy(dtype=np.int64),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.operators.similarity import (
+    _NORM,
     SIGN_BITS,
     cosine_topk_lsh,
     cosine_topk_lsh_multi,
@@ -442,9 +443,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("cid").alias("vec_id"),
         "q",
-        F.expr(
-            "aggregate(transform(q, x -> x * x), 0L, (s, v) -> s + v)"
-        ).alias("norm"),
+        F.expr(_NORM).alias("norm"),
     )
     return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, centroids=codebook)
 

@@ -534,7 +534,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio as integer cross-multiplications — no FP
     threshold compares), (3) cross-doc boilerplate gate computed over
     the quality-passing corpus, (4) exact-dedup keep decision (lowest
-    doc_id per portable text hash), (5) deterministic train/val/test
+    doc_id per full 128-bit md5 of the text — NOT the 28-bit portable
+    fragment, whose birthday collisions at corpus scale would silently
+    drop distinct documents), (5) deterministic train/val/test
     split. Output: one row per surviving document with its gate
     measurements and split.
 
@@ -576,7 +578,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = (
         qual.join(b, "doc_id")
         .filter(F.col("n_boiler") * 20 < F.col("n_grams"))
-        .withColumn("_h", F.expr(md5_int_sql("text")))
+        .withColumn("_h", F.md5(F.col("text").cast("binary")))
         .cache()
     )
     keeper = clean.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
@@ -633,8 +635,7 @@ def _curation_oracle() -> str:
        FROM g JOIN dfreq USING (gram) GROUP BY doc_id)"""
     )
     ctes.append(
-        f"""clean AS (SELECT qual.*, b.n_grams, b.n_boiler,
-         {md5_int_sql("x")} AS h
+        """clean AS (SELECT qual.*, b.n_grams, b.n_boiler, md5(x) AS h
        FROM qual JOIN b USING (doc_id) WHERE b.n_boiler * 20 < b.n_grams)"""
     )
     ctes.append(

@@ -8,9 +8,11 @@ sf0.001) plus a fixed-size drift-control query per point — the data
 behind SCALING.md's measured-slope tables.
 
 SCALE_CLASS-aware: queries classed "baseline" (deliberate brute
-force) are skipped above the --baseline-cap point so the runner
-itself can't accidentally present an O(n^2) ground truth as a scale
-measurement; pass a higher cap to measure them anyway.
+force) OR "fixed_param" (static parameter stops scaling past test SF)
+are skipped above the --baseline-cap point so the runner itself can't
+accidentally present a non-scaling correctness device as a scale
+measurement; pass a higher cap to measure them anyway (that is how
+SCALING.md's 106 s / 44 s fixed-mod points were taken).
 
 Usage:
   python tools/scaling_run.py                          # default set
@@ -74,7 +76,7 @@ def main() -> None:
         "--baseline-cap",
         type=float,
         default=1.0,
-        help="max sf at which SCALE_CLASS=baseline queries still run",
+        help="max sf at which baseline/fixed_param-classed queries still run",
     )
     ap.add_argument(
         "--sink",
