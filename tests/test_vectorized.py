@@ -79,3 +79,21 @@ def test_kmeans_lloyd_converges_to_cluster_means(spark):
     assert [cent[1][p][0] for p in range(3)] == [0, 0, 1]
     assert [cent[4][p][0] for p in range(3)] == [1000, 1000, 1000]
     assert all(cent[1][p][1] == 3 and cent[4][p][1] == 3 for p in range(3))
+
+
+def test_kmeans_lloyd_empty_cell_drops_out(spark):
+    """All vectors identical: every one assigns to the LOWEST centroid
+    id (exact tie-break), the other seed loses all members and drops
+    out of the codebook — k shrinks, same as the oracle's GROUP BY."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        kmeans_lloyd,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [7, 7, 7]) for i in range(1, 7)], "vec_id long, q array<long>"
+    )
+    out = kmeans_lloyd(emb, init_mod=3, iters=2).collect()  # seeds: 1, 4
+    cids = {r["cid"] for r in out}
+    assert cids == {1}
+    assert all(r["n"] == 6 and r["c"] == 7 for r in out)
+    assert len(out) == 3  # one row per dimension
