@@ -315,6 +315,11 @@ def kmeans_lloyd(
     vecs = quantized_emb.select(id_col, "q")
     for _ in range(iters):
         rows = cent.select("cid", "pos", "c").collect()
+        if not rows:
+            raise ValueError(
+                f"init_mod={init_mod} selected no seed centroids "
+                f"(no {id_col} satisfies {id_col} % {init_mod} == 1)"
+            )
         by_cid: dict[int, dict[int, int]] = {}
         for r in rows:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]

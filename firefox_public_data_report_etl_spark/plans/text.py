@@ -526,26 +526,12 @@ CURATE_MIN_TOKENS = 20
 # boiler_frac < 0.05  <=>  n_boiler * 20 < n_grams
 
 
-def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full training-corpus curation DAG in ONE oracle-backed
-    plan — the capstone composition of the LLM-pipeline operator
-    family: (1) PII scrub (operators.text.pii_scrub; everything
-    downstream sees scrubbed text), (2) quality gate (token count +
-    type-token ratio as integer cross-multiplications — no FP
-    threshold compares), (3) cross-doc boilerplate gate computed over
-    the quality-passing corpus, (4) exact-dedup keep decision (lowest
-    doc_id per full 128-bit md5 of the text — NOT the 28-bit portable
-    fragment, whose birthday collisions at corpus scale would silently
-    drop distinct documents), (5) deterministic train/val/test
-    split. Output: one row per surviving document with its gate
-    measurements and split.
-
-    Scale: stages 1-2 are one narrow projection pass (scrub + quality
-    features fused before any shuffle); the boilerplate stage is the
-    pipeline's two gram-keyed shuffles; dedup-keep is one hash-key
-    aggregate + self-join on the 28-bit hash; the split is a
-    projection. Nothing quadratic, nothing broadcast-unbounded — each
-    stage is the same plan its standalone registry entry runs.
+def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the curation capstones: PII scrub →
+    quality gate → cross-doc boilerplate gate. Returns the surviving
+    docs with their gate measurements AND the scrubbed ``text`` (the
+    dedup-keep stage of each capstone decides what to key on and must
+    project text away before any cache/shuffle it doesn't need it in).
     """
     docs = load_table(spark, sf_dir, "documents")
     scrub = pii_scrub(docs, keep_cols=("lang",))
@@ -575,24 +561,62 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_types") * 10 >= F.col("n_tokens") * 3)
     )
     b = boilerplate_scores(qual).select("doc_id", "n_grams", "n_boiler")
+    return qual.join(b, "doc_id").filter(
+        F.col("n_boiler") * 20 < F.col("n_grams")
+    )
+
+
+_CURATE_OUT_COLS = (
+    "doc_id",
+    "lang",
+    "n_tokens",
+    "n_types",
+    "n_grams",
+    "n_boiler",
+    "n_pii",
+    "split",
+)
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation DAG in ONE oracle-backed
+    plan — the capstone composition of the LLM-pipeline operator
+    family: (1) PII scrub (operators.text.pii_scrub; everything
+    downstream sees scrubbed text), (2) quality gate (token count +
+    type-token ratio as integer cross-multiplications — no FP
+    threshold compares), (3) cross-doc boilerplate gate computed over
+    the quality-passing corpus, (4) exact-dedup keep decision (lowest
+    doc_id per full 128-bit md5 of the text — NOT the 28-bit portable
+    fragment, whose birthday collisions at corpus scale would silently
+    drop distinct documents), (5) deterministic train/val/test
+    split. Output: one row per surviving document with its gate
+    measurements and split. ``corpus_curation_pipeline_neardup`` swaps
+    stage 4 for the MinHash-cluster keep decision.
+
+    Scale: stages 1-2 are one narrow projection pass (scrub + quality
+    features fused before any shuffle); the boilerplate stage is the
+    pipeline's two gram-keyed shuffles; dedup-keep is one hash-key
+    aggregate + self-join on the full 128-bit md5 hex string; the
+    split is a projection. Nothing quadratic, nothing broadcast-
+    unbounded — each stage is the same plan its standalone registry
+    entry runs. The scrubbed ``text`` column is projected OUT before
+    the two-consumer cache (round-6 fix): the keep stage needs only
+    ``_h`` + the integer measurements, and caching the corpus text at
+    100 TB would pin the whole dataset in executor memory for columns
+    the output never returns.
+    """
     clean = (
-        qual.join(b, "doc_id")
-        .filter(F.col("n_boiler") * 20 < F.col("n_grams"))
+        _curated_clean(spark, sf_dir)
         .withColumn("_h", F.md5(F.col("text").cast("binary")))
+        .select(
+            "doc_id", "lang", "n_pii", "n_tokens", "n_types",
+            "n_grams", "n_boiler", "_h",
+        )
         .cache()
     )
     keeper = clean.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
     kept = clean.join(keeper, "_h").filter(F.col("doc_id") == F.col("keep_id"))
-    return hash_split(kept).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "n_types",
-        "n_grams",
-        "n_boiler",
-        "n_pii",
-        "split",
-    )
+    return hash_split(kept).select(*_CURATE_OUT_COLS)
 
 
 def _curation_oracle() -> str:
