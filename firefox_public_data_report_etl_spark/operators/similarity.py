@@ -153,7 +153,13 @@ def cosine_topk_lsh(
     queries: DataFrame, candidates: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
-    bucket, then exact cosine rank within it."""
+    bucket, then exact cosine rank within it.
+
+    NOT the deployable default — ``cosine_topk_lsh_multi`` is: a
+    single 8-bit table misses a near-copy whenever ANY of 8 signs
+    flips (measured recall 0.925 planted / 0.00 uniform vs 1.0 / 0.05
+    for 3 tables — tools/ann_recall.py). This form exists as the
+    cost floor and the per-table building block."""
     q = sign_bucket(queries).select(
         F.col(id_col).alias("q_id"),
         F.col("q").alias("qa"),

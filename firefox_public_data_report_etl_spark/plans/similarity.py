@@ -189,6 +189,39 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, cmod)
 
 
+NPROBE = 2
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deployable ANN registry config (round-6): sqrt-N codebook
+    sizing (ann_ivf_scaled's law) + nprobe=2 multiprobe — queries
+    score the candidates of their TWO nearest cells instead of one.
+    Round-5 measurements said the nprobe=1 forms are not defaults
+    anyone should deploy: recall@3 vs exact ground truth was 0.15 at
+    sf0.1 (uniform-random regime) and ~2x better at nprobe=2, while
+    planted near-copies near a cell boundary are exactly the misses a
+    second probe recovers (test_similarity_recall pins monotonicity
+    and the strict nprobe=2 > nprobe=1 gain). TOOLS: tools/ann_recall.py
+    measures both regimes (uniform floor + planted near-copies).
+
+    Cost: candidate volume doubles (2 cells/query) but stays
+    nprobe*N/num_centroids per query — never all-pairs; candidates
+    still partition by ONE cell each (index side unchanged), only the
+    probe side fans out. Shares the fixed-mod oracle via the same
+    floor argument as ann_ivf_scaled (sqrt(N) < CENTROID_MOD at every
+    testdata SF — pinned by test_shared_oracle_bounds), extended to
+    rank-<=2 cell assignment on the query side.
+    """
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    cmod = max(CENTROID_MOD, int(n**0.5))
+    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, cmod, nprobe=NPROBE)
+
+
 ANN_IVF_ORACLE = f"""
 WITH {_QUANT_CTES.strip()},
 cents AS (SELECT vec_id AS cid FROM qt WHERE vec_id % {CENTROID_MOD} = 1),
@@ -212,6 +245,53 @@ pairs AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id
   FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id <> n.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
+),
+dots AS (
+  SELECT p.q_id, p.n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM pairs p JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.n_id AND b.i = a.i
+  GROUP BY p.q_id, p.n_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
+"""
+
+
+# multiprobe twin of ANN_IVF_ORACLE: identical CTE chain, but query
+# vectors rank into their NPROBE nearest cells (rn <= NPROBE instead
+# of rn = 1) before the per-cell candidate join. Candidates keep their
+# single rank-1 cell, so the probe union is duplicate-free exactly as
+# in the Spark plan.
+ANN_IVF_MULTIPROBE_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+cents AS (SELECT vec_id AS cid FROM qt WHERE vec_id % {CENTROID_MOD} = 1),
+vc AS (
+  SELECT a.vec_id, c.cid, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN cents c ON TRUE JOIN e b ON b.vec_id = c.cid AND b.i = a.i
+  GROUP BY a.vec_id, c.cid
+),
+scored_assign AS (
+  SELECT vc.vec_id, vc.cid,
+         CAST(vc.dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM vc JOIN norms x ON vc.vec_id = x.vec_id JOIN norms y ON vc.cid = y.vec_id
+),
+ranked_assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM scored_assign
+),
+cells AS (SELECT vec_id, cid AS cell FROM ranked_assign WHERE rn = 1),
+qcells AS (SELECT vec_id, cid AS cell FROM ranked_assign
+           WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM qcells q JOIN cells n ON q.cell = n.cell AND q.vec_id <> n.vec_id
 ),
 dots AS (
   SELECT p.q_id, p.n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
@@ -506,6 +586,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "ann_ivf_scaled": ann_ivf_scaled,
+    "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "embedding_quantization_audit": embedding_quantization_audit,
 }
 
@@ -523,6 +604,7 @@ ORACLES = {
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
     "ann_ivf_scaled": ANN_IVF_ORACLE,
+    "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }
 
@@ -538,9 +620,14 @@ SCALE_CLASS = {
     "kmeans_lloyd_refine": "fixed_param",
     "ann_ivf_trained": "fixed_param",
 }
+# scale paths point at ann_ivf_multiprobe (round 6): sqrt-N codebook
+# AND nprobe=2 — the measured recall tables (tools/ann_recall.py) say
+# nprobe=1 is not a deployable default, so the pointer shouldn't name
+# it either. ann_ivf_scaled remains in the registry as the
+# nprobe-cost-floor twin.
 SCALE_PATH_FOR = {
-    "embedding_cosine_topk": "ann_ivf_scaled",
-    "ann_ivf": "ann_ivf_scaled",
+    "embedding_cosine_topk": "ann_ivf_multiprobe",
+    "ann_ivf": "ann_ivf_multiprobe",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
-    "ann_ivf_trained": "ann_ivf_scaled",
+    "ann_ivf_trained": "ann_ivf_multiprobe",
 }
