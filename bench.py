@@ -158,6 +158,25 @@ def main() -> None:
     if t is not None:
         extra["dedup_minhash_xxhash64"] = t
 
+    # Production-hash boilerplate twin (same pattern as the minhash
+    # row above: no oracle, measured as an extra).
+    from firefox_public_data_report_etl_spark.plans.text import (
+        corpus_boilerplate_hashed,
+    )
+
+    for _ in range(2):
+        try:
+            corpus_boilerplate_hashed(spark, "/root/testdata/sf0.001").collect()
+        except Exception as e:  # noqa: BLE001
+            errors["corpus_boilerplate_xxhash64"] = f"{type(e).__name__}: {e}"[:500]
+            break
+    t = best_of_safe(
+        "corpus_boilerplate_xxhash64",
+        lambda: corpus_boilerplate_hashed(spark, sf_dir).collect(),
+    )
+    if t is not None:
+        extra["corpus_boilerplate_xxhash64"] = t
+
     # Round-4 additions, reported as extras (NOT in the headline total,
     # which stays the fixed round-over-round comparison set).
     for name in (

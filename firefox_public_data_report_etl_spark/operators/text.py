@@ -379,6 +379,7 @@ def boilerplate_scores(
     min_df: int = BOILER_MIN_DF,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_key: str = "raw",
 ) -> DataFrame:
     """Gopher/C4-style cross-document boilerplate signal: an n-gram
     appearing in >= ``min_df`` DISTINCT documents is boilerplate
@@ -392,11 +393,19 @@ def boilerplate_scores(
 
     Scale: two equi shuffles — (1) distinct (doc, gram) -> groupBy
     gram for document frequency; (2) grams join df on gram -> groupBy
-    doc. The df side is gram-cardinality (never broadcast); at
-    production scale swap the gram string for xxhash64(gram) as the
-    join key to cut shuffle width ~5x (same plan shape).
+    doc. The df side is gram-cardinality (never broadcast).
+    ``gram_key="xxhash64"`` (the production mode, round 6) replaces
+    the gram STRING with its 8-byte xxhash64 as both shuffle keys —
+    same plan shape, ~n*5-byte/gram narrower exchanges; counts are
+    identical up to 64-bit hash collisions (~N^2/2^65 expected — zero
+    at any real corpus; the raw mode stays the oracle-parity default,
+    the two pinned equal by an agreement test).
     """
     grams = doc_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
+    if gram_key == "xxhash64":
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    elif gram_key != "raw":
+        raise ValueError(f"gram_key must be 'raw' or 'xxhash64', got {gram_key!r}")
     df = (
         grams.dropDuplicates([id_col, "gram"])
         .groupBy("gram")

@@ -401,14 +401,123 @@ FROM per_type JOIN totals USING (week_start)
 """
 
 
+# F10/A10 direct registry binding (round 6): the reference's 12-entry
+# addon-id NOT LIKE blocklist feeding a conditional COUNT DISTINCT
+# (scripts/public_data_report_user_activity.sql:204-223 per-addon,
+# :258-280 the per-country has_addon_ratio twin this query mirrors —
+# the country form keeps the predicate varying WITHIN each group, so
+# the conditional distinct does real per-row work).
+ADDON_VENDORS = (
+    "mozilla",
+    "shield",
+    "testpilot",
+    "cliqz",
+    "acme",
+    "laserlike",
+    "sloth",
+    "minvid",
+)
+ADDON_BLOCKLIST = (
+    "%@mozilla%",
+    "%@shield%",
+    "%@testpilot%",
+    "%cliqz%",
+    "%laserlike%",
+    "%@sloth%",
+    "%@minvid%",
+    "%ext1@%",
+    "%ext7@%",
+    "%ext13@%",
+    "%ext19@%",
+    "%ext23@%",
+)
+
+
+def addon_users_blocklisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly per-country ratio of users with at least one
+    NON-blocklisted addon — the reference's has_addon_ratio shape with
+    a synthesized addon id (``ext<k%25>@<vendor[k%8]>`` from props.k,
+    so every blocklist pattern has real hit rates) and country :=
+    user-stable ``c<user_id%10>``.
+
+    Scale: the addon id and the 12-pattern predicate are pure codegen
+    string expressions evaluated at scan grain (F10 — never a join);
+    the only shuffle is the two-distinct aggregate's Expand on
+    (week_start, country, user_id) keys. Same plan family as
+    mau_wau_weekly's A3; salting applies identically if a country
+    skews (operators.skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    vendors = F.array(*[F.lit(v) for v in ADDON_VENDORS])
+    addon_id = F.concat(
+        F.lit("ext"),
+        (k % 25).cast("string"),
+        F.lit("@"),
+        F.element_at(vendors, (k % 8 + 1).cast("int")),
+    )
+    ok = F.lit(True)
+    for p in ADDON_BLOCKLIST:
+        ok = ok & ~addon_id.like(p)
+    base = ev.select(
+        week_start(F.col("ts")).alias("wk"),
+        F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string")).alias(
+            "country"
+        ),
+        "user_id",
+        ok.alias("ok"),
+    )
+    g = base.groupBy("wk", "country").agg(
+        F.countDistinct(F.when(F.col("ok"), F.col("user_id"))).alias(
+            "addon_users"
+        ),
+        F.countDistinct("user_id").alias("all_users"),
+    )
+    return g.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "country",
+        "addon_users",
+        "all_users",
+        (F.col("addon_users").cast("double") / F.col("all_users")).alias(
+            "has_addon_ratio"
+        ),
+    )
+
+
+def _addon_blocklist_oracle() -> str:
+    vendors = ", ".join(f"'{v}'" for v in ADDON_VENDORS)
+    pred = " AND ".join(f"addon_id NOT LIKE '{p}'" for p in ADDON_BLOCKLIST)
+    return f"""
+WITH b AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+         'c' || CAST(user_id % 10 AS VARCHAR) AS country,
+         user_id,
+         'ext' || CAST(k % 25 AS VARCHAR) || '@' || [{vendors}][CAST(k % 8 AS INTEGER) + 1] AS addon_id
+  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+),
+g AS (
+  SELECT wk, country,
+         count(DISTINCT CASE WHEN {pred} THEN user_id END) AS addon_users,
+         count(DISTINCT user_id) AS all_users
+  FROM b GROUP BY wk, country
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start, country, addon_users,
+       all_users,
+       CAST(addon_users AS DOUBLE) / all_users AS has_addon_ratio
+FROM g
+"""
+
+
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
     "user_activity_flagship": user_activity_flagship,
     "event_type_share_weekly": event_type_share_weekly,
+    "addon_users_blocklisted": addon_users_blocklisted,
 }
 
 ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
     "event_type_share_weekly": EVENT_SHARE_ORACLE,
+    "addon_users_blocklisted": _addon_blocklist_oracle(),
 }

@@ -59,8 +59,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_jaccard(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# the `d` CTE is the re-sourcing point: the curation capstone's
+# near-dup oracle feeds the SAME code-generated minhash chain from its
+# cleaned-corpus CTE instead of the raw documents table.
+_D_CTE_DEFAULT = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+
 _DUCK_SHINGLE_CTES = f"""
-d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+d AS ({_D_CTE_DEFAULT}),
 dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
 raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
 sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h FROM raw),
@@ -103,7 +108,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    d_cte: str = _D_CTE_DEFAULT,
 ) -> str:
     mins = ",\n         ".join(
         f"min({minhash_perm_sql('h', a, b)}) AS mh{k}"
@@ -117,8 +124,9 @@ def _minhash_oracle(
             expr = f"({expr} * 31 + {c})"
         band_selects.append(f"SELECT doc_id, {i} AS bi, {expr} AS bv FROM sigs")
     bands = "\nUNION ALL\n".join(band_selects)
+    shingle_ctes = _DUCK_SHINGLE_CTES.replace(_D_CTE_DEFAULT, d_cte, 1)
     return f"""
-WITH {_DUCK_SHINGLE_CTES.strip()},
+WITH {shingle_ctes.strip()},
 sigs AS (SELECT doc_id,
          {mins}
          FROM sh GROUP BY doc_id),

@@ -438,6 +438,20 @@ def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scores(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_boilerplate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``corpus_boilerplate`` (the
+    dedup_minhash_lsh_prod pattern): ``gram_key="xxhash64"`` shuffles
+    8-byte gram hashes instead of ~20-byte gram strings through both
+    exchanges. Not in the registry — DuckDB has no xxHash64, so no
+    oracle; test_production_paths pins its output against the raw-key
+    form and bench.py reports its wall time as an extra row.
+    Boilerplate is the curation pipeline's dominant cost, so this knob
+    is the first thing a 100 TB deployment should flip."""
+    return boilerplate_scores(
+        load_table(spark, sf_dir, "documents"), gram_key="xxhash64"
+    )
+
+
 CORPUS_BOILERPLATE_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -526,13 +540,11 @@ CURATE_MIN_TOKENS = 20
 # boiler_frac < 0.05  <=>  n_boiler * 20 < n_grams
 
 
-def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared front half of the curation capstones: PII scrub →
-    quality gate → cross-doc boilerplate gate. Returns the surviving
-    docs with their gate measurements AND the scrubbed ``text`` (the
-    dedup-keep stage of each capstone decides what to key on and must
-    project text away before any cache/shuffle it doesn't need it in).
-    """
+def _scrubbed_qual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow front of the curation capstones: PII scrub + inline
+    quality gate, ONE projection pass at scan grain — no shuffle, so
+    recomputing it (instead of caching corpus text) is the right 100 TB
+    trade wherever a second consumer needs the scrubbed text."""
     docs = load_table(spark, sf_dir, "documents")
     scrub = pii_scrub(docs, keep_cols=("lang",))
     base = scrub.select(
@@ -547,7 +559,7 @@ def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators.text.quality_features) — NOT a join back against a
     # second reading of the scrub: one narrow pass, no shuffle, no
     # double regexp work; codegen CSEs the repeated split().
-    qual = base.select(
+    return base.select(
         "doc_id",
         "lang",
         "n_pii",
@@ -560,6 +572,16 @@ def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= CURATE_MIN_TOKENS)
         & (F.col("n_types") * 10 >= F.col("n_tokens") * 3)
     )
+
+
+def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the curation capstones: PII scrub →
+    quality gate → cross-doc boilerplate gate. Returns the surviving
+    docs with their gate measurements AND the scrubbed ``text`` (the
+    dedup-keep stage of each capstone decides what to key on and must
+    project text away before any cache/shuffle it doesn't need it in).
+    """
+    qual = _scrubbed_qual(spark, sf_dir)
     b = boilerplate_scores(qual).select("doc_id", "n_grams", "n_boiler")
     return qual.join(b, "doc_id").filter(
         F.col("n_boiler") * 20 < F.col("n_grams")
@@ -619,7 +641,79 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(kept).select(*_CURATE_OUT_COLS)
 
 
-def _curation_oracle() -> str:
+def corpus_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with the NEAR-dup keep decision (round-6,
+    the composition a real corpus-curation run needs): stages 1-3 are
+    ``corpus_curation_pipeline``'s scrub/quality/boilerplate gates;
+    stage 4 replaces the exact-md5 keep with the full near-dup
+    machinery — MinHash-LSH pairs over the SCRUBBED gate-passing
+    corpus (Jaccard >= 0.5 verified), connected components, and the
+    ``dedup_decisions`` keep rule (richest vocabulary per cluster,
+    ties to lowest doc_id; singleton docs keep themselves). Near-dup
+    subsumes exact-dup (identical texts have Jaccard 1.0), so the
+    md5 stage is not additionally needed. Output adds the cluster
+    ``component`` to the measurement columns.
+
+    Scale composition (each stage the shape its standalone entry
+    measured): the boilerplate GATE result — doc-grain integers — is
+    the one cached relation; the narrow scrub/quality scan recomputes
+    for the second consumer instead of pinning corpus text in memory
+    (scan-speed regex vs a corpus-sized cache). Text collapses to
+    28-bit gram-hash arrays (gram_hash_arrays, narrow) before any
+    shuffle; the pair mine is the measured two-shuffle banded join —
+    never all-pairs; components iterate over pair-sized (not
+    corpus-sized) edges with per-round lineage truncation; the keep
+    window partitions by component (cluster-sized, bounded by near-dup
+    group size). Oracle: the gate CTE chain composed with the
+    code-generated minhash SQL (re-sourced from the cleaned corpus)
+    and the recursive-CTE components fixpoint.
+    """
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        minhash_lsh_pairs_arr,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    qual = _scrubbed_qual(spark, sf_dir)
+    bg = (
+        boilerplate_scores(qual)
+        .select("doc_id", "n_grams", "n_boiler")
+        .filter(F.col("n_boiler") * 20 < F.col("n_grams"))
+        .cache()
+    )
+    hs = gram_hash_arrays(qual.select("doc_id", "text").join(bg.select("doc_id"), "doc_id"))
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs, "da", "db").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("_comp")
+    )
+    meta = qual.drop("text").join(bg, "doc_id")
+    withc = (
+        meta.join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("_comp", "doc_id"))
+        .drop("_comp")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_types"), F.asc("doc_id")
+    )
+    kept = withc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return hash_split(kept).select(*_CURATE_OUT_COLS, "component")
+
+
+def _curation_gate_ctes() -> list[str]:
+    """CTE chain through the gates (shared by both capstone oracles):
+    scrub passes s0..sN, quality gate, boilerplate df + gate — ends at
+    ``clean`` (gate-surviving docs, scrubbed text as ``x``)."""
     ctes = ["s0 AS (SELECT doc_id, lang, text AS x FROM documents)"]
     names = []
     for i, (name, pat, repl) in enumerate(PII_PATTERNS):
@@ -662,6 +756,16 @@ def _curation_oracle() -> str:
         """clean AS (SELECT qual.*, b.n_grams, b.n_boiler, md5(x) AS h
        FROM qual JOIN b USING (doc_id) WHERE b.n_boiler * 20 < b.n_grams)"""
     )
+    return ctes
+
+
+_SPLIT_CASE = f"""CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80 THEN 'train'
+            WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 90 THEN 'val'
+            ELSE 'test' END"""
+
+
+def _curation_oracle() -> str:
+    ctes = _curation_gate_ctes()
     ctes.append(
         "keep AS (SELECT h, min(doc_id) AS keep_id FROM clean GROUP BY h)"
     )
@@ -670,10 +774,57 @@ def _curation_oracle() -> str:
         + ",\n".join(ctes)
         + f"""
 SELECT doc_id, lang, n_tokens, n_types, n_grams, n_boiler, n_pii,
-       CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80 THEN 'train'
-            WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 90 THEN 'val'
-            ELSE 'test' END AS split
+       {_SPLIT_CASE} AS split
 FROM clean JOIN keep USING (h) WHERE doc_id = keep_id"""
+    )
+
+
+def _curation_neardup_oracle() -> str:
+    """Gate CTEs + the code-generated minhash chain re-sourced from
+    the cleaned corpus + the recursive-CTE components fixpoint + the
+    richest-vocabulary keep rule — the independent formulation of
+    corpus_curation_pipeline_neardup's whole DAG."""
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    mh = _minhash_oracle(
+        d_cte="SELECT doc_id, string_split(x, ' ') AS t FROM clean"
+    ).strip()
+    ctes = _curation_gate_ctes()
+    ctes.append(f"mh AS (SELECT da, db FROM ({mh}) m)")
+    ctes.append(
+        "eg AS (SELECT da AS a, db AS b FROM mh UNION SELECT db, da FROM mh)"
+    )
+    ctes.append(
+        """reach(a, b) AS (
+  SELECT a, b FROM eg
+  UNION
+  SELECT r.a, eg.b FROM reach r JOIN eg ON r.b = eg.a
+)"""
+    )
+    ctes.append(
+        """comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a)"""
+    )
+    ctes.append(
+        """withc AS (SELECT clean.doc_id, lang, n_pii, n_tokens, n_types,
+               n_grams, n_boiler,
+               coalesce(comp.component, clean.doc_id) AS component
+        FROM clean LEFT JOIN comp USING (doc_id))"""
+    )
+    ctes.append(
+        """rankedk AS (SELECT *, row_number() OVER (
+          PARTITION BY component ORDER BY n_types DESC, doc_id) AS rnk
+        FROM withc)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, lang, n_tokens, n_types, n_grams, n_boiler, n_pii,
+       {_SPLIT_CASE} AS split, component
+FROM rankedk WHERE rnk = 1"""
     )
 
 
@@ -682,6 +833,7 @@ QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
     "pii_redaction": pii_redaction,
     "corpus_curation_pipeline": corpus_curation_pipeline,
+    "corpus_curation_pipeline_neardup": corpus_curation_pipeline_neardup,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -697,6 +849,7 @@ ORACLES = {
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
     "pii_redaction": _pii_oracle(),
     "corpus_curation_pipeline": _curation_oracle(),
+    "corpus_curation_pipeline_neardup": _curation_neardup_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,

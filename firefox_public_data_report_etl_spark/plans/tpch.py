@@ -105,6 +105,106 @@ FROM g
 """
 
 
+def _pricing_decimal_agg(li: DataFrame) -> DataFrame:
+    """Decimal-exact Q1 aggregation over raw lineitem columns —
+    extracted so tests can feed synthetic overflow rows."""
+    d = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(20,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("price"),
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+        F.col("l_tax").cast("decimal(4,2)").alias("tax"),
+    )
+    g = d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty_d"),
+        F.sum("price").alias("sum_base_d"),
+        F.sum(F.col("price") * (F.lit(1).cast("decimal(4,2)") - F.col("disc"))).alias(
+            "disc_price_d"
+        ),
+        F.sum(
+            F.col("price")
+            * (F.lit(1).cast("decimal(4,2)") - F.col("disc"))
+            * (F.lit(1).cast("decimal(4,2)") + F.col("tax"))
+        ).alias("charge_d"),
+        F.sum("disc").alias("disc_sum_d"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        F.col("sum_base_d").cast("double").alias("sum_base_price"),
+        F.col("disc_price_d").cast("double").alias("sum_disc_price"),
+        F.col("charge_d").cast("double").alias("sum_charge"),
+        (F.col("sum_qty_d").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_d").cast("double") / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        (F.col("disc_sum_d").cast("double") / F.col("count_order")).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    )
+
+
+def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with DECIMAL arithmetic instead of int64 micro-units — the
+    extreme-SF guard documented in SCALING.md: the cents/percent int64
+    form is the fast path (one 8-byte word per measure) but its
+    6-decimal charge units overflow int64 near 9.2e18, i.e. a ~9e12
+    dollar group at full charge precision. The decimal form keeps the
+    same exact-arithmetic contract with ~1e20 headroom on the widest
+    product ((20,2)x(4,2)x(4,2) -> DECIMAL(30,6), summed into
+    DECIMAL(38,6)): sums are exact decimals, cast to double only at
+    the output edge, averages divided as double in both engines.
+    test_operators pins (a) value agreement with pricing_summary at
+    testdata SF and (b) a synthetic overflow row the int64 path
+    rejects (ANSI overflow) flowing through this path exactly.
+
+    Scale: identical plan shape to pricing_summary — one scan, map-
+    side partial aggregation, 6-group output; decimal measures are
+    16-byte instead of 8-byte words, which is the entire cost of the
+    headroom (measured in BENCH as a non-headline extra).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", None, "1998-09-02")
+    ).filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return _pricing_decimal_agg(li)
+
+
+PRICING_DECIMAL_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(20,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(20,2)) AS price,
+         CAST(l_discount AS DECIMAL(4,2)) AS disc,
+         CAST(l_tax AS DECIMAL(4,2)) AS tax
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty) AS sum_qty_d,
+         sum(price) AS sum_base_d,
+         sum(price * (CAST(1 AS DECIMAL(4,2)) - disc)) AS disc_price_d,
+         sum(price * (CAST(1 AS DECIMAL(4,2)) - disc)
+                   * (CAST(1 AS DECIMAL(4,2)) + tax)) AS charge_d,
+         sum(disc) AS disc_sum_d,
+         count(*) AS count_order
+  FROM d GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty,
+       CAST(sum_base_d AS DOUBLE) AS sum_base_price,
+       CAST(disc_price_d AS DOUBLE) AS sum_disc_price,
+       CAST(charge_d AS DOUBLE) AS sum_charge,
+       CAST(sum_qty_d AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_d AS DOUBLE) / count_order AS avg_price,
+       CAST(disc_sum_d AS DOUBLE) / count_order AS avg_disc,
+       count_order
+FROM g
+"""
+
+
 def regional_revenue(
     spark: SparkSession, sf_dir: str, runtime_filter: str | None = None
 ) -> DataFrame:
@@ -770,6 +870,7 @@ def _hw_block_pred() -> str:
 QUERIES = {
     "lineitem_cube": lineitem_cube,
     "pricing_summary": pricing_summary,
+    "pricing_summary_decimal": pricing_summary_decimal,
     "regional_revenue": regional_revenue,
     "late_ship_priority": late_ship_priority,
     "top_customers_per_nation": top_customers_per_nation,
@@ -783,6 +884,7 @@ QUERIES = {
 ORACLES = {
     "lineitem_cube": LINEITEM_CUBE_ORACLE,
     "pricing_summary": PRICING_SUMMARY_ORACLE,
+    "pricing_summary_decimal": PRICING_DECIMAL_ORACLE,
     "regional_revenue": REGIONAL_REVENUE_ORACLE,
     "late_ship_priority": LATE_SHIP_PRIORITY_ORACLE,
     "top_customers_per_nation": TOP_CUSTOMERS_ORACLE,

@@ -429,3 +429,43 @@ def test_curation_pipeline_gates_hold(spark):
         assert r["n_types"] * 10 >= r["n_tokens"] * 3
         assert r["n_boiler"] * 20 < r["n_grams"]
         assert r["split"] in ("train", "val", "test")
+
+
+def test_pricing_decimal_survives_int64_overflow(spark):
+    """The decimal Q1 twin's reason to exist: a group whose cent units
+    exceed int64 (SCALING.md's documented cliff). Measured misbehavior
+    of the int64 path on such a row: Spark's double->long cast
+    SATURATES at Long.MAX even under ANSI (floor() keeps the value a
+    double, and fractional->integral ANSI casts clamp rather than
+    raise) — a silently wrong sum, which is exactly why extreme-SF
+    deployments must switch to the decimal twin. The decimal form must
+    produce the exact sums; this test pins both behaviors so a Spark
+    version that starts raising (better) or the cents() form changing
+    shows up as a loud diff."""
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.functions import cents
+    from firefox_public_data_report_etl_spark.plans.tpch import (
+        _pricing_decimal_agg,
+    )
+
+    # one row: price 1e17 dollars -> cents 1e19 > 2^63-1; charge units
+    # another 1e4 bigger; all well inside DECIMAL(38,6)
+    rows = [("N", "O", 1.0, 1e17, 0.07, 0.04)]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = _pricing_decimal_agg(li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sum_base_price"] == 1e17
+    assert r["sum_disc_price"] == 1e17 * 0.93
+    assert r["sum_charge"] == 1e17 * 0.93 * 1.04
+    assert r["count_order"] == 1
+
+    # the int64 cents path clamps to Long.MAX on the same row — wrong
+    # value, no error: the failure mode the decimal twin exists for
+    clamped = li.select(cents(F.col("l_extendedprice")).alias("c")).collect()
+    assert clamped[0]["c"] == (1 << 63) - 1

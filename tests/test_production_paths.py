@@ -126,3 +126,24 @@ def test_minhash_array_form_matches_row_form(spark, sf_dir):
         .collect()
     }
     assert arr_form == row_form and row_form
+
+
+def test_boilerplate_xxhash64_agrees_with_raw(spark, sf_dir):
+    """gram_key='xxhash64' must reproduce the raw-string-key counts
+    exactly (64-bit collisions are ~impossible at test corpus size) —
+    the shuffle-width cut may not change a single (n_grams, n_boiler)
+    pair."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        corpus_boilerplate,
+        corpus_boilerplate_hashed,
+    )
+
+    raw = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"])
+        for r in corpus_boilerplate(spark, sf_dir).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"])
+        for r in corpus_boilerplate_hashed(spark, sf_dir).collect()
+    }
+    assert raw == hashed
