@@ -189,6 +189,11 @@ def main() -> None:
         "pii_redaction",
         "corpus_curation_pipeline",
         "kmeans_lloyd_refine",
+        # round-6 additions
+        "corpus_curation_pipeline_neardup",
+        "addon_users_blocklisted",
+        "pricing_summary_decimal",
+        "ann_ivf_multiprobe",
     ):
         if name not in QUERIES:
             continue

@@ -382,9 +382,23 @@ def boilerplate_scores(
     gram_key: str = "raw",
 ) -> DataFrame:
     """Gopher/C4-style cross-document boilerplate signal: an n-gram
-    appearing in >= ``min_df`` DISTINCT documents is boilerplate
-    (headers, footers, license blurbs, nav text); each doc is scored
-    by the fraction of its gram positions covered by such grams.
+    appearing in >= ``max(min_df, ceil(n_docs/100))`` DISTINCT
+    documents is boilerplate (headers, footers, license blurbs, nav
+    text); each doc is scored by the fraction of its gram positions
+    covered by such grams.
+
+    The threshold is CORPUS-RELATIVE with an absolute floor (round-6
+    fix): a fixed ``min_df`` silently inverts the operator as the
+    corpus grows — at 10x the test corpus EVERY common 3-gram clears
+    df>=5, boiler_frac saturates near 1.0, and a curation gate keyed
+    on it drops the whole corpus (measured: 0 of 4263 docs survived at
+    sf0.1). Boilerplate means "shared by an appreciable FRACTION of
+    the corpus", so the df cut scales as 1% of the input doc count,
+    floored at ``min_df`` for tiny corpora — which evaluates to
+    exactly ``min_df`` at every oracle SF (424-500 docs), keeping the
+    DuckDB twins bit-identical, while staying meaningful at any scale.
+    The doc count rides in as a broadcast 1-row aggregate — no driver
+    action, no collected scalar.
 
     This is the cross-corpus complement of ``repetition_features``
     (within-doc repetition): a doc can be internally clean yet mostly
@@ -406,17 +420,27 @@ def boilerplate_scores(
         grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     elif gram_key != "raw":
         raise ValueError(f"gram_key must be 'raw' or 'xxhash64', got {gram_key!r}")
+    ndocs = docs.select(F.count("*").cast("long").alias("_nd"))
     df = (
         grams.dropDuplicates([id_col, "gram"])
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("gram_df"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "gram",
+            "gram_df",
+            F.greatest(
+                F.lit(min_df).cast("long"),
+                F.expr("(_nd + 99) div 100").cast("long"),
+            ).alias("_cut"),
+        )
     )
     scored = grams.join(df, "gram")
     return (
         scored.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("gram_df") >= min_df).cast("long"))
+            F.sum((F.col("gram_df") >= F.col("_cut")).cast("long"))
             .cast("long")
             .alias("n_boiler"),
         )

@@ -463,15 +463,19 @@ g AS (
                 i -> array_to_string(list_slice(t, i, i + {BOILER_GRAM - 1}), ' '))) AS gram
   FROM d
 ),
+cut AS (
+  SELECT GREATEST({BOILER_MIN_DF}, (count(*) + 99) // 100) AS cut
+  FROM documents
+),
 dfreq AS (
   SELECT gram, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY gram
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(sum(CASE WHEN gram_df >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN gram_df >= cut THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS boiler_frac
-FROM g JOIN dfreq USING (gram)
+FROM g JOIN dfreq USING (gram) CROSS JOIN cut
 GROUP BY doc_id
 """
 
@@ -747,10 +751,17 @@ def _curation_gate_ctes() -> list[str]:
     ctes.append(
         "dfreq AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY gram)"
     )
+    # corpus-relative boilerplate cut (see operators.text.
+    # boilerplate_scores): 1% of the gate-corpus doc count, floored at
+    # the absolute constant — equals the constant at oracle SFs
     ctes.append(
-        f"""b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         CAST(sum(CASE WHEN gram_df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-       FROM g JOIN dfreq USING (gram) GROUP BY doc_id)"""
+        f"""qcut AS (SELECT GREATEST({BOILER_MIN_DF}, (count(*) + 99) // 100) AS cut
+       FROM qual)"""
+    )
+    ctes.append(
+        """b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gram_df >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       FROM g JOIN dfreq USING (gram) CROSS JOIN qcut GROUP BY doc_id)"""
     )
     ctes.append(
         """clean AS (SELECT qual.*, b.n_grams, b.n_boiler, md5(x) AS h

@@ -469,3 +469,19 @@ def test_pricing_decimal_survives_int64_overflow(spark):
     # value, no error: the failure mode the decimal twin exists for
     clamped = li.select(cents(F.col("l_extendedprice")).alias("c")).collect()
     assert clamped[0]["c"] == (1 << 63) - 1
+
+
+def test_boilerplate_gate_scales_with_corpus(spark):
+    """Round-6 regression: with the absolute df>=5 cut, the 10x corpus
+    (sf0.1, 5000 docs) saturated boiler_frac near 1.0 and the curation
+    capstone kept 0 of 4263 quality-passing docs. The corpus-relative
+    cut (1% of docs, floored at 5) must keep the gate meaningful at
+    every SF: the capstone keeps a non-trivial majority at sf0.1 and
+    its oracle-scale outputs are unchanged (parity tests cover that
+    half)."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        corpus_curation_pipeline,
+    )
+
+    n = corpus_curation_pipeline(spark, "/root/testdata/sf0.1").count()
+    assert n > 1000, f"curation kept only {n} docs at sf0.1 — gate collapsed"

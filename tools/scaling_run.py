@@ -80,14 +80,18 @@ def main() -> None:
     )
     ap.add_argument(
         "--sink",
-        choices=["collect", "noop"],
+        choices=["collect", "noop", "write"],
         default="collect",
         help=(
             "how to materialize each query: collect (driver round-trip"
-            " included — comparable to bench.py and earlier rounds) or"
+            " included — comparable to bench.py and earlier rounds);"
             " noop (spark's no-op batch sink: executes the full plan,"
             " writes nothing, isolates engine time from driver"
-            " materialization for per-row-output queries)"
+            " materialization for per-row-output queries); write (the"
+            " PRODUCTION sink — partitioned parquet via"
+            " sources.write_partitioned where the query has a low-"
+            " cardinality partition column, plain parquet otherwise,"
+            " into a scratch dir wiped between samples)"
         ),
     )
     args = ap.parse_args()
@@ -100,8 +104,12 @@ def main() -> None:
     from firefox_public_data_report_etl_spark.plans.activity import (
         mau_wau_weekly_salted,
     )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        corpus_boilerplate_hashed,
+    )
     queries = dict(QUERIES)
     queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
+    queries["corpus_boilerplate_hashed"] = corpus_boilerplate_hashed
 
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
@@ -111,14 +119,39 @@ def main() -> None:
 
     spark = get_spark(app_name="scaling-run")
 
+    # partition columns for the write sink: only genuinely low-
+    # cardinality output columns qualify (a partitioned write on a
+    # high-card key would measure small-file pathology, not the sink)
+    write_parts = {
+        "text_quality_scores": ["lang"],
+        "corpus_curation_pipeline": ["split"],
+        "corpus_curation_pipeline_neardup": ["split"],
+        "pii_redaction": None,
+        "dedup_exact": None,
+        "user_sessions": None,
+    }
+    sink_dir = ".scale/_sink"
+    run_name = [None]  # set per query below so run() can pick the layout
+
     def run(df) -> None:
         if args.sink == "noop":
             df.write.format("noop").mode("overwrite").save()
+        elif args.sink == "write":
+            from firefox_public_data_report_etl_spark.sources.tables import (
+                write_partitioned,
+            )
+
+            parts = write_parts.get(run_name[0])
+            if parts:
+                write_partitioned(df, sink_dir, parts)
+            else:
+                df.write.mode("overwrite").parquet(sink_dir)
         else:
             df.collect()
 
     for _ in range(2):  # JIT/codegen warm
         for n in names:
+            run_name[0] = n
             run(queries[n](spark, "/root/testdata/sf0.001"))
         spark.catalog.clearCache()
 
@@ -138,6 +171,7 @@ def main() -> None:
         # 2-3x between minutes; slopes are only meaningful after
         # normalizing each point by its control.
         row["sink"] = args.sink
+        run_name[0] = names[0]
         row["control"] = best_of(
             lambda: run(queries[names[0]](spark, "/root/testdata/sf0.01")),
             args.samples,
@@ -149,6 +183,7 @@ def main() -> None:
             ):
                 row[n] = None  # capped: non-scaling correctness device
                 continue
+            run_name[0] = n
             row[n] = best_of(
                 lambda: run(queries[n](spark, sf_dir)), args.samples
             )
