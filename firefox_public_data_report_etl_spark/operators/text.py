@@ -410,10 +410,13 @@ def boilerplate_scores(
     doc. The df side is gram-cardinality (never broadcast).
     ``gram_key="xxhash64"`` (the production mode, round 6) replaces
     the gram STRING with its 8-byte xxhash64 as both shuffle keys —
-    same plan shape, ~n*5-byte/gram narrower exchanges; counts are
-    identical up to 64-bit hash collisions (~N^2/2^65 expected — zero
-    at any real corpus; the raw mode stays the oracle-parity default,
-    the two pinned equal by an agreement test).
+    same plan shape, ~2-3x narrower exchange payload, measured 1.5x
+    wall at the 100x stack on loopback shuffle (SCALING.md round 6;
+    gram materialization and the two aggregations dominate locally —
+    the byte cut matters more once shuffle crosses a network); counts
+    are identical up to 64-bit hash collisions (~N^2/2^65 expected —
+    zero at any real corpus; the raw mode stays the oracle-parity
+    default, the two pinned equal by an agreement test).
     """
     grams = doc_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
     if gram_key == "xxhash64":

@@ -18,6 +18,11 @@ BNLJ_ALLOWED = {
     "embedding_cosine_topk",    # brute-force baseline: queries x cands
     "dedup_embedding_cosine",   # brute-force pair verify (LSH is the scale path)
     "date_spine_weeks",         # 1-row bounds crossJoin to spine
+    # 1-row doc-count crossJoin attaching the corpus-relative
+    # boilerplate cut (round 6) — the canonical broadcast-scalar shape
+    "corpus_boilerplate",
+    "corpus_curation_pipeline",
+    "corpus_curation_pipeline_neardup",
 }
 
 
