@@ -194,6 +194,7 @@ def main() -> None:
         "addon_users_blocklisted",
         "pricing_summary_decimal",
         "ann_ivf_multiprobe",
+        "dedup_semantic",
     ):
         if name not in QUERIES:
             continue

@@ -514,8 +514,20 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
-    cent = kmeans_lloyd(emb, KM_INIT_MOD, KM_ITERS)
-    codebook = cent.groupBy("cid").agg(
+    codebook = _trained_codebook(emb, KM_INIT_MOD)
+    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, centroids=codebook)
+
+
+def _trained_codebook(emb: DataFrame, init_mod: int) -> DataFrame:
+    """kmeans_lloyd's (cid, pos, c) rows reshaped to (vec_id, q, norm)
+    centroid vectors — the codebook form every cell-assignment consumer
+    takes. k x d rows: tiny at any corpus size."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        kmeans_lloyd,
+    )
+
+    cent = kmeans_lloyd(emb, init_mod, KM_ITERS)
+    return cent.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))),
             lambda s: s["c"],
@@ -525,10 +537,13 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         F.expr(_NORM).alias("norm"),
     )
-    return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, centroids=codebook)
 
 
-def _ann_ivf_trained_oracle() -> str:
+def _trained_cells_with_block() -> str:
+    """The k-means CTE chain extended through trained-codebook cosine
+    cell assignment — the shared WITH block (ending at ``cells``) both
+    the trained-ANN and semantic-dedup oracles build on. Also defines
+    ``vnorms`` (exact squared norms) for downstream cosine stages."""
     km = _kmeans_oracle()
     # reuse the k-means CTE chain (ends selecting from cent{KM_ITERS});
     # keep only its WITH block and extend it with the search stages.
@@ -556,7 +571,14 @@ cells AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
     FROM sa) WHERE rn = 1
-),
+)"""
+    )
+
+
+def _ann_ivf_trained_oracle() -> str:
+    return (
+        _trained_cells_with_block()
+        + f""",
 dots AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
   FROM e0 a JOIN cells x ON x.vec_id = a.vec_id
@@ -577,6 +599,138 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}"""
     )
 
 
+SEM_DEDUP_THRESHOLD = 0.45  # same planted-near-dup cut as dedup_embedding_cosine
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, public): the
+    embedding-space complement of the text near-dup family — cluster
+    the corpus with the k-means codebook, threshold exact cosine
+    WITHIN each cell, connect the resulting pair graph, keep the
+    lowest vec_id per component. Composes three shipped operator
+    families end to end: kmeans_lloyd (train) → ivf_assign (one
+    matmul pass, vectors never shuffle to assign) → per-cell pair join
+    (never all-pairs: candidate volume is sum of cell_size^2, ~N·k
+    at balanced cells) → connected_components (pair-sized iteration).
+    Integer-exact throughout, so the full train→assign→dedup DAG is
+    oracle-checked bit-for-bit. ``keep`` falls out of the component
+    label itself (component IS the min reachable id).
+
+    Output: (vec_id, component, keep) at corpus grain — singleton
+    vectors are their own component and kept.
+
+    Scale: fixed KM_INIT_MOD makes this the oracle-static form
+    (fixed_param, same family as kmeans_lloyd_refine);
+    ``dedup_semantic_scaled`` is the sqrt-N twin and scale path.
+    """
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    return _dedup_semantic_over(emb, _trained_codebook(emb, KM_INIT_MOD))
+
+
+def _dedup_semantic_over(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        ivf_assign,
+    )
+
+    cells = ivf_assign(emb, codebook)
+    withc = emb.join(cells, "vec_id")
+    a = withc.select(
+        F.col("vec_id").alias("da"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    b = withc.select(
+        F.col("vec_id").alias("db"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("da") < F.col("db"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+            ),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .filter(F.col("cos") >= SEM_DEDUP_THRESHOLD)
+        .select("da", "db")
+    )
+    comp = connected_components(pairs, "da", "db").select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("_comp")
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("_comp", F.col("vec_id")).alias("component"),
+            (
+                F.coalesce("_comp", F.col("vec_id")) == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )
+
+
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-N twin of ``dedup_semantic`` (same law and same shared-
+    oracle floor argument as kmeans_refine_scaled — pinned by
+    test_shared_oracle_bounds): the codebook grows as sqrt(N), so
+    assignment is O(N^1.5 d) and expected cell size sqrt(N), keeping
+    the within-cell pair volume ~N^1.5 instead of N^2/k_fixed."""
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    return _dedup_semantic_over(
+        emb, _trained_codebook(emb, max(KM_INIT_MOD, int(n**0.5)))
+    )
+
+
+def _dedup_semantic_oracle() -> str:
+    with_block = _trained_cells_with_block()
+    # the k-means chain's WITH must become WITH RECURSIVE for the
+    # components fixpoint appended below
+    with_block = with_block.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        with_block
+        + f""",
+sp AS (
+  SELECT x.vec_id AS da, y.vec_id AS db, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cells x JOIN cells y ON y.cell = x.cell AND x.vec_id < y.vec_id
+       JOIN e0 a ON a.vec_id = x.vec_id
+       JOIN e0 b ON b.vec_id = y.vec_id AND b.pos = a.pos
+  GROUP BY x.vec_id, y.vec_id
+),
+prs AS (
+  SELECT da, db
+  FROM sp JOIN vnorms xn ON da = xn.vec_id JOIN vnorms yn ON db = yn.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(xn.norm AS DOUBLE) * CAST(yn.norm AS DOUBLE))
+        >= {SEM_DEDUP_THRESHOLD}
+),
+eg AS (SELECT da AS a, db AS b FROM prs UNION SELECT db, da FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM eg
+  UNION
+  SELECT r.a, eg.b FROM reach r JOIN eg ON r.b = eg.a
+),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT e.vec_id,
+       coalesce(comp.component, e.vec_id) AS component,
+       coalesce(comp.component, e.vec_id) = e.vec_id AS keep
+FROM (SELECT DISTINCT vec_id FROM e0) e LEFT JOIN comp USING (vec_id)"""
+    )
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
@@ -587,6 +741,8 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_scaled": ann_ivf_scaled,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
+    "dedup_semantic": dedup_semantic,
+    "dedup_semantic_scaled": dedup_semantic_scaled,
     "embedding_quantization_audit": embedding_quantization_audit,
 }
 
@@ -605,6 +761,8 @@ ORACLES = {
     "ann_ivf": ANN_IVF_ORACLE,
     "ann_ivf_scaled": ANN_IVF_ORACLE,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
+    "dedup_semantic": _dedup_semantic_oracle(),
+    "dedup_semantic_scaled": _dedup_semantic_oracle(),
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }
 
@@ -619,6 +777,7 @@ SCALE_CLASS = {
     "ann_ivf": "fixed_param",
     "kmeans_lloyd_refine": "fixed_param",
     "ann_ivf_trained": "fixed_param",
+    "dedup_semantic": "fixed_param",
 }
 # scale paths point at ann_ivf_multiprobe (round 6): sqrt-N codebook
 # AND nprobe=2 — the measured recall tables (tools/ann_recall.py) say
@@ -630,4 +789,5 @@ SCALE_PATH_FOR = {
     "ann_ivf": "ann_ivf_multiprobe",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
     "ann_ivf_trained": "ann_ivf_multiprobe",
+    "dedup_semantic": "dedup_semantic_scaled",
 }

@@ -97,3 +97,51 @@ def test_kmeans_lloyd_empty_cell_drops_out(spark):
     assert cids == {1}
     assert all(r["n"] == 6 and r["c"] == 7 for r in out)
     assert len(out) == 3  # one row per dimension
+
+
+def test_dedup_semantic_finds_planted_near_copies(spark):
+    """SemDeDup regime check: planted near-copies (cos ~ 0.999) MUST
+    land in the same k-means cell and be deduped (keep=False for the
+    higher id), while the random background stays kept. Uniform-random
+    moderate-cosine pairs (the 0.45 testdata regime) may legitimately
+    split across cells — that approximation is the operator's design
+    trade, covered honestly by the oracle (which applies the same cell
+    restriction); THIS test pins the regime the operator exists for."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        quantized,
+    )
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        _dedup_semantic_over,
+        _trained_codebook,
+    )
+
+    rnd = random.Random(11)
+    dim, n_q, n_bg = 64, 15, 300
+    rows = []
+    for qid in range(n_q):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        rows.append((qid * 1000, v))
+        rows.append((qid * 1000 + 1, [x + rnd.uniform(-0.01, 0.01) for x in v]))
+    for b in range(n_bg):
+        rows.append((9_000_001 + b, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    emb = quantized(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    out = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in _dedup_semantic_over(
+            emb, _trained_codebook(emb, init_mod=7)
+        ).collect()
+    }
+    assert len(out) == n_q * 2 + n_bg
+    for qid in range(n_q):
+        lo, hi = qid * 1000, qid * 1000 + 1
+        assert out[lo] == (lo, True), f"query {lo} must keep itself"
+        assert out[hi] == (lo, False), f"near-copy {hi} must dedup to {lo}"
+    kept_bg = sum(1 for v in range(9_000_001, 9_000_001 + n_bg) if out[v][1])
+    assert kept_bg >= n_bg - 2  # random background essentially untouched
+    emb.unpersist()
