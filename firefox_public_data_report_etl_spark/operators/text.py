@@ -394,11 +394,16 @@ def boilerplate_scores(
     on it drops the whole corpus (measured: 0 of 4263 docs survived at
     sf0.1). Boilerplate means "shared by an appreciable FRACTION of
     the corpus", so the df cut scales as 1% of the input doc count,
-    floored at ``min_df`` for tiny corpora — which evaluates to
-    exactly ``min_df`` at every oracle SF (424-500 docs), keeping the
-    DuckDB twins bit-identical, while staying meaningful at any scale.
-    The doc count rides in as a broadcast 1-row aggregate — no driver
-    action, no collected scalar.
+    floored at ``min_df`` for tiny corpora. Cross-engine parity holds
+    at ANY corpus size because the DuckDB twins compute the SAME
+    relative cut from the same count — that is the invariant to
+    preserve; the floor additionally meant outputs at the <=500-doc
+    SFs did not change when the cut became relative. The doc count
+    rides in as a broadcast 1-row aggregate — no driver action, no
+    collected scalar; it does cost one extra evaluation of the input
+    lineage (a narrow scan-speed pass when the input is a projection/
+    filter chain, as in the curation capstones), the deliberate trade
+    against caching corpus text just to count it.
 
     This is the cross-corpus complement of ``repetition_features``
     (within-doc repetition): a doc can be internally clean yet mostly

@@ -578,6 +578,25 @@ def _scrubbed_qual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boiler_gate_pred():
+    """boiler_frac < 0.05 as the integer cross-multiplication — THE
+    gate predicate, defined once for both capstones and referenced by
+    the oracle builders' comments."""
+    return F.col("n_boiler") * 20 < F.col("n_grams")
+
+
+def _boiler_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain boilerplate-gate survivors (doc_id, n_grams,
+    n_boiler) over the quality-passing corpus — the capstones' one
+    shuffle-bearing gate stage, shared so the predicate exists in
+    exactly one place."""
+    return (
+        boilerplate_scores(_scrubbed_qual(spark, sf_dir))
+        .select("doc_id", "n_grams", "n_boiler")
+        .filter(_boiler_gate_pred())
+    )
+
+
 def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared front half of the curation capstones: PII scrub →
     quality gate → cross-doc boilerplate gate. Returns the surviving
@@ -585,10 +604,8 @@ def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-keep stage of each capstone decides what to key on and must
     project text away before any cache/shuffle it doesn't need it in).
     """
-    qual = _scrubbed_qual(spark, sf_dir)
-    b = boilerplate_scores(qual).select("doc_id", "n_grams", "n_boiler")
-    return qual.join(b, "doc_id").filter(
-        F.col("n_boiler") * 20 < F.col("n_grams")
+    return _scrubbed_qual(spark, sf_dir).join(
+        _boiler_gate(spark, sf_dir), "doc_id"
     )
 
 
@@ -686,12 +703,7 @@ def corpus_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     qual = _scrubbed_qual(spark, sf_dir)
-    bg = (
-        boilerplate_scores(qual)
-        .select("doc_id", "n_grams", "n_boiler")
-        .filter(F.col("n_boiler") * 20 < F.col("n_grams"))
-        .cache()
-    )
+    bg = _boiler_gate(spark, sf_dir).cache()
     hs = gram_hash_arrays(qual.select("doc_id", "text").join(bg.select("doc_id"), "doc_id"))
     pairs = minhash_lsh_pairs_arr(hs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD

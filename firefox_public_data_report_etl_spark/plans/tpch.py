@@ -159,8 +159,11 @@ def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,6)): sums are exact decimals, cast to double only at
     the output edge, averages divided as double in both engines.
     test_operators pins (a) value agreement with pricing_summary at
-    testdata SF and (b) a synthetic overflow row the int64 path
-    rejects (ANSI overflow) flowing through this path exactly.
+    testdata SF (test_pricing_decimal_agrees_with_int64_form; the two
+    quantity semantics — round vs exact decimal sum — coincide there
+    because l_quantity is integral) and (b) a synthetic overflow row
+    the int64 path silently CLAMPS on flowing through this path
+    exactly (test_pricing_decimal_survives_int64_overflow).
 
     Scale: identical plan shape to pricing_summary — one scan, map-
     side partial aggregation, 6-group output; decimal measures are

@@ -485,3 +485,35 @@ def test_boilerplate_gate_scales_with_corpus(spark):
 
     n = corpus_curation_pipeline(spark, "/root/testdata/sf0.1").count()
     assert n > 1000, f"curation kept only {n} docs at sf0.1 — gate collapsed"
+
+
+def test_pricing_decimal_agrees_with_int64_form(spark, sf_dir):
+    """The decimal twin must reproduce pricing_summary's values on the
+    shared measures at testdata SF (where l_quantity is integral, so
+    the two quantity semantics — round vs exact decimal sum —
+    coincide). Guards the docstring's agreement claim with a real
+    pin instead of prose."""
+    import math
+
+    from firefox_public_data_report_etl_spark.plans.tpch import (
+        pricing_summary,
+        pricing_summary_decimal,
+    )
+
+    key = ["l_returnflag", "l_linestatus"]
+    i64 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(spark, sf_dir).collect()
+    }
+    dec = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary_decimal(spark, sf_dir).collect()
+    }
+    assert i64.keys() == dec.keys() and i64
+    for k, a in i64.items():
+        b = dec[k]
+        assert a["count_order"] == b["count_order"]
+        assert a["sum_qty"] == b["sum_qty"]
+        assert a["sum_base_cents"] == round(b["sum_base_price"] * 100)
+        for col in ("sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"):
+            assert math.isclose(a[col], b[col], rel_tol=1e-12), (k, col)

@@ -12,17 +12,25 @@ from __future__ import annotations
 import pytest
 
 # Queries whose plans intentionally contain a broadcast non-equi join.
+# name -> join-kind marker every BroadcastNestedLoopJoin node in the
+# executed plan must carry (absent = no BNLJ tolerated at all). A
+# TYPED waiver, not a blanket one: the curation capstones may carry
+# condition-free Cross joins (the 1-row doc-count scalar attach) and
+# nothing else — a band/gram equi join degenerating to an Inner BNLJ
+# with a condition still fails the guard. Node lines are normalized
+# (codegen `*(n)` prefixes and tree art stripped) and deduplicated
+# because AQE prints initial+final plans and cached subtrees re-print.
 BNLJ_ALLOWED = {
-    "user_activity_flagship",   # as-of latest-release join (tiny right)
-    "release_annotations",      # spine x weekly-max range join
-    "embedding_cosine_topk",    # brute-force baseline: queries x cands
-    "dedup_embedding_cosine",   # brute-force pair verify (LSH is the scale path)
-    "date_spine_weeks",         # 1-row bounds crossJoin to spine
+    "user_activity_flagship": "LeftOuter",  # as-of latest-release (tiny right)
+    "release_annotations": "LeftOuter",     # spine x weekly-max range join
+    "embedding_cosine_topk": "Inner",       # brute-force baseline: q x cands
+    "dedup_embedding_cosine": "Inner",      # brute-force pair verify
+    "date_spine_weeks": "Cross",            # 1-row bounds crossJoin to spine
     # 1-row doc-count crossJoin attaching the corpus-relative
     # boilerplate cut (round 6) — the canonical broadcast-scalar shape
-    "corpus_boilerplate",
-    "corpus_curation_pipeline",
-    "corpus_curation_pipeline_neardup",
+    "corpus_boilerplate": "Cross",
+    "corpus_curation_pipeline": "Cross",
+    "corpus_curation_pipeline_neardup": "Cross",
 }
 
 
@@ -42,11 +50,20 @@ def _names():
 
 @pytest.mark.parametrize("name", _names())
 def test_no_cartesian_and_bnlj_only_where_intended(spark, sf_dir, name):
+    import re
+
     plan = _executed_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
-    if name not in BNLJ_ALLOWED:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name} uses a nested-loop join where a hash join is expected"
+    nodes = {
+        re.sub(r"^\W*(\*\(\d+\) )?", "", line.strip())
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    }
+    kind = BNLJ_ALLOWED.get(name)
+    for node in nodes:
+        assert kind is not None and kind in node, (
+            f"{name}: unexpected nested-loop join {node[:120]!r} "
+            f"(allowed kind: {kind}) — a hash/band join degenerated"
         )
 
 

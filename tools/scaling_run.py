@@ -91,7 +91,9 @@ def main() -> None:
             " PRODUCTION sink — partitioned parquet via"
             " sources.write_partitioned where the query has a low-"
             " cardinality partition column, plain parquet otherwise,"
-            " into a scratch dir wiped between samples)"
+            " into a scratch dir: overwritten IN PLACE between samples"
+            " — production semantics — and wiped between queries so"
+            " layouts never mix)"
         ),
     )
     args = ap.parse_args()
@@ -171,7 +173,18 @@ def main() -> None:
         # 2-3x between minutes; slopes are only meaningful after
         # normalizing each point by its control.
         row["sink"] = args.sink
+
+        def _fresh_sink() -> None:
+            # untimed per-query wipe: samples of ONE query overwrite in
+            # place (production semantics), but two queries' layouts
+            # (partitioned vs plain) must never mix in the scratch dir
+            if args.sink == "write":
+                import shutil
+
+                shutil.rmtree(sink_dir, ignore_errors=True)
+
         run_name[0] = names[0]
+        _fresh_sink()
         row["control"] = best_of(
             lambda: run(queries[names[0]](spark, "/root/testdata/sf0.01")),
             args.samples,
@@ -184,6 +197,7 @@ def main() -> None:
                 row[n] = None  # capped: non-scaling correctness device
                 continue
             run_name[0] = n
+            _fresh_sink()
             row[n] = best_of(
                 lambda: run(queries[n](spark, sf_dir)), args.samples
             )
