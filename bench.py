@@ -195,6 +195,8 @@ def main() -> None:
         "pricing_summary_decimal",
         "ann_ivf_multiprobe",
         "dedup_semantic",
+        "dedup_simhash",
+        "approx_users_sketch",
     ):
         if name not in QUERIES:
             continue

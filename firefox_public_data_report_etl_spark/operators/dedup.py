@@ -343,6 +343,81 @@ def simhash_signatures(
     return g.select(id_col, sim.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "parity",
+) -> DataFrame:
+    """(da, db, hamming): near-duplicate pairs at SimHash Hamming
+    distance ≤ ``max_hamming``, mined via banded blocking — the
+    Charikar-fingerprint sibling of MinHash+LSH (reference computes no
+    fingerprints; this is an LLM-pipeline extension; simhash semantics
+    per ``simhash_signatures``).
+
+    Pigeonhole blocking: split the 28-bit signature into
+    ``max_hamming + 1`` contiguous bands. Two signatures within
+    Hamming ``k`` differ in at most ``k`` bits, so at least one of the
+    ``k+1`` bands is bit-identical — the band-equality self-join finds
+    EVERY qualifying pair (exact recall, unlike probabilistic MinHash
+    banding), and ``bit_count(xor)`` verifies candidates.
+
+    Scale: one signature pass (token explode + 28-vote aggregate, all
+    codegen), then a self-equi-join on 8-byte (band, value) keys —
+    never an all-pairs product. Candidate volume per band bucket is
+    corpus_size / 2^band_bits in expectation; with 7-bit bands the
+    blow-up only matters if the corpus is pathologically
+    low-entropy, in which case widen SIMHASH_BITS. The distinct on
+    (da, db) collapses multi-band hits before the verify expression.
+    """
+    n_bands = max_hamming + 1
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(
+            f"max_hamming+1={n_bands} must divide SIMHASH_BITS={SIMHASH_BITS}"
+        )
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_signatures(docs, id_col, text_col, hash_mode)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.expr(
+                            f"shiftright(simhash, {i * band_bits}) & {mask}"
+                        ).alias("v"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    left = bands.select(
+        F.col(id_col).alias("da"), F.col("simhash").alias("sa"), "b", "v"
+    )
+    right = bands.select(
+        F.col(id_col).alias("db"), F.col("simhash").alias("sb"), "b", "v"
+    )
+    cand = (
+        left.join(right, ["b", "v"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", "hamming")
+    )
+
+
 def gram_hash_arrays(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -508,8 +508,96 @@ FROM g
 """
 
 
+HLL_LGK = 14
+HLL_REL_TOL = 0.05
+
+
+def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable distinct-user counts via Datasketches HLL — the
+    100 TB answer to MAU/WAU that `mau_wau_weekly`'s exact
+    countDistinct cannot give: daily PARTIAL sketches (one binary blob
+    per partition-grain) union into any coarser grain without ever
+    re-touching raw events, and sketch union is associative, so
+    backfills and late partitions just re-union.
+
+    At production scale the daily sketch table is persisted once per
+    ingest; here the query materializes it (cached — it is #days
+    rows), rolls weekly and monthly MAU out of the partials, and
+    BINDS the sketch path to ground truth: per period it emits the
+    exact distinct count plus two booleans — `approx_ok`
+    (|estimate − exact| ≤ max(1, 5% · exact); lgK=14 ⇒ sketch is in
+    exact sparse mode far past these SFs and rsd ≈ 0.8% beyond) and
+    `merge_ok` (union-of-daily-partials estimate equals the
+    direct-over-raw sketch estimate — lossless rollup). The DuckDB
+    twin computes the exact counts and asserts the booleans TRUE, so
+    a sketch regression fails the value-hash gate.
+
+    Scale: raw events are scanned for the daily partial agg (map-side
+    partial sketches, one shuffle on `d`); the rollups run over
+    #days-sized partials. The exact columns exist only for the
+    binding and would be dropped in production.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = (
+        ev.groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+        .cache()
+    )
+
+    def grain(period_col, exact_period_col, name):
+        est = (
+            daily.groupBy(period_col("d").alias("period"))
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                    "est_union"
+                )
+            )
+        )
+        exact = ev.groupBy(exact_period_col("d").alias("period")).agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+            ).alias("est_direct"),
+        )
+        tol = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(HLL_REL_TOL) * F.col("exact_users")),
+        )
+        return est.join(exact, "period").select(
+            F.lit(name).alias("grain"),
+            "period",
+            "exact_users",
+            (
+                F.abs(F.col("est_union") - F.col("exact_users")) <= tol
+            ).alias("approx_ok"),
+            (F.col("est_union") == F.col("est_direct")).alias("merge_ok"),
+        )
+
+    wk = lambda c: F.date_format(week_start(F.col(c)), "yyyy-MM-dd")  # noqa: E731
+    mo = lambda c: F.date_format(F.col(c), "yyyy-MM")  # noqa: E731
+    return grain(wk, wk, "week").unionAll(grain(mo, mo, "month"))
+
+
+APPROX_USERS_SKETCH_ORACLE = """
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+wk AS (SELECT 'week' AS grain,
+              strftime(CAST(date_trunc('week', d) AS DATE), '%Y-%m-%d') AS period,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       FROM e GROUP BY 2),
+mo AS (SELECT 'month' AS grain, strftime(d, '%Y-%m') AS period,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       FROM e GROUP BY 2)
+SELECT grain, period, exact_users, TRUE AS approx_ok, TRUE AS merge_ok FROM wk
+UNION ALL
+SELECT grain, period, exact_users, TRUE AS approx_ok, TRUE AS merge_ok FROM mo
+"""
+
+
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
+    "approx_users_sketch": approx_users_sketch,
     "user_activity_flagship": user_activity_flagship,
     "event_type_share_weekly": event_type_share_weekly,
     "addon_users_blocklisted": addon_users_blocklisted,
@@ -517,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
+    "approx_users_sketch": APPROX_USERS_SKETCH_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
     "event_type_share_weekly": EVENT_SHARE_ORACLE,
     "addon_users_blocklisted": _addon_blocklist_oracle(),

@@ -328,8 +328,56 @@ SELECT doc_id, component, n_types, rnk = 1 AS keep FROM ranked
 """
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 over 28-bit signatures —
+    the fingerprint-distance sibling of `dedup_minhash_lsh` (exact
+    recall at the cutoff via pigeonhole banding, no probabilistic
+    miss). Scale: one codegen signature pass + a self-equi-join on
+    (band, 7-bit value) keys; candidates shrink as corpus entropy
+    grows, never an all-pairs product. The oracle twin is the brute
+    all-pairs form — banding is provably lossless, so they agree
+    bit-for-bit at any SF."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _simhash_pairs_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+    )
+
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sh AS (SELECT doc_id, {md5_int_sql('w')} AS h FROM tok),
+sv AS (SELECT doc_id,
+       {votes}
+      FROM sh GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sv)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_hirecall": dedup_minhash_lsh_hirecall,
@@ -340,6 +388,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_simhash": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_minhash_lsh_hirecall": _minhash_oracle(n_bands=HIRECALL_BANDS),

@@ -75,6 +75,34 @@ def test_simhash_xxhash64_separates_near_dups(spark, sf_dir):
             assert ham <= 8, (mode, da, db, ham)
 
 
+def test_simhash_pairs_banding_is_lossless(spark, sf_dir):
+    """The (k+1)-band pigeonhole block join must recover EXACTLY the
+    brute-force all-pairs Hamming ≤ k set — banding is a candidate
+    filter, never a recall trade-off (unlike MinHash banding)."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["da"], r["db"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sims)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    assert brute
+    assert got == brute
+
+
 def test_cosine_f32_agrees_with_parity(spark, sf_dir):
     """Float32 brute-force top-3 vs the int64-quantized parity path on
     the same queries: identical (q_id, n_id) pair sets. Quantization
