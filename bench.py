@@ -197,6 +197,7 @@ def main() -> None:
         "dedup_semantic",
         "dedup_simhash",
         "approx_users_sketch",
+        "retention_theta_sketch",
     ):
         if name not in QUERIES:
             continue

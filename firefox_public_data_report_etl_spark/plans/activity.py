@@ -595,9 +595,123 @@ SELECT grain, period, exact_users, TRUE AS approx_ok, TRUE AS merge_ok FROM mo
 """
 
 
+THETA_REL_TOL = 0.05
+
+
+def retention_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention / churn / new-user counts via Theta
+    sketch SET OPERATIONS — the capability HLL cannot give: per-week
+    user sketches support not just union but `theta_intersection`
+    (retained = W ∩ W+1) and `theta_difference` (churned = W \\ W+1,
+    new = W+1 \\ W), so at 100 TB the entire retention matrix falls
+    out of #weeks-sized sketch blobs with NO raw self-join on
+    user_id. Default lgNomEntries=12 keeps the sketch in exact mode
+    below ~4k retained entries and rsd ≈ 1.6% beyond.
+
+    Binding: the exact columns come from the distinct (week, user)
+    self-join (what the sketch path replaces); per-pair booleans
+    assert |estimate − exact| ≤ max(1, 5% · exact). The DuckDB twin
+    recomputes the exacts and pins the booleans TRUE, so a sketch
+    regression fails the value hash.
+
+    Scale: one distinct on (week, user) feeding both paths here; in
+    production only the per-week sketch agg runs (map-side partial
+    sketches, one shuffle on week) and the exact join is dropped.
+    """
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            week_start(F.col("ts")).alias("w"),
+            "user_id",
+        )
+        .distinct()
+        .cache()
+    )
+    sk = uw.groupBy("w").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("exact_wau"),
+    )
+    a = sk.select(
+        F.col("w").alias("wa"), F.col("sk").alias("ska"),
+        F.col("exact_wau").alias("ea"),
+    )
+    b = sk.select(
+        F.col("w").alias("wb"), F.col("sk").alias("skb"),
+        F.col("exact_wau").alias("eb"),
+    )
+    pairs = a.join(b, F.date_add(F.col("wa"), 7) == F.col("wb"))
+    ret = (
+        uw.alias("x")
+        .join(
+            uw.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.date_add(F.col("x.w"), 7) == F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("wa"))
+        .agg(F.count("*").alias("retained"))
+    )
+    j = (
+        pairs.join(ret, "wa", "left")
+        .withColumn("exact_retained", F.coalesce("retained", F.lit(0)))
+        .withColumn("exact_churned", F.col("ea") - F.col("exact_retained"))
+        .withColumn("exact_new", F.col("eb") - F.col("exact_retained"))
+    )
+
+    def ok(est, exact):
+        tol = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(THETA_REL_TOL) * F.col(exact)),
+        )
+        return (F.abs(est - F.col(exact)) <= tol).alias(f"{exact[6:]}_ok")
+
+    return j.select(
+        F.date_format("wa", "yyyy-MM-dd").alias("week_from"),
+        F.date_format("wb", "yyyy-MM-dd").alias("week_to"),
+        F.col("ea").alias("exact_wau_from"),
+        F.col("eb").alias("exact_wau_to"),
+        "exact_retained",
+        "exact_churned",
+        "exact_new",
+        ok(
+            F.theta_sketch_estimate(F.theta_intersection("ska", "skb")),
+            "exact_retained",
+        ),
+        ok(
+            F.theta_sketch_estimate(F.theta_difference("ska", "skb")),
+            "exact_churned",
+        ),
+        ok(
+            F.theta_sketch_estimate(F.theta_difference("skb", "ska")),
+            "exact_new",
+        ),
+    )
+
+
+RETENTION_THETA_ORACLE = """
+WITH uw AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w, user_id
+            FROM events),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uw GROUP BY w),
+ret AS (SELECT a.w AS wa, CAST(count(*) AS BIGINT) AS retained
+        FROM uw a JOIN uw b
+          ON b.w = a.w + 7 AND a.user_id = b.user_id
+        GROUP BY a.w),
+pairs AS (SELECT a.w AS wa, b.w AS wb, a.n AS ea, b.n AS eb
+          FROM wc a JOIN wc b ON b.w = a.w + 7)
+SELECT strftime(pairs.wa, '%Y-%m-%d') AS week_from,
+       strftime(wb, '%Y-%m-%d') AS week_to,
+       ea AS exact_wau_from, eb AS exact_wau_to,
+       COALESCE(retained, 0) AS exact_retained,
+       ea - COALESCE(retained, 0) AS exact_churned,
+       eb - COALESCE(retained, 0) AS exact_new,
+       TRUE AS retained_ok, TRUE AS churned_ok, TRUE AS new_ok
+FROM pairs LEFT JOIN ret ON ret.wa = pairs.wa
+"""
+
+
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
     "approx_users_sketch": approx_users_sketch,
+    "retention_theta_sketch": retention_theta_sketch,
     "user_activity_flagship": user_activity_flagship,
     "event_type_share_weekly": event_type_share_weekly,
     "addon_users_blocklisted": addon_users_blocklisted,
@@ -606,6 +720,7 @@ QUERIES = {
 ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
     "approx_users_sketch": APPROX_USERS_SKETCH_ORACLE,
+    "retention_theta_sketch": RETENTION_THETA_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
     "event_type_share_weekly": EVENT_SHARE_ORACLE,
     "addon_users_blocklisted": _addon_blocklist_oracle(),
