@@ -318,27 +318,51 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_mode: str = "parity",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """(id, simhash): 28-bit SimHash over tokens (with multiplicity).
+    """(id, simhash): ``bits``-wide SimHash over tokens (with
+    multiplicity). Bit b is set iff the +1/−1 vote of token-hash bit
+    b is positive. Near-dup mining at scale: band the bits into k+1
+    chunks and join on chunk equality (pigeonhole covers hamming ≤ k).
 
-    Bit b is set iff the +1/−1 vote of token-hash bit b is positive.
-    Near-dup mining at scale: band the 28 bits into k+1 chunks and
-    join on chunk equality (pigeonhole covers hamming ≤ k).
+    Width is the banding capacity knob: band-bucket count is
+    2^(bits/(k+1)), so the default 28 (text_profile's fingerprint
+    column, DuckDB-parity) saturates buckets at corpus scale while 60
+    (`dedup_simhash`, still DuckDB-parity — 15 md5 nibbles fit a
+    BIGINT) and 64 (xxhash64 production mode) keep buckets sparse.
     """
+    if hash_mode == "parity":
+        if bits % 4 or bits > 60:
+            raise ValueError("parity simhash needs bits % 4 == 0, <= 60")
+        h_expr = F.expr(md5_int_spark_sql("w", nibbles=bits // 4))
+    elif hash_mode == "xxhash64":
+        if bits > 64:
+            raise ValueError("xxhash64 simhash caps at 64 bits")
+        h_expr = (
+            F.expr("xxhash64(w)")
+            if bits == 64
+            else F.expr(f"xxhash64(w) & {(1 << bits) - 1}")
+        )
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    h = toks.withColumn("h", _hash28("w", hash_mode))
+    h = toks.withColumn("h", h_expr)
+    # (h >> b) & 1 is sign-safe: arithmetic shiftright makes bit 63
+    # land correctly even for negative xxhash64 values.
     votes = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     g = h.groupBy(id_col).agg(*votes)
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(bits):
+        # bit 63 of a signed long is −2^63 in two's complement
+        bitval = -(1 << 63) if b == 63 else (1 << b)
+        term = F.when(F.col(f"v{b}") > 0, F.lit(bitval)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return g.select(id_col, sim.cast("long").alias("simhash"))
 
@@ -349,6 +373,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_mode: str = "parity",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(da, db, hamming): near-duplicate pairs at SimHash Hamming
     distance ≤ ``max_hamming``, mined via banded blocking — the
@@ -363,22 +388,24 @@ def simhash_pairs(
     EVERY qualifying pair (exact recall, unlike probabilistic MinHash
     banding), and ``bit_count(xor)`` verifies candidates.
 
-    Scale: one signature pass (token explode + 28-vote aggregate, all
-    codegen), then a self-equi-join on 8-byte (band, value) keys —
-    never an all-pairs product. Candidate volume per band bucket is
-    corpus_size / 2^band_bits in expectation; with 7-bit bands the
-    blow-up only matters if the corpus is pathologically
-    low-entropy, in which case widen SIMHASH_BITS. The distinct on
-    (da, db) collapses multi-band hits before the verify expression.
+    Scale: one signature pass (token explode + per-bit vote
+    aggregate, all codegen), then a self-equi-join on 8-byte (band,
+    value) keys — never an all-pairs product. Band-bucket load is
+    corpus_size / 2^(bits/(k+1)) in expectation, so `bits` is the
+    scale knob: 28-bit signatures (128-value bands) saturate at
+    corpus scale, 60-bit (32k-value bands, still md5-parity for the
+    oracle) and 64-bit xxhash64 (65k-value bands) keep the join
+    sparse. The distinct on (da, db) collapses multi-band hits
+    before the verify expression.
     """
     n_bands = max_hamming + 1
-    if SIMHASH_BITS % n_bands:
+    if bits % n_bands:
         raise ValueError(
-            f"max_hamming+1={n_bands} must divide SIMHASH_BITS={SIMHASH_BITS}"
+            f"max_hamming+1={n_bands} must divide bits={bits}"
         )
-    band_bits = SIMHASH_BITS // n_bands
+    band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = simhash_signatures(docs, id_col, text_col, hash_mode)
+    sig = simhash_signatures(docs, id_col, text_col, hash_mode, bits=bits)
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -329,14 +329,24 @@ SELECT doc_id, component, n_types, rnk = 1 AS keep FROM ranked
 
 
 SIMHASH_MAX_HAMMING = 3
+# 60-bit signatures, NOT text_profile's 28-bit fingerprint column:
+# band buckets hold corpus/2^(bits/4) docs, so 28 bits (128-value
+# bands) saturates at corpus scale while 60 bits (32k-value bands)
+# keeps the block join sparse — and 15 md5 nibbles still fit a
+# BIGINT, so the DuckDB oracle reproduces signatures bit-for-bit.
+# The 64-bit xxhash64 production mode drops the md5 hex cost
+# entirely (operators/dedup.py simhash_pairs(bits=64,
+# hash_mode="xxhash64"); banding-losslessness is hash-agnostic —
+# test_simhash_pairs_banding_is_lossless covers both).
+SIMHASH_PAIR_BITS = 60
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming ≤ 3 over 28-bit signatures —
+    """SimHash near-dup pairs at Hamming ≤ 3 over 60-bit signatures —
     the fingerprint-distance sibling of `dedup_minhash_lsh` (exact
     recall at the cutoff via pigeonhole banding, no probabilistic
     miss). Scale: one codegen signature pass + a self-equi-join on
-    (band, 7-bit value) keys; candidates shrink as corpus entropy
+    (band, 15-bit value) keys; candidates shrink as corpus entropy
     grows, never an all-pairs product. The oracle twin is the brute
     all-pairs form — banding is provably lossless, so they agree
     bit-for-bit at any SF."""
@@ -345,25 +355,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    return simhash_pairs(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_PAIR_BITS
+    )
 
 
 def _simhash_pairs_oracle() -> str:
-    from firefox_public_data_report_etl_spark.operators.dedup import (
-        SIMHASH_BITS,
-    )
-
     votes = ",\n       ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(SIMHASH_PAIR_BITS)
     )
     terms = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
+        for b in range(SIMHASH_PAIR_BITS)
     )
     return f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-sh AS (SELECT doc_id, {md5_int_sql('w')} AS h FROM tok),
+sh AS (SELECT doc_id, {md5_int_sql('w', nibbles=SIMHASH_PAIR_BITS // 4)} AS h FROM tok),
 sv AS (SELECT doc_id,
        {votes}
       FROM sh GROUP BY doc_id),

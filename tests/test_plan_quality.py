@@ -264,3 +264,54 @@ def test_interval_join_is_equi_keyed(spark, sf_dir):
     plan = _executed_plan(spark, "click_purchase_pairs_weekly", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_native_runtime_bloom_injection_eligible(spark, sf_dir):
+    """Spark's own runtime bloom-filter rewrite (on by default) stays
+    dormant at test scale only because its creation/application
+    thresholds target production sizes. With the thresholds set to
+    local-scale values, a selective-dim -> fact shuffle join from this
+    engine's tables gets (a) `bloom_filter_agg` built over the
+    filtered creation side and (b) a `might_contain` Filter placed on
+    the fact scan side — evidence the join shapes here are eligible
+    for native runtime row pruning at 100 TB with zero plan changes
+    (companion to the EXPLICIT bloom in operators/runtime_filter.py,
+    which works at any size and under broadcast)."""
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        fact = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = (
+            fact.join(o, fact.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "creation-side bloom not built"
+        probe = [
+            l
+            for l in plan.splitlines()
+            if "might_contain" in l and "l_orderkey" in l and "Filter" in l
+        ]
+        assert probe, "might_contain probe not on the fact scan side"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

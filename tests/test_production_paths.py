@@ -75,10 +75,21 @@ def test_simhash_xxhash64_separates_near_dups(spark, sf_dir):
             assert ham <= 8, (mode, da, db, ham)
 
 
-def test_simhash_pairs_banding_is_lossless(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "hash_mode,bits",
+    [("parity", 60), ("xxhash64", 64)],
+    ids=["parity60-registry", "xxhash64-production"],
+)
+def test_simhash_pairs_banding_is_lossless(spark, sf_dir, hash_mode, bits):
     """The (k+1)-band pigeonhole block join must recover EXACTLY the
     brute-force all-pairs Hamming ≤ k set — banding is a candidate
-    filter, never a recall trade-off (unlike MinHash banding)."""
+    filter, never a recall trade-off (unlike MinHash banding). The
+    property is hash-agnostic, so one test pins both the md5-parity
+    registry form and the 64-bit xxhash64 production mode (which also
+    exercises the signed bit-63 signature term)."""
     from firefox_public_data_report_etl_spark.operators.dedup import (
         simhash_pairs,
     )
@@ -86,17 +97,22 @@ def test_simhash_pairs_banding_is_lossless(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     got = {
         (r["da"], r["db"], r["hamming"])
-        for r in simhash_pairs(docs, max_hamming=3).collect()
+        for r in simhash_pairs(
+            docs, max_hamming=3, hash_mode=hash_mode, bits=bits
+        ).collect()
     }
     sims = {
         r["doc_id"]: r["simhash"]
-        for r in simhash_signatures(docs).collect()
+        for r in simhash_signatures(
+            docs, hash_mode=hash_mode, bits=bits
+        ).collect()
     }
     ids = sorted(sims)
     brute = set()
+    mask64 = (1 << 64) - 1
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            h = bin(sims[a] ^ sims[b]).count("1")
+            h = bin((sims[a] ^ sims[b]) & mask64).count("1")
             if h <= 3:
                 brute.add((a, b, h))
     assert brute
