@@ -198,6 +198,7 @@ def main() -> None:
         "dedup_simhash",
         "approx_users_sketch",
         "retention_theta_sketch",
+        "token_heavy_hitters",
     ):
         if name not in QUERIES:
             continue

@@ -851,8 +851,80 @@ FROM rankedk WHERE rnk = 1"""
     )
 
 
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+HH_TOP_K = 20
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token heavy hitters bound to a Count-Min frequency
+    sketch — the sketch-suite member for FREQUENCY (HLL = distinct,
+    Theta = set ops, t-digest = quantiles). At 100 TB the CMS is the
+    deployable path for "how often does token/domain/url X occur":
+    one map-side-mergeable aggregate producing a fixed-size (eps,
+    confidence) table, no token-cardinality shuffle, estimates
+    extracted per candidate from the merged sketch — with CMS's
+    one-sided guarantee (never an undercount; overcount ≤ eps·N with
+    prob ≥ confidence).
+
+    Binding: the exact top-K token counts (count desc, token asc —
+    deterministic tie-break in both engines) carry two booleans,
+    `lower_ok` (estimate ≥ exact — deterministic CMS property) and
+    `upper_ok` (estimate ≤ exact + ⌈eps·N⌉ — the advertised error at
+    the fixed seed). The DuckDB twin recomputes the exact top-K and
+    pins both TRUE, so a sketch regression fails the value hash.
+
+    Scale: two passes over the exploded tokens (the CMS+N aggregate
+    and the exact count the binding needs — production drops the
+    exact pass); the K-row estimate lookup rides a broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    agg = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk"),
+        F.count("*").alias("n"),
+    ).head()
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(HH_TOP_K)
+    )
+    candidates = [r["token"] for r in top.collect()]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
+    )
+    bound = int(agg["n"] * CMS_EPS) + 1
+    lookup = spark.createDataFrame(
+        [(t, int(cms.estimateCount(t))) for t in candidates],
+        "token string, est long",
+    )
+    return top.join(F.broadcast(lookup), "token").select(
+        "token",
+        "exact_count",
+        (F.col("est") >= F.col("exact_count")).alias("lower_ok"),
+        (F.col("est") <= F.col("exact_count") + F.lit(bound)).alias(
+            "upper_ok"
+        ),
+    )
+
+
+TOKEN_HEAVY_HITTERS_ORACLE = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+      FROM t GROUP BY token)
+SELECT token, exact_count, TRUE AS lower_ok, TRUE AS upper_ok
+FROM c ORDER BY exact_count DESC, token ASC LIMIT {HH_TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "token_heavy_hitters": token_heavy_hitters,
     "corpus_boilerplate": corpus_boilerplate,
     "pii_redaction": pii_redaction,
     "corpus_curation_pipeline": corpus_curation_pipeline,
@@ -869,6 +941,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
+    "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
     "pii_redaction": _pii_oracle(),
     "corpus_curation_pipeline": _curation_oracle(),
