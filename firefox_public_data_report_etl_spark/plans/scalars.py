@@ -265,8 +265,62 @@ GROUP BY 1, 2, 3
 """
 
 
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VARIANT — the schema-on-read
+    sibling of `channel_struct_rollup`'s `from_json`-with-schema form:
+    `parse_json` builds the binary variant once (no schema declared,
+    shredding-eligible in a lakehouse table), `variant_get` extracts
+    typed paths per consumer, `try_variant_get` degrades missing paths
+    to NULL instead of failing, and `schema_of_variant` is asserted in
+    the output so a payload drift breaks the value hash. Scale: the
+    variant parse + path extraction stay JVM-side in the scan
+    projection; the rollup is one shuffle on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("m"),
+        F.schema_of_variant(F.col("v")).alias("vschema"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("m").alias("n_missing_path"),
+        F.count_distinct("vschema").alias("n_schemas"),
+        F.min("vschema").alias("vschema_min"),
+    )
+
+
+VARIANT_PROPS_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(NULL AS BIGINT) AS m,
+         'OBJECT<k: BIGINT>' AS vschema
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(count(m) AS BIGINT) AS n_missing_path,
+       CAST(count(DISTINCT vschema) AS BIGINT) AS n_schemas,
+       min(vschema) AS vschema_min
+FROM v
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scalar_expr_showcase": scalar_expr_showcase,
+    "variant_props_rollup": variant_props_rollup,
     "empty_preserving_unnest": empty_preserving_unnest,
     "channel_struct_rollup": channel_struct_rollup,
     "locale_distinct_counts": locale_distinct_counts,
@@ -274,6 +328,7 @@ QUERIES = {
 
 ORACLES = {
     "scalar_expr_showcase": SCALAR_SHOWCASE_ORACLE,
+    "variant_props_rollup": VARIANT_PROPS_ORACLE,
     "empty_preserving_unnest": EMPTY_PRESERVING_ORACLE,
     "channel_struct_rollup": CHANNEL_STRUCT_ORACLE,
     "locale_distinct_counts": LOCALE_DISTINCT_ORACLE,

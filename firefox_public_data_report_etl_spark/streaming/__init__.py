@@ -7,6 +7,10 @@ from firefox_public_data_report_etl_spark.streaming.joins import (
 from firefox_public_data_report_etl_spark.streaming.tws import (
     running_user_totals_tws,
 )
+from firefox_public_data_report_etl_spark.streaming.sketches import (
+    stream_sketch_union,
+    weekly_estimates,
+)
 from firefox_public_data_report_etl_spark.streaming.upsert import (
     stream_upsert,
     upsert_batch,
@@ -21,7 +25,9 @@ __all__ = [
     "stream_dedup_events",
     "running_user_totals_tws",
     "stream_events",
+    "stream_sketch_union",
     "stream_upsert",
+    "weekly_estimates",
     "tumbling_event_value",
     "upsert_batch",
 ]

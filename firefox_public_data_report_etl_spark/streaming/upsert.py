@@ -98,11 +98,18 @@ def upsert_batch(
             merged = merge_rows(target, batch, keys)
     else:
         merged = batch
-    # Staging-then-swap: the merge reads the files it replaces, so the
-    # new table is fully materialized aside before any rename.
+    swap_write(merged, target_path)
+
+
+def swap_write(df: DataFrame, target_path: str) -> None:
+    """Staging-then-swap parquet rewrite: fully materialize the new
+    table aside (the plan may read the files it replaces), then two
+    atomic renames — the crash window `_recover` rolls forward. Shared
+    by every foreachBatch sink in this package that rewrites a
+    read-modify-write target."""
     staging = f"{target_path}._staging"
     old = f"{target_path}._old"
-    merged.write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").parquet(staging)
     if Path(target_path).exists():
         os.rename(target_path, old)
     os.rename(staging, target_path)

@@ -293,3 +293,60 @@ def test_stream_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM pii_stream_test").collect()
     }
     assert got == expected
+
+
+def test_stream_sketch_union_matches_exact(spark, sf_dir, tmp_path):
+    """Incremental HLL sketch rollup: the events table split across 3
+    micro-batches, per-batch partial sketches unioned into the target
+    by foreachBatch — the stored table's estimates must equal exact
+    weekly distinct users (lgK=14 keeps the sketch in exact sparse
+    mode at test cardinalities, and union-of-partials is associative,
+    so batch boundaries cannot change the registers), and a restart on
+    the same checkpoint with no new files must change nothing."""
+    from firefox_public_data_report_etl_spark.functions import week_start
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.streaming.sketches import (
+        stream_sketch_union,
+        weekly_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = tmp_path / "src"
+    ev.repartition(3).write.parquet(str(src))
+    target = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_sketch_union(stream, target, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    got = {
+        str(r["week"]): r["approx_users"]
+        for r in weekly_estimates(spark, target).collect()
+    }
+    exact = {
+        str(r["week"]): r["n"]
+        for r in ev.select(week_start(F.col("ts")).alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exact
+    assert len(got) >= 4  # the table really is per-week
+
+    run()  # checkpoint replay, no new files
+    again = {
+        str(r["week"]): r["approx_users"]
+        for r in weekly_estimates(spark, target).collect()
+    }
+    assert again == got
+    # swap protocol leaves no debris
+    assert not (tmp_path / "sketches._staging").exists()
+    assert not (tmp_path / "sketches._old").exists()
