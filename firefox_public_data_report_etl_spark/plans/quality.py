@@ -1,0 +1,230 @@
+"""Data-quality constraint audit — the Deequ-style verification layer
+a 100 TB ingest needs in front of every pipeline in this package:
+declarative checks (completeness, uniqueness, domain, range,
+referential integrity, derived-column consistency) evaluated as
+ordinary aggregates so Catalyst fuses them into per-table scans.
+
+Reference has no audit surface (its BigQuery SQL assumes clean
+tables); this is an engine extension in the spirit of
+spark-deequ/great-expectations, built from public technique only.
+
+Scale: every check is a scan-local aggregate (map-side partial, one
+tiny shuffle) except referential integrity, which is the canonical
+shuffle anti-join on the key; the result set is #checks rows. At
+production scale the per-table checks fuse into ONE pass per table
+(they already share their aggregate here) and the audit runs as a
+gate before downstream plans consume the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.sources import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+EMBEDDING_DIM = 64
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(table_name, check, observed, violations, ok) — one row per
+    constraint. `observed` is a data-dependent magnitude (row count,
+    distinct count, …) so the oracle hash pins the check computation
+    itself, not just the happy-path zeros."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+
+    def row(table, check, observed, violations):
+        return F.struct(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check"),
+            observed.cast("long").alias("observed"),
+            violations.cast("long").alias("violations"),
+        )
+
+    # one fused aggregate per table; each produces several check rows
+    o = orders.agg(
+        F.explode(
+            F.array(
+                row(
+                    "orders", "row_count_positive",
+                    F.count("*"), (F.count("*") == 0).cast("long"),
+                ),
+                row(
+                    "orders", "orderdate_complete",
+                    F.count("o_orderdate"),
+                    F.count("*") - F.count("o_orderdate"),
+                ),
+            )
+        ).alias("r")
+    )
+    li = lineitem.agg(
+        F.explode(
+            F.array(
+                row(
+                    "lineitem", "quantity_in_1_50",
+                    F.count("*"),
+                    F.sum(
+                        (~F.col("l_quantity").between(1, 50)).cast("long")
+                    ),
+                ),
+                row(
+                    "lineitem", "discount_in_0_0.1",
+                    F.count("*"),
+                    F.sum(
+                        (~F.col("l_discount").between(0.0, 0.1)).cast(
+                            "long"
+                        )
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    ev = events.agg(
+        F.explode(
+            F.array(
+                row(
+                    "events", "event_type_in_domain",
+                    F.count_distinct("event_type"),
+                    F.sum(
+                        (~F.col("event_type").isin(EVENT_TYPES)).cast(
+                            "long"
+                        )
+                    ),
+                ),
+                row(
+                    "events", "value_non_negative",
+                    F.count("value"),
+                    F.sum((F.col("value") < 0).cast("long")),
+                ),
+            )
+        ).alias("r")
+    )
+    doc = documents.agg(
+        F.explode(
+            F.array(
+                row(
+                    "documents", "doc_id_unique",
+                    F.count_distinct("doc_id"),
+                    F.count("*") - F.count_distinct("doc_id"),
+                ),
+                row(
+                    "documents", "n_chars_matches_text",
+                    F.count("*"),
+                    F.sum(
+                        (F.col("n_chars") != F.length("text")).cast("long")
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    emb = embeddings.agg(
+        F.explode(
+            F.array(
+                row(
+                    "embeddings", f"dim_is_{EMBEDDING_DIM}",
+                    F.count("*"),
+                    F.sum(
+                        (F.size("embedding") != EMBEDDING_DIM).cast("long")
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    # referential integrity: the one check that is inherently a join
+    fk = (
+        orders.select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(
+            F.explode(
+                F.array(
+                    row(
+                        "orders", "custkey_fk_into_customer",
+                        F.count("*"), F.count("*"),
+                    )
+                )
+            ).alias("r")
+        )
+    )
+    stacked = o.unionAll(li).unionAll(ev).unionAll(doc).unionAll(emb)
+    stacked = stacked.unionAll(fk)
+    return stacked.select("r.*").withColumn(
+        "ok", F.col("violations") == 0
+    )
+
+
+_EVENT_TYPE_LIST = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+DATA_QUALITY_ORACLE = f"""
+SELECT 'orders' AS table_name, 'row_count_positive' AS check,
+       CAST(count(*) AS BIGINT) AS observed,
+       CAST(count(*) = 0 AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'orders', 'orderdate_complete',
+       CAST(count(o_orderdate) AS BIGINT),
+       CAST(count(*) - count(o_orderdate) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'quantity_in_1_50', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'discount_in_0_0.1', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events', 'event_type_in_domain',
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(sum(CASE WHEN event_type NOT IN ({_EVENT_TYPE_LIST})
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events', 'value_non_negative', CAST(count(value) AS BIGINT),
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents', 'doc_id_unique',
+       CAST(count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'documents', 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars != length(text)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'embeddings', 'dim_is_{EMBEDDING_DIM}', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN len(embedding) != {EMBEDDING_DIM}
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM embeddings
+UNION ALL
+SELECT 'orders', 'custkey_fk_into_customer',
+       CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+"""
+
+_ORACLE_WRAP = f"""
+SELECT table_name, "check", observed, violations, violations = 0 AS ok
+FROM ({DATA_QUALITY_ORACLE.strip()}) t
+"""
+
+QUERIES = {
+    "data_quality_audit": data_quality_audit,
+}
+
+ORACLES = {
+    "data_quality_audit": _ORACLE_WRAP,
+}

@@ -18,6 +18,7 @@ from firefox_public_data_report_etl_spark.plans import (
     annotations,
     dedup,
     hardware,
+    quality,
     scalars,
     shapes,
     similarity,
@@ -32,6 +33,7 @@ _MODULES = [
     annotations,
     dedup,
     hardware,
+    quality,
     scalars,
     shapes,
     similarity,
