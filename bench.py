@@ -199,6 +199,9 @@ def main() -> None:
         "approx_users_sketch",
         "retention_theta_sketch",
         "token_heavy_hitters",
+        "variant_props_rollup",
+        "data_quality_audit",
+        "document_chunks",
     ):
         if name not in QUERIES:
             continue

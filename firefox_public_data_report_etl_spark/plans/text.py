@@ -922,9 +922,77 @@ FROM c ORDER BY exact_count DESC, token ASC LIMIT {HH_TOP_K}
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style fixed-window chunking with overlap — the retrieval
+    sibling of `sequence_packing` (which concatenates docs INTO
+    windows; this splits docs ACROSS windows, keeping a
+    CHUNK_TOKENS−CHUNK_STRIDE token overlap so no semantic boundary
+    is lost between neighbors). The standard prep step before
+    embedding a corpus for retrieval.
+
+    All codegen, no Python: split once, `sequence` over chunk starts
+    (integer math, guarded for short docs — every doc yields ≥ 1
+    chunk), `explode`, `slice` + `concat_ws` per chunk. The explode
+    multiplies rows ~n_tokens/stride ×, but each output row is
+    narrow and the operation stays scan-local (zero shuffles, zero
+    joins) — at 100 TB this runs at read bandwidth and feeds the
+    embedding UDF or writer directly. A Python UDTF could express the
+    same fan-out, but would pay the Arrow round-trip for work the JVM
+    does in the projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    k = d.withColumn(
+        "chunk_id",
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(0, (n - {CHUNK_TOKENS}"
+                f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}))"
+            )
+        ),
+    )
+    chunk = F.slice(
+        "t", F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return k.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+DOCUMENT_CHUNKS_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+k AS (SELECT doc_id, t,
+             unnest(range(0, greatest(0, (n - {CHUNK_TOKENS}
+                     + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}) + 1))
+               AS chunk_id
+      FROM d)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[chunk_id * {CHUNK_STRIDE} + 1 :
+                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+            AS BIGINT) AS n_tokens,
+       array_to_string(t[chunk_id * {CHUNK_STRIDE} + 1 :
+                         chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM k
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "token_heavy_hitters": token_heavy_hitters,
+    "document_chunks": document_chunks,
     "corpus_boilerplate": corpus_boilerplate,
     "pii_redaction": pii_redaction,
     "corpus_curation_pipeline": corpus_curation_pipeline,
@@ -942,6 +1010,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
+    "document_chunks": DOCUMENT_CHUNKS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
     "pii_redaction": _pii_oracle(),
     "corpus_curation_pipeline": _curation_oracle(),

@@ -175,3 +175,45 @@ def test_boilerplate_bounds(spark, docs_words):
             assert 0 <= out[i]["n_boiler"] <= out[i]["n_grams"]
     allb = boilerplate_scores(docs, n=3, min_df=1).collect()
     assert all(r["n_boiler"] == r["n_grams"] for r in allb)
+
+
+def test_document_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunking invariants over the real corpus: every token position
+    of every doc is covered by >= 1 chunk, consecutive chunks overlap
+    by exactly CHUNK_TOKENS - CHUNK_STRIDE tokens (verified on the
+    text itself), and short docs yield exactly one chunk."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        document_chunks,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in document_chunks(spark, sf_dir).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r[
+            "chunk_text"
+        ].split(" ")
+    assert set(by_doc) == set(docs)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    for doc_id, toks in docs.items():
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        if len(toks) <= CHUNK_TOKENS:
+            assert len(chunks) == 1 and chunks[0] == toks
+            continue
+        # coverage: chunk k starts at k*stride and the last chunk
+        # reaches the final token
+        covered = 0
+        for k in sorted(chunks):
+            assert chunks[k] == toks[
+                k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_TOKENS
+            ]
+            covered = max(covered, k * CHUNK_STRIDE + len(chunks[k]))
+        assert covered == len(toks)
+        for k in range(len(chunks) - 1):
+            assert chunks[k][-overlap:] == chunks[k + 1][: overlap]
