@@ -70,15 +70,28 @@ MINHASH_PERMS: list[tuple[int, int]] = make_perms(N_BANDS * ROWS_PER_BAND)
 HASH28_MASK = (1 << 28) - 1
 
 
-def _hash28(col: str, hash_mode: str):
-    """28-bit integer hash of a string column. ``parity`` = md5-prefix
-    (bit-identical in DuckDB); ``xxhash64`` = production path (JVM
-    xxHash64 on raw bytes, low 28 bits — no hex-string cost)."""
+def _hash_int(col: str, hash_mode: str, bits: int = 28):
+    """``bits``-wide integer hash of a string column. ``parity`` =
+    md5-prefix (bit-identical in DuckDB; bits % 4 == 0, ≤ 60 so the
+    nibble sum fits a BIGINT); ``xxhash64`` = production path (JVM
+    xxHash64 on raw bytes, low ``bits`` — no hex-string cost; 64 =
+    the raw signed hash). Single dispatch point for every hashed
+    shingle/gram/token path in this module."""
     if hash_mode == "parity":
-        return F.expr(md5_int_spark_sql(col))
+        if bits % 4 or bits > 60:
+            raise ValueError("parity hash needs bits % 4 == 0, <= 60")
+        return F.expr(md5_int_spark_sql(col, nibbles=bits // 4))
     if hash_mode == "xxhash64":
-        return F.expr(f"xxhash64({col}) & {HASH28_MASK}")
+        if bits > 64:
+            raise ValueError("xxhash64 caps at 64 bits")
+        if bits == 64:
+            return F.expr(f"xxhash64({col})")
+        return F.expr(f"xxhash64({col}) & {(1 << bits) - 1}")
     raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
+def _hash28(col: str, hash_mode: str):
+    return _hash_int(col, hash_mode, bits=28)
 
 # Word 3-gram shingles from a token array column `t` — same logic in
 # both dialects (Spark subscripts are 0-based → element_at; DuckDB
@@ -331,20 +344,7 @@ def simhash_signatures(
     (`dedup_simhash`, still DuckDB-parity — 15 md5 nibbles fit a
     BIGINT) and 64 (xxhash64 production mode) keep buckets sparse.
     """
-    if hash_mode == "parity":
-        if bits % 4 or bits > 60:
-            raise ValueError("parity simhash needs bits % 4 == 0, <= 60")
-        h_expr = F.expr(md5_int_spark_sql("w", nibbles=bits // 4))
-    elif hash_mode == "xxhash64":
-        if bits > 64:
-            raise ValueError("xxhash64 simhash caps at 64 bits")
-        h_expr = (
-            F.expr("xxhash64(w)")
-            if bits == 64
-            else F.expr(f"xxhash64(w) & {(1 << bits) - 1}")
-        )
-    else:
-        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    h_expr = _hash_int("w", hash_mode, bits=bits)
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     )

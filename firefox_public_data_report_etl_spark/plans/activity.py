@@ -546,7 +546,7 @@ def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    def grain(period_col, exact_period_col, name):
+    def grain(period_col, name):
         est = (
             daily.groupBy(period_col("d").alias("period"))
             .agg(
@@ -555,7 +555,7 @@ def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        exact = ev.groupBy(exact_period_col("d").alias("period")).agg(
+        exact = ev.groupBy(period_col("d").alias("period")).agg(
             F.countDistinct("user_id").alias("exact_users"),
             F.hll_sketch_estimate(
                 F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
@@ -577,7 +577,7 @@ def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wk = lambda c: F.date_format(week_start(F.col(c)), "yyyy-MM-dd")  # noqa: E731
     mo = lambda c: F.date_format(F.col(c), "yyyy-MM")  # noqa: E731
-    return grain(wk, wk, "week").unionAll(grain(mo, mo, "month"))
+    return grain(wk, "week").unionAll(grain(mo, "month"))
 
 
 APPROX_USERS_SKETCH_ORACLE = """

@@ -69,16 +69,20 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lineitem", "quantity_in_1_50",
                     F.count("*"),
                     F.sum(
-                        (~F.col("l_quantity").between(1, 50)).cast("long")
+                        (
+                            F.col("l_quantity").isNull()
+                            | ~F.col("l_quantity").between(1, 50)
+                        ).cast("long")
                     ),
                 ),
                 row(
                     "lineitem", "discount_in_0_0.1",
                     F.count("*"),
                     F.sum(
-                        (~F.col("l_discount").between(0.0, 0.1)).cast(
-                            "long"
-                        )
+                        (
+                            F.col("l_discount").isNull()
+                            | ~F.col("l_discount").between(0.0, 0.1)
+                        ).cast("long")
                     ),
                 ),
             )
@@ -87,19 +91,29 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.agg(
         F.explode(
             F.array(
+                # NULL-safe: a NULL event_type/value is a violation,
+                # not a skipped row — `x NOT IN (...)` and `x < 0` are
+                # NULL for NULL x, which SUM would silently drop, so
+                # every predicate ORs an explicit isNull term (the
+                # Deequ completeness+domain composition).
                 row(
                     "events", "event_type_in_domain",
                     F.count_distinct("event_type"),
                     F.sum(
-                        (~F.col("event_type").isin(EVENT_TYPES)).cast(
-                            "long"
-                        )
+                        (
+                            F.col("event_type").isNull()
+                            | ~F.col("event_type").isin(EVENT_TYPES)
+                        ).cast("long")
                     ),
                 ),
                 row(
                     "events", "value_non_negative",
                     F.count("value"),
-                    F.sum((F.col("value") < 0).cast("long")),
+                    F.sum(
+                        (
+                            F.col("value").isNull() | (F.col("value") < 0)
+                        ).cast("long")
+                    ),
                 ),
             )
         ).alias("r")
@@ -116,7 +130,11 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "documents", "n_chars_matches_text",
                     F.count("*"),
                     F.sum(
-                        (F.col("n_chars") != F.length("text")).cast("long")
+                        (
+                            F.col("n_chars").isNull()
+                            | F.col("text").isNull()
+                            | (F.col("n_chars") != F.length("text"))
+                        ).cast("long")
                     ),
                 ),
             )
@@ -129,7 +147,10 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "embeddings", f"dim_is_{EMBEDDING_DIM}",
                     F.count("*"),
                     F.sum(
-                        (F.size("embedding") != EMBEDDING_DIM).cast("long")
+                        (
+                            F.col("embedding").isNull()
+                            | (F.size("embedding") != EMBEDDING_DIM)
+                        ).cast("long")
                     ),
                 ),
             )
@@ -175,23 +196,27 @@ SELECT 'orders', 'orderdate_complete',
 FROM orders
 UNION ALL
 SELECT 'lineitem', 'quantity_in_1_50', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+       CAST(sum(CASE WHEN l_quantity IS NULL
+                       OR l_quantity NOT BETWEEN 1 AND 50
                      THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem', 'discount_in_0_0.1', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+       CAST(sum(CASE WHEN l_discount IS NULL
+                       OR l_discount NOT BETWEEN 0.0 AND 0.1
                      THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'events', 'event_type_in_domain',
        CAST(count(DISTINCT event_type) AS BIGINT),
-       CAST(sum(CASE WHEN event_type NOT IN ({_EVENT_TYPE_LIST})
+       CAST(sum(CASE WHEN event_type IS NULL
+                       OR event_type NOT IN ({_EVENT_TYPE_LIST})
                      THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'events', 'value_non_negative', CAST(count(value) AS BIGINT),
-       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN value IS NULL OR value < 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'documents', 'doc_id_unique',
@@ -200,12 +225,14 @@ SELECT 'documents', 'doc_id_unique',
 FROM documents
 UNION ALL
 SELECT 'documents', 'n_chars_matches_text', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN n_chars != length(text)
+       CAST(sum(CASE WHEN n_chars IS NULL OR text IS NULL
+                       OR n_chars != length(text)
                      THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'embeddings', 'dim_is_{EMBEDDING_DIM}', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN len(embedding) != {EMBEDDING_DIM}
+       CAST(sum(CASE WHEN embedding IS NULL
+                       OR len(embedding) != {EMBEDDING_DIM}
                      THEN 1 ELSE 0 END) AS BIGINT)
 FROM embeddings
 UNION ALL

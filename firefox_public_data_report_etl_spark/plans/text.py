@@ -875,10 +875,14 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed seed). The DuckDB twin recomputes the exact top-K and
     pins both TRUE, so a sketch regression fails the value hash.
 
-    Scale: two passes over the exploded tokens (the CMS+N aggregate
-    and the exact count the binding needs — production drops the
-    exact pass); the K-row estimate lookup rides a broadcast join.
+    Scale: two passes over the exploded tokens — the CMS+N aggregate
+    and the exact count the binding needs (cached at its K-row tip,
+    so the candidate collect and the final join share one execution;
+    production drops the exact pass entirely); the K-row estimate
+    lookup rides a broadcast join.
     """
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     agg = toks.agg(
@@ -892,13 +896,14 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(HH_TOP_K)
+        .cache()
     )
     candidates = [r["token"] for r in top.collect()]
     jvm = spark.sparkContext._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
     )
-    bound = int(agg["n"] * CMS_EPS) + 1
+    bound = math.ceil(agg["n"] * CMS_EPS)
     lookup = spark.createDataFrame(
         [(t, int(cms.estimateCount(t))) for t in candidates],
         "token string, est long",

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.functions import week_start
 from firefox_public_data_report_etl_spark.streaming.upsert import (
-    _recover,
+    recover_swap,
     swap_write,
 )
 
@@ -45,7 +45,7 @@ def sketch_batch(
     """Union one micro-batch's partial per-week sketches into the
     target sketch table. One shuffle over the BATCH only (never the
     history); the read-modify-write touches #weeks rows."""
-    _recover(target_path)
+    recover_swap(target_path)
     partial = batch.select(
         week_start(F.col("ts")).alias("week"), "user_id"
     ).groupBy("week").agg(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from firefox_public_data_report_etl_spark.operators.merge import merge_rows
 
 
-def _recover(target_path: str) -> None:
+def recover_swap(target_path: str) -> None:
     """Roll forward/back an interrupted swap so checkpoint replay never
     merges against a half-written target. Invariant of the swap
     protocol below: ``._old`` only exists between the two renames, and
@@ -62,12 +62,12 @@ def upsert_batch(
     The target rewrite is crash-safe on a POSIX filesystem: write to a
     staging dir, rename the live target aside, rename staging into
     place (both renames atomic), then delete the old copy — and
-    ``_recover`` rolls an interrupted swap forward on the next batch.
+    ``recover_swap`` rolls an interrupted swap forward on the next batch.
     On an object store without atomic rename, swap the sink for a
     manifest-pointer flip or a MERGE-native table format; the merge
     logic is unchanged.
     """
-    _recover(target_path)
+    recover_swap(target_path)
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
         batch = (
@@ -104,7 +104,7 @@ def upsert_batch(
 def swap_write(df: DataFrame, target_path: str) -> None:
     """Staging-then-swap parquet rewrite: fully materialize the new
     table aside (the plan may read the files it replaces), then two
-    atomic renames — the crash window `_recover` rolls forward. Shared
+    atomic renames — the crash window `recover_swap` rolls forward. Shared
     by every foreachBatch sink in this package that rewrites a
     read-modify-write target."""
     staging = f"{target_path}._staging"

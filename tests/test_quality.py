@@ -16,9 +16,19 @@ from firefox_public_data_report_etl_spark.plans.quality import (
 def test_data_quality_audit_detects_violations(spark, sf_dir, tmp_path):
     for t in [
         "region", "nation", "customer", "supplier", "part",
-        "lineitem", "events", "embeddings",
+        "lineitem", "embeddings",
     ]:
         os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    # events: one NULL event_type — NULL must count as a domain
+    # violation (x NOT IN (...) is NULL, which a naive SUM drops)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    null_ev = events.limit(1).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    events.unionByName(null_ev).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
 
     # documents: one duplicated doc_id whose n_chars also lies
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -43,9 +53,10 @@ def test_data_quality_audit_detects_violations(spark, sf_dir, tmp_path):
     assert m[("documents", "doc_id_unique")] == (1, False)
     assert m[("documents", "n_chars_matches_text")] == (1, False)
     assert m[("orders", "custkey_fk_into_customer")] == (1, False)
+    assert m[("events", "event_type_in_domain")] == (1, False)
     # untouched tables stay green
     assert m[("lineitem", "quantity_in_1_50")] == (0, True)
-    assert m[("events", "event_type_in_domain")] == (0, True)
+    assert m[("events", "value_non_negative")] == (0, True)
 
 
 def test_data_quality_audit_all_green_on_testdata(spark, sf_dir):
