@@ -222,6 +222,18 @@ def cosine_topk_ivf(
         F.col("norm").alias("nb"),
         "cell",
     )
+    return score_probed_cells(c, q, k)
+
+
+def score_probed_cells(c, q, k: int):
+    """Rank candidates against queries within shared cells: exact
+    int64 cosine (zip_with dot, one divide), per-query top-k via
+    window. `c` = (n_id, qb, nb, cell) candidates, `q` = (q_id, qa,
+    na, cell) queries (broadcast — query sets are small by contract).
+    Shared by the in-memory IVF search and the persisted-index
+    serving path."""
+    from pyspark.sql import Window
+
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -241,6 +253,61 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+def build_ivf_index(
+    quantized_emb, centroids, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist an IVF serving index: vectors land in parquet
+    PARTITIONED BY their cell (one directory per coarse cell) plus
+    the centroid codebook as a side table. The layout IS the index —
+    at serving time a query's probed cells become a partition filter,
+    so the scan plans only nprobe directories and the candidate cut
+    happens before any vector IO (same storage-layout trick as the
+    Z-order operator, applied to ANN). Build once per corpus/codebook
+    refresh; `search_ivf_index` is the query-many path."""
+    cells = ivf_assign(quantized_emb, centroids, id_col)
+    quantized_emb.join(cells, id_col).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+):
+    """ANN search against a `build_ivf_index` layout. Queries are
+    assigned to their nprobe cells against the STORED codebook, the
+    distinct probed cells (≤ n_queries·nprobe, small by contract)
+    become a literal partition filter — `.explain` shows the
+    PartitionFilters cut, asserted in tests — and only those
+    directories are scanned and scored."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    qcells = ivf_assign(queries, centroids, id_col, nprobe=nprobe)
+    probed = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed)
+    )
+    q = queries.join(qcells, id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    c = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    return score_probed_cells(c, q, k)
 
 
 def geometric_mean_udaf() -> Column:

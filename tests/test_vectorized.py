@@ -145,3 +145,65 @@ def test_dedup_semantic_finds_planted_near_copies(spark):
     kept_bg = sum(1 for v in range(9_000_001, 9_000_001 + n_bg) if out[v][1])
     assert kept_bg >= n_bg - 2  # random background essentially untouched
     emb.unpersist()
+
+
+def test_ivf_index_serving_matches_in_memory_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF index must return EXACTLY the in-memory IVF
+    search's results for the same codebook/queries/nprobe, and its
+    scan must plan a partition filter on the probed cells that
+    actually prunes: the filtered read touches strictly fewer files
+    than the full index."""
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        quantized,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        ivf_assign,
+        search_ivf_index,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    cmod, qmod, k, nprobe = 50, 100, 3, 2
+    centroids = emb.filter(F.col("vec_id") % cmod == 1)
+    queries = emb.filter(F.col("vec_id") % qmod == 0)
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, centroids, path)
+
+    got = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in search_ivf_index(
+            spark, path, queries, k, nprobe=nprobe
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in cosine_topk_ivf(
+            emb, k, qmod, cmod, nprobe=nprobe
+        ).collect()
+    }
+    assert got and got == want
+
+    # pruning: the probed-cell filter must cut the planned file set
+    probed = sorted(
+        r["cell"]
+        for r in ivf_assign(queries, centroids, nprobe=nprobe)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    full = spark.read.parquet(f"{path}/vectors")
+    pruned = full.filter(F.col("cell").isin(probed))
+    n_cells = full.select("cell").distinct().count()
+    assert len(probed) < n_cells  # the filter is a real subset
+    files_full = full.select(F.input_file_name()).distinct().count()
+    files_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < files_pruned < files_full
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:120]
+    emb.unpersist()
