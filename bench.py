@@ -199,6 +199,7 @@ def main() -> None:
         "approx_users_sketch",
         "retention_theta_sketch",
         "token_heavy_hitters",
+        "always_active_users_theta",
         "variant_props_rollup",
         "data_quality_audit",
         "document_chunks",

@@ -708,10 +708,90 @@ FROM pairs LEFT JOIN ret ON ret.wa = pairs.wa
 """
 
 
+def always_active_users_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in EVERY week of a month via N-way
+    `theta_intersection_agg` over the per-week sketches — the GROUPED
+    set-intersection HLL has no analog for at all: the month's
+    always-active count folds out of #weeks sketch blobs in one
+    aggregate, no per-user week-count join. Complements
+    `retention_theta_sketch`'s pairwise ∩ / \\ with the N-way form,
+    completing the Theta API surface (agg-union, agg-intersection,
+    pairwise ops).
+
+    Binding: exact ground truth is the per-(month, user) week-count
+    join the sketch path replaces; `always_ok` asserts
+    |estimate − exact| ≤ max(1, 5% · exact), pinned TRUE by the
+    DuckDB twin."""
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(week_start(F.col("ts")).alias("w"), "user_id")
+        .distinct()
+        .withColumn("month", F.date_format("w", "yyyy-MM"))
+        .cache()
+    )
+    est = (
+        uw.groupBy("w", "month")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .groupBy("month")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_intersection_agg("sk")
+            ).alias("est_always"),
+            F.count("*").alias("n_weeks"),
+        )
+    )
+    per_user = uw.groupBy("month", "user_id").agg(
+        F.count_distinct("w").alias("k")
+    )
+    weeks = uw.groupBy("month").agg(
+        F.count_distinct("w").alias("tw")
+    )
+    exact = (
+        per_user.join(weeks, "month")
+        .filter(F.col("k") == F.col("tw"))
+        .groupBy("month")
+        .agg(F.count("*").alias("exact_always"))
+    )
+    j = est.join(exact, "month", "left").withColumn(
+        "exact_always", F.coalesce("exact_always", F.lit(0))
+    )
+    tol = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(THETA_REL_TOL) * F.col("exact_always")),
+    )
+    return j.select(
+        "month",
+        "n_weeks",
+        "exact_always",
+        (F.abs(F.col("est_always") - F.col("exact_always")) <= tol).alias(
+            "always_ok"
+        ),
+    )
+
+
+ALWAYS_ACTIVE_THETA_ORACLE = """
+WITH uw AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w, user_id
+            FROM events),
+mw AS (SELECT strftime(w, '%Y-%m') AS month, w, user_id FROM uw),
+tw AS (SELECT month, CAST(count(DISTINCT w) AS BIGINT) AS n_weeks
+       FROM mw GROUP BY month),
+cnt AS (SELECT month, user_id, count(DISTINCT w) AS k
+        FROM mw GROUP BY month, user_id),
+al AS (SELECT cnt.month, CAST(count(*) AS BIGINT) AS exact_always
+       FROM cnt JOIN tw USING (month)
+       WHERE cnt.k = tw.n_weeks GROUP BY cnt.month)
+SELECT tw.month, tw.n_weeks,
+       CAST(COALESCE(al.exact_always, 0) AS BIGINT) AS exact_always,
+       TRUE AS always_ok
+FROM tw LEFT JOIN al USING (month)
+"""
+
+
 QUERIES = {
     "mau_wau_weekly": mau_wau_weekly,
     "approx_users_sketch": approx_users_sketch,
     "retention_theta_sketch": retention_theta_sketch,
+    "always_active_users_theta": always_active_users_theta,
     "user_activity_flagship": user_activity_flagship,
     "event_type_share_weekly": event_type_share_weekly,
     "addon_users_blocklisted": addon_users_blocklisted,
@@ -721,6 +801,7 @@ ORACLES = {
     "mau_wau_weekly": MAU_WAU_ORACLE,
     "approx_users_sketch": APPROX_USERS_SKETCH_ORACLE,
     "retention_theta_sketch": RETENTION_THETA_ORACLE,
+    "always_active_users_theta": ALWAYS_ACTIVE_THETA_ORACLE,
     "user_activity_flagship": FLAGSHIP_ORACLE,
     "event_type_share_weekly": EVENT_SHARE_ORACLE,
     "addon_users_blocklisted": _addon_blocklist_oracle(),
