@@ -113,6 +113,23 @@ def main() -> None:
     queries["mau_wau_weekly_salted"] = mau_wau_weekly_salted
     queries["corpus_boilerplate_hashed"] = corpus_boilerplate_hashed
 
+    # production-mode simhash measurement twin: 64-bit xxhash64
+    # signatures (no md5 hex cost, 65k-value bands) vs the registry's
+    # 60-bit md5-parity form
+    def _simhash_xxhash64(spark, sf_dir):
+        from firefox_public_data_report_etl_spark.operators.dedup import (
+            simhash_pairs,
+        )
+        from firefox_public_data_report_etl_spark.sources import load_table
+
+        return simhash_pairs(
+            load_table(spark, sf_dir, "documents"),
+            hash_mode="xxhash64",
+            bits=64,
+        )
+
+    queries["dedup_simhash_xxhash64"] = _simhash_xxhash64
+
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
     if unknown:
