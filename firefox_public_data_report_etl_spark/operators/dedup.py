@@ -374,6 +374,7 @@ def simhash_pairs(
     text_col: str = "text",
     hash_mode: str = "parity",
     bits: int = SIMHASH_BITS,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(da, db, hamming): near-duplicate pairs at SimHash Hamming
     distance ≤ ``max_hamming``, mined via banded blocking — the
@@ -389,39 +390,60 @@ def simhash_pairs(
     banding), and ``bit_count(xor)`` verifies candidates.
 
     Scale: one signature pass (token explode + per-bit vote
-    aggregate, all codegen), then a self-equi-join on 8-byte (band,
-    value) keys — never an all-pairs product. Band-bucket load is
-    corpus_size / 2^(bits/(k+1)) in expectation, so `bits` is the
-    scale knob: 28-bit signatures (128-value bands) saturate at
-    corpus scale, 60-bit (32k-value bands, still md5-parity for the
-    oracle) and 64-bit xxhash64 (65k-value bands) keep the join
-    sparse. The distinct on (da, db) collapses multi-band hits
-    before the verify expression.
+    aggregate, all codegen), then a self-equi-join on (table, key)
+    — never an all-pairs product. The blocking is the Manku/Jain/
+    Sarma combination scheme: split the signature into ``n_blocks``
+    equal blocks; any pair within Hamming ``k`` differs in at most
+    ``k`` blocks, so it agrees exactly on SOME choice of
+    ``n_blocks − k`` blocks — one blocking table per
+    C(n_blocks, n_blocks−k) combination, keyed by those blocks'
+    concatenated value. ``n_blocks = k+1`` (the default) is the
+    classic pigeonhole banding: k+1 tables of 1-block
+    (bits/(k+1)-wide) keys. RAISING n_blocks widens the key —
+    e.g. bits=60, k=3, n_blocks=6 gives C(6,3)=20 tables of 30-bit
+    keys, shrinking expected bucket load from n/2^15 to n/2^30 at
+    5× the explode fan-out — the knob to turn when the corpus
+    outgrows the band key space. Every config is EXACT-recall; the
+    distinct on (da, db) collapses multi-table hits before the
+    verify expression.
     """
-    n_bands = max_hamming + 1
-    if bits % n_bands:
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
         raise ValueError(
-            f"max_hamming+1={n_bands} must divide bits={bits}"
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming}"
         )
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
+    if bits % n_blocks:
+        raise ValueError(f"n_blocks={n_blocks} must divide bits={bits}")
+    block_bits = bits // n_blocks
+    if block_bits > 60:
+        raise ValueError("block wider than 60 bits cannot pack a BIGINT key")
+    mask = (1 << block_bits) - 1
+    keep = n_blocks - max_hamming
     sig = simhash_signatures(docs, id_col, text_col, hash_mode, bits=bits)
+
+    def block(i):
+        return f"(shiftright(simhash, {i * block_bits}) & {mask})"
+
+    tables = []
+    for t, combo in enumerate(combinations(range(n_blocks), keep)):
+        # key = the chosen blocks' values packed side by side; with
+        # keep·block_bits ≤ 60 this stays one BIGINT expression
+        key = " + ".join(
+            f"{block(i)} * {1 << (j * block_bits)}"
+            for j, i in enumerate(combo)
+        )
+        tables.append(
+            F.struct(
+                F.lit(t).alias("b"), F.expr(f"({key})").alias("v")
+            )
+        )
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("b"),
-                        F.expr(
-                            f"shiftright(simhash, {i * band_bits}) & {mask}"
-                        ).alias("v"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*tables)).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
     left = bands.select(
         F.col(id_col).alias("da"), F.col("simhash").alias("sa"), "b", "v"

@@ -79,17 +79,24 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "hash_mode,bits",
-    [("parity", 60), ("xxhash64", 64)],
-    ids=["parity60-registry", "xxhash64-production"],
+    "hash_mode,bits,n_blocks",
+    [("parity", 60, None), ("xxhash64", 64, None), ("parity", 60, 6)],
+    ids=[
+        "parity60-registry",
+        "xxhash64-production",
+        "parity60-manku-C(6,3)",
+    ],
 )
-def test_simhash_pairs_banding_is_lossless(spark, sf_dir, hash_mode, bits):
-    """The (k+1)-band pigeonhole block join must recover EXACTLY the
-    brute-force all-pairs Hamming ≤ k set — banding is a candidate
-    filter, never a recall trade-off (unlike MinHash banding). The
-    property is hash-agnostic, so one test pins both the md5-parity
-    registry form and the 64-bit xxhash64 production mode (which also
-    exercises the signed bit-63 signature term)."""
+def test_simhash_pairs_banding_is_lossless(
+    spark, sf_dir, hash_mode, bits, n_blocks
+):
+    """The combination-block join must recover EXACTLY the brute-force
+    all-pairs Hamming ≤ k set — blocking is a candidate filter, never
+    a recall trade-off (unlike MinHash banding). The property is
+    hash- and layout-agnostic, so one test pins the md5-parity
+    registry form (k+1 pigeonhole bands), the 64-bit xxhash64
+    production mode (also exercising the signed bit-63 signature
+    term), and the Manku-style C(6,3) wide-key layout."""
     from firefox_public_data_report_etl_spark.operators.dedup import (
         simhash_pairs,
     )
@@ -98,7 +105,11 @@ def test_simhash_pairs_banding_is_lossless(spark, sf_dir, hash_mode, bits):
     got = {
         (r["da"], r["db"], r["hamming"])
         for r in simhash_pairs(
-            docs, max_hamming=3, hash_mode=hash_mode, bits=bits
+            docs,
+            max_hamming=3,
+            hash_mode=hash_mode,
+            bits=bits,
+            n_blocks=n_blocks,
         ).collect()
     }
     sims = {

@@ -130,6 +130,20 @@ def main() -> None:
 
     queries["dedup_simhash_xxhash64"] = _simhash_xxhash64
 
+    # Manku-style wide-key layout: C(6,3)=20 tables of 30-bit keys —
+    # the knob for corpora that saturate the 4x15-bit band space
+    def _simhash_manku(spark, sf_dir):
+        from firefox_public_data_report_etl_spark.operators.dedup import (
+            simhash_pairs,
+        )
+        from firefox_public_data_report_etl_spark.sources import load_table
+
+        return simhash_pairs(
+            load_table(spark, sf_dir, "documents"), bits=60, n_blocks=6
+        )
+
+    queries["dedup_simhash_manku"] = _simhash_manku
+
     names = [n for n in args.names.split(",") if n]
     unknown = [n for n in names if n not in queries]
     if unknown:
