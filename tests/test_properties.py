@@ -217,3 +217,50 @@ def test_document_chunks_cover_and_overlap(spark, sf_dir):
         assert covered == len(toks)
         for k in range(len(chunks) - 1):
             assert chunks[k][-overlap:] == chunks[k + 1][: overlap]
+
+
+_token = st.sampled_from(
+    ["a", "b", "céf", "日本", "x1", "the", "of", "ω", "z"]
+)
+_docs_strategy = st.lists(
+    st.lists(_token, min_size=0, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=_docs_strategy)
+@_settings
+def test_simhash_blocking_lossless_on_arbitrary_corpora(spark, texts):
+    """Losslessness must hold for ANY corpus — empty docs, one-token
+    docs, unicode tokens, heavy duplication (tiny token alphabet ⇒
+    many identical/near-identical signatures, the worst case for a
+    blocking bug) — and for both the pigeonhole and the Manku
+    combination layout."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, bits=60).collect()
+    }
+    ids = sorted(sims)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 2:
+                brute.add((a, b, h))
+    for n_blocks in (None, 6):
+        got = {
+            (r["da"], r["db"], r["hamming"])
+            for r in simhash_pairs(
+                docs, max_hamming=2, bits=60, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == brute
