@@ -264,3 +264,61 @@ def test_simhash_blocking_lossless_on_arbitrary_corpora(spark, texts):
             ).collect()
         }
         assert got == brute
+
+
+@given(
+    lengths=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from([47, 48, 49, 63, 64, 65, 111, 112, 113]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_document_chunks_boundaries(spark, lengths):
+    """Chunk-count and reconstruction invariants at the exact window/
+    stride boundaries (n = C−1, C, C+1, multiples of the stride, and
+    degenerate 0/1-token docs): every doc yields ceil(max(0, n−C)/S)+1
+    chunks, chunk k is precisely tokens[kS : kS+C], and the chunks
+    concatenate (dropping the overlap) back to the original text."""
+    import math
+
+    from firefox_public_data_report_etl_spark.plans.text import (
+        CHUNK_STRIDE as S,
+        CHUNK_TOKENS as C,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        document_chunks,
+    )
+
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in lengths]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    import firefox_public_data_report_etl_spark.plans.text as textmod
+    orig = textmod.load_table
+    textmod.load_table = lambda _s, _d, _t: docs
+    try:
+        rows = document_chunks(spark, "unused").collect()
+    finally:
+        textmod.load_table = orig
+
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r[
+            "chunk_text"
+        ].split(" ")
+    for i, text in enumerate(texts):
+        toks = text.split(" ")  # '' -> [''] — split semantics
+        n = len(toks)
+        expect = 1 + max(0, math.ceil((n - C) / S))
+        chunks = by_doc[i]
+        assert len(chunks) == expect
+        rebuilt: list[str] = []
+        for k in sorted(chunks):
+            assert chunks[k] == toks[k * S : k * S + C]
+            rebuilt.extend(chunks[k] if k == 0 else chunks[k][C - S :])
+        assert rebuilt == toks
