@@ -418,10 +418,17 @@ def simhash_pairs(
     if bits % n_blocks:
         raise ValueError(f"n_blocks={n_blocks} must divide bits={bits}")
     block_bits = bits // n_blocks
-    if block_bits > 60:
-        raise ValueError("block wider than 60 bits cannot pack a BIGINT key")
     mask = (1 << block_bits) - 1
     keep = n_blocks - max_hamming
+    if keep * block_bits > 60:
+        # the packed key is a sum of shifted BIGINTs; past 60 bits it
+        # can overflow int64 at runtime (ANSI ArithmeticException) —
+        # reject at call time with the fix spelled out
+        raise ValueError(
+            f"packed key is {keep}x{block_bits}={keep * block_bits} bits"
+            " (> 60): raise n_blocks or max_hamming so"
+            " (n_blocks - max_hamming) * (bits / n_blocks) <= 60"
+        )
     sig = simhash_signatures(docs, id_col, text_col, hash_mode, bits=bits)
 
     def block(i):

@@ -196,8 +196,6 @@ def cosine_topk_ivf(
     (train+search composition); exactly one of ``centroid_mod`` /
     ``centroids`` must be given.
     """
-    from pyspark.sql import Window
-
     if (centroids is None) == (centroid_mod is None):
         raise ValueError("pass exactly one of centroid_mod / centroids")
     if centroids is None:
@@ -225,18 +223,23 @@ def cosine_topk_ivf(
     return score_probed_cells(c, q, k)
 
 
-def score_probed_cells(c, q, k: int):
+def score_probed_cells(c, q, k: int, exclude_self: bool = True):
     """Rank candidates against queries within shared cells: exact
     int64 cosine (zip_with dot, one divide), per-query top-k via
     window. `c` = (n_id, qb, nb, cell) candidates, `q` = (q_id, qa,
     na, cell) queries (broadcast — query sets are small by contract).
     Shared by the in-memory IVF search and the persisted-index
-    serving path."""
+    serving path. ``exclude_self`` drops q_id == n_id matches — ONLY
+    correct when queries are rows of the candidate corpus (the
+    in-memory path); an external query id space must pass False or a
+    colliding corpus id silently vanishes from that query's top-k."""
     from pyspark.sql import Window
 
+    scored = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("q_id") != F.col("n_id"))
     scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("q_id") != F.col("n_id"))
+        scored
         .withColumn(
             "dot",
             F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
@@ -280,17 +283,25 @@ def search_ivf_index(
     k: int,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    exclude_self: bool = False,
 ):
     """ANN search against a `build_ivf_index` layout. Queries are
-    assigned to their nprobe cells against the STORED codebook, the
-    distinct probed cells (≤ n_queries·nprobe, small by contract)
-    become a literal partition filter — `.explain` shows the
-    PartitionFilters cut, asserted in tests — and only those
-    directories are scanned and scored."""
+    assigned to their nprobe cells against the STORED codebook; the
+    assignment (≤ n_queries·nprobe rows, small by contract) is
+    collected ONCE and reused as both the literal partition filter —
+    `.explain` shows the PartitionFilters cut, asserted in tests —
+    and the query-side join input, so the assignment matmul runs a
+    single time per search. ``exclude_self`` defaults False: a
+    serving index is usually probed by an EXTERNAL id space, where
+    dropping q_id == n_id would silently hide a corpus vector that
+    happens to share a query's id; pass True when the queries are
+    rows of the indexed corpus (dedup-style search)."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    qcells = ivf_assign(queries, centroids, id_col, nprobe=nprobe)
-    probed = sorted(
-        r["cell"] for r in qcells.select("cell").distinct().collect()
+    assign = ivf_assign(queries, centroids, id_col, nprobe=nprobe).collect()
+    probed = sorted({r["cell"] for r in assign})
+    qcells = spark.createDataFrame(
+        [(r[id_col], r["cell"]) for r in assign],
+        f"{id_col} long, cell long",
     )
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probed)
@@ -307,7 +318,7 @@ def search_ivf_index(
         F.col("norm").alias("nb"),
         "cell",
     )
-    return score_probed_cells(c, q, k)
+    return score_probed_cells(c, q, k, exclude_self=exclude_self)
 
 
 def geometric_mean_udaf() -> Column:

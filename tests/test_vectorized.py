@@ -173,10 +173,12 @@ def test_ivf_index_serving_matches_in_memory_and_prunes(
     path = str(tmp_path / "ivf_index")
     build_ivf_index(emb, centroids, path)
 
+    # queries ARE corpus rows here, so self-matches must be excluded
+    # to agree with the in-memory dedup-style search
     got = {
         (r["q_id"], r["n_id"], r["rank"])
         for r in search_ivf_index(
-            spark, path, queries, k, nprobe=nprobe
+            spark, path, queries, k, nprobe=nprobe, exclude_self=True
         ).collect()
     }
     want = {
