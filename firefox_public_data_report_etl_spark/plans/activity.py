@@ -527,10 +527,16 @@ def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count plus two booleans — `approx_ok`
     (|estimate − exact| ≤ max(1, 5% · exact); lgK=14 ⇒ sketch is in
     exact sparse mode far past these SFs and rsd ≈ 0.8% beyond) and
-    `merge_ok` (union-of-daily-partials estimate equals the
-    direct-over-raw sketch estimate — lossless rollup). The DuckDB
-    twin computes the exact counts and asserts the booleans TRUE, so
-    a sketch regression fails the value-hash gate.
+    `merge_ok` (union-of-daily-partials estimate agrees with the
+    direct-over-raw sketch estimate within the SAME relative
+    tolerance as approx_ok). Exact equality would only hold while
+    the HLL stays in sparse/set mode: once a period's cardinality
+    pushes the sketch to dense mode, the direct sketch's HIP
+    estimator and the union's composite estimator legitimately
+    diverge on identical data, so the check is a toleranced
+    agreement bound, valid at every scale factor. The DuckDB twin
+    computes the exact counts and asserts the booleans TRUE, so a
+    sketch regression fails the value-hash gate.
 
     Scale: raw events are scanned for the daily partial agg (map-side
     partial sketches, one shuffle on `d`); the rollups run over
@@ -572,7 +578,9 @@ def approx_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("est_union") - F.col("exact_users")) <= tol
             ).alias("approx_ok"),
-            (F.col("est_union") == F.col("est_direct")).alias("merge_ok"),
+            (
+                F.abs(F.col("est_union") - F.col("est_direct")) <= tol
+            ).alias("merge_ok"),
         )
 
     wk = lambda c: F.date_format(week_start(F.col(c)), "yyyy-MM-dd")  # noqa: E731

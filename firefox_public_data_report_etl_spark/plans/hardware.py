@@ -112,7 +112,8 @@ FROM fin
 """
 
 
-EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+# shared with the data-quality audit — see contracts.py docstring
+from firefox_public_data_report_etl_spark.contracts import EVENT_TYPES  # noqa: E402
 
 
 def pivot_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:

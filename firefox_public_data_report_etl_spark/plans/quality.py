@@ -20,10 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from firefox_public_data_report_etl_spark.contracts import (
+    EMBEDDING_DIM,
+    EVENT_TYPES,
+)
 from firefox_public_data_report_etl_spark.sources import load_table
-
-EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-EMBEDDING_DIM = 64
 
 
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +103,7 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(
                         (
                             F.col("event_type").isNull()
-                            | ~F.col("event_type").isin(EVENT_TYPES)
+                            | ~F.col("event_type").isin(*EVENT_TYPES)
                         ).cast("long")
                     ),
                 ),

@@ -152,15 +152,40 @@ SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {TOP_K}
 CENTROID_MOD = 100
 
 
+def _guard_fixed_param(n: int, mod: int, query: str, twin: str) -> None:
+    """Runtime complement of tests/test_shared_oracle_bounds.py (round
+    7, from the round-6 verdict): the fixed-mod registry forms are a
+    correctness device — the static mod makes the oracle SQL a fixed
+    string — but they grow the codebook as N/mod, so past n = mod^2
+    vectors (the exact bound where sqrt-N sizing would stop flooring
+    at the constant) the plan degenerates toward O(N^2/mod) assignment
+    or N^2/k within-cell pair volume (measured: 106 s ann_ivf / 44 s
+    kmeans at the 200k-vector stack, SCALING.md round 5). Refuse to
+    run the quadratic form silently; the error names the sqrt-N twin
+    that IS the scale path. Oracle rows are unaffected: every testdata
+    SF sits below the bound (pinned by test_shared_oracle_bounds)."""
+    if n > mod * mod:
+        raise ValueError(
+            f"{query}: corpus has {n} vectors, past the fixed-mod "
+            f"validity bound mod^2 = {mod * mod} — the fixed-param "
+            f"form is O(N^2/mod) here. Use the sqrt-N scale twin "
+            f"'{twin}' (see SCALE_PATH_FOR in plans/similarity.py)."
+        )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.vectorized.cosine_topk_ivf): deterministic
     centroids (vec_id % 100 == 1), exact-cosine cell assignment,
-    nprobe=1 within-cell top-k."""
+    nprobe=1 within-cell top-k. Guarded: refuses corpora past
+    CENTROID_MOD^2 vectors (see _guard_fixed_param)."""
     from firefox_public_data_report_etl_spark.operators.vectorized import (
         cosine_topk_ivf,
     )
 
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), CENTROID_MOD, "ann_ivf", "ann_ivf_multiprobe"
+    )
     return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, CENTROID_MOD)
 
 
@@ -432,12 +457,17 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the centroids ann_ivf consumes. Integer-exact end to end
     (quantized components, int64 L2, sign-safe floor-div update), so
     the iterative loop is oracle-checked bit-for-bit: the DuckDB twin
-    unrolls the same two rounds as chained CTEs."""
+    unrolls the same two rounds as chained CTEs. Guarded: refuses
+    corpora past KM_INIT_MOD^2 vectors (see _guard_fixed_param)."""
     from firefox_public_data_report_etl_spark.operators.vectorized import (
         kmeans_lloyd,
     )
 
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), KM_INIT_MOD, "kmeans_lloyd_refine",
+        "kmeans_refine_scaled",
+    )
     return kmeans_lloyd(emb, KM_INIT_MOD, KM_ITERS)
 
 
@@ -514,6 +544,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), KM_INIT_MOD, "ann_ivf_trained", "ann_ivf_multiprobe"
+    )
     codebook = _trained_codebook(emb, KM_INIT_MOD)
     return cosine_topk_ivf(emb, TOP_K, QUERY_MOD, centroids=codebook)
 
@@ -622,8 +655,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fixed KM_INIT_MOD makes this the oracle-static form
     (fixed_param, same family as kmeans_lloyd_refine);
     ``dedup_semantic_scaled`` is the sqrt-N twin and scale path.
+    Guarded: refuses corpora past KM_INIT_MOD^2 vectors (see
+    _guard_fixed_param).
     """
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), KM_INIT_MOD, "dedup_semantic", "dedup_semantic_scaled"
+    )
     return _dedup_semantic_over(emb, _trained_codebook(emb, KM_INIT_MOD))
 
 

@@ -880,6 +880,19 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate collect and the final join share one execution;
     production drops the exact pass entirely); the K-row estimate
     lookup rides a broadcast join.
+
+    CLASSIC-MODE ONLY: the K estimate extractions deserialize the
+    sketch bytes on the driver through the py4j gateway
+    (``CountMinSketch.readFrom`` + ``estimateCount``) because PySpark
+    4.1 exposes no Python-side CMS reader and no SQL estimate
+    function. Under Spark Connect there is no JVM gateway, so this
+    plan raises a clear error instead of a py4j AttributeError. It
+    also relies on the (stable-in-practice, version-pinned by the
+    oracle binding) agreement between the SQL aggregate's string
+    hashing and Java-side ``estimateCount(String)`` — the lower_ok /
+    upper_ok hash-checked booleans ARE the canary: a hashing change
+    in a Spark upgrade fails the oracle gate rather than silently
+    corrupting estimates.
     """
     import math
 
@@ -899,7 +912,14 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     candidates = [r["token"] for r in top.collect()]
-    jvm = spark.sparkContext._jvm
+    try:
+        jvm = spark.sparkContext._jvm
+    except Exception as exc:  # pragma: no cover - Connect-only path
+        raise RuntimeError(
+            "token_heavy_hitters requires classic (JVM-gateway) PySpark: "
+            "Count-Min estimate extraction has no Spark Connect API in "
+            "PySpark 4.1 (see docstring)"
+        ) from exc
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
     )
