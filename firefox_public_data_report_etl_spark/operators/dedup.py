@@ -507,6 +507,48 @@ def gram_hash_arrays(
     ).withColumn("n", F.size("hs").cast("long"))
 
 
+def minhash_band_rows(
+    hs_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, hs, n, bi, bv): one row per (doc, LSH band) over
+    ``gram_hash_arrays`` output — the array-native banding step shared
+    by the batch pipeline (``minhash_lsh_pairs_arr``) and the
+    incremental signature index (operators.incremental). Signatures
+    are per-array ``array_min`` of each permutation (narrow — no
+    shuffle); each doc's gram-hash array rides its n_bands band rows
+    so downstream candidate verification needs no re-join against a
+    shingle table. Factored out so the persisted index and the live
+    batch can NEVER band differently: both call this one function
+    with the same constants."""
+    perms = make_perms(n_bands * rows_per_band)
+    sig_exprs = [
+        F.expr(
+            f"array_min(transform(hs, h -> {minhash_perm_sql('h', a, b)}))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(perms)
+    ]
+    sigs = hs_df.select(id_col, "hs", "n", *sig_exprs)
+    return sigs.select(
+        id_col,
+        "hs",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        _band_expr(i, rows_per_band).alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "hs", "n", "band.bi", "band.bv")
+
+
 def minhash_lsh_pairs_arr(
     hs_df: DataFrame,
     id_col: str = "doc_id",
@@ -538,30 +580,7 @@ def minhash_lsh_pairs_arr(
     default gives ~0.88 recall at J = 0.8; 8 bands x 4 rows gives
     ~0.98 at ~2x band-join volume (measured curves: SCALING.md
     round-5 recall table)."""
-    perms = make_perms(n_bands * rows_per_band)
-    sig_exprs = [
-        F.expr(
-            f"array_min(transform(hs, h -> {minhash_perm_sql('h', a, b)}))"
-        ).alias(f"mh{k}")
-        for k, (a, b) in enumerate(perms)
-    ]
-    sigs = hs_df.select(id_col, "hs", "n", *sig_exprs)
-    bands = sigs.select(
-        id_col,
-        "hs",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bi"),
-                        _band_expr(i, rows_per_band).alias("bv"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "hs", "n", "band.bi", "band.bv")
+    bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
     a = bands.select(
         F.col(id_col).alias("da"),
         F.col("hs").alias("ha"),

@@ -1,0 +1,305 @@
+"""Incremental cross-corpus near-dup dedup (dedup-against-index).
+
+Production corpus curation is incremental: this week's crawl must be
+deduplicated against the already-curated corpus WITHOUT recomputing
+the curated side's signatures. This module persists the MinHash LSH
+band rows of the base corpus as a partition-pruned parquet index —
+the same storage-layout-IS-the-index trick as the IVF serving index
+(operators/vectorized.py:build_ivf_index) — and turns the new-batch
+lookup into a partition-filtered equi-join:
+
+  build (once per corpus refresh)
+      gram_hash_arrays(base) → minhash_band_rows → parquet
+      PARTITIONED BY (bi, pb = pmod(bv, BUCKET_PARTS)); each band row
+      carries the doc's gram-hash array, so candidate verification
+      (exact hashed-shingle Jaccard) never re-reads base corpus TEXT.
+
+  probe (every batch)
+      batch band rows are computed live with the SAME
+      ``minhash_band_rows`` function (one code path — the index and
+      the batch can never band differently), their distinct
+      (bi, pb) combos are collected (≤ n_bands·BUCKET_PARTS values)
+      and become a literal partition filter on the index scan, then
+      the (bi, bv) equi-join yields cross candidates. Base docs that
+      share no bucket prefix with the batch are never read.
+
+Scale: the index is fingerprint-sized (ints + a gram-hash array per
+doc — orders below corpus text); the probe's join volume is the
+banded candidate space restricted to batch-touching pairs, and the
+partition filter cuts index IO to the buckets the batch actually
+occupies. Nothing is all-pairs; nothing rescans the curated corpus.
+Reference has no incremental surface (its BigQuery SQL recomputes
+each run); this is an engine extension from public LSH technique.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    N_BANDS,
+    ROWS_PER_BAND,
+    minhash_band_rows,
+)
+
+# Partition fan per band: n_bands * BUCKET_PARTS leaf directories.
+# 32 keeps per-file open overhead below the IO it saves at test SFs
+# (measured: 256 leaves cost 0.8 s of opens to scan 150k int rows)
+# while giving a small batch real pruning (it touches at most its
+# own bucket residues). At 100 TB raise it with corpus size — the
+# partition column is derived, so re-fanning is a rewrite of
+# fingerprint-sized data only.
+BUCKET_PARTS = 32
+
+
+def build_minhash_index(
+    hs_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    bucket_parts: int = BUCKET_PARTS,
+) -> None:
+    """Persist the base corpus's LSH signature index. ``hs_df`` is
+    ``gram_hash_arrays`` output (id, hs, n). Layout:
+    ``{path}/bands`` partitioned by (bi, pb); ``{path}/meta`` one row
+    of banding params, read back at probe time so a probe can never
+    silently band against a differently-built index."""
+    bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
+    # TWO tables, measured necessity both times:
+    # - bands: (id, bi, bv, pb) INTS ONLY. The first cut stored the
+    #   gram array on every band row (so verify needed no second
+    #   table) — but that duplicates each doc's array n_bands times,
+    #   and the probe then READS 4x the fingerprint volume the
+    #   recompute would have hashed: measured slower than no index
+    #   at all. Candidate generation only needs the ints.
+    # - grams: (id, hs, n), one row per doc — the verify side-table,
+    #   read once per probe with column pruning.
+    # repartition ON the partition columns before the partitioned
+    # write: without it every upstream task writes a sliver into
+    # every (bi, pb) directory — n_bands·bucket_parts·n_tasks files
+    # of a few KB, and build and probe both pay per-file open cost
+    # instead of IO (measured 22 s build / 13 s probe at sf0.1).
+    bands.select(id_col, "bi", "bv").withColumn(
+        "pb", F.pmod(F.col("bv"), F.lit(bucket_parts))
+    ).repartition("bi", "pb").write.partitionBy("bi", "pb").mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    hs_df.select(id_col, "hs", "n").write.mode("overwrite").parquet(
+        f"{path}/grams"
+    )
+    spark = hs_df.sparkSession
+    spark.createDataFrame(
+        [(n_bands, rows_per_band, bucket_parts)],
+        "n_bands int, rows_per_band int, bucket_parts int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def cross_pairs_against_bands(
+    idx_bands: DataFrame, batch_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(base_id, batch_id, jaccard): banded candidates between an
+    index-side band table and a batch-side band table, verified with
+    exact hashed-shingle Jaccard via ``array_intersect`` (both sides
+    carry their gram arrays — no third table). Pair-grain ``first``
+    collapses multi-band matches exactly like the batch pipeline.
+    Shared by the persisted-index probe and its in-memory twin, so
+    the equality test between them pins only the storage layer."""
+    a = idx_bands.select(
+        F.col(id_col).alias("base_id"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+        "bi",
+        "bv",
+    )
+    b = batch_bands.select(
+        F.col(id_col).alias("batch_id"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+        "bi",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .groupBy("base_id", "batch_id")
+        .agg(
+            F.first("ha").alias("ha"),
+            F.first("hb").alias("hb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    withi = cand.withColumn(
+        "inter", F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
+    )
+    return withi.select(
+        "base_id",
+        "batch_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
+    )
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    path: str,
+    batch_hs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(base_id, batch_id, jaccard) for the batch against a
+    ``build_minhash_index`` layout, in two steps:
+
+    1. candidates — the batch's distinct (bi, pb) combos are
+       collected once (bounded by n_bands·bucket_parts, tiny by
+       construction) and applied as a literal filter on the bands
+       table's PARTITION columns — ``.explain`` shows the
+       PartitionFilters cut, asserted in tests — so band IO is
+       proportional to the buckets the batch occupies; the (bi, bv)
+       equi-join then yields distinct (base_id, batch_id) pairs.
+       The predicate is one (bi = i AND pb IN (...)) disjunct per
+       band: a flat OR over every (bi, pb) conjunction prunes the
+       same partitions but costs 10x in catalyst + row-filter time
+       (measured 4.1 s vs 0.4 s at sf0.1).
+    2. verify — exact hashed-shingle Jaccard: candidates (size-gated
+       broadcast, same policy as ``jaccard_for_pairs``) semi-join
+       the grams side-table for the base arrays, then join the live
+       batch arrays. The base corpus TEXT is never read."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        MAX_BROADCAST_PAIRS,
+        _decide_broadcast_pairs,
+    )
+
+    meta = spark.read.parquet(f"{path}/meta").head()
+    batch_bands = minhash_band_rows(
+        batch_hs, id_col, meta["n_bands"], meta["rows_per_band"]
+    ).withColumn(
+        "pb", F.pmod(F.col("bv"), F.lit(meta["bucket_parts"]))
+    )
+    touched: dict[int, list[int]] = {}
+    for r in batch_bands.select("bi", "pb").distinct().collect():
+        touched.setdefault(r["bi"], []).append(r["pb"])
+    if not touched:
+        empty = "base_id long, batch_id long, jaccard double"
+        return spark.createDataFrame([], empty)
+    cond = reduce(
+        lambda x, y: x | y,
+        [
+            (F.col("bi") == bi) & F.col("pb").isin(sorted(pbs))
+            for bi, pbs in sorted(touched.items())
+        ],
+    )
+    idx = spark.read.parquet(f"{path}/bands").filter(cond)
+    cand = (
+        idx.select(F.col(id_col).alias("base_id"), "bi", "bv")
+        .join(
+            batch_bands.select(
+                F.col(id_col).alias("batch_id"), "bi", "bv"
+            ),
+            ["bi", "bv"],
+        )
+        .select("base_id", "batch_id")
+        .distinct()
+    )
+    cand, bcast = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
+    p = F.broadcast(cand) if bcast else cand
+    grams = spark.read.parquet(f"{path}/grams").select(
+        F.col(id_col).alias("base_id"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    withb = p.join(grams, "base_id").join(
+        batch_hs.select(
+            F.col(id_col).alias("batch_id"),
+            F.col("hs").alias("hb"),
+            F.col("n").alias("nb"),
+        ),
+        "batch_id",
+    )
+    withi = withb.withColumn(
+        "inter", F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
+    )
+    return withi.select(
+        "base_id",
+        "batch_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
+    )
+
+
+def incremental_decisions(
+    batch_ids: DataFrame,
+    cross_pairs: DataFrame,
+    within_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component, matched_base, keep) at BATCH grain — the
+    keep/remove verdict for this week's crawl. Semantics match a full
+    recompute over base ∪ batch restricted to pairs touching the
+    batch (the oracle's formulation):
+
+    - ``cross_pairs``  (base_id, batch_id, …) already thresholded;
+    - ``within_pairs`` (da, db, …) batch-internal, already thresholded;
+    - connected components over the union edge set label every
+      edge-touching doc with its min reachable id; batch singletons
+      label themselves;
+    - ``matched_base``: the component contains a base doc — every
+      such batch doc is a duplicate of already-curated content and
+      dropped (the base copy IS the corpus representative);
+    - ``keep``: no base contact AND min batch id of the component —
+      one representative per new-content duplicate class.
+
+    Scale: edges are pair-sized (post-LSH candidates, not corpus
+    pairs); the CC iteration is the shipped lineage-truncated loop
+    (operators/graph.py); everything after is #batch-row joins.
+    """
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = cross_pairs.select(
+        F.col("base_id").alias("da"), F.col("batch_id").alias("db")
+    ).unionByName(within_pairs.select("da", "db"))
+    comp = connected_components(edges, "da", "db")
+    base_nodes = cross_pairs.select(
+        F.col("base_id").alias("node")
+    ).distinct()
+    has_base = (
+        comp.join(base_nodes, "node")
+        .select("comp")
+        .distinct()
+        .withColumn("has_base", F.lit(True))
+    )
+    lab = (
+        batch_ids.select(F.col(id_col).alias("doc_id"))
+        .join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+    )
+    mb = lab.groupBy("component").agg(F.min("doc_id").alias("_mb"))
+    return (
+        lab.join(
+            has_base.withColumnRenamed("comp", "component"),
+            "component",
+            "left",
+        )
+        .join(mb, "component")
+        .select(
+            "doc_id",
+            "component",
+            F.coalesce("has_base", F.lit(False)).alias("matched_base"),
+            (
+                ~F.coalesce("has_base", F.lit(False))
+                & (F.col("doc_id") == F.col("_mb"))
+            ).alias("keep"),
+        )
+    )

@@ -383,8 +383,87 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# Incremental dedup batch split: doc_id % BATCH_MOD == 0 plays "this
+# week's crawl" (125 of 500 docs at sf0.01); the rest is the curated
+# base corpus whose signature index is already built. Modulo keeps
+# planted near-dup pairs landing in every base/batch combination.
+BATCH_MOD = 4
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (operators/incremental.py) —
+    dedup this batch against the already-curated base WITHOUT
+    recomputing base signatures: cross candidates come from the
+    base's LSH band table (the registry form materializes the exact
+    rows ``build_minhash_index`` persists — the parquet round-trip +
+    partition-pruning twin is pinned equal in
+    test_incremental_index; ``cross_pairs_against_bands`` is the one
+    shared join), within-batch pairs from the ordinary array-native
+    pipeline, and ``incremental_decisions`` turns the union graph
+    into batch-grain verdicts: (doc_id, component, matched_base,
+    keep).
+
+    Oracle: full minhash recompute over base ∪ batch restricted to
+    pairs touching the batch, recursive-CTE components, identical
+    keep rule — so the incremental path is pinned to "exactly what a
+    from-scratch run would have decided about these docs".
+
+    Scale: the one workflow a weekly corpus refresh runs. Index side
+    never rescans base text (band rows carry gram arrays); probe IO
+    is partition-pruned to the batch's buckets; edges are post-LSH
+    pair-sized; CC is the lineage-truncated loop."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        cross_pairs_against_bands,
+        incremental_decisions,
+    )
+
+    docs = widen_partitions(load_table(spark, sf_dir, "documents"))
+    base = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+    batch_hs = gram_hash_arrays(batch).cache()
+    cross = cross_pairs_against_bands(
+        minhash_band_rows(gram_hash_arrays(base)),
+        minhash_band_rows(batch_hs),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    within = minhash_lsh_pairs_arr(batch_hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return incremental_decisions(batch.select("doc_id"), cross, within)
+
+
+def _incremental_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({minhash}) mh
+          WHERE da % {BATCH_MOD} = 0 OR db % {BATCH_MOD} = 0),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+hb AS (SELECT component, bool_or(node % {BATCH_MOD} <> 0) AS has_base
+       FROM comp GROUP BY component),
+batch AS (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0),
+lab AS (SELECT b.doc_id, coalesce(c.component, b.doc_id) AS component
+        FROM batch b LEFT JOIN comp c ON c.node = b.doc_id),
+mb AS (SELECT component, min(doc_id) AS _mb FROM lab GROUP BY component)
+SELECT l.doc_id, l.component,
+       coalesce(hb.has_base, FALSE) AS matched_base,
+       (NOT coalesce(hb.has_base, FALSE)) AND l.doc_id = mb._mb AS keep
+FROM lab l LEFT JOIN hb USING (component) JOIN mb USING (component)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -396,6 +475,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_incremental": _incremental_oracle(),
     "dedup_simhash": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
