@@ -498,3 +498,190 @@ def pii_scrub(
         )
         x = F.regexp_replace(x, pat, repl)
     return docs.select(id_col, *keep_cols, *counts, x.alias("scrubbed"))
+
+
+def dedup_line_spans(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-rule span-grain dedup (Raffel et al. 2020 §2.2 removed
+    repeated three-sentence spans corpus-wide; this corpus has no
+    sentence structure, so the unit is a fixed ``span_tokens`` token
+    window): every exact duplicate occurrence of a span ANYWHERE in
+    the corpus is dropped except the first (lowest (doc_id, seg_no)),
+    and documents are reassembled from their surviving spans.
+
+    Output: (doc_id, n_spans, n_kept, text_dedup) — text_dedup is ''
+    for a document whose every span occurred earlier (a late exact
+    duplicate), so the row itself survives for the keep/drop report.
+
+    Shape: segmentation is narrow codegen (sequence + slice — the
+    token array is cut in place, no shuffle); the only corpus-sized
+    shuffle is the first-occurrence window partitioned by the span
+    text, which is exactly exact-dedup's hash shuffle at span grain;
+    reassembly shuffles the surviving spans on doc_id. At 100 TB,
+    shuffle the 128-bit span hash instead of the span text for key
+    bytes (the md5 twin of dedup_exact — collision-safe), and note
+    the span-frequency skew is bounded: a span repeated k times
+    lands k rows in one partition, and pathological boilerplate
+    spans should be cut by the boilerplate gate before this runs.
+    """
+    t = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("toks")
+    )
+    seg = t.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / F.lit(span_tokens)).cast("int")
+                - F.lit(1),
+            )
+        ).alias("seg_no"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        "seg_no",
+        F.array_join(
+            F.slice(
+                "toks",
+                F.col("seg_no") * span_tokens + 1,
+                F.lit(span_tokens),
+            ),
+            " ",
+        ).alias("line"),
+    )
+    w = Window.partitionBy("line").orderBy(
+        F.asc(id_col), F.asc("seg_no")
+    )
+    kept = seg.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("seg_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+
+
+LM_LOGPROB_SCALE = 10_000  # 0.1 millinat fixed-point units
+
+
+def lm_vocab_table(
+    docs: DataFrame,
+    ref_cond,
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+):
+    """Train the add-one unigram LM: returns (lp, lp_oov) — the
+    quantized log-prob vocabulary table (token, lp BIGINT) plus the
+    OOV-floor column expression. Shared by ``lm_unigram_scores`` and
+    the fused capstone scorer so the two can never quantize
+    differently. The vocab aggregate is cached (vocab-cardinality —
+    bounded by the language, not the corpus) so the totals head()
+    and the lp projection share ONE pass over the reference text
+    instead of re-running the upstream scan (in the curation
+    capstone that upstream is the full regex scrub chain)."""
+    ref = (
+        docs.filter(ref_cond)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    tot = ref.agg(F.sum("c").alias("t"), F.count("*").alias("v")).head()
+    denom = float(tot["t"] + tot["v"] + 1)
+    lp = ref.select(
+        "token",
+        F.round(
+            F.lit(scale)
+            * F.log((F.col("c").cast("double") + 1.0) / F.lit(denom))
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    # OOV floor as a column expression (constant-folded JVM-side —
+    # never pre-computed with Python's math.log, whose ulp behavior
+    # is a third engine)
+    lp_oov = F.round(F.lit(scale) * F.log(F.lit(1.0) / F.lit(denom))).cast(
+        "long"
+    )
+    return lp, lp_oov
+
+
+def lm_unigram_scores(
+    docs: DataFrame,
+    ref_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 rank web
+    documents by LM perplexity; the LM here is an add-one-smoothed
+    unigram model trained on the ``ref_cond`` slice of the corpus —
+    the 'clean reference' stand-in). Per doc:
+    (doc_id, n_tokens, oov, score_munats, lm_per_token) where
+    score_munats = Σ_tokens round(scale·ln p(w)) as BIGINT and
+    lm_per_token = score/n (higher = more fluent under the LM; rank
+    ascending for a head/middle/tail CCNet split).
+
+    FIXED-POINT CONTRACT: log-probs are quantized to integer
+    ``scale``-ths of a nat AT THE VOCABULARY TABLE (one round per
+    vocab entry, not per token), then summed as integers — so the
+    per-doc sum is exact, associative, and independent of partition
+    order, where a double Σ ln p would be none of those (and Spark's
+    and DuckDB's ln differ in the last ulp on ~4% of inputs — raw
+    nats could never hash-match cross-engine; a quantized table
+    entry only flips if that ~1e-16 relative divergence lands within
+    5e-5 of a rounding boundary, pinned empirically by the oracle
+    hash). Quantization error ≤ n·(0.5/scale) nats per doc —
+    irrelevant to quality ranking.
+
+    Shape: the LM "training" is one vocabulary-sized aggregate +
+    a 2-scalar total (collected — the K-row edge every LM share
+    has); scoring is a broadcast join of the vocab table onto the
+    token stream + one integer-sum aggregate per doc. Vocabulary is
+    bounded by the language, not the corpus — broadcastable at any
+    corpus size, exactly like tfidf's df table. OOV tokens take the
+    add-one floor probability 1/(T+V+1), the same constant-foldable
+    expression on both engines."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    lp, lp_oov = lm_vocab_table(docs, ref_cond, text_col, scale)
+    return (
+        toks.join(F.broadcast(lp), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("lp").isNull().cast("long")).alias("oov"),
+            F.sum(F.coalesce(F.col("lp"), lp_oov)).alias("score_munats"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "oov",
+            "score_munats",
+            (
+                F.col("score_munats").cast("double") / F.col("n_tokens")
+            ).alias("lm_per_token"),
+        )
+    )

@@ -461,9 +461,58 @@ FROM lab l LEFT JOIN hb USING (component) JOIN mb USING (component)
 """
 
 
+LINE_SPAN_TOKENS = 10
+
+
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule line/span-grain exact dedup
+    (operators/text.py:dedup_line_spans): drop every repeated
+    occurrence of any 10-token span corpus-wide (keep the first by
+    (doc_id, seg_no)), reassemble documents from surviving spans —
+    the span-grain complement of doc-grain `dedup_exact` that every
+    web-corpus pipeline runs (127 duplicated spans / 278 occurrences
+    at sf0.01, so the rule does real work here). Oracle: the same
+    segmentation + first-occurrence window + ordered string_agg in
+    DuckDB — reassembly is deterministic, so text_dedup is
+    hash-matched byte-for-byte."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dedup_line_spans,
+    )
+
+    docs = widen_partitions(load_table(spark, sf_dir, "documents"))
+    return dedup_line_spans(docs, span_tokens=LINE_SPAN_TOKENS)
+
+
+DEDUP_LINES_C4_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, i AS seg_no,
+         array_to_string(
+           toks[(i * {LINE_SPAN_TOKENS} + 1):(i * {LINE_SPAN_TOKENS} + {LINE_SPAN_TOKENS})],
+           ' ') AS line
+  FROM t,
+       unnest(range(0, CAST(ceil(len(toks) / {LINE_SPAN_TOKENS}.0) AS INT))) u(i)
+),
+k AS (
+  SELECT doc_id, seg_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, seg_no) = 1
+           AS kept
+  FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(
+         string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no),
+         '') AS text_dedup
+FROM k GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_lines_c4": dedup_lines_c4,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -476,6 +525,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_incremental": _incremental_oracle(),
+    "dedup_lines_c4": DEDUP_LINES_C4_ORACLE,
     "dedup_simhash": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),

@@ -787,6 +787,119 @@ _SPLIT_CASE = f"""CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80 
             ELSE 'test' END"""
 
 
+# LM fluency gate for the _lm capstone: keep docs whose mean token
+# log-prob under the corpus-trained unigram LM clears this fixed-
+# point floor (munats/token; ≈ -3.415 nats). Integer cross-multiply —
+# score_munats >= n_tokens * GATE — so the gate needs no FP compare.
+# Cuts the low-fluency tail (~2.5% of gate-surviving docs at both
+# oracle SFs: 9/359 and 9/370) without emptying any split.
+LM_GATE_MUNATS = -34150
+
+
+def corpus_curation_pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with the MODEL-BASED quality gate
+    composed in (round-7; CCNet's ranking applied as a cut): stages
+    1-3 are the scrub/quality/boilerplate gates, stage 4 scores every
+    surviving doc under the add-one unigram LM trained on the RAW
+    corpus's 80% reference slice
+    (operators/text.py:lm_vocab_table — the LM "training" is one
+    vocab-sized aggregate), stage 5 drops docs below the
+    LM_GATE_MUNATS fluency floor (integer cross-multiplication, no FP
+    threshold), then the exact-md5 keep decision and deterministic
+    split as in `corpus_curation_pipeline`. Output adds
+    ``score_munats`` to the measurement columns.
+
+    The reference is the RAW slice, deliberately: CCNet's LM is
+    trained on an EXTERNAL clean corpus (Wikipedia), not on the
+    output of the gates it feeds — and training in-DAG on the
+    gate-surviving text would re-run the full regex scrub chain for
+    the vocab aggregate, which measured as +50% capstone cost at the
+    100x stack for zero ranking difference on this corpus.
+
+    Scale: the LM stage adds one RAW-corpus vocab aggregate (scan
+    speed, no scrub) + a broadcast join onto the scoring scan — the
+    same shape tfidf's df table measured. Scoring is FUSED into the
+    doc-grain projection: the doc's integer measurement columns +
+    md5 key ride the token explode as the group key, so map-side
+    combine collapses the shuffle back to doc grain and scoring
+    costs ONE scrub-chain scan, not two (the score-then-join shape
+    re-ran the scrub for the join's right side — measured 2x
+    capstone cost at the 100x stack). The cached relation stays
+    doc-grain integers (+ the 32-hex md5 key), never corpus text
+    (round-6 rule). Everything else is the measured capstone plan."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_vocab_table,
+    )
+
+    clean = _curated_clean(spark, sf_dir).withColumn(
+        "_h", F.md5(F.col("text").cast("binary"))
+    )
+    lp, lp_oov = lm_vocab_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP,
+    )
+    doc_cols = [
+        "doc_id", "lang", "n_pii", "n_tokens", "n_types",
+        "n_grams", "n_boiler", "_h",
+    ]
+    tokrows = clean.select(
+        *doc_cols, F.explode(F.split("text", " ")).alias("token")
+    )
+    gated = (
+        tokrows.join(F.broadcast(lp), "token", "left")
+        .groupBy(*doc_cols)
+        .agg(
+            F.sum(F.coalesce(F.col("lp"), lp_oov)).alias("score_munats")
+        )
+        .filter(
+            F.col("score_munats")
+            >= F.col("n_tokens") * F.lit(LM_GATE_MUNATS)
+        )
+        .cache()
+    )
+    keeper = gated.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    kept = gated.join(keeper, "_h").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return hash_split(kept).select(*_CURATE_OUT_COLS, "score_munats")
+
+
+def _curation_lm_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        LM_LOGPROB_SCALE,
+    )
+
+    ctes = _curation_gate_ctes()
+    ctes += [
+        "lmtoks AS (SELECT doc_id, unnest(t) AS token FROM clean)",
+        f"""lmref AS (SELECT token, count(*) AS c
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents) rawtoks
+       WHERE doc_id % {LM_REF_MOD} < {LM_REF_KEEP} GROUP BY token)""",
+        "lmtot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM lmref)",
+        f"""lmlp AS (SELECT token, CAST(round({LM_LOGPROB_SCALE} *
+           ln((CAST(c AS DOUBLE) + 1.0) / (SELECT denom FROM lmtot)))
+         AS BIGINT) AS lp FROM lmref)""",
+        f"""lmfl AS (SELECT CAST(round({LM_LOGPROB_SCALE} *
+           ln(1.0 / (SELECT denom FROM lmtot))) AS BIGINT) AS lp)""",
+        """lms AS (SELECT t.doc_id,
+         CAST(sum(coalesce(l.lp, (SELECT lp FROM lmfl))) AS BIGINT) AS score_munats
+       FROM lmtoks t LEFT JOIN lmlp l USING (token) GROUP BY t.doc_id)""",
+        f"""lmgate AS (SELECT clean.*, lms.score_munats
+       FROM clean JOIN lms USING (doc_id)
+       WHERE lms.score_munats >= clean.n_tokens * {LM_GATE_MUNATS})""",
+        "keep AS (SELECT h, min(doc_id) AS keep_id FROM lmgate GROUP BY h)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, lang, n_tokens, n_types, n_grams, n_boiler, n_pii,
+       {_SPLIT_CASE} AS split, score_munats
+FROM lmgate JOIN keep USING (h) WHERE doc_id = keep_id"""
+    )
+
+
 def _curation_oracle() -> str:
     ctes = _curation_gate_ctes()
     ctes.append(
@@ -1014,14 +1127,72 @@ FROM k
 """
 
 
+LM_REF_MOD = 10
+LM_REF_KEEP = 8  # doc_id % 10 < 8 → 80% reference slice trains the LM
+
+
+def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality scoring
+    (operators/text.py:lm_unigram_scores): an add-one unigram LM is
+    trained on the 80% reference slice (pure aggregates — one
+    vocab-sized groupBy + a 2-scalar total), then every document is
+    scored by its integer fixed-point log-probability under it
+    (score_munats BIGINT, lm_per_token for ranking). The standard
+    public method real curation pipelines rank by, complementing the
+    heuristic gates (text_quality_scores, corpus_boilerplate) with a
+    distributional one. The oracle recomputes the identical quantized
+    LM table and scores in DuckDB — the fixed-point contract that
+    makes Σ log p hash-matchable is documented on the operator."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_unigram_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_unigram_scores(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+
+
+def _lm_quality_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        LM_LOGPROB_SCALE,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+ref AS (SELECT token, count(*) AS c FROM toks
+        WHERE doc_id % {LM_REF_MOD} < {LM_REF_KEEP} GROUP BY token),
+tot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM ref),
+lp AS (SELECT token,
+        CAST(round({LM_LOGPROB_SCALE} *
+               ln((CAST(c AS DOUBLE) + 1.0) / (SELECT denom FROM tot)))
+             AS BIGINT) AS lp
+       FROM ref),
+fl AS (SELECT CAST(round({LM_LOGPROB_SCALE} *
+               ln(1.0 / (SELECT denom FROM tot))) AS BIGINT) AS lp)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN l.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+       CAST(sum(coalesce(l.lp, (SELECT lp FROM fl))) AS BIGINT)
+         AS score_munats,
+       CAST(sum(coalesce(l.lp, (SELECT lp FROM fl))) AS DOUBLE) / count(*)
+         AS lm_per_token
+FROM toks t LEFT JOIN lp l USING (token)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "corpus_lm_quality": corpus_lm_quality,
     "token_heavy_hitters": token_heavy_hitters,
     "document_chunks": document_chunks,
     "corpus_boilerplate": corpus_boilerplate,
     "pii_redaction": pii_redaction,
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "corpus_curation_pipeline_neardup": corpus_curation_pipeline_neardup,
+    "corpus_curation_pipeline_lm": corpus_curation_pipeline_lm,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1034,12 +1205,14 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
+    "corpus_lm_quality": _lm_quality_oracle(),
     "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
     "document_chunks": DOCUMENT_CHUNKS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
     "pii_redaction": _pii_oracle(),
     "corpus_curation_pipeline": _curation_oracle(),
     "corpus_curation_pipeline_neardup": _curation_neardup_oracle(),
+    "corpus_curation_pipeline_lm": _curation_lm_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,

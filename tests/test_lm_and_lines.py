@@ -1,0 +1,91 @@
+"""Round-7 operators: C4 span-grain dedup and CCNet-style LM scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.text import (
+    dedup_line_spans,
+    lm_unigram_scores,
+)
+
+
+def test_dedup_line_spans_drops_late_exact_duplicate(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h i j k l"),  # exact dup: loses all spans
+            (3, "x y z a b c d e f g h i j q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_line_spans(docs).collect()}
+    assert rows[1]["text_dedup"] == "a b c d e f g h i j k l"
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_kept"] == 2
+    # the late exact duplicate survives as a row but keeps nothing
+    assert rows[2]["n_kept"] == 0 and rows[2]["text_dedup"] == ""
+    # doc 3's spans differ from doc 1's (different 10-token windows),
+    # so it keeps everything, reassembled in order
+    assert rows[3]["text_dedup"] == "x y z a b c d e f g h i j q r s"
+
+
+def test_dedup_line_spans_mid_doc_span_removed_in_order(spark) -> None:
+    # doc 20's SECOND span equals doc 10's first span exactly;
+    # reassembly must keep doc 20's other spans in original order
+    first = "p q r s t u v w x y"
+    docs = spark.createDataFrame(
+        [
+            (10, first + " aa bb cc dd ee ff gg hh ii jj"),
+            (20, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 " + first + " z1 z2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_line_spans(docs).collect()}
+    assert rows[20]["n_spans"] == 3 and rows[20]["n_kept"] == 2
+    assert rows[20]["text_dedup"] == "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 z1 z2 z3"
+
+
+def test_lm_scores_partition_order_invariant(spark) -> None:
+    """The fixed-point contract's point: integer munat sums must be
+    bit-identical regardless of how the token stream is partitioned
+    (a double sum-of-ln would drift with partition order)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} common common w{i % 11}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    ref = F.col("doc_id") % 10 < 8
+    a = {
+        r["doc_id"]: (r["score_munats"], r["oov"])
+        for r in lm_unigram_scores(docs.repartition(1), ref).collect()
+    }
+    b = {
+        r["doc_id"]: (r["score_munats"], r["oov"])
+        for r in lm_unigram_scores(
+            docs.repartition(16, "doc_id"), ref
+        ).collect()
+    }
+    assert a == b and len(a) == 200
+
+
+def test_lm_scores_fluency_ordering_and_oov_floor(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common"),   # high-frequency tokens
+            (1, "common rare1 common common"),
+            (2, "zz1 zz2 zz3 zz4"),               # OOV-only (not in ref)
+        ]
+        + [(i, "common common common rare1") for i in range(10, 90)],
+        "doc_id long, text string",
+    )
+    # ref slice excludes doc 2's tokens entirely
+    out = {
+        r["doc_id"]: r
+        for r in lm_unigram_scores(
+            docs, F.col("doc_id") != 2
+        ).collect()
+    }
+    assert out[2]["oov"] == 4
+    # every score is a negative integer; fluency orders 0 > 1 > 2
+    per = {k: v["score_munats"] / v["n_tokens"] for k, v in out.items()}
+    assert per[0] > per[1] > per[2]
+    assert all(v["score_munats"] < 0 for v in out.values())
