@@ -162,3 +162,164 @@ def decode_media(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real format decode (round-7): 24-bit uncompressed BMP — a public,
+# trivially-specified format (BITMAPFILEHEADER + BITMAPINFOHEADER +
+# bottom-up BGR rows padded to 4 bytes), decodable in pure
+# Python/numpy with no image libraries. This upgrades the multimodal
+# column from shape-only (FakeDecoder) to a genuine decode whose
+# pixel statistics are oracle-checked: the payload generator writes
+# REAL spec-conformant BMP bytes, the decoder independently parses
+# the header and physical layout (bottom-up row order, BGR channel
+# order, row padding), and the DuckDB twin recomputes the statistics
+# from the logical pixel rule — a decoder that mishandles padding,
+# row order, or channel order fails the value hash.
+# ---------------------------------------------------------------------------
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_r", IntegerType()),
+        StructField("max_r", IntegerType()),
+        StructField("min_g", IntegerType()),
+        StructField("max_g", IntegerType()),
+        StructField("min_b", IntegerType()),
+        StructField("max_b", IntegerType()),
+    ]
+)
+
+
+def encode_bmp24(rgb) -> bytes:
+    """RGB uint8 array (H, W, 3), row-major top-down → spec-conformant
+    24-bit uncompressed BMP bytes (54-byte header, bottom-up BGR rows,
+    each row padded to a 4-byte boundary)."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    row_pad = (4 - (w * 3) % 4) % 4
+    row_size = w * 3 + row_pad
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp24(payload: bytes):
+    """Parse a 24-bit uncompressed BMP: returns (width, height, rgb)
+    with rgb a (H, W, 3) uint8 array, row-major top-down, RGB channel
+    order. Handles both bottom-up (positive height — the normal case)
+    and top-down (negative height) layouts and the per-row 4-byte
+    padding. Raises ``NotImplementedError`` for other bit depths or
+    compressed variants — the honest boundary of this decoder."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    row_pad = (4 - (width * 3) % 4) % 4
+    row_size = width * 3 + row_pad
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, offset=data_offset, count=row_size * h
+    )
+    arr = arr.reshape(h, row_size)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        arr = arr[::-1]
+    return width, h, arr[:, :, ::-1]  # BGR -> RGB
+
+
+# Deterministic logical pixel rule for the synthesized corpus images
+# (the testdata carries no real blobs): RGB value of flat pixel k,
+# channel c is (media_id*7 + k*33 + c*11) % 256. The oracle recomputes
+# channel statistics from THIS rule; the payload in between is real
+# BMP bytes, so the decode is pinned against the physical format.
+BMP_W_MOD, BMP_H_MOD = 13, 7
+
+
+def _bmp_rule_rgb(media_id: int):
+    import numpy as np
+
+    w = 1 + media_id % BMP_W_MOD
+    h = 1 + media_id % BMP_H_MOD
+    k = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    c = np.arange(3, dtype=np.int64)
+    vals = (media_id * 7 + k[..., None] * 33 + c * 11) % 256
+    return vals.astype(np.uint8)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL 24-bit BMP payload per row (Arrow-batched;
+    dimensions and pixels follow the deterministic rule above) —
+    the binary-column source for the real-decode pipeline."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                payload = encode_bmp24(_bmp_rule_rgb(int(mid)))
+                out.append((int(mid), payload, "image/bmp", len(payload)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode stage: parse each BMP payload and emit
+    exact per-channel pixel statistics (integer sums + extrema — no
+    FP, so the stage is oracle-exact). Arrow-batched like
+    ``decode_media``; raises for non-BMP media types rather than
+    guessing."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                w, h, rgb = decode_bmp24(bytes(payload))
+                flat = rgb.reshape(-1, 3).astype("int64")
+                rows.append(
+                    (
+                        int(mid), w, h, w * h,
+                        int(flat[:, 0].sum()), int(flat[:, 1].sum()),
+                        int(flat[:, 2].sum()),
+                        int(flat[:, 0].min()), int(flat[:, 0].max()),
+                        int(flat[:, 1].min()), int(flat[:, 1].max()),
+                        int(flat[:, 2].min()), int(flat[:, 2].max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA])
+
+    return media.mapInPandas(_decode, BMP_STATS_SCHEMA)

@@ -275,6 +275,79 @@ FROM wh
 """
 
 
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL format decode end-to-end (round-7, upgrading the
+    multimodal column from shape-only): synthesize a spec-conformant
+    24-bit uncompressed BMP per document (operators/multimodal.py:
+    attach_bmp_payload — real header, bottom-up BGR rows, 4-byte row
+    padding), then parse it back with the independent pure-numpy
+    decoder (decode_bmp24) inside an Arrow-batched mapInPandas stage
+    and emit exact per-channel pixel statistics. The oracle
+    recomputes the statistics from the LOGICAL pixel rule — it never
+    sees the bytes — so a decoder that mishandles padding, row
+    order, or BGR/RGB channel order hash-mismatches (the spec
+    details are additionally pinned by fixture tests against
+    hand-laid-out bytes).
+
+    Scale: pixels never shuffle — generation and decode fuse into
+    one narrow Python stage per partition (widened for parallelism);
+    the output is 13 ints per image. At 100 TB the same stage shape
+    holds with payloads read from object storage instead of
+    synthesized, batch memory bounded by Arrow maxRecordsPerBatch."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_bmp_stats(attach_bmp_payload(docs))
+
+
+def _bmp_decode_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        BMP_H_MOD,
+        BMP_W_MOD,
+    )
+
+    chan = {
+        "r": 0,
+        "g": 11,
+        "b": 22,
+    }
+    lists = ",\n        ".join(
+        f"list_transform(range(0, width * height),"
+        f" k -> (media_id * 7 + k * 33 + {off}) % 256) AS {c}"
+        for c, off in chan.items()
+    )
+    stats = ",\n       ".join(
+        f"CAST(list_sum({c}) AS BIGINT) AS sum_{c}" for c in chan
+    )
+    minmax = ",\n       ".join(
+        f"CAST(list_min({c}) AS INT) AS min_{c},"
+        f" CAST(list_max({c}) AS INT) AS max_{c}"
+        for c in chan
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % {BMP_W_MOD} AS INT) AS width,
+                     CAST(1 + doc_id % {BMP_H_MOD} AS INT) AS height
+              FROM documents),
+px AS (SELECT media_id, width, height,
+        {lists}
+       FROM base)
+SELECT media_id, width, height,
+       CAST(width * height AS BIGINT) AS n_px,
+       {stats},
+       {minmax}
+FROM px
+"""
+
+
 def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sampling ops in one entry: the deterministic
     K-per-stratum subsample (seedless hash reservoir — 25 docs per
@@ -1195,6 +1268,7 @@ QUERIES = {
     "corpus_curation_pipeline_lm": corpus_curation_pipeline_lm,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
+    "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
     "corpus_inverted_index": corpus_inverted_index,
@@ -1215,6 +1289,7 @@ ORACLES = {
     "corpus_curation_pipeline_lm": _curation_lm_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
+    "multimodal_bmp_decode": _bmp_decode_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
