@@ -270,9 +270,16 @@ def build_ivf_index(
     Z-order operator, applied to ANN). Build once per corpus/codebook
     refresh; `search_ivf_index` is the query-many path."""
     cells = ivf_assign(quantized_emb, centroids, id_col)
-    quantized_emb.join(cells, id_col).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{path}/vectors")
+    # repartition ON the partition column first (round-7, same
+    # measured lesson as the minhash signature index): without it
+    # every upstream task writes a sliver into every cell directory —
+    # n_cells x n_tasks files — and probes pay per-file opens instead
+    # of IO (measured 600 files for 150 cells; 4x the opens per
+    # probed cell for zero benefit). One shuffle of fingerprint-sized
+    # rows buys one well-sized file per cell.
+    quantized_emb.join(cells, id_col).repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/vectors")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
