@@ -203,6 +203,12 @@ def main() -> None:
         "variant_props_rollup",
         "data_quality_audit",
         "document_chunks",
+        # round-7 additions
+        "dedup_incremental",
+        "dedup_lines_c4",
+        "corpus_lm_quality",
+        "corpus_curation_pipeline_lm",
+        "multimodal_bmp_decode",
     ):
         if name not in QUERIES:
             continue

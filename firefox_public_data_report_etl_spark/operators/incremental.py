@@ -64,10 +64,62 @@ def build_minhash_index(
 ) -> None:
     """Persist the base corpus's LSH signature index. ``hs_df`` is
     ``gram_hash_arrays`` output (id, hs, n). Layout:
-    ``{path}/bands`` partitioned by (bi, pb); ``{path}/meta`` one row
-    of banding params, read back at probe time so a probe can never
-    silently band against a differently-built index."""
-    bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
+    ``{path}/bands`` partitioned by (bl, bi, pb) — ``bl`` is the
+    batch label (0 = the initial build; ``append_to_minhash_index``
+    adds later batches under their own label, making refreshes
+    idempotent); ``{path}/meta`` one row of banding params, read back
+    at probe time so a probe can never silently band against a
+    differently-built index."""
+    _write_index_slice(hs_df, path, 0, id_col, n_bands, rows_per_band,
+                       bucket_parts, mode="overwrite")
+    spark = hs_df.sparkSession
+    spark.createDataFrame(
+        [(n_bands, rows_per_band, bucket_parts)],
+        "n_bands int, rows_per_band int, bucket_parts int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    path: str,
+    hs_df: DataFrame,
+    batch_label: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Weekly refresh: add a batch's (typically its KEPT docs')
+    signatures to an existing index so the NEXT batch dedups against
+    base ∪ everything accepted since. Banding params come from the
+    stored meta — the appended slice can never band differently.
+
+    IDEMPOTENT by layout: the slice lands under its own ``bl``
+    partition with dynamic partition overwrite, so re-running a
+    failed/duplicated refresh replaces that batch's partitions
+    instead of double-inserting its rows (the crash-safety property
+    a weekly production job actually needs). File growth is one file
+    per (batch, band, bucket) leaf; compact old batches together
+    periodically (operators/maintenance.py) when probe listing cost
+    shows up."""
+    meta = spark.read.parquet(f"{path}/meta").head()
+    if batch_label == 0:
+        raise ValueError("batch_label 0 is reserved for the initial build")
+    _write_index_slice(
+        hs_df, path, batch_label, id_col, meta["n_bands"],
+        meta["rows_per_band"], meta["bucket_parts"], mode="overwrite",
+        dynamic=True,
+    )
+
+
+def _write_index_slice(
+    hs_df: DataFrame,
+    path: str,
+    batch_label: int,
+    id_col: str,
+    n_bands: int,
+    rows_per_band: int,
+    bucket_parts: int,
+    mode: str,
+    dynamic: bool = False,
+) -> None:
     # TWO tables, measured necessity both times:
     # - bands: (id, bi, bv, pb) INTS ONLY. The first cut stored the
     #   gram array on every band row (so verify needed no second
@@ -82,19 +134,26 @@ def build_minhash_index(
     # every (bi, pb) directory — n_bands·bucket_parts·n_tasks files
     # of a few KB, and build and probe both pay per-file open cost
     # instead of IO (measured 22 s build / 13 s probe at sf0.1).
-    bands.select(id_col, "bi", "bv").withColumn(
-        "pb", F.pmod(F.col("bv"), F.lit(bucket_parts))
-    ).repartition("bi", "pb").write.partitionBy("bi", "pb").mode(
-        "overwrite"
-    ).parquet(f"{path}/bands")
-    hs_df.select(id_col, "hs", "n").write.mode("overwrite").parquet(
-        f"{path}/grams"
+    # the mode must be EXPLICIT both ways: other writers in this
+    # package set partitionOverwriteMode=dynamic session-wide, and an
+    # initial build running under a leaked dynamic mode would only
+    # replace bl=0 — silently keeping a previous index's appended
+    # batches alive at the same path
+    hs_df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
     )
-    spark = hs_df.sparkSession
-    spark.createDataFrame(
-        [(n_bands, rows_per_band, bucket_parts)],
-        "n_bands int, rows_per_band int, bucket_parts int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
+    bands.select(id_col, "bi", "bv").withColumn(
+        "bl", F.lit(batch_label)
+    ).withColumn(
+        "pb", F.pmod(F.col("bv"), F.lit(bucket_parts))
+    ).repartition("bi", "pb").write.partitionBy("bl", "bi", "pb").mode(
+        mode
+    ).parquet(f"{path}/bands")
+    hs_df.select(id_col, "hs", "n").withColumn(
+        "bl", F.lit(batch_label)
+    ).write.partitionBy("bl").mode(mode).parquet(f"{path}/grams")
 
 
 def cross_pairs_against_bands(
@@ -149,6 +208,7 @@ def probe_minhash_index(
     path: str,
     batch_hs: DataFrame,
     id_col: str = "doc_id",
+    exclude_label: int | None = None,
 ) -> DataFrame:
     """(base_id, batch_id, jaccard) for the batch against a
     ``build_minhash_index`` layout, in two steps:
@@ -167,7 +227,14 @@ def probe_minhash_index(
     2. verify — exact hashed-shingle Jaccard: candidates (size-gated
        broadcast, same policy as ``jaccard_for_pairs``) semi-join
        the grams side-table for the base arrays, then join the live
-       batch arrays. The base corpus TEXT is never read."""
+       batch arrays. The base corpus TEXT is never read.
+
+    ``exclude_label``: skip one ``bl`` batch-partition on both index
+    reads (another partition-pruned literal). The streaming ingest
+    gate passes its OWN label here — on checkpoint replay the
+    crashed attempt's append is already in the index, and without
+    the exclusion the batch would match its own signatures and drop
+    every row (see streaming/neardup.py)."""
     from firefox_public_data_report_etl_spark.operators.dedup import (
         MAX_BROADCAST_PAIRS,
         _decide_broadcast_pairs,
@@ -193,6 +260,8 @@ def probe_minhash_index(
         ],
     )
     idx = spark.read.parquet(f"{path}/bands").filter(cond)
+    if exclude_label is not None:
+        idx = idx.filter(F.col("bl") != exclude_label)
     cand = (
         idx.select(F.col(id_col).alias("base_id"), "bi", "bv")
         .join(
@@ -206,7 +275,10 @@ def probe_minhash_index(
     )
     cand, bcast = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
     p = F.broadcast(cand) if bcast else cand
-    grams = spark.read.parquet(f"{path}/grams").select(
+    grams = spark.read.parquet(f"{path}/grams")
+    if exclude_label is not None:
+        grams = grams.filter(F.col("bl") != exclude_label)
+    grams = grams.select(
         F.col(id_col).alias("base_id"),
         F.col("hs").alias("ha"),
         F.col("n").alias("na"),

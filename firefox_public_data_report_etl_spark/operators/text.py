@@ -685,3 +685,112 @@ def lm_unigram_scores(
             ).alias("lm_per_token"),
         )
     )
+
+
+LM_BOS = "<s>"  # context sentinel for each document's first token
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    ref_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+) -> DataFrame:
+    """Bigram LM quality scoring — the higher-order sibling of
+    ``lm_unigram_scores`` (CCNet's actual LM is n-gram; add-one
+    bigram is the smallest model that scores word ORDER, which a
+    unigram cannot: 'the cat sat' and 'sat the cat' unigram-tie but
+    bigram-separate). Per token position i (context v = previous
+    token, BOS sentinel for i=0):
+
+        p(w|v) = (c(v,w) + 1) / (c(v) + V + 1)
+
+    with c(·) reference-slice counts and V the reference unigram
+    vocabulary (+1 OOV class). Three-level quantized-integer lookup:
+    the (v, w) table, the per-context floor (unseen pair, seen
+    context), and the constant unseen-context floor — same
+    fixed-point contract as the unigram operator (table-level
+    rounding, integer sums; see lm_unigram_scores).
+
+    Output: (doc_id, n_tokens, oov_pairs, score_munats,
+    lm_per_token).
+
+    Shape: bigram extraction is ARRAY-NATIVE — the context array is
+    a prepend+slice of the token array, zipped and exploded in the
+    projection, so no per-doc window shuffle exists anywhere. The
+    bigram table is bounded by observed-bigram count (language-
+    bounded; for web-scale reference corpora where it outgrows a
+    broadcast, swap the two broadcast joins for shuffle joins on v —
+    the aggregate shapes are unchanged)."""
+    t = F.split(F.col(text_col), " ")
+    pairs_of = lambda df: df.select(  # noqa: E731
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(LM_BOS)),
+                    F.slice(t, 1, F.size(t) - 1),
+                ).alias("v"),
+                t.alias("w"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+
+    bc = (
+        pairs_of(docs.filter(ref_cond))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    vocab_v = bc.agg(
+        F.count_distinct("w").alias("vsz")
+    ).head()["vsz"]
+    ctx = bc.groupBy("v").agg(F.sum("c").alias("cv"))
+    lp_vw = bc.join(ctx, "v").select(
+        "v",
+        "w",
+        F.round(
+            F.lit(scale)
+            * F.log(
+                (F.col("c").cast("double") + 1.0)
+                / (F.col("cv") + vocab_v + 1).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    lp_floor = ctx.select(
+        "v",
+        F.round(
+            F.lit(scale)
+            * F.log(1.0 / (F.col("cv") + vocab_v + 1).cast("double"))
+        )
+        .cast("long")
+        .alias("lpf"),
+    )
+    lp_oovctx = F.round(
+        F.lit(scale) * F.log(F.lit(1.0) / F.lit(float(vocab_v + 1)))
+    ).cast("long")
+    return (
+        pairs_of(docs)
+        .join(F.broadcast(lp_vw), ["v", "w"], "left")
+        .join(F.broadcast(lp_floor), "v", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("lp").isNull().cast("long")).alias("oov_pairs"),
+            F.sum(
+                F.coalesce(F.col("lp"), F.col("lpf"), lp_oovctx)
+            ).alias("score_munats"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "oov_pairs",
+            "score_munats",
+            (
+                F.col("score_munats").cast("double") / F.col("n_tokens")
+            ).alias("lm_per_token"),
+        )
+    )

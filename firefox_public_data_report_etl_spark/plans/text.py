@@ -1256,9 +1256,70 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (operators/text.py:lm_bigram_scores):
+    the higher-order model — scores word ORDER, which the unigram
+    registry sibling cannot. Same 80% reference slice, same
+    fixed-point integer contract; the oracle reproduces the
+    three-level lookup (pair table, per-context floor, unseen-context
+    constant) in DuckDB."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_bigram_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_bigram_scores(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+
+
+def _lm_bigram_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        LM_BOS,
+        LM_LOGPROB_SCALE,
+    )
+
+    s = LM_LOGPROB_SCALE
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+prs AS (SELECT doc_id,
+          CASE WHEN i = 1 THEN '{LM_BOS}' ELSE t[i - 1] END AS v,
+          t[i] AS w
+        FROM tk, unnest(range(1, len(t) + 1)) u(i)),
+bc AS (SELECT v, w, count(*) AS c FROM prs
+       WHERE doc_id % {LM_REF_MOD} < {LM_REF_KEEP} GROUP BY v, w),
+vsz AS (SELECT count(DISTINCT w) AS vv FROM bc),
+ctx AS (SELECT v, sum(c) AS cv FROM bc GROUP BY v),
+lpvw AS (SELECT bc.v, bc.w,
+          CAST(round({s} * ln((CAST(c AS DOUBLE) + 1.0)
+                 / CAST(cv + (SELECT vv FROM vsz) + 1 AS DOUBLE)))
+               AS BIGINT) AS lp
+         FROM bc JOIN ctx USING (v)),
+lpf AS (SELECT v,
+         CAST(round({s} * ln(1.0
+                / CAST(cv + (SELECT vv FROM vsz) + 1 AS DOUBLE)))
+              AS BIGINT) AS lpf
+        FROM ctx),
+oc AS (SELECT CAST(round({s} * ln(1.0
+               / CAST((SELECT vv FROM vsz) + 1 AS DOUBLE))) AS BIGINT) AS lp)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN l.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_pairs,
+       CAST(sum(coalesce(l.lp, f.lpf, (SELECT lp FROM oc))) AS BIGINT)
+         AS score_munats,
+       CAST(sum(coalesce(l.lp, f.lpf, (SELECT lp FROM oc))) AS DOUBLE)
+         / count(*) AS lm_per_token
+FROM prs p LEFT JOIN lpvw l ON p.v = l.v AND p.w = l.w
+           LEFT JOIN lpf f ON p.v = f.v
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
+    "corpus_lm_quality_bigram": corpus_lm_quality_bigram,
     "token_heavy_hitters": token_heavy_hitters,
     "document_chunks": document_chunks,
     "corpus_boilerplate": corpus_boilerplate,
@@ -1280,6 +1341,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "corpus_lm_quality": _lm_quality_oracle(),
+    "corpus_lm_quality_bigram": _lm_bigram_oracle(),
     "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
     "document_chunks": DOCUMENT_CHUNKS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,

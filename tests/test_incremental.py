@@ -153,3 +153,55 @@ def test_decisions_semantics_on_synthetic_graph(spark):
         12: (8, False, False),
         16: (16, False, True),
     }
+
+
+def test_append_then_probe_equals_union_index(spark, sf_dir, tmp_path):
+    """Weekly lifecycle: build on base, dedup batch1, append batch1's
+    KEPT docs, probe batch2 — must equal an in-memory cross against
+    the (base ∪ kept-batch1) band set. Re-running the append (crash
+    retry) must be a no-op: same probe results, no duplicate pairs."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        append_to_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 == 1)
+    batch1 = docs.filter(F.col("doc_id") % 4 == 2)
+    batch2 = docs.filter(F.col("doc_id") % 4 == 0)
+    base_hs = gram_hash_arrays(base).cache()
+    b1_hs = gram_hash_arrays(batch1).cache()
+    b2_hs = gram_hash_arrays(batch2).cache()
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(base_hs, path)
+    cross1 = probe_minhash_index(spark, path, b1_hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    within1 = minhash_lsh_pairs_arr(b1_hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    dec1 = incremental_decisions(batch1.select("doc_id"), cross1, within1)
+    kept1 = [r["doc_id"] for r in dec1.filter("keep").collect()]
+    assert kept1  # the planted corpus keeps most of the batch
+
+    kept1_hs = b1_hs.filter(F.col("doc_id").isin(kept1)).cache()
+    append_to_minhash_index(spark, path, kept1_hs, batch_label=1)
+
+    got = _pairset(probe_minhash_index(spark, path, b2_hs))
+    want = _pairset(
+        cross_pairs_against_bands(
+            minhash_band_rows(base_hs.unionByName(kept1_hs)),
+            minhash_band_rows(b2_hs),
+        )
+    )
+    assert got == want and got
+
+    # crash-retry idempotency: appending the same label again changes
+    # nothing (dynamic overwrite replaces, never double-inserts)
+    append_to_minhash_index(spark, path, kept1_hs, batch_label=1)
+    assert _pairset(probe_minhash_index(spark, path, b2_hs)) == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        append_to_minhash_index(spark, path, kept1_hs, batch_label=0)

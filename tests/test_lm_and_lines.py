@@ -89,3 +89,33 @@ def test_lm_scores_fluency_ordering_and_oov_floor(spark) -> None:
     per = {k: v["score_munats"] / v["n_tokens"] for k, v in out.items()}
     assert per[0] > per[1] > per[2]
     assert all(v["score_munats"] < 0 for v in out.values())
+
+
+def test_bigram_separates_word_order_where_unigram_ties(spark) -> None:
+    """The bigram model's reason to exist: a document with reference
+    word ORDER must outscore its shuffled permutation, while the
+    unigram model (bag of words) ties them exactly."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_bigram_scores,
+    )
+
+    ref_rows = [(i, "the cat sat on the mat") for i in range(100)]
+    docs = spark.createDataFrame(
+        ref_rows
+        + [
+            (1000, "the cat sat on the mat"),   # reference order
+            (1001, "mat the on sat cat the"),   # same bag, shuffled
+        ],
+        "doc_id long, text string",
+    )
+    ref = F.col("doc_id") < 100
+    uni = {
+        r["doc_id"]: r["score_munats"]
+        for r in lm_unigram_scores(docs, ref).collect()
+    }
+    bi = {
+        r["doc_id"]: r["score_munats"]
+        for r in lm_bigram_scores(docs, ref).collect()
+    }
+    assert uni[1000] == uni[1001]   # unigram cannot see order
+    assert bi[1000] > bi[1001]      # bigram can

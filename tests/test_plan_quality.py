@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "corpus_boilerplate": "Cross",
     "corpus_curation_pipeline": "Cross",
     "corpus_curation_pipeline_neardup": "Cross",
+    "corpus_curation_pipeline_lm": "Cross",  # same gate-chain scalar cut
 }
 
 

@@ -350,3 +350,89 @@ def test_stream_sketch_union_matches_exact(spark, sf_dir, tmp_path):
     # swap protocol leaves no debris
     assert not (tmp_path / "sketches._staging").exists()
     assert not (tmp_path / "sketches._old").exists()
+
+
+def test_streaming_neardup_gate_sequential_equivalence_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming near-dup ingestion gate (streaming/neardup.py): a
+    3-file backfill drained with maxFilesPerTrigger=1 must (a) decide
+    every streamed doc exactly once, (b) equal a sequential batch-mode
+    run of the SAME observed micro-batches against a fresh index, and
+    (c) be replay-safe: re-running the last epoch (crash retry with
+    its append already applied) reproduces identical decisions — the
+    exclude_label guard is what keeps the batch from matching its own
+    signatures on replay."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+    )
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        build_minhash_index,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.streaming.neardup import (
+        neardup_gate_batch,
+        stream_neardup_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 == 1)
+    stream_docs = docs.filter(F.col("doc_id") % 4 != 1).select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    stream_docs.repartition(3).write.parquet(str(src))
+
+    index = str(tmp_path / "index")
+    decisions = str(tmp_path / "decisions")
+    build_minhash_index(gram_hash_arrays(base).cache(), index)
+
+    stream = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_neardup_gate(
+        stream, index, decisions, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    dec = spark.read.parquet(decisions)
+    rows = {
+        r["doc_id"]: (r["component"], r["matched_base"], r["keep"],
+                      r["batch_label"])
+        for r in dec.collect()
+    }
+    want_ids = {r["doc_id"] for r in stream_docs.select("doc_id").collect()}
+    assert set(rows) == want_ids  # every doc decided exactly once
+    labels = sorted({v[3] for v in rows.values()})
+    assert len(labels) == 3  # one epoch per file
+
+    # (b) sequential batch-mode run of the same observed batches
+    index2 = str(tmp_path / "index2")
+    decisions2 = str(tmp_path / "decisions2")
+    build_minhash_index(gram_hash_arrays(base).cache(), index2)
+    for lb in labels:
+        ids = [d for d, v in rows.items() if v[3] == lb]
+        batch = docs.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id", "text"
+        )
+        neardup_gate_batch(spark, batch, index2, decisions2, lb - 1)
+    rows2 = {
+        r["doc_id"]: (r["component"], r["matched_base"], r["keep"],
+                      r["batch_label"])
+        for r in spark.read.parquet(decisions2).collect()
+    }
+    assert rows2 == rows
+
+    # (c) crash-retry replay of the last epoch: identical output
+    last = labels[-1]
+    ids = [d for d, v in rows.items() if v[3] == last]
+    batch = docs.filter(F.col("doc_id").isin(ids)).select("doc_id", "text")
+    neardup_gate_batch(spark, batch, index, decisions, last - 1)
+    rows3 = {
+        r["doc_id"]: (r["component"], r["matched_base"], r["keep"],
+                      r["batch_label"])
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert rows3 == rows
