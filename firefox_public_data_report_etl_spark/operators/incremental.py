@@ -375,3 +375,34 @@ def incremental_decisions(
             ).alias("keep"),
         )
     )
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Fold all appended batch slices back into the base label —
+    the periodic maintenance a long-running ingestion gate needs:
+    each ``append_to_minhash_index`` adds one file per touched
+    (bl, bi, pb) leaf, so after many epochs probe listing cost grows
+    with history; compaction rewrites bands and grams to a single
+    bl=0 slice (one file per (bi, pb) leaf again) with probe results
+    unchanged (pinned by test).
+
+    Crash-safe without a transaction log: the rewrite stages to a
+    sibling directory and renames over the old table last, so an
+    interrupted compaction leaves the original index intact (rerun
+    picks it up from scratch). On an object store without atomic
+    rename, stage to a new versioned path and flip the pointer the
+    deployment already uses for index discovery."""
+    import shutil
+
+    meta = spark.read.parquet(f"{path}/meta").head()
+    for table, parts in (("bands", ["bl", "bi", "pb"]), ("grams", ["bl"])):
+        src = f"{path}/{table}"
+        stage = f"{path}/{table}__compact"
+        df = spark.read.parquet(src).withColumn("bl", F.lit(0))
+        rep = ["bi", "pb"] if table == "bands" else []
+        w = df.repartition(*rep) if rep else df.coalesce(
+            max(1, meta["bucket_parts"] // 8)
+        )
+        w.write.partitionBy(*parts).mode("overwrite").parquet(stage)
+        shutil.rmtree(src)
+        shutil.move(stage, src)

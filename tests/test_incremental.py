@@ -205,3 +205,37 @@ def test_append_then_probe_equals_union_index(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         append_to_minhash_index(spark, path, kept1_hs, batch_label=0)
+
+
+def test_compaction_preserves_probe_and_cuts_files(spark, sf_dir, tmp_path):
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 1)).cache()
+    b1_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 2)).cache()
+    b2_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 3)).cache()
+    probe_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 0)).cache()
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(base_hs, path)
+    append_to_minhash_index(spark, path, b1_hs, 1)
+    append_to_minhash_index(spark, path, b2_hs, 2)
+
+    before = _pairset(probe_minhash_index(spark, path, probe_hs))
+    files_before = (
+        spark.read.parquet(f"{path}/bands")
+        .select(F.input_file_name()).distinct().count()
+    )
+    compact_minhash_index(spark, path)
+    after = _pairset(probe_minhash_index(spark, path, probe_hs))
+    files_after = (
+        spark.read.parquet(f"{path}/bands")
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert after == before and after
+    assert files_after < files_before
+    # compacted index accepts further appends (labels free again)
+    append_to_minhash_index(spark, path, b1_hs, 1)
