@@ -208,6 +208,7 @@ def main() -> None:
         "dedup_lines_c4",
         "corpus_lm_quality",
         "corpus_curation_pipeline_lm",
+        "corpus_lm_quality_bigram",
         "multimodal_bmp_decode",
     ):
         if name not in QUERIES:
