@@ -471,21 +471,28 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, KM_INIT_MOD, KM_ITERS)
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(train_pred: str = "TRUE") -> str:
+    """``train_pred`` (SQL over ``vec_id``) restricts the TRAINING
+    corpus: seeds, distance rounds, and centroid updates run over the
+    ``etr`` slice only, while ``e0`` (all vectors) stays available for
+    downstream assignment stages — the incremental-semantic-dedup
+    oracle trains on base and assigns everything. Default TRUE is the
+    original whole-corpus chain."""
     parts = [
         """qt AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        FROM embeddings),
 e0 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v FROM
        (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt))""",
-        f"""cent0 AS (SELECT vec_id AS cid, pos, v AS c FROM e0
+        f"""etr AS (SELECT * FROM e0 WHERE {train_pred})""",
+        f"""cent0 AS (SELECT vec_id AS cid, pos, v AS c FROM etr
            WHERE vec_id % {KM_INIT_MOD} = 1)""",
     ]
     for t in range(KM_ITERS):
         parts.append(
             f"""dist{t} AS (
   SELECT a.vec_id, c.cid, CAST(sum((a.v - c.c) * (a.v - c.c)) AS BIGINT) AS d2
-  FROM e0 a JOIN cent{t} c ON c.pos = a.pos GROUP BY a.vec_id, c.cid)"""
+  FROM etr a JOIN cent{t} c ON c.pos = a.pos GROUP BY a.vec_id, c.cid)"""
         )
         parts.append(
             f"""asn{t} AS (
@@ -499,7 +506,7 @@ e0 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v FROM
   SELECT cid, pos, (s - ((s % n + n) % n)) // n AS c, n FROM (
     SELECT asn.cid, a.pos, CAST(sum(a.v) AS BIGINT) AS s,
            CAST(count(*) AS BIGINT) AS n
-    FROM e0 a JOIN asn{t} asn USING (vec_id) GROUP BY asn.cid, a.pos))"""
+    FROM etr a JOIN asn{t} asn USING (vec_id) GROUP BY asn.cid, a.pos))"""
         )
     return (
         "WITH "
@@ -572,12 +579,14 @@ def _trained_codebook(emb: DataFrame, init_mod: int) -> DataFrame:
     )
 
 
-def _trained_cells_with_block() -> str:
+def _trained_cells_with_block(train_pred: str = "TRUE") -> str:
     """The k-means CTE chain extended through trained-codebook cosine
     cell assignment — the shared WITH block (ending at ``cells``) both
-    the trained-ANN and semantic-dedup oracles build on. Also defines
-    ``vnorms`` (exact squared norms) for downstream cosine stages."""
-    km = _kmeans_oracle()
+    the trained-ANN and semantic-dedup oracles build on (and, with a
+    ``train_pred``, the incremental oracle: train on base, assign
+    all). Also defines ``vnorms`` (exact squared norms) for
+    downstream cosine stages."""
+    km = _kmeans_oracle(train_pred)
     # reuse the k-means CTE chain (ends selecting from cent{KM_ITERS});
     # keep only its WITH block and extend it with the search stages.
     with_block = km[: km.rindex("\nSELECT ")]
@@ -769,6 +778,138 @@ FROM (SELECT DISTINCT vec_id FROM e0) e LEFT JOIN comp USING (vec_id)"""
     )
 
 
+SEM_BATCH_MOD = 4  # vec_id % 4 == 0 = "this week's new embeddings"
+
+
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — the embedding-space twin of
+    `dedup_incremental` (plans/dedup.py): new embeddings are deduped
+    against the curated base WITHOUT retraining the codebook or
+    re-pairing the base. The codebook is k-means-trained on the BASE
+    slice only (the already-curated corpus — the incremental point:
+    a weekly batch never shifts cells under previously assigned
+    vectors); base and batch both assign to it (one matmul pass,
+    vectors never shuffle to assign); candidate pairs are within-cell
+    and RESTRICTED to pairs touching the batch (cross base×batch +
+    within-batch — base×base pair space is never generated); verified
+    exact cosine >= SEM_DEDUP_THRESHOLD; `incremental_decisions`
+    turns the union graph into batch-grain verdicts
+    (vec_id, component, matched_base, keep).
+
+    Oracle: the SAME k-means chain parameterized to train on base
+    (`_kmeans_oracle(train_pred)`), assignment over all, pairs
+    touching batch, recursive-CTE components, identical keep rule —
+    bit-exact end to end.
+
+    Scale: fixed_param like dedup_semantic (guarded past the mod^2
+    bound on the BASE corpus); the sqrt-N sizing of
+    dedup_semantic_scaled applies unchanged as the scale path. The
+    persisted serving form of the same probe is the partition-pruned
+    IVF index (operators/vectorized.py:search_ivf_index), pinned
+    equal to the in-memory cells in test_vectorized."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        incremental_decisions,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        ivf_assign,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    base = emb.filter(F.col("vec_id") % SEM_BATCH_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % SEM_BATCH_MOD == 0)
+    _guard_fixed_param(
+        base.count(), KM_INIT_MOD, "dedup_semantic_incremental",
+        "dedup_semantic_scaled",
+    )
+    codebook = _trained_codebook(base, KM_INIT_MOD)
+    cells = ivf_assign(emb, codebook)
+    withc = emb.join(cells, "vec_id")
+    is_batch = F.col("vec_id") % SEM_BATCH_MOD == 0
+
+    def side(df, prefix):
+        return df.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("q").alias(f"q{prefix}"),
+            F.col("norm").alias(f"n{prefix}"),
+            "cell",
+        )
+
+    def cos(qa, qb, na, nb):
+        dot = F.expr(
+            f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+        )
+        return dot.cast("double") / F.sqrt(
+            F.col(na).cast("double") * F.col(nb).cast("double")
+        )
+
+    cross = (
+        side(withc.filter(~is_batch), "base")
+        .join(side(withc.filter(is_batch), "batch"), "cell")
+        .withColumn("cos", cos("qbase", "qbatch", "nbase", "nbatch"))
+        .filter(F.col("cos") >= SEM_DEDUP_THRESHOLD)
+        .select("base_id", "batch_id")
+    )
+    b = withc.filter(is_batch)
+    within = (
+        side(b, "da").join(side(b, "db"), "cell")
+        .filter(F.col("da_id") < F.col("db_id"))
+        .withColumn("cos", cos("qda", "qdb", "nda", "ndb"))
+        .filter(F.col("cos") >= SEM_DEDUP_THRESHOLD)
+        .select(F.col("da_id").alias("da"), F.col("db_id").alias("db"))
+    )
+    return incremental_decisions(
+        batch.select(F.col("vec_id").alias("doc_id")), cross, within
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        "component",
+        "matched_base",
+        "keep",
+    )
+
+
+def _dedup_semantic_incremental_oracle() -> str:
+    with_block = _trained_cells_with_block(
+        f"vec_id % {SEM_BATCH_MOD} <> 0"
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+    bm = SEM_BATCH_MOD
+    return (
+        with_block
+        + f""",
+sp AS (
+  SELECT x.vec_id AS da, y.vec_id AS db, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cells x JOIN cells y ON y.cell = x.cell AND x.vec_id < y.vec_id
+       JOIN e0 a ON a.vec_id = x.vec_id
+       JOIN e0 b ON b.vec_id = y.vec_id AND b.pos = a.pos
+  WHERE x.vec_id % {bm} = 0 OR y.vec_id % {bm} = 0
+  GROUP BY x.vec_id, y.vec_id
+),
+prs AS (
+  SELECT da, db
+  FROM sp JOIN vnorms xn ON da = xn.vec_id JOIN vnorms yn ON db = yn.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(xn.norm AS DOUBLE) * CAST(yn.norm AS DOUBLE))
+        >= {SEM_DEDUP_THRESHOLD}
+),
+eg AS (SELECT da AS a, db AS b FROM prs UNION SELECT db, da FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM eg
+  UNION
+  SELECT r.a, eg.b FROM reach r JOIN eg ON r.b = eg.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+hb AS (SELECT component, bool_or(node % {bm} <> 0) AS has_base
+       FROM comp GROUP BY component),
+batch AS (SELECT DISTINCT vec_id FROM e0 WHERE vec_id % {bm} = 0),
+lab AS (SELECT b.vec_id, coalesce(c.component, b.vec_id) AS component
+        FROM batch b LEFT JOIN comp c ON c.node = b.vec_id),
+mb AS (SELECT component, min(vec_id) AS _mb FROM lab GROUP BY component)
+SELECT l.vec_id, l.component,
+       coalesce(hb.has_base, FALSE) AS matched_base,
+       (NOT coalesce(hb.has_base, FALSE)) AND l.vec_id = mb._mb AS keep
+FROM lab l LEFT JOIN hb USING (component) JOIN mb USING (component)"""
+    )
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
@@ -780,6 +921,7 @@ QUERIES = {
     "ann_ivf_scaled": ann_ivf_scaled,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_incremental": dedup_semantic_incremental,
     "dedup_semantic_scaled": dedup_semantic_scaled,
     "embedding_quantization_audit": embedding_quantization_audit,
 }
@@ -800,6 +942,7 @@ ORACLES = {
     "ann_ivf_scaled": ANN_IVF_ORACLE,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
     "dedup_semantic": _dedup_semantic_oracle(),
+    "dedup_semantic_incremental": _dedup_semantic_incremental_oracle(),
     "dedup_semantic_scaled": _dedup_semantic_oracle(),
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
 }
@@ -816,6 +959,7 @@ SCALE_CLASS = {
     "kmeans_lloyd_refine": "fixed_param",
     "ann_ivf_trained": "fixed_param",
     "dedup_semantic": "fixed_param",
+    "dedup_semantic_incremental": "fixed_param",
 }
 # scale paths point at ann_ivf_multiprobe (round 6): sqrt-N codebook
 # AND nprobe=2 — the measured recall tables (tools/ann_recall.py) say
@@ -828,4 +972,5 @@ SCALE_PATH_FOR = {
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
     "ann_ivf_trained": "ann_ivf_multiprobe",
     "dedup_semantic": "dedup_semantic_scaled",
+    "dedup_semantic_incremental": "dedup_semantic_scaled",
 }

@@ -322,3 +322,66 @@ def test_document_chunks_boundaries(spark, lengths):
             assert chunks[k] == toks[k * S : k * S + C]
             rebuilt.extend(chunks[k] if k == 0 else chunks[k][C - S :])
         assert rebuilt == toks
+
+
+# --- C4 span dedup (round 7): structural invariants on random corpora ---
+
+_span_corpus = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(6)]),  # tiny vocab → real dups
+        min_size=1,
+        max_size=35,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(corpus=_span_corpus)
+@_settings
+def test_dedup_line_spans_invariants(spark, corpus):
+    """On ANY corpus: (1) every distinct span survives exactly once
+    corpus-wide; (2) each doc's reassembled text is the in-order
+    concatenation of its kept spans; (3) span/keep counts add up."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dedup_line_spans,
+    )
+
+    L = 4
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_line_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            span_tokens=L,
+        ).collect()
+    }
+    # reference segmentation in plain python
+    segs = {}
+    for i, toks in enumerate(corpus):
+        segs[i] = [
+            " ".join(toks[k : k + L]) for k in range(0, len(toks), L)
+        ]
+    first = {}
+    for i in sorted(segs):
+        for sn, line in enumerate(segs[i]):
+            first.setdefault(line, (i, sn))
+    for i, toks in enumerate(corpus):
+        kept = [
+            line
+            for sn, line in enumerate(segs[i])
+            if first[line] == (i, sn)
+        ]
+        r = out[i]
+        assert r["n_spans"] == len(segs[i])
+        assert r["n_kept"] == len(kept)
+        assert r["text_dedup"] == " ".join(kept)  # order preserved
+    # global uniqueness: kept spans across the corpus == distinct spans
+    all_kept = [
+        line
+        for i in segs
+        for sn, line in enumerate(segs[i])
+        if first[line] == (i, sn)
+    ]
+    assert len(all_kept) == len(set(all_kept))
+    assert set(all_kept) == {l for ls in segs.values() for l in ls}
