@@ -794,3 +794,98 @@ def lm_bigram_scores(
             ).alias("lm_per_token"),
         )
     )
+
+
+BPE_SEP = "\x1f"  # unit separator — cannot occur in corpus tokens
+BPE_MERGES = 5
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016, the
+    public subword-tokenizer algorithm): start from characters, and
+    for each of ``n_merges`` rounds count weighted adjacent symbol
+    pairs across the corpus, pick the most frequent (ties →
+    lexicographic (left, right) — deterministic in any engine), and
+    fuse it everywhere. Returns the learned merge table
+    (step, left_sym, right_sym, pair_count) — the artifact a
+    tokenizer ships.
+
+    THE scale trick is classic BPE's own: after one corpus-sized
+    token count, every round runs over the DISTINCT-WORD table
+    (vocabulary-cardinality, weighted by word count) — corpus text is
+    never touched again, so 100 TB costs one aggregate plus K
+    vocab-sized rounds.
+
+    Merge application is a literal ``replace`` over DOUBLE-separator
+    symbol strings ("␟␟a␟␟b␟␟": every symbol boundary is "␟␟"), with
+    the pattern "␟L␟␟R␟" → "␟LR␟" consuming only the INNER half of
+    each flanking boundary. Three properties make this exactly greedy
+    left-to-right BPE in both engines' plain (regex-free,
+    non-overlapping) ``replace``:
+      1. the unconsumed outer halves let CONSECUTIVE occurrences
+         merge in one pass ("aaaa" → (aa)(aa); a single-separator
+         pattern "␟a␟a␟" consumes the shared boundary and skips
+         every second pair — the bug the unit test pins);
+      2. "␟" before L ⇒ L is a whole symbol (never another symbol's
+         suffix); "␟" after R ⇒ R is whole (never a prefix);
+      3. left-to-right non-overlapping scanning IS greedy order.
+    The DuckDB oracle unrolls identical rounds as chained CTEs with
+    scalar-subquery argmax. Per round: one vocab-sized aggregate +
+    a 1-row argmax collect (the iterative-algorithm driver edge,
+    like k-means centroids).
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    sep2 = BPE_SEP + BPE_SEP
+    sym = vocab.select(
+        F.expr(
+            "concat(char(31), char(31),"
+            " array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), concat(char(31), char(31))),"
+            " char(31), char(31))"
+        ).alias("s"),
+        "c",
+    ).cache()
+
+    merges = []
+    cur = sym
+    for step in range(n_merges):
+        arr = F.split(F.col("s"), sep2)
+        inner = F.slice(arr, 2, F.size(arr) - 2)
+        pairs = cur.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(inner, 1, F.size(inner) - 1).alias("l"),
+                    F.slice(inner, 2, F.size(inner) - 1).alias("r"),
+                )
+            ).alias("p"),
+            "c",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "c")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .head(1)
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((step, b["l"], b["r"], int(b["cnt"])))
+        pat = BPE_SEP + b["l"] + sep2 + b["r"] + BPE_SEP
+        rep = BPE_SEP + b["l"] + b["r"] + BPE_SEP
+        cur = cur.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "c"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )

@@ -416,6 +416,149 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_eval_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — the near-duplicate complement of the
+    exact-gram audit above: a train document is flagged when it is a
+    MinHash near-duplicate (verified Jaccard >= 0.5) of ANY held-out
+    (val/test) document, catching paraphrased/lightly-edited eval
+    leakage that gram-fraction thresholds dilute. This is exactly the
+    cross-corpus incremental-dedup probe with the HELD-OUT split
+    playing the curated base (operators/incremental.py:
+    cross_pairs_against_bands) — one composition, no new machinery.
+
+    Output (train-doc grain, docs with >= 3 tokens): doc_id,
+    n_eval_matches, max_jaccard (0.0 when clean), contaminated.
+
+    Scale: the banded cross pair-space between splits — never
+    train x eval all-pairs; both sides collapse to gram-hash arrays
+    before any shuffle."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        minhash_band_rows,
+    )
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        cross_pairs_against_bands,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    docs = hash_split(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    train_hs = gram_hash_arrays(
+        docs.filter(F.col("split") == "train")
+    ).cache()
+    held_hs = gram_hash_arrays(docs.filter(F.col("split") != "train"))
+    cross = cross_pairs_against_bands(
+        minhash_band_rows(held_hs), minhash_band_rows(train_hs)
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    agg = cross.groupBy(F.col("batch_id").alias("doc_id")).agg(
+        F.count("*").alias("_n"), F.max("jaccard").alias("_mj")
+    )
+    return (
+        train_hs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n", F.lit(0)).alias("n_eval_matches"),
+            F.coalesce("_mj", F.lit(0.0)).alias("max_jaccard"),
+            F.col("_n").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+def _contamination_fuzzy_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    mh = _minhash_oracle().strip()
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH mh AS (SELECT da, db, jaccard FROM ({mh}) m),
+sp AS (SELECT doc_id,
+              CASE WHEN {bucket} < 80 THEN 'train' ELSE 'held' END AS split,
+              len(string_split(text, ' ')) AS n_tok
+       FROM documents),
+crossm AS (
+  SELECT CASE WHEN s1.split = 'train' THEN da ELSE db END AS doc_id, jaccard
+  FROM mh JOIN sp s1 ON s1.doc_id = da JOIN sp s2 ON s2.doc_id = db
+  WHERE (s1.split = 'train') <> (s2.split = 'train')
+),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS _n, max(jaccard) AS _mj
+        FROM crossm GROUP BY doc_id)
+SELECT sp.doc_id,
+       coalesce(_n, 0) AS n_eval_matches,
+       coalesce(_mj, 0.0) AS max_jaccard,
+       _n IS NOT NULL AS contaminated
+FROM sp LEFT JOIN agg USING (doc_id)
+WHERE sp.split = 'train' AND sp.n_tok >= 3
+"""
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus
+    (operators/text.py:bpe_train): learn the first K subword merges
+    from character grain — the tokenizer-construction step of a
+    training-data pipeline, as an iterative distributed algorithm
+    (corpus-sized work once, vocab-sized rounds after). The oracle
+    unrolls the identical rounds as chained CTEs with scalar-subquery
+    argmax, so merge choices, tie-breaks, and weighted counts are
+    hash-matched bit-for-bit."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_train,
+    )
+
+    return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        BPE_MERGES,
+    )
+
+    parts = [
+        """v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+       (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w)""",
+        """s0 AS (SELECT chr(31) || chr(31) ||
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)),
+                         chr(31) || chr(31))
+         || chr(31) || chr(31) AS s, c FROM v)""",
+    ]
+    for t in range(BPE_MERGES):
+        parts.append(
+            f"""p{t} AS (
+  SELECT arr[i] AS l, arr[i + 1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(s, chr(31) || chr(31)) AS arr, c FROM s{t}),
+       unnest(range(2, len(arr) - 1)) u(i)
+  GROUP BY l, r)"""
+        )
+        parts.append(
+            f"b{t} AS (SELECT l, r, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"""s{t + 1} AS (SELECT replace(s,
+   chr(31) || (SELECT l FROM b{t}) || chr(31) || chr(31)
+           || (SELECT r FROM b{t}) || chr(31),
+   chr(31) || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || chr(31)) AS s, c
+  FROM s{t})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM b{t}"
+        for t in range(BPE_MERGES)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 def _contamination_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -1336,6 +1479,8 @@ QUERIES = {
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "sequence_packing": sequence_packing,
     "train_eval_contamination": train_eval_contamination,
+    "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
+    "bpe_merge_table": bpe_merge_table,
 }
 
 ORACLES = {
@@ -1358,4 +1503,6 @@ ORACLES = {
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
     "train_eval_contamination": _contamination_oracle(),
+    "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
+    "bpe_merge_table": _bpe_oracle(),
 }

@@ -119,3 +119,56 @@ def test_bigram_separates_word_order_where_unigram_ties(spark) -> None:
     }
     assert uni[1000] == uni[1001]   # unigram cannot see order
     assert bi[1000] > bi[1001]      # bigram can
+
+
+def test_bpe_greedy_application_and_chaining(spark) -> None:
+    """'aaaa': greedy left-to-right application must fuse (a,a) into
+    (aa)(aa) — 3 adjacent pairs counted per word pre-merge, and the
+    MERGED symbol participates in the next round as a unit."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "aaaa") for i in range(3)], "doc_id long, text string"
+    )
+    merges = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).collect()
+    ]
+    assert merges == [(0, "a", "a", 9), (1, "aa", "aa", 3)]
+
+
+def test_bpe_boundary_separators_prevent_suffix_matches(spark) -> None:
+    """After merging (a,b), the word 'cab' must hold symbols (c, ab) —
+    a replace without boundary separators would have matched the 'a␟b'
+    inside 'c␟a␟b' correctly but, in later rounds, a pattern like
+    'b␟x' could match inside a multi-char symbol ending in b; the
+    boundary-separator representation makes that structurally
+    impossible, observable here as round 1 finding (c, ab)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_train,
+    )
+
+    rows = [(i, "ab") for i in range(10)] + [(100 + i, "cab") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).collect()
+    ]
+    assert merges == [(0, "a", "b", 15), (1, "c", "ab", 5)]
+
+
+def test_bpe_stops_when_no_pairs_remain(spark) -> None:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10).collect()
+    # round 0 fuses (a,b); afterwards every word is a single symbol —
+    # no pairs exist and the loop stops instead of emitting junk
+    assert len(merges) == 1
+    assert (merges[0]["left_sym"], merges[0]["right_sym"]) == ("a", "b")
