@@ -91,21 +91,29 @@ def append_to_minhash_index(
     base ∪ everything accepted since. Banding params come from the
     stored meta — the appended slice can never band differently.
 
-    IDEMPOTENT by layout: the slice lands under its own ``bl``
-    partition with dynamic partition overwrite, so re-running a
-    failed/duplicated refresh replaces that batch's partitions
-    instead of double-inserting its rows (the crash-safety property
-    a weekly production job actually needs). File growth is one file
-    per (batch, band, bucket) leaf; compact old batches together
-    periodically (operators/maintenance.py) when probe listing cost
-    shows up."""
+    IDEMPOTENT by layout: the label's entire ``bl={label}`` slice is
+    physically removed before the rewrite, then written with plain
+    append mode — so re-running a failed/duplicated refresh fully
+    REPLACES the label (review fix: the first cut used dynamic
+    partition overwrite, which only replaces the (bl, bi, pb) leaves
+    the NEW batch touches — reusing a label for a different batch
+    would have left stale band rows alive in untouched leaves, with
+    their gram rows gone: silently un-indexed docs). A crash between
+    delete and write leaves the label empty until the retry rewrites
+    it — the same convergence story, one window earlier. File growth
+    is one file per (batch, band, bucket) leaf; compact old batches
+    together periodically (``compact_minhash_index``) when probe
+    listing cost shows up."""
+    import shutil
+
     meta = spark.read.parquet(f"{path}/meta").head()
     if batch_label == 0:
         raise ValueError("batch_label 0 is reserved for the initial build")
+    shutil.rmtree(f"{path}/bands/bl={batch_label}", ignore_errors=True)
+    shutil.rmtree(f"{path}/grams/bl={batch_label}", ignore_errors=True)
     _write_index_slice(
         hs_df, path, batch_label, id_col, meta["n_bands"],
-        meta["rows_per_band"], meta["bucket_parts"], mode="overwrite",
-        dynamic=True,
+        meta["rows_per_band"], meta["bucket_parts"], mode="append",
     )
 
 
@@ -118,7 +126,6 @@ def _write_index_slice(
     rows_per_band: int,
     bucket_parts: int,
     mode: str,
-    dynamic: bool = False,
 ) -> None:
     # TWO tables, measured necessity both times:
     # - bands: (id, bi, bv, pb) INTS ONLY. The first cut stored the
@@ -134,14 +141,14 @@ def _write_index_slice(
     # every (bi, pb) directory — n_bands·bucket_parts·n_tasks files
     # of a few KB, and build and probe both pay per-file open cost
     # instead of IO (measured 22 s build / 13 s probe at sf0.1).
-    # the mode must be EXPLICIT both ways: other writers in this
+    # overwrite mode must be EXPLICITLY static: other writers in this
     # package set partitionOverwriteMode=dynamic session-wide, and an
     # initial build running under a leaked dynamic mode would only
     # replace bl=0 — silently keeping a previous index's appended
-    # batches alive at the same path
+    # batches alive at the same path. (Appends pre-delete their label
+    # dir and use append mode, so the conf is irrelevant to them.)
     hs_df.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
     bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
     bands.select(id_col, "bi", "bv").withColumn(
@@ -154,6 +161,27 @@ def _write_index_slice(
     hs_df.select(id_col, "hs", "n").withColumn(
         "bl", F.lit(batch_label)
     ).write.partitionBy("bl").mode(mode).parquet(f"{path}/grams")
+
+
+def _verified_jaccard(cand: DataFrame) -> DataFrame:
+    """(base_id, batch_id, jaccard) from candidate rows carrying both
+    sides' gram arrays (ha/na, hb/nb) — the ONE exact-verify
+    projection shared by the in-memory band join and the persisted-
+    index probe, so the two paths can never verify differently (a
+    change here — e.g. the planned md5 128-bit gram keys at corpus
+    scale — reaches both at once, and the probe==twin equality test
+    keeps pinning only the storage layer)."""
+    withi = cand.withColumn(
+        "inter", F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
+    )
+    return withi.select(
+        "base_id",
+        "batch_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
+    )
 
 
 def cross_pairs_against_bands(
@@ -190,17 +218,7 @@ def cross_pairs_against_bands(
             F.first("nb").alias("nb"),
         )
     )
-    withi = cand.withColumn(
-        "inter", F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
-    )
-    return withi.select(
-        "base_id",
-        "batch_id",
-        (
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter"))
-        ).alias("jaccard"),
-    )
+    return _verified_jaccard(cand)
 
 
 def probe_minhash_index(
@@ -241,17 +259,26 @@ def probe_minhash_index(
     )
 
     meta = spark.read.parquet(f"{path}/meta").head()
-    batch_bands = minhash_band_rows(
-        batch_hs, id_col, meta["n_bands"], meta["rows_per_band"]
-    ).withColumn(
-        "pb", F.pmod(F.col("bv"), F.lit(meta["bucket_parts"]))
+    # persisted: the signature compute (n_bands·rows_per_band
+    # array_min expressions per doc) feeds BOTH the touched-combo
+    # collect below and the candidate join — without the persist it
+    # runs twice per probe (review fix); band rows are fingerprint-
+    # sized, so this is the same cache class as the callers' hs cache
+    batch_bands = (
+        minhash_band_rows(
+            batch_hs, id_col, meta["n_bands"], meta["rows_per_band"]
+        )
+        .withColumn("pb", F.pmod(F.col("bv"), F.lit(meta["bucket_parts"])))
+        .persist()
     )
     touched: dict[int, list[int]] = {}
     for r in batch_bands.select("bi", "pb").distinct().collect():
         touched.setdefault(r["bi"], []).append(r["pb"])
     if not touched:
-        empty = "base_id long, batch_id long, jaccard double"
-        return spark.createDataFrame([], empty)
+        id_type = dict(batch_hs.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"base_id {id_type}, batch_id {id_type}, jaccard double"
+        )
     cond = reduce(
         lambda x, y: x | y,
         [
@@ -291,17 +318,7 @@ def probe_minhash_index(
         ),
         "batch_id",
     )
-    withi = withb.withColumn(
-        "inter", F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
-    )
-    return withi.select(
-        "base_id",
-        "batch_id",
-        (
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter"))
-        ).alias("jaccard"),
-    )
+    return _verified_jaccard(withb)
 
 
 def incremental_decisions(
@@ -387,22 +404,37 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     unchanged (pinned by test).
 
     Crash-safe without a transaction log: the rewrite stages to a
-    sibling directory and renames over the old table last, so an
-    interrupted compaction leaves the original index intact (rerun
-    picks it up from scratch). On an object store without atomic
-    rename, stage to a new versioned path and flip the pointer the
-    deployment already uses for index discovery."""
+    sibling directory, the live table is moved ASIDE (never deleted
+    while it is the only copy), the staged table moves in, and only
+    then is the old copy removed — so a crash at any point leaves
+    either the original or the compacted table recoverable, and the
+    recovery preamble below rolls an interrupted swap forward or back
+    on the next run (review fix: the first cut deleted src before the
+    rename, so a crash inside that window lost the index). On an
+    object store without atomic rename, stage to a new versioned path
+    and flip the pointer the deployment already uses for index
+    discovery."""
+    import os
     import shutil
 
     meta = spark.read.parquet(f"{path}/meta").head()
     for table, parts in (("bands", ["bl", "bi", "pb"]), ("grams", ["bl"])):
         src = f"{path}/{table}"
         stage = f"{path}/{table}__compact"
+        old = f"{path}/{table}__old"
+        # recovery: a previous run crashed between move-aside and
+        # move-in (src missing, old present) → roll back to the
+        # original; stale stage/old leftovers are discarded
+        if not os.path.exists(src) and os.path.exists(old):
+            shutil.move(old, src)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         df = spark.read.parquet(src).withColumn("bl", F.lit(0))
         rep = ["bi", "pb"] if table == "bands" else []
         w = df.repartition(*rep) if rep else df.coalesce(
             max(1, meta["bucket_parts"] // 8)
         )
         w.write.partitionBy(*parts).mode("overwrite").parquet(stage)
-        shutil.rmtree(src)
+        shutil.move(src, old)
         shutil.move(stage, src)
+        shutil.rmtree(old)

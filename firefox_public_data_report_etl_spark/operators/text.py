@@ -608,6 +608,12 @@ def lm_vocab_table(
         .cache()
     )
     tot = ref.agg(F.sum("c").alias("t"), F.count("*").alias("v")).head()
+    if tot["t"] is None:
+        raise ValueError(
+            "lm_vocab_table: the reference predicate matched no "
+            "documents — an LM cannot be trained on an empty slice "
+            "(check ref_cond against the corpus's id space)"
+        )
     denom = float(tot["t"] + tot["v"] + 1)
     lp = ref.select(
         "token",

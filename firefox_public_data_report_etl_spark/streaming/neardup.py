@@ -65,9 +65,15 @@ def neardup_gate_batch(
     within = minhash_lsh_pairs_arr(batch_hs).filter(
         F.col("jaccard") >= threshold
     )
-    decisions = incremental_decisions(
-        batch_docs.select("doc_id"), cross, within
-    ).withColumn("batch_label", F.lit(label))
+    # cached: the decisions DAG (probe verify + within-batch LSH +
+    # CC) otherwise re-executes for each of the append's two writes —
+    # measured as ~3x the probe work per trigger (review fix); the
+    # relation is batch-grain ints
+    decisions = (
+        incremental_decisions(batch_docs.select("doc_id"), cross, within)
+        .withColumn("batch_label", F.lit(label))
+        .cache()
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     decisions.write.partitionBy("batch_label").mode("overwrite").parquet(
         decisions_path
@@ -75,6 +81,7 @@ def neardup_gate_batch(
     kept = decisions.filter("keep").select("doc_id")
     kept_hs = batch_hs.join(kept, "doc_id")
     append_to_minhash_index(spark, index_path, kept_hs, label)
+    decisions.unpersist()
     batch_hs.unpersist()
 
 

@@ -239,3 +239,34 @@ def test_compaction_preserves_probe_and_cuts_files(spark, sf_dir, tmp_path):
     assert files_after < files_before
     # compacted index accepts further appends (labels free again)
     append_to_minhash_index(spark, path, b1_hs, 1)
+
+
+def test_append_label_reuse_fully_replaces_slice(spark, sf_dir, tmp_path):
+    """Review fix regression: re-appending a LIVE label with a
+    DIFFERENT doc set must fully replace the slice — under the old
+    dynamic-overwrite append, stale band rows survived in leaves the
+    new batch didn't touch (silently un-indexed docs)."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        append_to_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 1)).cache()
+    b_full = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 2)).cache()
+    # "different batch under the same label": a small subset
+    b_small = b_full.filter(F.col("doc_id") % 8 == 2).cache()
+    probe_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 0)).cache()
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(base_hs, path)
+    append_to_minhash_index(spark, path, b_full, 1)
+    append_to_minhash_index(spark, path, b_small, 1)  # label reuse
+
+    got = _pairset(probe_minhash_index(spark, path, probe_hs))
+    want = _pairset(
+        cross_pairs_against_bands(
+            minhash_band_rows(base_hs.unionByName(b_small)),
+            minhash_band_rows(probe_hs),
+        )
+    )
+    assert got == want  # nothing from b_full's extra docs survives
