@@ -1399,6 +1399,48 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual output shape (Wenzek et al. 2020 §4.4): rank
+    every document by LM score and split the corpus into
+    head/middle/tail TERCILES — head is the training-ready slice,
+    tail the discard candidate. Deterministic: ntile(3) over
+    (lm_per_token DESC, doc_id) — the integer fixed-point score makes
+    the ordering engine-exact, so even the tercile BOUNDARIES
+    hash-match (a float score would make boundary docs flip buckets
+    between engines).
+
+    Scale: one corpus-wide ntile window — a global sort, the one
+    shuffle a ranking fundamentally needs; at 100 TB swap ntile for
+    approx percentile cutoffs computed on a sample (the standard
+    trade: boundary docs may swap buckets, nothing else changes)."""
+    from pyspark.sql import Window
+
+    scored = corpus_lm_quality(spark, sf_dir)
+    w = Window.orderBy(F.desc("lm_per_token"), F.asc("doc_id"))
+    t = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "score_munats",
+        "lm_per_token",
+        F.when(t == 1, "head")
+        .when(t == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def _ccnet_buckets_oracle() -> str:
+    lm = _lm_quality_oracle().strip()
+    return f"""
+WITH lm AS ({lm})
+SELECT doc_id, score_munats, lm_per_token,
+       CASE ntile(3) OVER (ORDER BY lm_per_token DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM lm
+"""
+
+
 def corpus_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM quality scoring (operators/text.py:lm_bigram_scores):
     the higher-order model — scores word ORDER, which the unigram
@@ -1463,6 +1505,7 @@ QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
     "corpus_lm_quality_bigram": corpus_lm_quality_bigram,
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "token_heavy_hitters": token_heavy_hitters,
     "document_chunks": document_chunks,
     "corpus_boilerplate": corpus_boilerplate,
@@ -1487,6 +1530,7 @@ ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "corpus_lm_quality": _lm_quality_oracle(),
     "corpus_lm_quality_bigram": _lm_bigram_oracle(),
+    "corpus_ccnet_buckets": _ccnet_buckets_oracle(),
     "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
     "document_chunks": DOCUMENT_CHUNKS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
