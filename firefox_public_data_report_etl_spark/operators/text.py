@@ -505,6 +505,7 @@ def dedup_line_spans(
     span_tokens: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    first_occurrence: str = "window",
 ) -> DataFrame:
     """C4-rule span-grain dedup (Raffel et al. 2020 §2.2 removed
     repeated three-sentence spans corpus-wide; this corpus has no
@@ -518,15 +519,23 @@ def dedup_line_spans(
     duplicate), so the row itself survives for the keep/drop report.
 
     Shape: segmentation is narrow codegen (sequence + slice — the
-    token array is cut in place, no shuffle); the only corpus-sized
-    shuffle is the first-occurrence window partitioned by the span
-    text, which is exactly exact-dedup's hash shuffle at span grain;
-    reassembly shuffles the surviving spans on doc_id. At 100 TB,
-    shuffle the 128-bit span hash instead of the span text for key
-    bytes (the md5 twin of dedup_exact — collision-safe), and note
-    the span-frequency skew is bounded: a span repeated k times
-    lands k rows in one partition, and pathological boilerplate
-    spans should be cut by the boilerplate gate before this runs.
+    token array is cut in place, no shuffle). ``first_occurrence``
+    picks the corpus-wide winner-selection strategy, both exactly
+    equivalent (agreement property-tested):
+
+    - "window" (default): one shuffle — row_number over the span-key
+      partition. A span repeated k times lands k rows in ONE task's
+      sort, so a pathological hot span (mass-produced boilerplate
+      that slipped the boilerplate gate) concentrates in one
+      partition.
+    - "agg": min(struct(doc_id, seg_no)) per span + a join back —
+      one more shuffle, but the min aggregate combines MAP-SIDE, so
+      a hot span costs each task one row: the skew-safe 100 TB path,
+      same family as the salted distinct-count twins.
+
+    At 100 TB also shuffle the 128-bit span hash instead of the span
+    text for key bytes (the md5 twin of dedup_exact —
+    collision-safe).
     """
     t = docs.select(
         id_col, F.split(F.col(text_col), " ").alias("toks")
@@ -553,12 +562,24 @@ def dedup_line_spans(
             " ",
         ).alias("line"),
     )
-    w = Window.partitionBy("line").orderBy(
-        F.asc(id_col), F.asc("seg_no")
-    )
-    kept = seg.withColumn(
-        "kept", F.row_number().over(w) == 1
-    )
+    if first_occurrence == "window":
+        w = Window.partitionBy("line").orderBy(
+            F.asc(id_col), F.asc("seg_no")
+        )
+        kept = seg.withColumn(
+            "kept", F.row_number().over(w) == 1
+        )
+    elif first_occurrence == "agg":
+        firsts = seg.groupBy("line").agg(
+            F.min(F.struct(id_col, "seg_no")).alias("_f")
+        )
+        kept = seg.join(firsts, "line").withColumn(
+            "kept",
+            (F.col(f"_f.{id_col}") == F.col(id_col))
+            & (F.col("_f.seg_no") == F.col("seg_no")),
+        ).drop("_f")
+    else:
+        raise ValueError(f"unknown first_occurrence: {first_occurrence!r}")
     return (
         kept.groupBy(id_col)
         .agg(

@@ -385,3 +385,30 @@ def test_dedup_line_spans_invariants(spark, corpus):
     ]
     assert len(all_kept) == len(set(all_kept))
     assert set(all_kept) == {l for ls in segs.values() for l in ls}
+
+
+@given(corpus=_span_corpus)
+@_settings
+def test_dedup_line_spans_agg_mode_agrees_with_window(spark, corpus):
+    """The skew-safe min-struct strategy must be bit-identical to the
+    window strategy on ANY corpus (adversarial hot spans included —
+    the tiny vocab plants heavy span repetition)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dedup_line_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_dedup"])
+        for r in dedup_line_spans(docs, span_tokens=4).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_dedup"])
+        for r in dedup_line_spans(
+            docs, span_tokens=4, first_occurrence="agg"
+        ).collect()
+    }
+    assert a == b
