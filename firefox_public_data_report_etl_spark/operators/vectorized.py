@@ -451,3 +451,165 @@ def kmeans_lloyd(
             "n",
         )
     return cent
+
+
+def pq_encode(
+    quantized_emb,
+    codebook_mod: int,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+):
+    """Product-quantization encoding (Jégou et al. 2011, the public
+    PQ method FAISS popularized): split each quantized vector into
+    ``n_sub`` subspaces of ``sub_dim`` components, pick deterministic
+    per-subspace codebooks (the sub-vectors of ``id % codebook_mod ==
+    1`` rows — the same seed family as the coarse IVF quantizer), and
+    assign every (vector, subspace) to its nearest centroid by exact
+    integer squared-L2 (ties → lowest centroid id). Returns
+    (codes, cents): codes = (id, m, code) — the n_sub-byte compressed
+    representation that is PQ's entire point (memory: n_sub codes vs
+    sub_dim·n_sub ints per vector); cents = (cid, m, cv) the codebook
+    side-table.
+
+    Shape: one explode to (id, m, sub-vector) rows (narrow), one
+    join against the (k·n_sub)-row codebook, one min(struct)
+    aggregate — the argmin combines MAP-SIDE, so assignment is the
+    same N·k·n_sub cost class as IVF coarse assignment and never a
+    window sort."""
+    subs = quantized_emb.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("q", m * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cents = subs.filter(F.col(id_col) % codebook_mod == 1).select(
+        F.col(id_col).alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    d = subs.join(F.broadcast(cents), "m").withColumn(
+        "d2",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (s, v) -> s + v)"
+        ),
+    )
+    codes = (
+        d.groupBy(id_col, "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("f"))
+        .select(id_col, "m", F.col("f.cid").alias("code"))
+    )
+    return codes, cents
+
+
+def pq_adc_topk(
+    quantized_emb,
+    codes,
+    cents,
+    k: int,
+    query_mod: int,
+    coarse_mod: int,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+):
+    """IVF+PQ search with asymmetric distance computation (ADC) — the
+    deployable FAISS ``IVFPQ`` shape (no-residual variant, noted):
+    queries go exact, database vectors exist only as PQ codes. Per
+    query: build the (n_sub × k)-entry lookup table of exact integer
+    L2 between the query's sub-vectors and every centroid, restrict
+    candidates to the query's coarse IVF cell (``ivf_assign``, the
+    measured partition shape), and score each candidate as the SUM of
+    table lookups selected by its codes — integer-exact end to end,
+    so ranks, distances, and the top-k binding to true L2 are all
+    oracle-hashable.
+
+    Output: (q_id, n_id, rank, adc_d2, exact_d2) — exact_d2 joins
+    full vectors for the K returned rows only (the standard re-rank
+    edge), binding the compressed-domain ranking to ground truth in
+    the value hash.
+
+    Shape: LUT is |Q|·k·n_sub rows (tiny — queries are sampled, k is
+    the codebook); candidate scoring joins cell-mates' codes to the
+    LUT on (q_id-broadcastable keys) and SUMS — map-side combinable;
+    never all-pairs. At 100 TB the codes table is the only
+    corpus-sized relation touched per query, at n_sub bytes/vector —
+    the memory story that lets a 100 TB corpus's index fit a
+    cluster's RAM."""
+    from pyspark.sql import Window
+
+    queries = quantized_emb.filter(F.col(id_col) % query_mod == 0)
+    coarse = quantized_emb.filter(F.col(id_col) % coarse_mod == 1)
+    cells = ivf_assign(quantized_emb, coarse, id_col)
+    qcells = cells.join(
+        queries.select(id_col), id_col
+    ).select(F.col(id_col).alias("q_id"), "cell")
+
+    qsubs = queries.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("q", m * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col).alias("q_id"),
+        F.col("s.m").alias("m"),
+        F.col("s.sv").alias("sv"),
+    )
+    lut = qsubs.join(F.broadcast(cents), "m").select(
+        "q_id",
+        "m",
+        F.col("cid").alias("code"),
+        F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (s, v) -> s + v)"
+        ).alias("ld2"),
+    )
+    cand = codes.join(
+        cells.select(F.col(id_col).alias("n_id"), "cell"),
+        codes[id_col] == F.col("n_id"),
+    ).select("n_id", "m", "code", "cell")
+    pairs = cand.join(F.broadcast(qcells), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    adc = (
+        pairs.join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("ld2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("n_id"))
+    topk = adc.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+    qa = queries.select(F.col(id_col).alias("q_id"), F.col("q").alias("qa"))
+    nb = quantized_emb.select(
+        F.col(id_col).alias("n_id"), F.col("q").alias("qb")
+    )
+    return (
+        topk.join(qa, "q_id")
+        .join(nb, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            "rank",
+            "adc_d2",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (s, v) -> s + v)"
+            ).alias("exact_d2"),
+        )
+    )
