@@ -916,3 +916,37 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing sampler — the pretraining mixture step (every
+    public recipe — Pile, LLaMA, Gopher — trains on weighted source
+    proportions, not raw corpus proportions): per stratum, keep the
+    first ``quotas[stratum]`` documents by the portable hash rank
+    (``stratified_sample``'s seedless reservoir, so the draw is
+    deterministic, partition-insensitive, and stable under corpus
+    growth); strata without a quota contribute nothing. Output keeps
+    the rank so downstream epoch-level re-weighting can shrink a
+    quota without re-sampling.
+
+    Scale: identical plan to ``stratified_sample`` (one window
+    shuffle on the stratum key, output bounded by Σ quotas); the
+    quota lookup is a literal CASE — no join."""
+    h = F.expr(md5_int_spark_sql(f"cast({id_col} as string)"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    quota = F.lit(None).cast("long")
+    for s, k in sorted(quotas.items()):
+        quota = F.when(F.col(strata_col) == s, F.lit(k)).otherwise(quota)
+    return (
+        docs.withColumn(
+            "rank_in_stratum", F.row_number().over(w).cast("long")
+        )
+        .withColumn("_q", quota)
+        .filter(F.col("rank_in_stratum") <= F.col("_q"))
+        .drop("_q")
+    )

@@ -778,6 +778,93 @@ FROM (SELECT DISTINCT vec_id FROM e0) e LEFT JOIN comp USING (vec_id)"""
     )
 
 
+# Hard-negative band for contrastive mining: close enough to be
+# confusable, below the near-dup threshold (same 0.45 cut as the
+# embedding dedup family) so positives never leak into negatives.
+HARDNEG_LO = 0.20
+HARDNEG_HI = 0.45  # == SEM_DEDUP_THRESHOLD (kept in sync by test)
+HARDNEG_K = 3
+
+
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    standard public recipe: for each anchor, the most similar
+    candidates BELOW the duplicate threshold make the best negatives;
+    random negatives are too easy, near-dups would poison training as
+    false negatives). Per anchor (every QUERY_MODth vector): top-K
+    candidates by exact quantized cosine within (HARDNEG_LO,
+    HARDNEG_HI) — the band's ceiling is the SAME 0.45 cut the
+    embedding dedup family treats as duplicate, so the positive and
+    negative sets partition cleanly by construction.
+
+    Scale: this is the ANN family's shape with a range predicate —
+    the registry form scores the anchor row against the corpus via
+    the banded LSH candidate space (cosine_topk_lsh_multi's bucket
+    join, never all-pairs would be the production form; here the
+    exact form is used because the band boundaries are part of the
+    oracle contract), and a deployment mines negatives from the
+    ann_ivf_multiprobe candidate stream with the same range filter."""
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+            ),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .filter(
+            (F.col("cos") > HARDNEG_LO) & (F.col("cos") < HARDNEG_HI)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+CONTRASTIVE_HARDNEG_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM dots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+band AS (SELECT * FROM scored WHERE cos > {HARDNEG_LO} AND cos < {HARDNEG_HI}),
+r AS (SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      FROM band)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= {HARDNEG_K}
+"""
+
+
 PQ_SUBSPACES = 8
 PQ_SUB_DIM = 8  # 64-dim embeddings -> 8 subspaces of 8 components
 PQ_CB_MOD = 100
@@ -1015,6 +1102,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "ann_ivf_pq": ann_ivf_pq,
+    "contrastive_hard_negatives": contrastive_hard_negatives,
     "ann_ivf_scaled": ann_ivf_scaled,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "dedup_semantic": dedup_semantic,
@@ -1037,6 +1125,7 @@ ORACLES = {
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
     "ann_ivf_pq": ANN_IVF_PQ_ORACLE,
+    "contrastive_hard_negatives": CONTRASTIVE_HARDNEG_ORACLE,
     "ann_ivf_scaled": ANN_IVF_ORACLE,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
     "dedup_semantic": _dedup_semantic_oracle(),
@@ -1053,6 +1142,7 @@ ORACLES = {
 # The sqrt-N twins are the scale paths.
 SCALE_CLASS = {
     "embedding_cosine_topk": "baseline",
+    "contrastive_hard_negatives": "baseline",
     "ann_ivf": "fixed_param",
     "ann_ivf_pq": "fixed_param",
     "kmeans_lloyd_refine": "fixed_param",
@@ -1067,6 +1157,7 @@ SCALE_CLASS = {
 # nprobe-cost-floor twin.
 SCALE_PATH_FOR = {
     "embedding_cosine_topk": "ann_ivf_multiprobe",
+    "contrastive_hard_negatives": "ann_ivf_multiprobe",
     "ann_ivf": "ann_ivf_multiprobe",
     "ann_ivf_pq": "ann_ivf_multiprobe",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",

@@ -348,6 +348,47 @@ FROM px
 """
 
 
+# Mixing quotas: the target per-language doc counts of the training
+# mixture (a Pile/LLaMA-style source-weighting table). zh is
+# deliberately absent: sources without a quota contribute nothing.
+MIXTURE_QUOTAS = {"en": 120, "de": 40, "es": 30, "fr": 20}
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing sampler
+    (operators/text.py:mixture_sample): draw the configured quota of
+    documents per language via the deterministic hash reservoir —
+    the source-weighting step every public pretraining recipe runs
+    between curation and packing. Output: the sampled docs with
+    their in-stratum rank (so a quota cut to k' < k later is the
+    PREFIX of this draw — no resampling churn)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, "lang", MIXTURE_QUOTAS)
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {k}" for s, k in sorted(MIXTURE_QUOTAS.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rank_in_stratum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+FROM r
+WHERE rank_in_stratum <= CASE lang {cases} ELSE 0 END
+"""
+
+
 def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sampling ops in one entry: the deterministic
     K-per-stratum subsample (seedless hash reservoir — 25 docs per
@@ -1518,6 +1559,7 @@ QUERIES = {
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
+    "corpus_mixture_sample": corpus_mixture_sample,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "sequence_packing": sequence_packing,
@@ -1543,6 +1585,7 @@ ORACLES = {
     "multimodal_bmp_decode": _bmp_decode_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
+    "corpus_mixture_sample": _mixture_oracle(),
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,

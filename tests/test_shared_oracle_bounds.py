@@ -48,3 +48,14 @@ def test_embedding_count_within_shared_oracle_bounds(sf_dir: str) -> None:
         "ann_ivf_multiprobe no longer match the shared fixed-mod "
         "oracle at this SF"
     )
+
+
+def test_hardneg_ceiling_matches_dedup_threshold() -> None:
+    """The hard-negative band's ceiling must equal the embedding
+    near-dup threshold, or positives leak into the negative set."""
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        HARDNEG_HI,
+        SEM_DEDUP_THRESHOLD,
+    )
+
+    assert HARDNEG_HI == SEM_DEDUP_THRESHOLD
