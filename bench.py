@@ -210,6 +210,13 @@ def main() -> None:
         "corpus_curation_pipeline_lm",
         "corpus_lm_quality_bigram",
         "multimodal_bmp_decode",
+        "corpus_ccnet_buckets",
+        "bpe_merge_table",
+        "train_eval_contamination_fuzzy",
+        "dedup_semantic_incremental",
+        "ann_ivf_pq",
+        "contrastive_hard_negatives",
+        "corpus_mixture_sample",
     ):
         if name not in QUERIES:
             continue
