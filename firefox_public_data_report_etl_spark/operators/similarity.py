@@ -35,12 +35,21 @@ def quantized(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def cosine_topk(
-    queries: DataFrame, candidates: DataFrame, k: int, id_col: str = "vec_id"
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """(q_id, n_id, rank, cos): brute-force exact top-k by cosine.
 
     ``queries``/``candidates`` are `quantized` outputs. Queries are
     broadcast; ties break on candidate id for determinism.
+    ``band=(lo, hi)`` restricts ranking to the OPEN cosine interval
+    (lo, hi) — the hard-negative-mining mode (round-7): candidates
+    at/above ``hi`` are the near-dup positives and must not leak
+    into the negative set, below ``lo`` they are too easy to teach
+    anything.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col("q").alias("qa"), F.col("norm").alias("na")
@@ -57,6 +66,11 @@ def cosine_topk(
             / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
         )
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.col("cos") > lo) & (F.col("cos") < hi)
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

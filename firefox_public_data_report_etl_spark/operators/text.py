@@ -528,10 +528,16 @@ def dedup_line_spans(
       sort, so a pathological hot span (mass-produced boilerplate
       that slipped the boilerplate gate) concentrates in one
       partition.
-    - "agg": min(struct(doc_id, seg_no)) per span + a join back —
-      one more shuffle, but the min aggregate combines MAP-SIDE, so
-      a hot span costs each task one row: the skew-safe 100 TB path,
-      same family as the salted distinct-count twins.
+    - "agg": min(struct(doc_id, seg_no)) per span + a join back.
+      The AGGREGATE is fully skew-safe (map-side combine: a hot span
+      costs each task one row), and the remaining hot key sits in a
+      JOIN — which AQE's OptimizeSkewedJoin can split at runtime —
+      instead of a window partition, which AQE cannot split. So the
+      strategy converts an unsplittable one-task sort into a
+      splittable join; it is NOT shuffle-free on the hot key (the
+      join back re-keys all k occurrences), and deployments should
+      run it with AQE skew-join enabled (this engine's session
+      default).
 
     At 100 TB also shuffle the 128-bit span hash instead of the span
     text for key bytes (the md5 twin of dedup_exact —
@@ -936,12 +942,18 @@ def mixture_sample(
 
     Scale: identical plan to ``stratified_sample`` (one window
     shuffle on the stratum key, output bounded by Σ quotas); the
-    quota lookup is a literal CASE — no join."""
+    quota lookup is a literal CASE — no join. Unquota'd strata are
+    filtered BEFORE the window (review fix: without the pushdown an
+    absent source — possibly half the corpus — would pay the hash,
+    shuffle, and per-stratum sort only to be dropped by the rank
+    filter, which cannot be pushed below the window; per-stratum
+    ranks of kept strata are unaffected)."""
     h = F.expr(md5_int_spark_sql(f"cast({id_col} as string)"))
     w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
     quota = F.lit(None).cast("long")
     for s, k in sorted(quotas.items()):
         quota = F.when(F.col(strata_col) == s, F.lit(k)).otherwise(quota)
+    docs = docs.filter(F.col(strata_col).isin(list(quotas)))
     return (
         docs.withColumn(
             "rank_in_stratum", F.row_number().over(w).cast("long")

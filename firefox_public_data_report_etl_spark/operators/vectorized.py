@@ -453,6 +453,29 @@ def kmeans_lloyd(
     return cent
 
 
+def _subspaces(df, n_sub: int, sub_dim: int, id_col: str, out_id: str):
+    """(out_id, m, sv): one row per (vector, subspace) with the
+    sub_dim-component sub-vector — the ONE subspace-layout definition
+    shared by PQ encoding and the per-query ADC lookup table, so the
+    two can never slice differently (a layout change — e.g. padding
+    for non-divisible dims — reaches both at once or every ADC
+    distance silently corrupts)."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("q", m * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(out_id, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
 def pq_encode(
     quantized_emb,
     codebook_mod: int,
@@ -477,20 +500,7 @@ def pq_encode(
     aggregate — the argmin combines MAP-SIDE, so assignment is the
     same N·k·n_sub cost class as IVF coarse assignment and never a
     window sort."""
-    subs = quantized_emb.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("q", m * sub_dim + 1, sub_dim).alias("sv"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
-        ).alias("s"),
-    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    subs = _subspaces(quantized_emb, n_sub, sub_dim, id_col, id_col)
     cents = subs.filter(F.col(id_col) % codebook_mod == 1).select(
         F.col(id_col).alias("cid"), "m", F.col("sv").alias("cv")
     )
@@ -552,24 +562,7 @@ def pq_adc_topk(
         queries.select(id_col), id_col
     ).select(F.col(id_col).alias("q_id"), "cell")
 
-    qsubs = queries.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("q", m * sub_dim + 1, sub_dim).alias("sv"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
-        ).alias("s"),
-    ).select(
-        F.col(id_col).alias("q_id"),
-        F.col("s.m").alias("m"),
-        F.col("s.sv").alias("sv"),
-    )
+    qsubs = _subspaces(queries, n_sub, sub_dim, id_col, "q_id")
     lut = qsubs.join(F.broadcast(cents), "m").select(
         "q_id",
         "m",

@@ -798,49 +798,19 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative sets partition cleanly by construction.
 
     Scale: this is the ANN family's shape with a range predicate —
-    the registry form scores the anchor row against the corpus via
-    the banded LSH candidate space (cosine_topk_lsh_multi's bucket
-    join, never all-pairs would be the production form; here the
-    exact form is used because the band boundaries are part of the
-    oracle contract), and a deployment mines negatives from the
-    ann_ivf_multiprobe candidate stream with the same range filter."""
+    the registry form reuses the brute-force `cosine_topk` scorer
+    with its band option (the exact band boundaries are part of the
+    oracle contract); a deployment mines negatives from the
+    ann_ivf_multiprobe candidate stream with the same range
+    filter."""
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    from pyspark.sql import Window
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
 
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("q").alias("qa"),
-        F.col("norm").alias("na"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("q").alias("qb"),
-        F.col("norm").alias("nb"),
-    )
-    scored = (
-        F.broadcast(q).crossJoin(c)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
-            ),
-        )
-        .withColumn(
-            "cos",
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
-        )
-        .filter(
-            (F.col("cos") > HARDNEG_LO) & (F.col("cos") < HARDNEG_HI)
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= HARDNEG_K)
-        .select("q_id", "n_id", "rank", "cos")
+    return cosine_topk(
+        queries, emb, HARDNEG_K, band=(HARDNEG_LO, HARDNEG_HI)
     )
 
 

@@ -1445,15 +1445,21 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document by LM score and split the corpus into
     head/middle/tail TERCILES — head is the training-ready slice,
     tail the discard candidate. Deterministic: ntile(3) over
-    (lm_per_token DESC, doc_id) — the integer fixed-point score makes
-    the ordering engine-exact, so even the tercile BOUNDARIES
-    hash-match (a float score would make boundary docs flip buckets
-    between engines).
+    (lm_per_token DESC, doc_id). lm_per_token is a DOUBLE, but its
+    cross-engine exactness is inherited, not assumed: it is ONE IEEE
+    division of two exact integers (score_munats / n_tokens), the
+    same single-final-division contract every ratio in this repo
+    rides — plus the doc_id tie-break for equal ratios. An ordering
+    key that were itself a float accumulation would not hash-match.
 
-    Scale: one corpus-wide ntile window — a global sort, the one
-    shuffle a ranking fundamentally needs; at 100 TB swap ntile for
-    approx percentile cutoffs computed on a sample (the standard
-    trade: boundary docs may swap buckets, nothing else changes)."""
+    Scale, stated precisely: a PARTITION-LESS ntile window makes
+    Spark coalesce all rows into ONE WindowExec task (the "No
+    Partition Defined for Window operation" WARN) — a deliberate
+    single-task report edge, fine at registry/report grain but a
+    straggler well below 100 TB. The corpus-scale form computes two
+    approximate tercile cutoffs (approx_percentile on lm_per_token —
+    sketch-class, no global sort) and buckets by comparison; the
+    standard trade is boundary docs swapping buckets."""
     from pyspark.sql import Window
 
     scored = corpus_lm_quality(spark, sf_dir)

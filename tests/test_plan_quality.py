@@ -25,9 +25,9 @@ BNLJ_ALLOWED = {
     "release_annotations": "LeftOuter",     # spine x weekly-max range join
     "embedding_cosine_topk": "Inner",       # brute-force baseline: q x cands
     "dedup_embedding_cosine": "Inner",      # brute-force pair verify
-    # brute-force band-scan baseline (SCALE_CLASS=baseline): the
-    # broadcast query set crossJoins the corpus deliberately
-    "contrastive_hard_negatives": "Cross",
+    # brute-force band-scan baseline (SCALE_CLASS=baseline): shares
+    # cosine_topk's broadcast theta-join shape
+    "contrastive_hard_negatives": "Inner",
     "date_spine_weeks": "Cross",            # 1-row bounds crossJoin to spine
     # 1-row doc-count crossJoin attaching the corpus-relative
     # boilerplate cut (round 6) — the canonical broadcast-scalar shape
