@@ -64,6 +64,11 @@ DEFAULT_NAMES = [
     "kmeans_lloyd_refine",
     "kmeans_refine_scaled",
     "ann_ivf_scaled",
+    # round-7 additions
+    "dedup_incremental",
+    "dedup_lines_c4",
+    "corpus_lm_quality",
+    "bpe_merge_table",
 ]
 
 
