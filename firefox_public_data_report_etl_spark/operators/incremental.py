@@ -54,6 +54,24 @@ from firefox_public_data_report_etl_spark.operators.dedup import (
 BUCKET_PARTS = 32
 
 
+def _require_local_dir(path: str) -> None:
+    """The append/compact lifecycle deletes and renames slices with
+    ``shutil``/``os`` — local-filesystem semantics. On any other
+    scheme (hdfs://, s3a://, even an explicit file:/ URI, which the
+    python os module would treat as a RELATIVE path named 'file:')
+    those calls silently no-op or mangle paths, leaving stale band
+    rows alive — exactly the silently-un-indexed-docs bug the
+    pre-delete exists to prevent (review fix). Refuse loudly; an
+    object-store deployment routes these through the Hadoop
+    FileSystem API instead."""
+    if "://" in path or path.startswith("file:"):
+        raise ValueError(
+            "minhash index lifecycle (append/compact) requires a plain "
+            f"local directory path, got URI {path!r}; use the Hadoop "
+            "FileSystem API for remote index storage"
+        )
+
+
 def build_minhash_index(
     hs_df: DataFrame,
     path: str,
@@ -104,13 +122,21 @@ def append_to_minhash_index(
     is one file per (batch, band, bucket) leaf; compact old batches
     together periodically (``compact_minhash_index``) when probe
     listing cost shows up."""
+    import os
     import shutil
 
+    _require_local_dir(path)
     meta = spark.read.parquet(f"{path}/meta").head()
     if batch_label == 0:
         raise ValueError("batch_label 0 is reserved for the initial build")
-    shutil.rmtree(f"{path}/bands/bl={batch_label}", ignore_errors=True)
-    shutil.rmtree(f"{path}/grams/bl={batch_label}", ignore_errors=True)
+    # NO ignore_errors (review fix): a pre-delete that fails (perms,
+    # stale NFS handle) must fail the append — swallowing it would
+    # leave the stale slice alive alongside the new write, silently
+    # corrupting the idempotency the delete exists to provide
+    for t in ("bands", "grams"):
+        slice_dir = f"{path}/{t}/bl={batch_label}"
+        if os.path.exists(slice_dir):
+            shutil.rmtree(slice_dir)
     _write_index_slice(
         hs_df, path, batch_label, id_col, meta["n_bands"],
         meta["rows_per_band"], meta["bucket_parts"], mode="append",
@@ -147,20 +173,29 @@ def _write_index_slice(
     # replace bl=0 — silently keeping a previous index's appended
     # batches alive at the same path. (Appends pre-delete their label
     # dir and use append mode, so the conf is irrelevant to them.)
-    hs_df.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
-    bands.select(id_col, "bi", "bv").withColumn(
-        "bl", F.lit(batch_label)
-    ).withColumn(
-        "pb", F.pmod(F.col("bv"), F.lit(bucket_parts))
-    ).repartition("bi", "pb").write.partitionBy("bl", "bi", "pb").mode(
-        mode
-    ).parquet(f"{path}/bands")
-    hs_df.select(id_col, "hs", "n").withColumn(
-        "bl", F.lit(batch_label)
-    ).write.partitionBy("bl").mode(mode).parquet(f"{path}/grams")
+    # Saved and restored (review fix): flipping it session-wide would
+    # be the same leaked-global-state hazard in the other direction
+    # for whatever partitioned overwrite runs next in the session.
+    conf = hs_df.sparkSession.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
+        bands.select(id_col, "bi", "bv").withColumn(
+            "bl", F.lit(batch_label)
+        ).withColumn(
+            "pb", F.pmod(F.col("bv"), F.lit(bucket_parts))
+        ).repartition("bi", "pb").write.partitionBy("bl", "bi", "pb").mode(
+            mode
+        ).parquet(f"{path}/bands")
+        hs_df.select(id_col, "hs", "n").withColumn(
+            "bl", F.lit(batch_label)
+        ).write.partitionBy("bl").mode(mode).parquet(f"{path}/grams")
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _verified_jaccard(cand: DataFrame) -> DataFrame:
@@ -275,6 +310,7 @@ def probe_minhash_index(
     for r in batch_bands.select("bi", "pb").distinct().collect():
         touched.setdefault(r["bi"], []).append(r["pb"])
     if not touched:
+        batch_bands.unpersist()
         id_type = dict(batch_hs.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"base_id {id_type}, batch_id {id_type}, jaccard double"
@@ -301,6 +337,11 @@ def probe_minhash_index(
         .distinct()
     )
     cand, bcast = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
+    # the decide count just materialized cand through its cache, so
+    # the band-row relation is no longer on any live path — release
+    # it here instead of leaking one cached relation per probe
+    # (review fix; the streaming gate probes once per micro-batch)
+    batch_bands.unpersist()
     p = F.broadcast(cand) if bcast else cand
     grams = spark.read.parquet(f"{path}/grams")
     if exclude_label is not None:
@@ -318,7 +359,17 @@ def probe_minhash_index(
         ),
         "batch_id",
     )
-    return _verified_jaccard(withb)
+    out = _verified_jaccard(withb)
+    # the cached candidate set is part of the RETURNED plan's lineage
+    # — unpersisting it here would drop the cache before the verify
+    # join ever runs, recomputing the band join and re-reading the
+    # (now-uncached) batch bands. The caller owns its lifecycle: the
+    # streaming gate unpersists after materializing its decisions
+    # (streaming/neardup.py), one-shot queries let session teardown
+    # collect it. Exposed as an attribute so callers need no
+    # knowledge of the internals (review fix).
+    out._probe_persisted = [cand]
+    return out
 
 
 def incremental_decisions(
@@ -395,13 +446,26 @@ def incremental_decisions(
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:
-    """Fold all appended batch slices back into the base label —
-    the periodic maintenance a long-running ingestion gate needs:
-    each ``append_to_minhash_index`` adds one file per touched
+    """Fold appended batch slices back into the base label — the
+    periodic maintenance a long-running ingestion gate needs: each
+    ``append_to_minhash_index`` adds one file per touched
     (bl, bi, pb) leaf, so after many epochs probe listing cost grows
-    with history; compaction rewrites bands and grams to a single
-    bl=0 slice (one file per (bi, pb) leaf again) with probe results
-    unchanged (pinned by test).
+    with history; compaction rewrites bands and grams so labels
+    0..max-1 collapse to a single bl=0 slice (one file per (bi, pb)
+    leaf again) with probe results unchanged (pinned by test).
+
+    The NEWEST appended label is preserved uncompacted (review fix):
+    the streaming gate's replay safety rests on
+    ``probe_minhash_index(exclude_label=own_label)`` being able to
+    mask a crashed attempt's already-landed append. Folding every
+    label into bl=0 would defeat that exclusion — if the gate crashed
+    after its append but before the checkpoint committed, and
+    compaction ran before restart, the replayed batch would match its
+    own signatures and every doc would be dropped as ``matched_base``
+    (silent data loss). Only the latest label can be a crashed
+    in-flight epoch (appends are sequential), so keeping it
+    uncompacted makes compaction safe to run at any time without
+    coordinating with the stream's checkpoint state.
 
     Crash-safe without a transaction log: the rewrite stages to a
     sibling directory, the live table is moved ASIDE (never deleted
@@ -417,7 +481,16 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     import os
     import shutil
 
+    _require_local_dir(path)
     meta = spark.read.parquet(f"{path}/meta").head()
+    # newest appended label stays uncompacted (see docstring); found
+    # from the partition listing — fingerprint-sized metadata read
+    labels = [
+        r["bl"]
+        for r in spark.read.parquet(f"{path}/bands")
+        .select("bl").distinct().collect()
+    ]
+    keep_label = max((bl for bl in labels if bl != 0), default=None)
     for table, parts in (("bands", ["bl", "bi", "pb"]), ("grams", ["bl"])):
         src = f"{path}/{table}"
         stage = f"{path}/{table}__compact"
@@ -427,9 +500,18 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
         # original; stale stage/old leftovers are discarded
         if not os.path.exists(src) and os.path.exists(old):
             shutil.move(old, src)
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        df = spark.read.parquet(src).withColumn("bl", F.lit(0))
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        df = spark.read.parquet(src).withColumn(
+            "bl",
+            F.when(F.col("bl") == F.lit(keep_label), F.col("bl")).otherwise(
+                F.lit(0)
+            )
+            if keep_label is not None
+            else F.lit(0),
+        )
         rep = ["bi", "pb"] if table == "bands" else []
         w = df.repartition(*rep) if rep else df.coalesce(
             max(1, meta["bucket_parts"] // 8)

@@ -10,9 +10,14 @@ standard public LSH-index ingestion shape).
 
 Exactly-once without a transaction log, by construction:
 
-- the index append lands under the batch's own ``bl`` label with
-  dynamic partition overwrite (``append_to_minhash_index``) — replay
-  REPLACES the label's partitions, never double-inserts;
+- the index append lands under the batch's own ``bl`` label by
+  physically deleting the whole label slice and rewriting it in
+  append mode (``append_to_minhash_index``) — replay fully REPLACES
+  the label, never double-inserts. (Delete-then-append, NOT dynamic
+  partition overwrite: dynamic overwrite only replaces the leaves
+  the new write touches, so a replay whose kept-set shrank would
+  leave stale band rows alive in untouched leaves — see the append
+  docstring for the full review history.);
 - the probe excludes the batch's own label
   (``probe_minhash_index(exclude_label=...)``) — on replay the
   crashed attempt's append is already present, and without the
@@ -59,9 +64,10 @@ def neardup_gate_batch(
     the index label is ``batch_id + 1`` (0 is the initial build)."""
     label = batch_id + 1
     batch_hs = gram_hash_arrays(batch_docs).cache()
-    cross = probe_minhash_index(
+    probe = probe_minhash_index(
         spark, index_path, batch_hs, exclude_label=label
-    ).filter(F.col("jaccard") >= threshold)
+    )
+    cross = probe.filter(F.col("jaccard") >= threshold)
     within = minhash_lsh_pairs_arr(batch_hs).filter(
         F.col("jaccard") >= threshold
     )
@@ -74,15 +80,30 @@ def neardup_gate_batch(
         .withColumn("batch_label", F.lit(label))
         .cache()
     )
+    # dynamic mode scoped to the decisions write (review fix: leaving
+    # it flipped session-wide is order-dependent global state for any
+    # later partitioned overwrite in the same session)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    decisions.write.partitionBy("batch_label").mode("overwrite").parquet(
-        decisions_path
-    )
+    try:
+        decisions.write.partitionBy("batch_label").mode(
+            "overwrite"
+        ).parquet(decisions_path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     kept = decisions.filter("keep").select("doc_id")
     kept_hs = batch_hs.join(kept, "doc_id")
     append_to_minhash_index(spark, index_path, kept_hs, label)
     decisions.unpersist()
     batch_hs.unpersist()
+    # decisions are materialized on disk now — release the probe's
+    # cached candidate set so a long-running gate doesn't leak one
+    # cached relation per micro-batch (probe docstring: caller-owned)
+    for cached in getattr(probe, "_probe_persisted", []):
+        cached.unpersist()
 
 
 def stream_neardup_gate(

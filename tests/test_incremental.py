@@ -241,6 +241,94 @@ def test_compaction_preserves_probe_and_cuts_files(spark, sf_dir, tmp_path):
     append_to_minhash_index(spark, path, b1_hs, 1)
 
 
+def test_compaction_preserves_latest_label_for_replay(
+    spark, sf_dir, tmp_path
+):
+    """Review fix (r7 advisor, medium): compaction must keep the
+    NEWEST appended label uncompacted so the streaming gate's
+    ``exclude_label`` replay masking survives a compaction that runs
+    between a crashed append and the restart. Folding everything into
+    bl=0 made a replayed batch match its own signatures and drop
+    every doc as matched_base."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 1)).cache()
+    b1_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 2)).cache()
+    b2_hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 4 == 3)).cache()
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(base_hs, path)
+    append_to_minhash_index(spark, path, b1_hs, 1)
+    append_to_minhash_index(spark, path, b2_hs, 2)  # crashed epoch's append
+    compact_minhash_index(spark, path)
+
+    labels = {
+        r["bl"]
+        for r in spark.read.parquet(f"{path}/bands")
+        .select("bl").distinct().collect()
+    }
+    assert labels == {0, 2}  # label 1 folded, latest label preserved
+
+    # the replayed epoch probes itself with its own label excluded —
+    # must see exactly the pre-batch index state (base ∪ batch1)
+    got = _pairset(
+        probe_minhash_index(spark, path, b2_hs, exclude_label=2)
+    )
+    want = _pairset(
+        cross_pairs_against_bands(
+            minhash_band_rows(base_hs.unionByName(b1_hs)),
+            minhash_band_rows(b2_hs),
+        )
+    )
+    assert got == want
+    # in particular: no self-matches leaked back in via bl=0
+    assert not any(b == a for a, b, _ in got)
+
+
+def test_index_lifecycle_rejects_remote_uris(spark, sf_dir, tmp_path):
+    """Review fix (r7 advisor): the append/compact lifecycle uses
+    local-FS delete/rename; a URI path would silently no-op the
+    pre-delete and leave stale band rows alive. It must refuse."""
+    import pytest
+
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 16 == 1)).cache()
+    for bad in ("s3a://bucket/index", "file:/tmp/index", "hdfs://nn/idx"):
+        with pytest.raises(ValueError, match="local directory"):
+            append_to_minhash_index(spark, bad, hs, 1)
+        with pytest.raises(ValueError, match="local directory"):
+            compact_minhash_index(spark, bad)
+
+
+def test_index_write_restores_overwrite_mode_conf(spark, sf_dir, tmp_path):
+    """Review fix (r7 advisor): the index writer pins
+    partitionOverwriteMode=static for its own writes but must not
+    leak that session-wide (later dynamic overwrites would silently
+    become whole-table replaces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = gram_hash_arrays(docs.filter(F.col("doc_id") % 16 == 1)).cache()
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        build_minhash_index(hs, str(tmp_path / "mh_conf_idx"))
+        assert spark.conf.get(key) == "dynamic"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_append_label_reuse_fully_replaces_slice(spark, sf_dir, tmp_path):
     """Review fix regression: re-appending a LIVE label with a
     DIFFERENT doc set must fully replace the slice — under the old
