@@ -206,7 +206,18 @@ def hardware_weekly(df: DataFrame, devices: DataFrame) -> DataFrame:
 
 def flatten_wide(weekly: DataFrame) -> DataFrame:
     """P2 flatten_aggregates (hardware_report.py:327-350): one row per
-    week, columns '<prefix><key>' with the ratio values, newest first."""
+    week, columns '<prefix><key>' with the ratio values, newest first.
+
+    The pivot gets an EXPLICIT values list (r7 review fix): without
+    one, ``pivot`` runs a hidden distinct-keys job over the full
+    upstream DAG (with a silent 10k-value ceiling) and orders the
+    output columns by whatever that job returns. The key universe is
+    data-driven (the collapse invents "Other" buckets), so the list
+    can't be a static spec — instead it is collected once here from
+    the (date, dimension, key) grain, which is report-sized by
+    construction (weeks × 11 dims × collapsed keys), and sorted so
+    the wide schema is deterministic run-to-run — the property the
+    JSON export diff actually depends on."""
     flat = weekly.select(
         F.date_format("date_from", "yyyy-MM-dd").alias("date"),
         F.concat(
@@ -221,9 +232,12 @@ def flatten_wide(weekly: DataFrame) -> DataFrame:
         ).alias("flat_key"),
         "ratio",
     )
+    keys = sorted(
+        r["flat_key"] for r in flat.select("flat_key").distinct().collect()
+    )
     return (
         flat.groupBy("date")
-        .pivot("flat_key")
+        .pivot("flat_key", keys)
         .agg(F.first("ratio"))
         .orderBy(F.desc("date"))
     )

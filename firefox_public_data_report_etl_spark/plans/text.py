@@ -1251,20 +1251,23 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     production drops the exact pass entirely); the K-row estimate
     lookup rides a broadcast join.
 
-    CLASSIC-MODE ONLY: the K estimate extractions deserialize the
-    sketch bytes on the driver through the py4j gateway
-    (``CountMinSketch.readFrom`` + ``estimateCount``) because PySpark
-    4.1 exposes no Python-side CMS reader and no SQL estimate
-    function. Under Spark Connect there is no JVM gateway, so this
-    plan raises a clear error instead of a py4j AttributeError. It
-    also relies on the (stable-in-practice, version-pinned by the
-    oracle binding) agreement between the SQL aggregate's string
-    hashing and Java-side ``estimateCount(String)`` — the lower_ok /
-    upper_ok hash-checked booleans ARE the canary: a hashing change
-    in a Spark upgrade fails the oracle gate rather than silently
-    corrupting estimates.
+    The K estimate extractions decode the sketch bytes in pure
+    Python (``operators/cms_codec.py`` — the serialization layout and
+    the string double-hashing scheme are public, stable contracts of
+    Spark's sketch library), so the plan runs identically under
+    classic PySpark AND Spark Connect (r7 review fix: the previous
+    cut deserialized through the private ``spark.sparkContext._jvm``
+    py4j gateway, the one Connect-incompatible plan in the repo). The
+    decoder↔writer agreement is pinned by a JVM-comparison unit test
+    plus the lower_ok / upper_ok hash-checked booleans here — a
+    hashing change in a Spark upgrade fails the oracle gate rather
+    than silently corrupting estimates.
     """
     import math
+
+    from firefox_public_data_report_etl_spark.operators.cms_codec import (
+        CountMinSketchBytes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -1282,20 +1285,10 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     candidates = [r["token"] for r in top.collect()]
-    try:
-        jvm = spark.sparkContext._jvm
-    except Exception as exc:  # pragma: no cover - Connect-only path
-        raise RuntimeError(
-            "token_heavy_hitters requires classic (JVM-gateway) PySpark: "
-            "Count-Min estimate extraction has no Spark Connect API in "
-            "PySpark 4.1 (see docstring)"
-        ) from exc
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
-    )
+    cms = CountMinSketchBytes.from_bytes(bytes(agg["sk"]))
     bound = math.ceil(agg["n"] * CMS_EPS)
     lookup = spark.createDataFrame(
-        [(t, int(cms.estimateCount(t))) for t in candidates],
+        [(t, cms.estimate_string(t)) for t in candidates],
         "token string, est long",
     )
     return top.join(F.broadcast(lookup), "token").select(
