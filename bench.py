@@ -217,6 +217,9 @@ def main() -> None:
         "ann_ivf_pq",
         "contrastive_hard_negatives",
         "corpus_mixture_sample",
+        # round-8 additions
+        "corpus_ccnet_buckets_scaled",
+        "ann_ivf_pq_rerank",
     ):
         if name not in QUERIES:
             continue

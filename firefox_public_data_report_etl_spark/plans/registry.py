@@ -65,6 +65,33 @@ ORACLES: dict[str, str] = {}
 SCALE_CLASS: dict[str, str] = {}
 SCALE_PATH_FOR: dict[str, str] = {}
 
+# Partition-less windows found in "scale"-class plans, each with the
+# reason its single WindowExec task is bounded INDEPENDENT of corpus
+# size. tests/test_scale_class_completeness.py walks every registry
+# plan and fails any partition-less window that is neither labeled
+# via SCALE_CLASS nor justified here — so the next ccnet-style
+# silent single-task global sort cannot ship unlabeled (r7 verdict
+# #7; corpus_ccnet_buckets was the motivating case, now classed
+# "baseline" with a guarded exact form and a sketch-cutoff twin).
+REPORT_EDGE_WINDOWS: dict[str, str] = {
+    "user_activity_flagship": (
+        "running latest-release max over the WEEK spine — time-"
+        "bounded cardinality (weeks, not data) at any SF"
+    ),
+    "unshipped_orders_top10": (
+        "position column computed over the ALREADY-LIMITED 10 rows; "
+        "the global top-K itself is TakeOrderedAndProject"
+    ),
+    "bucket_collapse_ptype": (
+        "global-total window over the KEY-grain rollup (150 "
+        "p_type-p_brand combos), never the fact table"
+    ),
+    "compaction_plan_docs": (
+        "cumulative byte binning over a FILE LISTING — metadata "
+        "cardinality; the planner input is per-file rows, not data"
+    ),
+}
+
 for _m in _MODULES:
     for _name, _fn in _m.QUERIES.items():
         assert _name not in QUERIES, f"duplicate query name {_name}"

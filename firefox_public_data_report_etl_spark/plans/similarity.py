@@ -875,7 +875,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_PQ_ORACLE = f"""
+def _pq_oracle(k: int) -> str:
+    """IVF+PQ ADC oracle, parameterized by the top-k size so the
+    re-rank twin can reuse the whole chain as its shortlist CTE."""
+    return f"""
 WITH {_QUANT_CTES.strip()},
 sub AS (SELECT vec_id, CAST((i - 1) // {PQ_SUB_DIM} AS BIGINT) AS m, v, i
         FROM e),
@@ -922,12 +925,80 @@ r AS (SELECT q_id, n_id, adc_d2,
         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id)
              AS BIGINT) AS rank
       FROM adc),
-sel AS (SELECT * FROM r WHERE rank <= {TOP_K})
+sel AS (SELECT * FROM r WHERE rank <= {k})
 SELECT s.q_id, s.n_id, s.rank, s.adc_d2,
        CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS exact_d2
 FROM sel s JOIN e a ON a.vec_id = s.q_id
      JOIN e b ON b.vec_id = s.n_id AND b.i = a.i
 GROUP BY s.q_id, s.n_id, s.rank, s.adc_d2
+"""
+
+
+ANN_IVF_PQ_ORACLE = _pq_oracle(TOP_K)
+
+# ADC shortlist size for the re-rank composition: the standard IVFPQ
+# deployment refines the compressed-domain top-R with exact distances
+# on the R returned vectors only. R is a small constant multiple of k
+# — the re-rank join touches R full vectors per query, nothing
+# corpus-sized.
+PQ_RERANK_SHORTLIST = 10
+
+
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist → exact re-rank (r7 verdict #2): the composition
+    that makes IVFPQ deployable at the measured registry codebook
+    recall. Stage 1 is ``ann_ivf_pq``'s exact machinery with the
+    top-k widened to ``PQ_RERANK_SHORTLIST``; stage 2 re-ranks the
+    shortlist by the ``exact_d2`` column the PQ operator already
+    binds (full-vector integer squared-L2, computed for the R
+    returned rows only) and keeps the top ``TOP_K``. Both stages are
+    integer-exact, so the whole two-stage result — exact ranks, ADC
+    ranks, both distances — value-hashes against the DuckDB twin
+    (no tolerance booleans needed, unlike the sketch-cutoff
+    queries). Measured effect (tools/pq_recall.py, SCALING.md): the
+    re-rank lifts recall@3 above the pure-ADC ceiling at every
+    codebook size because ADC only has to land the true neighbors
+    anywhere in the top R, not in exact order.
+
+    Scale: identical plan class to ``ann_ivf_pq`` (guarded
+    fixed_param; sqrt-N sizing is the scale path) plus one
+    |Q|·R-row window — report-sized by construction."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), min(CENTROID_MOD, PQ_CB_MOD), "ann_ivf_pq_rerank",
+        "ann_ivf_multiprobe",
+    )
+    codes, cents = pq_encode(emb, PQ_CB_MOD, PQ_SUBSPACES, PQ_SUB_DIM)
+    shortlist = pq_adc_topk(
+        emb, codes, cents, PQ_RERANK_SHORTLIST, QUERY_MOD, CENTROID_MOD,
+        PQ_SUBSPACES, PQ_SUB_DIM,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("exact_d2"), F.asc("n_id")
+    )
+    return (
+        shortlist.withColumnRenamed("rank", "adc_rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "rank", "adc_rank", "adc_d2", "exact_d2")
+    )
+
+
+ANN_IVF_PQ_RERANK_ORACLE = f"""
+WITH short AS ({_pq_oracle(PQ_RERANK_SHORTLIST)}),
+rr AS (SELECT q_id, n_id, adc_d2, exact_d2, rank AS adc_rank,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY exact_d2, n_id) AS BIGINT) AS rank
+       FROM short)
+SELECT q_id, n_id, rank, adc_rank, adc_d2, exact_d2
+FROM rr WHERE rank <= {TOP_K}
 """
 
 
@@ -1072,6 +1143,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "ann_ivf_pq": ann_ivf_pq,
+    "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "ann_ivf_scaled": ann_ivf_scaled,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
@@ -1095,6 +1167,7 @@ ORACLES = {
     "ann_lsh": _ann_lsh_combined_oracle(),
     "ann_ivf": ANN_IVF_ORACLE,
     "ann_ivf_pq": ANN_IVF_PQ_ORACLE,
+    "ann_ivf_pq_rerank": ANN_IVF_PQ_RERANK_ORACLE,
     "contrastive_hard_negatives": CONTRASTIVE_HARDNEG_ORACLE,
     "ann_ivf_scaled": ANN_IVF_ORACLE,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
@@ -1115,6 +1188,7 @@ SCALE_CLASS = {
     "contrastive_hard_negatives": "baseline",
     "ann_ivf": "fixed_param",
     "ann_ivf_pq": "fixed_param",
+    "ann_ivf_pq_rerank": "fixed_param",
     "kmeans_lloyd_refine": "fixed_param",
     "ann_ivf_trained": "fixed_param",
     "dedup_semantic": "fixed_param",
@@ -1130,6 +1204,7 @@ SCALE_PATH_FOR = {
     "contrastive_hard_negatives": "ann_ivf_multiprobe",
     "ann_ivf": "ann_ivf_multiprobe",
     "ann_ivf_pq": "ann_ivf_multiprobe",
+    "ann_ivf_pq_rerank": "ann_ivf_multiprobe",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
     "ann_ivf_trained": "ann_ivf_multiprobe",
     "dedup_semantic": "dedup_semantic_scaled",

@@ -1433,6 +1433,22 @@ GROUP BY t.doc_id
 """
 
 
+# Validity bound for the exact (partition-less ntile) tercile form:
+# ONE WindowExec task sorts the whole doc-grain score table, so past
+# a few million (double, long) rows the task is a straggler/OOM
+# hazard. The bound is deliberately conservative — ~48 MB of sort
+# payload — and every testdata SF sits far below it (pinned by
+# test_ccnet_buckets_guard); past it the guard names the sketch twin.
+CCNET_EXACT_MAX_DOCS = 2_000_000
+# approx_percentile accuracy for the scaled twin's tercile cutoffs —
+# rank error <= n/accuracy, the same 1e-4 contract value_percentiles
+# (plans/shapes.py) uses
+CCNET_CUT_ACCURACY = 10_000
+# bucket-share tolerance: sketch rank error (1e-4) + tie mass at the
+# cut value (duplicate docs share identical lm_per_token ratios)
+CCNET_SHARE_EPS = 0.02
+
+
 def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's actual output shape (Wenzek et al. 2020 §4.4): rank
     every document by LM score and split the corpus into
@@ -1449,12 +1465,25 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark coalesce all rows into ONE WindowExec task (the "No
     Partition Defined for Window operation" WARN) — a deliberate
     single-task report edge, fine at registry/report grain but a
-    straggler well below 100 TB. The corpus-scale form computes two
-    approximate tercile cutoffs (approx_percentile on lm_per_token —
-    sketch-class, no global sort) and buckets by comparison; the
-    standard trade is boundary docs swapping buckets."""
+    straggler well below 100 TB. GUARDED accordingly (r7 verdict:
+    this was the last silent scale-killer): past
+    ``CCNET_EXACT_MAX_DOCS`` documents the exact form refuses to run
+    and names ``corpus_ccnet_buckets_scaled`` — the approx-cutoff
+    twin with no global sort — mirroring the fixed-param guards in
+    plans/similarity.py. The guard counts the raw documents scan
+    (parquet metadata count, never the LM DAG)."""
     from pyspark.sql import Window
 
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if n_docs > CCNET_EXACT_MAX_DOCS:
+        raise ValueError(
+            f"corpus_ccnet_buckets: corpus has {n_docs} documents, past "
+            f"the exact-tercile validity bound {CCNET_EXACT_MAX_DOCS} — "
+            "the partition-less ntile window is a single-task global "
+            "sort here. Use the sketch-cutoff scale twin "
+            "'corpus_ccnet_buckets_scaled' (see SCALE_PATH_FOR in "
+            "plans/text.py)."
+        )
     scored = corpus_lm_quality(spark, sf_dir)
     w = Window.orderBy(F.desc("lm_per_token"), F.asc("doc_id"))
     t = F.ntile(3).over(w)
@@ -1467,6 +1496,82 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def corpus_ccnet_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tercile path (r7 verdict #1): head/middle cutoffs
+    come from ONE ``approx_percentile`` aggregate (t-digest-class
+    sketch — map-side mergeable, no global sort, no single-task
+    window), broadcast as a 1-row relation, and every doc buckets by
+    comparison against them. The plan is two doc-grain passes with
+    only scalar state between them — the shape that survives a
+    1000-executor corpus, vs. the exact twin's one-task WindowExec.
+
+    Oracle binding, the repo's established sketch convention
+    (``value_percentiles``, plans/shapes.py): sketch cutoffs are
+    engine-specific, so exact boundary agreement is impossible —
+    instead the output is BUCKET-grain with tolerance booleans: one
+    row per tercile carrying the exact corpus doc count (bit-exact in
+    both engines) and ``share_within_tol`` — the bucket's share of
+    docs must sit within ±CCNET_SHARE_EPS of 1/3 (sketch rank error
+    is ≤ n/accuracy = 1e-4; the rest of the budget absorbs tie mass
+    at the cut value). DuckDB emits the three static bucket rows, the
+    exact count, and literal TRUE — a cutoff regression (wrong
+    quantile, wrong comparison direction, empty bucket) fails the
+    row-count or value hash."""
+    # cached: the cutoff aggregate AND the bucketing pass both read
+    # the doc-grain scores — without the cache the whole LM scoring
+    # DAG runs twice (measured: 5.6 s vs 4.4 s at the 100x stack).
+    # The relation is (long, double) per doc — fingerprint-sized at
+    # any corpus scale.
+    scored = (
+        corpus_lm_quality(spark, sf_dir)
+        .select("doc_id", "lm_per_token")
+        .cache()
+    )
+    cuts = scored.agg(
+        F.expr(
+            "approx_percentile(lm_per_token, "
+            f"array(1.0D/3.0D, 2.0D/3.0D), {CCNET_CUT_ACCURACY})"
+        ).alias("c")
+    )
+    # 1-row broadcast scalar attach — the allowlisted pattern
+    # (operators/text.py global-ndocs crossJoin); never a cartesian
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        F.when(
+            F.col("lm_per_token") >= F.element_at("c", 2), "head"
+        )
+        .when(F.col("lm_per_token") >= F.element_at("c", 1), "middle")
+        .otherwise("tail")
+        .alias("bucket")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("_n_bucket")
+    )
+    # total via a second rollup + 1-row broadcast, NOT a partition-
+    # less window — keeps even this report edge out of the single-
+    # task-window class the completeness test polices
+    tot = per_bucket.agg(F.sum("_n_bucket").alias("n_docs"))
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        (
+            F.abs(
+                F.col("_n_bucket") / F.col("n_docs").cast("double")
+                - F.lit(1.0 / 3.0)
+            )
+            <= F.lit(CCNET_SHARE_EPS)
+        ).alias("share_within_tol"),
+    )
+
+
+def _ccnet_buckets_scaled_oracle() -> str:
+    return """
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT b.bucket, (SELECT n_docs FROM tot) AS n_docs,
+       TRUE AS share_within_tol
+FROM (VALUES ('head'), ('middle'), ('tail')) b(bucket)
+"""
 
 
 def _ccnet_buckets_oracle() -> str:
@@ -1546,6 +1651,7 @@ QUERIES = {
     "corpus_lm_quality": corpus_lm_quality,
     "corpus_lm_quality_bigram": corpus_lm_quality_bigram,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
+    "corpus_ccnet_buckets_scaled": corpus_ccnet_buckets_scaled,
     "token_heavy_hitters": token_heavy_hitters,
     "document_chunks": document_chunks,
     "corpus_boilerplate": corpus_boilerplate,
@@ -1572,6 +1678,7 @@ ORACLES = {
     "corpus_lm_quality": _lm_quality_oracle(),
     "corpus_lm_quality_bigram": _lm_bigram_oracle(),
     "corpus_ccnet_buckets": _ccnet_buckets_oracle(),
+    "corpus_ccnet_buckets_scaled": _ccnet_buckets_scaled_oracle(),
     "token_heavy_hitters": TOKEN_HEAVY_HITTERS_ORACLE,
     "document_chunks": DOCUMENT_CHUNKS_ORACLE,
     "corpus_boilerplate": CORPUS_BOILERPLATE_ORACLE,
@@ -1592,3 +1699,11 @@ ORACLES = {
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
 }
+
+
+# corpus_ccnet_buckets is the exact-tercile ground truth for the
+# sketch-cutoff twin: a deliberate single-task sort, now guarded by
+# CCNET_EXACT_MAX_DOCS (r7 verdict #1 — the last unlabeled
+# single-task window); the twin is the 100 TB path.
+SCALE_CLASS = {"corpus_ccnet_buckets": "baseline"}
+SCALE_PATH_FOR = {"corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled"}

@@ -69,6 +69,8 @@ DEFAULT_NAMES = [
     "dedup_lines_c4",
     "corpus_lm_quality",
     "bpe_merge_table",
+    # round-8 additions
+    "corpus_ccnet_buckets_scaled",
 ]
 
 
