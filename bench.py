@@ -220,6 +220,8 @@ def main() -> None:
         # round-8 additions
         "corpus_ccnet_buckets_scaled",
         "ann_ivf_pq_rerank",
+        "bpe_encode_corpus",
+        "sequence_packing_bpe",
     ):
         if name not in QUERIES:
             continue

@@ -293,6 +293,7 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing — the standard LLM
     pretraining layout: documents are concatenated in deterministic
@@ -309,14 +310,20 @@ def pack_sequences(
     stay deterministic at any partitioning because order is
     (shard, doc_id) and tokens are a pure function of the text.
 
-    Returns per-doc: shard, tokens (chars/4 estimate), bin_id (chunk
-    index within shard), bin_offset (token offset of the doc's start
-    inside its chunk).
+    Returns per-doc: shard, tokens (chars/4 estimate, or the exact
+    per-doc count in ``tokens_col`` when given — the real-BPE-ids
+    composition passes ``bpe_apply``'s per-doc token counts), bin_id
+    (chunk index within shard), bin_offset (token offset of the
+    doc's start inside its chunk).
     """
     toks = docs.select(
         id_col,
         (F.col(id_col) % n_shards).alias("shard"),
-        F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        (
+            F.col(tokens_col)
+            if tokens_col
+            else F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        )
         .cast("long")
         .alias("tokens"),
     )
@@ -833,6 +840,20 @@ BPE_SEP = "\x1f"  # unit separator — cannot occur in corpus tokens
 BPE_MERGES = 5
 
 
+def _bpe_sym_expr(word_col: str):
+    """Word → double-separator symbol string ("␟␟a␟␟b␟␟") — the ONE
+    layout definition shared by merge learning (bpe_train) and merge
+    application (bpe_apply), so the two can never segment
+    differently (the separator-layout properties are documented on
+    bpe_train)."""
+    return F.expr(
+        "concat(char(31), char(31),"
+        f" array_join(transform(sequence(1, length({word_col})),"
+        f" i -> substring({word_col}, i, 1)), concat(char(31), char(31))),"
+        " char(31), char(31))"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
@@ -880,15 +901,7 @@ def bpe_train(
         .agg(F.count("*").alias("c"))
     )
     sep2 = BPE_SEP + BPE_SEP
-    sym = vocab.select(
-        F.expr(
-            "concat(char(31), char(31),"
-            " array_join(transform(sequence(1, length(w)),"
-            " i -> substring(w, i, 1)), concat(char(31), char(31))),"
-            " char(31), char(31))"
-        ).alias("s"),
-        "c",
-    ).cache()
+    sym = vocab.select(_bpe_sym_expr("w").alias("s"), "c").cache()
 
     merges = []
     cur = sym
@@ -921,6 +934,94 @@ def bpe_train(
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a LEARNED merge table (r7 verdict #3 —
+    the missing half of the tokenizer: ``bpe_train`` produces the
+    artifact, this applies it, so downstream packing/counting runs on
+    real BPE ids instead of surrogate tokens). ``merges`` is the
+    driver-side (left_sym, right_sym) list in step order — K rows,
+    the same driver-edge class as the trainer's per-round argmax.
+
+    The scale shape is classic BPE's own vocabulary trick, same as
+    training: merges apply to the DISTINCT-WORD table (one
+    ``replace`` chain over vocab-cardinality double-separator symbol
+    strings — ``_bpe_sym_expr`` shared with the trainer, so encoder
+    and trainer can never segment differently), and the corpus-sized
+    work is one posexplode plus one (word → tokens) equi-join. The
+    corpus text is never touched per merge.
+
+    Token ids are the standard BPE vocabulary numbering: base
+    characters first (sorted, ids 0..B-1 — alphabet collation note:
+    python/DuckDB code-point order, identical over the ASCII
+    testdata), then merge k at id B+k; a surface-string collision
+    between two merge steps (e.g. (a,bc) and (ab,c) both → "abc")
+    resolves to the EARLIEST step. The alphabet + merge map is
+    driver-built (alphabet-cardinality — bounded by the charset, not
+    the corpus) and broadcast.
+
+    Output, token grain: (doc_id, word_pos, sub_pos, token,
+    token_id) — fully deterministic, so the DuckDB unrolled-merge
+    twin hash-matches bit-for-bit.
+    """
+    spark = docs.sparkSession
+    sep2 = BPE_SEP + BPE_SEP
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
+    )
+    vocab = words.select("w").distinct()
+    enc_col = _bpe_sym_expr("w")
+    for left, right in merges:
+        enc_col = F.replace(
+            enc_col,
+            F.lit(BPE_SEP + left + sep2 + right + BPE_SEP),
+            F.lit(BPE_SEP + left + right + BPE_SEP),
+        )
+    enc = vocab.select("w", enc_col.alias("s"))
+    arr = F.split(F.col("s"), sep2)
+    wt = enc.select(
+        "w",
+        F.posexplode(F.slice(arr, 2, F.size(arr) - 2)).alias(
+            "sub_pos", "token"
+        ),
+    )
+    chars = sorted(
+        r["ch"]
+        for r in vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    idmap: dict[str, int] = {ch: i for i, ch in enumerate(chars)}
+    for k, (left, right) in enumerate(merges):
+        idmap.setdefault(left + right, len(chars) + k)
+    ids = spark.createDataFrame(
+        sorted(idmap.items()), "token string, token_id long"
+    )
+    return (
+        words.join(wt, "w")
+        .join(F.broadcast(ids), "token")
+        .select(
+            id_col,
+            F.col("word_pos").cast("long").alias("word_pos"),
+            F.col("sub_pos").cast("long").alias("sub_pos"),
+            "token",
+            "token_id",
+        )
     )
 
 

@@ -558,7 +558,10 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_parts() -> list[str]:
+    """The unrolled training rounds (v, s0, p{t}/b{t}/s{t+1}) shared
+    by the merge-table oracle and the corpus-encoding oracle — the
+    b{t} CTEs ARE the learned merges both consume."""
     from firefox_public_data_report_etl_spark.operators.text import (
         BPE_MERGES,
     )
@@ -592,12 +595,199 @@ def _bpe_oracle() -> str:
    chr(31) || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || chr(31)) AS s, c
   FROM s{t})"""
         )
+    return parts
+
+
+def _bpe_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        BPE_MERGES,
+    )
+
     selects = "\nUNION ALL\n".join(
         f"SELECT {t} AS step, l AS left_sym, r AS right_sym,"
         f" cnt AS pair_count FROM b{t}"
         for t in range(BPE_MERGES)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return _materialize_ctes(
+        "WITH " + ",\n".join(_bpe_chain_parts()) + "\n" + selects
+    )
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Force every CTE in the unrolled BPE chains MATERIALIZED:
+    DuckDB inlines CTEs by default, and the b{t} merge CTEs are
+    referenced by every later round (3x per round in the train
+    chain, again by the apply chain), so inlining re-executes the
+    whole prefix per reference — measured >400 s vs 0.2 s for the
+    encode oracle at sf0.001. Purely an execution hint; results are
+    unchanged."""
+    return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
+
+def _bpe_apply_parts() -> list[str]:
+    """Training chain + the word-keeping apply chain: re-segment the
+    distinct words, replay the learned replaces (scalar subqueries on
+    the b{t} merges), split to tokens, and build the id map (sorted
+    base chars 0..B-1, then merge k at B+k, earliest step on surface
+    collision — the contract documented on operators.text.bpe_apply)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        BPE_MERGES,
+    )
+
+    parts = _bpe_chain_parts()
+    parts.append(
+        """w0 AS (SELECT w, chr(31) || chr(31) ||
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)),
+                         chr(31) || chr(31))
+         || chr(31) || chr(31) AS s FROM v)"""
+    )
+    for t in range(BPE_MERGES):
+        parts.append(
+            f"""w{t + 1} AS (SELECT w, replace(s,
+   chr(31) || (SELECT l FROM b{t}) || chr(31) || chr(31)
+           || (SELECT r FROM b{t}) || chr(31),
+   chr(31) || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || chr(31)) AS s
+  FROM w{t})"""
+        )
+    parts.append(
+        f"""tok AS (SELECT w, CAST(i - 2 AS BIGINT) AS sub_pos, arr[i] AS token
+  FROM (SELECT w, string_split(s, chr(31) || chr(31)) AS arr
+        FROM w{BPE_MERGES}),
+       unnest(range(2, len(arr))) u(i))"""
+    )
+    parts.append(
+        """chars AS (SELECT DISTINCT
+         unnest(list_transform(range(1, length(w) + 1),
+                               i -> substr(w, i, 1))) AS token FROM v)"""
+    )
+    parts.append(
+        """base AS (SELECT token,
+         CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+       FROM chars)"""
+    )
+    parts.append(
+        "mt AS ("
+        + " UNION ALL ".join(
+            f"SELECT {t} AS step, l, r FROM b{t}"
+            for t in range(BPE_MERGES)
+        )
+        + ")"
+    )
+    parts.append(
+        """mids AS (SELECT l || r AS token,
+         CAST((SELECT count(*) FROM base) + min(step) AS BIGINT) AS token_id
+       FROM mt GROUP BY l || r)"""
+    )
+    parts.append(
+        """ids AS (SELECT token, token_id FROM base
+       UNION ALL SELECT token, token_id FROM mids)"""
+    )
+    parts.append(
+        """dw AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, arr[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       unnest(range(1, len(arr) + 1)) u(i))"""
+    )
+    return parts
+
+
+def _bpe_encode_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_bpe_apply_parts())
+        + """
+SELECT d.doc_id, d.word_pos, t.sub_pos, t.token, i.token_id
+FROM dw d JOIN tok t USING (w) JOIN ids i USING (token)"""
+    )
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the merge table, then ENCODE the corpus with it
+    (operators/text.py:bpe_apply) — the train→apply composition that
+    turns documents into real BPE token-id rows (r7 verdict #3:
+    before this, packing and counting ran on surrogate tokens). The
+    oracle replays the identical unrolled rounds AND the identical
+    apply chain in DuckDB, so every (doc, word_pos, sub_pos) token
+    and its vocabulary id hash-match bit-for-bit.
+
+    Scale: training is the measured near-flat vocab-trick loop
+    (SCALING.md); application adds one replace chain over the
+    distinct-word table, one alphabet-sized driver collect, and one
+    corpus-sized (word → tokens) equi-join — no per-merge pass over
+    corpus text."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_train(docs)
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in mt.orderBy("step").collect()
+    ]
+    return bpe_apply(docs, merges)
+
+
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequence_packing`` on REAL BPE token counts: the learned
+    tokenizer's per-doc token mass (``bpe_encode_corpus`` rolled up
+    to doc grain) replaces the chars/4 estimate, so context-window
+    assembly reflects the tokenizer that will actually train — the
+    composition the r7 verdict asked for. Same shard-partitioned
+    prefix-sum plan as the estimate form; the only addition is the
+    doc-grain count rollup + join feeding it."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_train(docs)
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in mt.orderBy("step").collect()
+    ]
+    counts = (
+        bpe_apply(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bpe_tokens"))
+    )
+    packed = pack_sequences(
+        docs.join(counts, "doc_id"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+        tokens_col="bpe_tokens",
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("start_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sequence_packing_bpe_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_bpe_apply_parts())
+        + f""",
+cnt AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS tokens
+        FROM dw d JOIN tok t USING (w) GROUP BY d.doc_id),
+cum AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, tokens,
+         sum(tokens) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM cnt
+)
+SELECT shard,
+       CAST((c - tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS start_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1, 2"""
+    )
 
 
 def _contamination_oracle() -> str:
@@ -1671,6 +1861,8 @@ QUERIES = {
     "train_eval_contamination": train_eval_contamination,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
     "bpe_merge_table": bpe_merge_table,
+    "bpe_encode_corpus": bpe_encode_corpus,
+    "sequence_packing_bpe": sequence_packing_bpe,
 }
 
 ORACLES = {
@@ -1698,6 +1890,8 @@ ORACLES = {
     "train_eval_contamination": _contamination_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
+    "bpe_encode_corpus": _bpe_encode_oracle(),
+    "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
 }
 
 

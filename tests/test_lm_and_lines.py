@@ -172,3 +172,76 @@ def test_bpe_stops_when_no_pairs_remain(spark) -> None:
     # no pairs exist and the loop stops instead of emitting junk
     assert len(merges) == 1
     assert (merges[0]["left_sym"], merges[0]["right_sym"]) == ("a", "b")
+
+
+def test_bpe_apply_tokens_and_ids(spark) -> None:
+    """bpe_apply must segment exactly as the trainer's replace chain
+    (shared _bpe_sym_expr) and number the vocabulary base-chars-
+    sorted-first then merges-by-step: corpus 'abab ab cd' with
+    merges [(a,b), (ab,ab)] → chars a,b,c,d = 0..3, 'ab' = 4,
+    'abab' = 5; 'cd' stays two base tokens."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abab ab cd"), (1, "abab")], "doc_id long, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=2).orderBy("step").collect()
+    ]
+    assert merges == [("a", "b"), ("ab", "ab")]
+    rows = {
+        (r["doc_id"], r["word_pos"], r["sub_pos"]): (
+            r["token"],
+            r["token_id"],
+        )
+        for r in bpe_apply(docs, merges).collect()
+    }
+    assert rows == {
+        (0, 0, 0): ("abab", 5),
+        (0, 1, 0): ("ab", 4),
+        (0, 2, 0): ("c", 2),
+        (0, 2, 1): ("d", 3),
+        (1, 0, 0): ("abab", 5),
+    }
+
+
+def test_bpe_apply_consecutive_merge_parity(spark) -> None:
+    """'aaaa' with merge (a,a): greedy left-to-right gives (aa)(aa) —
+    the double-separator replace must fuse BOTH pairs in one pass
+    (the single-separator bug the trainer test pins, now pinned on
+    the apply side too)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+    )
+
+    docs = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    toks = [
+        r["token"]
+        for r in bpe_apply(docs, [("a", "a")])
+        .orderBy("sub_pos")
+        .collect()
+    ]
+    assert toks == ["aa", "aa"]
+
+
+def test_pack_sequences_tokens_col_override(spark) -> None:
+    """tokens_col replaces the chars/4 estimate verbatim."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "xxxx", 300), (8, "y", 300)], "doc_id long, text string, n long"
+    )
+    rows = {
+        r["doc_id"]: (r["tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            docs, capacity=512, n_shards=8, tokens_col="n"
+        ).collect()
+    }
+    # both docs share shard 0; second doc starts at offset 300
+    assert rows == {0: (300, 0, 0), 8: (300, 0, 300)}
