@@ -222,6 +222,8 @@ def main() -> None:
         "ann_ivf_pq_rerank",
         "bpe_encode_corpus",
         "sequence_packing_bpe",
+        "corpus_mixture_temperature",
+        "multimodal_ppm_decode",
     ):
         if name not in QUERIES:
             continue

@@ -323,3 +323,133 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA])
 
     return media.mapInPandas(_decode, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Second real format (round-8, r7 verdict #6): binary PPM (P6) — the
+# netpbm true-color format: an ASCII header ("P6", width, height,
+# maxval as whitespace-separated tokens, '#' comments allowed) then
+# raw RGB bytes, TOP-DOWN rows, NO padding. Deliberately the
+# complementary layout to BMP (text header vs packed structs,
+# top-down vs bottom-up, RGB vs BGR, unpadded vs 4-byte-padded rows)
+# so the two decoders cannot share a layout bug. Same oracle
+# strategy: payloads are real spec bytes, the oracle recomputes the
+# statistics from the logical pixel rule and never sees the bytes.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(rgb) -> bytes:
+    """RGB uint8 array (H, W, 3), row-major top-down → binary PPM
+    (P6, maxval 255): ASCII header then unpadded RGB rows."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary PPM (P6): returns (width, height, rgb) with rgb
+    a (H, W, 3) uint8 array, top-down RGB — the header tokenizer
+    accepts any whitespace between tokens and '#' comments (the spec
+    allows both; a fixture test pins it). Raises
+    ``NotImplementedError`` for other magic numbers or maxval > 255
+    (2-byte samples) — the honest boundary of this decoder."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            f"only binary PPM (P6) supported, got magic {payload[:2]!r}"
+        )
+    # tokenize header: after the magic, the next 3 whitespace-
+    # separated tokens (skipping '#'-to-end-of-line comments) are
+    # width, height, maxval; exactly ONE whitespace byte follows
+    # maxval before the raster (per spec)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b"\r", b""):
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(
+            f"2-byte-per-sample PPM not supported (maxval={maxval})"
+        )
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, offset=pos, count=width * height * 3
+    )
+    return width, height, arr.reshape(height, width, 3)
+
+
+# Logical pixel rule for the synthesized PPM corpus — a DIFFERENT
+# rule family than BMP's so the two oracles cannot mask each other:
+# channel c of flat pixel k is (media_id*5 + k*29 + c*13) % 256.
+PPM_W_MOD, PPM_H_MOD = 11, 5
+
+
+def _ppm_rule_rgb(media_id: int):
+    import numpy as np
+
+    w = 1 + media_id % PPM_W_MOD
+    h = 1 + media_id % PPM_H_MOD
+    k = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    c = np.arange(3, dtype=np.int64)
+    vals = (media_id * 5 + k[..., None] * 29 + c * 13) % 256
+    return vals.astype(np.uint8)
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL binary PPM payload per row (Arrow-batched,
+    deterministic rule above)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                payload = encode_ppm(_ppm_rule_rgb(int(mid)))
+                out.append((int(mid), payload, "image/x-portable-pixmap",
+                            len(payload)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+def decode_ppm_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode stage for PPM — same exact-integer
+    channel statistics contract as ``decode_bmp_stats``."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/x-portable-pixmap":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                w, h, rgb = decode_ppm(bytes(payload))
+                flat = rgb.reshape(-1, 3).astype("int64")
+                rows.append(
+                    (
+                        int(mid), w, h, w * h,
+                        int(flat[:, 0].sum()), int(flat[:, 1].sum()),
+                        int(flat[:, 2].sum()),
+                        int(flat[:, 0].min()), int(flat[:, 0].max()),
+                        int(flat[:, 1].min()), int(flat[:, 1].max()),
+                        int(flat[:, 2].min()), int(flat[:, 2].max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA])
+
+    return media.mapInPandas(_decode, BMP_STATS_SCHEMA)

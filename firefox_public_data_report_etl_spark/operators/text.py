@@ -1063,3 +1063,53 @@ def mixture_sample(
         .filter(F.col("rank_in_stratum") <= F.col("_q"))
         .drop("_q")
     )
+
+
+# Fixed-point scale for the temperature sampler's powered source
+# masses: floor(sqrt(n) * 10^6) as int64 — sqrt is correctly-rounded
+# IEEE in every engine and floor kills the round-half tie hazard, so
+# the weights (hence the integer quota arithmetic on them) are
+# bit-reproducible cross-engine. 10^6 keeps 6 significant fractional
+# digits; overflow needs sum(sqrt(n_s)) > 9.2e12, i.e. corpora past
+# ~10^25 docs — not a real bound.
+MIXTURE_TEMP_SCALE = 10**6
+
+
+def mixture_sample_temperature(
+    docs: DataFrame,
+    strata_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (r7 verdict #5) — the
+    standard ``p^alpha`` source re-weighting every multilingual
+    pretraining recipe applies (alpha < 1 up-samples small sources;
+    mBERT/XLM-R exponentiated-mass sampling, here at the fixed
+    alpha = 0.5 the sqrt encodes): per-source quota =
+    budget · n_s^0.5 / Σ n_t^0.5, computed in INTEGER fixed-point
+    (floor(sqrt(n)·10^6) weights, integer multiply + floor-div) so
+    the quotas — and therefore the draw — are exactly reproducible
+    in any engine. The draw itself is ``mixture_sample``'s hash
+    reservoir, so each source's sample is still the deterministic
+    PREFIX property: shrinking the budget later selects a subset of
+    this draw.
+
+    Scale: one source-cardinality count (collected — the quota table
+    is #sources rows, the driver edge every quota config is) feeding
+    the same single-window plan as ``mixture_sample``. Output adds
+    the computed ``quota`` column so the oracle pins the quota
+    arithmetic itself, not just the membership."""
+    import math
+
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    wts = {
+        r[strata_col]: int(math.floor(math.sqrt(r["n"]) * MIXTURE_TEMP_SCALE))
+        for r in counts
+    }
+    total = sum(wts.values())
+    quotas = {s: (budget * w) // total for s, w in wts.items()}
+    out = mixture_sample(docs, strata_col, quotas, id_col)
+    qcol = F.lit(None).cast("long")
+    for s, k in sorted(quotas.items()):
+        qcol = F.when(F.col(strata_col) == s, F.lit(k)).otherwise(qcol)
+    return out.withColumn("quota", qcol)

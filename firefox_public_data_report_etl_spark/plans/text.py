@@ -348,6 +348,69 @@ FROM px
 """
 
 
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real codec (round-8, r7 verdict #6): binary PPM (P6) —
+    ASCII header + top-down unpadded RGB raster, the COMPLEMENTARY
+    layout to BMP's packed structs/bottom-up/BGR/padded rows, so the
+    two decoders cannot share a layout bug. Same end-to-end contract
+    as ``multimodal_bmp_decode``: synthesize spec bytes
+    (operators/multimodal.py:attach_ppm_payload), parse them back
+    with the independent decoder (decode_ppm) in an Arrow-batched
+    mapInPandas stage, emit exact per-channel statistics; the oracle
+    recomputes from the logical pixel rule and never sees the bytes.
+    Header tokenization (whitespace forms, '#' comments) is pinned
+    by byte fixtures in tests. Scale notes identical to the BMP
+    query: pixels never shuffle, 13 ints per image out."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_ppm_stats(attach_ppm_payload(docs))
+
+
+def _ppm_decode_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        PPM_H_MOD,
+        PPM_W_MOD,
+    )
+
+    chan = {"r": 0, "g": 13, "b": 26}
+    lists = ",\n        ".join(
+        f"list_transform(range(0, width * height),"
+        f" k -> (media_id * 5 + k * 29 + {off}) % 256) AS {c}"
+        for c, off in chan.items()
+    )
+    stats = ",\n       ".join(
+        f"CAST(list_sum({c}) AS BIGINT) AS sum_{c}" for c in chan
+    )
+    minmax = ",\n       ".join(
+        f"CAST(list_min({c}) AS INT) AS min_{c},"
+        f" CAST(list_max({c}) AS INT) AS max_{c}"
+        for c in chan
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % {PPM_W_MOD} AS INT) AS width,
+                     CAST(1 + doc_id % {PPM_H_MOD} AS INT) AS height
+              FROM documents),
+px AS (SELECT media_id, width, height,
+        {lists}
+       FROM base)
+SELECT media_id, width, height,
+       CAST(width * height AS BIGINT) AS n_px,
+       {stats},
+       {minmax}
+FROM px
+"""
+
+
 # Mixing quotas: the target per-language doc counts of the training
 # mixture (a Pile/LLaMA-style source-weighting table). zh is
 # deliberately absent: sources without a quota contribute nothing.
@@ -386,6 +449,57 @@ WITH r AS (
 SELECT doc_id, lang, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
 FROM r
 WHERE rank_in_stratum <= CASE lang {cases} ELSE 0 END
+"""
+
+
+MIXTURE_TEMP_BUDGET = 200
+
+
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted pretraining mixture
+    (operators/text.py:mixture_sample_temperature): quotas are the
+    alpha=0.5 powered source masses normalized to a 200-doc budget —
+    small languages up-sampled relative to raw proportions, the
+    standard multilingual recipe. Quota arithmetic is integer
+    fixed-point end to end, so the DuckDB twin recomputes the exact
+    same quotas from the same counts and the value hash pins both
+    the quota table and the hash-reservoir draw."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        mixture_sample_temperature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample_temperature(docs, "lang", MIXTURE_TEMP_BUDGET)
+
+
+def _mixture_temperature_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        MIXTURE_TEMP_SCALE,
+    )
+
+    return f"""
+WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+w AS (SELECT lang,
+        CAST(floor(sqrt(n) * {MIXTURE_TEMP_SCALE}) AS BIGINT) AS wt
+      FROM n),
+tw AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+q AS (SELECT lang,
+        ({MIXTURE_TEMP_BUDGET} * wt) // (SELECT tot FROM tw) AS quota
+      FROM w),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rank_in_stratum
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       CAST(r.rank_in_stratum AS BIGINT) AS rank_in_stratum,
+       CAST(q.quota AS BIGINT) AS quota
+FROM r JOIN q USING (lang)
+WHERE r.rank_in_stratum <= q.quota
 """
 
 
@@ -1852,9 +1966,11 @@ QUERIES = {
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_bmp_decode": multimodal_bmp_decode,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
     "corpus_mixture_sample": corpus_mixture_sample,
+    "corpus_mixture_temperature": corpus_mixture_temperature,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "sequence_packing": sequence_packing,
@@ -1881,9 +1997,11 @@ ORACLES = {
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_bmp_decode": _bmp_decode_oracle(),
+    "multimodal_ppm_decode": _ppm_decode_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_mixture_sample": _mixture_oracle(),
+    "corpus_mixture_temperature": _mixture_temperature_oracle(),
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
