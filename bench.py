@@ -224,6 +224,7 @@ def main() -> None:
         "sequence_packing_bpe",
         "corpus_mixture_temperature",
         "multimodal_ppm_decode",
+        "ann_ivf_pq_residual",
     ):
         if name not in QUERIES:
             continue

@@ -519,6 +519,51 @@ def pq_encode(
     return codes, cents
 
 
+def pq_residual_vectors(
+    quantized_emb, coarse_mod: int, id_col: str = "vec_id"
+):
+    """Residual encoding input (round 8 — the FAISS IVFPQ DEFAULT the
+    no-residual variant's docstrings point at): each vector becomes
+    its element-wise integer difference from its coarse cell
+    centroid. Integer subtract keeps the whole chain oracle-exact.
+
+    MEASURED, not assumed (tools/pq_recall.py, both regimes): on the
+    UNIFORM testdata embeddings residuals HURT recall at every
+    codebook size (0.042 vs 0.217 ADC@3 at the registry codebook) —
+    a uniform vector's nearest coarse seed is unrelated, so the
+    residual distribution is ~2x the variance of the inputs. On a
+    CLUSTERED corpus (the regime the technique is for) residuals tie
+    or win once the codebook has capacity (0.233 vs 0.192 at ~100
+    centroids/subspace; re-ranked 0.575 vs 0.508 at ~200) and still
+    lose below that. Deploy residuals only when the embedding space
+    is verifiably clustered AND the codebook is sized to the noise
+    scale; the flip condition is the finding.
+
+    Returns (residuals, cells): residuals = (id, q, cell) with ``q``
+    the residual array, cells = the ORIGINAL-space assignment —
+    callers must pass it through to ``pq_adc_topk(cells=...)`` so
+    candidate generation never re-assigns in residual space.
+
+    Shape: one assignment pass (the ivf_assign matmul — vectors
+    never shuffle) + a broadcast centroid-vector join + one
+    zip_with projection; nothing new at corpus grain."""
+    coarse = quantized_emb.filter(F.col(id_col) % coarse_mod == 1)
+    cells = ivf_assign(quantized_emb, coarse, id_col)
+    cvecs = coarse.select(
+        F.col(id_col).alias("cell"), F.col("q").alias("_cq")
+    )
+    res = (
+        quantized_emb.join(cells, id_col)
+        .join(F.broadcast(cvecs), "cell")
+        .select(
+            id_col,
+            F.expr("zip_with(q, _cq, (x, y) -> x - y)").alias("q"),
+            "cell",
+        )
+    )
+    return res, cells
+
+
 def pq_adc_topk(
     quantized_emb,
     codes,
@@ -529,6 +574,8 @@ def pq_adc_topk(
     n_sub: int,
     sub_dim: int,
     id_col: str = "vec_id",
+    lut_vectors=None,
+    cells=None,
 ):
     """IVF+PQ search with asymmetric distance computation (ADC) — the
     deployable FAISS ``IVFPQ`` shape (no-residual variant, noted):
@@ -552,17 +599,30 @@ def pq_adc_topk(
     never all-pairs. At 100 TB the codes table is the only
     corpus-sized relation touched per query, at n_sub bytes/vector —
     the memory story that lets a 100 TB corpus's index fit a
-    cluster's RAM."""
+    cluster's RAM.
+
+    ``lut_vectors`` / ``cells`` (round 8, residual variant): the
+    residual composition passes codes/cents trained on
+    (vector − cell centroid) residuals, the residual table as
+    ``lut_vectors`` (the query side of the ADC table must live in
+    the same space as the codebook), and the ORIGINAL-space cell
+    assignment as ``cells`` (residuals must never re-assign coarse
+    cells). ``exact_d2`` stays in the original space either way —
+    the re-rank binding is space-independent ground truth."""
     from pyspark.sql import Window
 
     queries = quantized_emb.filter(F.col(id_col) % query_mod == 0)
-    coarse = quantized_emb.filter(F.col(id_col) % coarse_mod == 1)
-    cells = ivf_assign(quantized_emb, coarse, id_col)
+    if cells is None:
+        coarse = quantized_emb.filter(F.col(id_col) % coarse_mod == 1)
+        cells = ivf_assign(quantized_emb, coarse, id_col)
     qcells = cells.join(
         queries.select(id_col), id_col
     ).select(F.col(id_col).alias("q_id"), "cell")
 
-    qsubs = _subspaces(queries, n_sub, sub_dim, id_col, "q_id")
+    lut_src = (
+        lut_vectors if lut_vectors is not None else quantized_emb
+    ).filter(F.col(id_col) % query_mod == 0)
+    qsubs = _subspaces(lut_src, n_sub, sub_dim, id_col, "q_id")
     lut = qsubs.join(F.broadcast(cents), "m").select(
         "q_id",
         "m",

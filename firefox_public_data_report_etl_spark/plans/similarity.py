@@ -991,6 +991,105 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding (round 8) — the FAISS ``IVFPQ``
+    default the no-residual registry form documents itself against:
+    database vectors are PQ-coded as (vector − coarse centroid)
+    residuals, the per-query ADC table is built from the QUERY's
+    residual against its own cell (operators/vectorized.py:
+    pq_residual_vectors + the lut_vectors/cells parameters of
+    pq_adc_topk), and candidates still come from the original-space
+    coarse assignment. Integer-exact end to end, so codes, ADC
+    ranks, and the exact-L2 binding all hash against the DuckDB
+    twin. Same guard + scale story as the PQ siblings.
+
+    When to use it is MEASURED, not assumed (tools/pq_recall.py,
+    SCALING.md): residuals hurt on the uniform testdata (unrelated
+    coarse seed → wider distribution) and only tie-or-win on a
+    clustered corpus with a big-enough codebook — the registry entry
+    is the correctness device for the encoding; the measured flip
+    condition is what a deployment should read."""
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        pq_adc_topk,
+        pq_encode,
+        pq_residual_vectors,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), min(CENTROID_MOD, PQ_CB_MOD), "ann_ivf_pq_residual",
+        "ann_ivf_multiprobe",
+    )
+    res, cells = pq_residual_vectors(emb, CENTROID_MOD)
+    res = res.select("vec_id", "q").cache()
+    codes, cents = pq_encode(res, PQ_CB_MOD, PQ_SUBSPACES, PQ_SUB_DIM)
+    return pq_adc_topk(
+        emb, codes, cents, TOP_K, QUERY_MOD, CENTROID_MOD,
+        PQ_SUBSPACES, PQ_SUB_DIM, lut_vectors=res, cells=cells,
+    )
+
+
+ANN_IVF_PQ_RESIDUAL_ORACLE = f"""
+WITH {_QUANT_CTES.strip()},
+cents AS (SELECT vec_id AS cid FROM qt WHERE vec_id % {CENTROID_MOD} = 1),
+vc AS (
+  SELECT a.vec_id, c.cid, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN cents c ON TRUE JOIN e b ON b.vec_id = c.cid AND b.i = a.i
+  GROUP BY a.vec_id, c.cid
+),
+scored_assign AS (
+  SELECT vc.vec_id, vc.cid,
+         CAST(vc.dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM vc JOIN norms x ON vc.vec_id = x.vec_id JOIN norms y ON vc.cid = y.vec_id
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM scored_assign) WHERE rn = 1
+),
+cvec AS (SELECT vec_id AS cell, i, v AS cv2 FROM e
+         WHERE vec_id % {CENTROID_MOD} = 1),
+re AS (SELECT a.vec_id, a.i, a.v - c.cv2 AS v
+       FROM e a JOIN cells cl ON cl.vec_id = a.vec_id
+            JOIN cvec c ON c.cell = cl.cell AND c.i = a.i),
+sub AS (SELECT vec_id, CAST((i - 1) // {PQ_SUB_DIM} AS BIGINT) AS m, v, i
+        FROM re),
+pcents AS (SELECT vec_id AS cid, m, i, v AS cv FROM sub
+           WHERE vec_id % {PQ_CB_MOD} = 1),
+pd AS (SELECT s.vec_id, s.m, c.cid,
+         CAST(sum((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d2
+       FROM sub s JOIN pcents c ON c.m = s.m AND c.i = s.i
+       GROUP BY s.vec_id, s.m, c.cid),
+codes AS (SELECT vec_id, m, cid AS code FROM (
+   SELECT vec_id, m, cid,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+   FROM pd) WHERE rn = 1),
+lut AS (SELECT s.vec_id AS q_id, s.m, c.cid AS code,
+          CAST(sum((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS ld2
+        FROM sub s JOIN pcents c ON c.m = s.m AND c.i = s.i
+        WHERE s.vec_id % {QUERY_MOD} = 0
+        GROUP BY s.vec_id, s.m, c.cid),
+prs AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id
+        FROM cells q JOIN cells n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0),
+adc AS (SELECT p.q_id, p.n_id, CAST(sum(l.ld2) AS BIGINT) AS adc_d2
+        FROM prs p JOIN codes k ON k.vec_id = p.n_id
+             JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
+        GROUP BY p.q_id, p.n_id),
+r AS (SELECT q_id, n_id, adc_d2,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id)
+             AS BIGINT) AS rank
+      FROM adc),
+sel AS (SELECT * FROM r WHERE rank <= {TOP_K})
+SELECT s.q_id, s.n_id, s.rank, s.adc_d2,
+       CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS exact_d2
+FROM sel s JOIN e a ON a.vec_id = s.q_id
+     JOIN e b ON b.vec_id = s.n_id AND b.i = a.i
+GROUP BY s.q_id, s.n_id, s.rank, s.adc_d2
+"""
+
+
 ANN_IVF_PQ_RERANK_ORACLE = f"""
 WITH short AS ({_pq_oracle(PQ_RERANK_SHORTLIST)}),
 rr AS (SELECT q_id, n_id, adc_d2, exact_d2, rank AS adc_rank,
@@ -1144,6 +1243,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_pq": ann_ivf_pq,
     "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
+    "ann_ivf_pq_residual": ann_ivf_pq_residual,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "ann_ivf_scaled": ann_ivf_scaled,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
@@ -1168,6 +1268,7 @@ ORACLES = {
     "ann_ivf": ANN_IVF_ORACLE,
     "ann_ivf_pq": ANN_IVF_PQ_ORACLE,
     "ann_ivf_pq_rerank": ANN_IVF_PQ_RERANK_ORACLE,
+    "ann_ivf_pq_residual": ANN_IVF_PQ_RESIDUAL_ORACLE,
     "contrastive_hard_negatives": CONTRASTIVE_HARDNEG_ORACLE,
     "ann_ivf_scaled": ANN_IVF_ORACLE,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_ORACLE,
@@ -1189,6 +1290,7 @@ SCALE_CLASS = {
     "ann_ivf": "fixed_param",
     "ann_ivf_pq": "fixed_param",
     "ann_ivf_pq_rerank": "fixed_param",
+    "ann_ivf_pq_residual": "fixed_param",
     "kmeans_lloyd_refine": "fixed_param",
     "ann_ivf_trained": "fixed_param",
     "dedup_semantic": "fixed_param",
@@ -1205,6 +1307,7 @@ SCALE_PATH_FOR = {
     "ann_ivf": "ann_ivf_multiprobe",
     "ann_ivf_pq": "ann_ivf_multiprobe",
     "ann_ivf_pq_rerank": "ann_ivf_multiprobe",
+    "ann_ivf_pq_residual": "ann_ivf_multiprobe",
     "kmeans_lloyd_refine": "kmeans_refine_scaled",
     "ann_ivf_trained": "ann_ivf_multiprobe",
     "dedup_semantic": "dedup_semantic_scaled",

@@ -23,16 +23,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
-    from pyspark.sql import Window, functions as F
-
     from firefox_public_data_report_etl_spark import get_spark
     from firefox_public_data_report_etl_spark.operators.similarity import (
         quantized,
     )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    spark = get_spark(app_name="pq-recall")
+
+    for regime, emb in (
+        ("uniform", quantized(load_table(spark, sf_dir, "embeddings"))),
+        ("clustered", clustered_corpus(spark)),
+    ):
+        measure(spark, emb.cache(), regime, sf_dir)
+    spark.stop()
+
+
+def clustered_corpus(spark, n_clusters: int = 40, per: int = 50, dim: int = 64):
+    """The regime residual encoding is FOR: members = cluster center
+    + small noise, so a vector's coarse cell lands in its own cluster
+    and the residual distribution is the tight noise ball — vs the
+    uniform testdata, where residuals are differences of unrelated
+    vectors (double the variance) and residual PQ measurably HURTS.
+    Both regimes are printed so the flip condition is pinned."""
+    import random
+
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        quantized,
+    )
+
+    rnd = random.Random(13)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = [rnd.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(per):
+            rows.append(
+                (vid, [x + rnd.uniform(-0.08, 0.08) for x in center])
+            )
+            vid += 1
+    return quantized(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+
+
+def measure(spark, emb, regime: str, sf_dir: str) -> None:
+    from pyspark.sql import Window, functions as F
+
     from firefox_public_data_report_etl_spark.operators.vectorized import (
         ivf_assign,
         pq_adc_topk,
         pq_encode,
+        pq_residual_vectors,
     )
     from firefox_public_data_report_etl_spark.plans.similarity import (
         CENTROID_MOD,
@@ -42,10 +84,7 @@ def main() -> None:
         QUERY_MOD,
         TOP_K,
     )
-    from firefox_public_data_report_etl_spark.sources import load_table
 
-    spark = get_spark(app_name="pq-recall")
-    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
     n = emb.count()
 
     # cell-restricted exact-L2 ground truth for the sampled queries
@@ -80,46 +119,54 @@ def main() -> None:
         .collect()
     }
 
-    for cb_mod in (100, 50, 20, 10):
-        codes, cents = pq_encode(emb, cb_mod, PQ_SUBSPACES, PQ_SUB_DIM)
-        adc = pq_adc_topk(
-            emb, codes, cents, TOP_K, QUERY_MOD, CENTROID_MOD,
-            PQ_SUBSPACES, PQ_SUB_DIM,
-        )
-        got_adc = {(r["q_id"], r["n_id"]) for r in adc.collect()}
-        short = pq_adc_topk(
-            emb, codes, cents, PQ_RERANK_SHORTLIST, QUERY_MOD,
-            CENTROID_MOD, PQ_SUBSPACES, PQ_SUB_DIM,
-        )
+    res, rcells = pq_residual_vectors(emb, CENTROID_MOD)
+    res = res.select("vec_id", "q").cache()
+
+    def topk_pairs(df):
+        return {(r["q_id"], r["n_id"]) for r in df.collect()}
+
+    def rerank_pairs(short):
         wr = Window.partitionBy("q_id").orderBy(
             F.asc("exact_d2"), F.asc("n_id")
         )
         rr = short.withColumn("rk", F.row_number().over(wr)).filter(
             F.col("rk") <= TOP_K
         )
-        got_rr = {(r["q_id"], r["n_id"]) for r in rr.collect()}
-        print(
-            json.dumps(
-                {
-                    "sf_dir": sf_dir,
-                    "n_vectors": n,
-                    "codebook_per_subspace": max(
-                        1, (n + cb_mod - 1) // cb_mod
-                    ),
-                    "cb_mod": cb_mod,
-                    "truth_pairs": len(truth),
-                    "adc_recall": round(
-                        len(got_adc & truth) / len(truth), 4
-                    ),
-                    "rerank_recall": round(
-                        len(got_rr & truth) / len(truth), 4
-                    ),
-                    "shortlist": PQ_RERANK_SHORTLIST,
-                }
-            ),
-            flush=True,
-        )
-    spark.stop()
+        return topk_pairs(rr)
+
+    for cb_mod in (100, 50, 20, 10):
+        codes, cents = pq_encode(emb, cb_mod, PQ_SUBSPACES, PQ_SUB_DIM)
+        rcodes, rcents = pq_encode(res, cb_mod, PQ_SUBSPACES, PQ_SUB_DIM)
+
+        def adc(k, residual):
+            if residual:
+                return pq_adc_topk(
+                    emb, rcodes, rcents, k, QUERY_MOD, CENTROID_MOD,
+                    PQ_SUBSPACES, PQ_SUB_DIM,
+                    lut_vectors=res, cells=rcells,
+                )
+            return pq_adc_topk(
+                emb, codes, cents, k, QUERY_MOD, CENTROID_MOD,
+                PQ_SUBSPACES, PQ_SUB_DIM,
+            )
+
+        row = {
+            "regime": regime,
+            "sf_dir": sf_dir,
+            "n_vectors": n,
+            "codebook_per_subspace": max(1, (n + cb_mod - 1) // cb_mod),
+            "cb_mod": cb_mod,
+            "truth_pairs": len(truth),
+            "shortlist": PQ_RERANK_SHORTLIST,
+        }
+        for label, residual in (("adc", False), ("residual_adc", True)):
+            got = topk_pairs(adc(TOP_K, residual))
+            row[f"{label}_recall"] = round(len(got & truth) / len(truth), 4)
+            got_rr = rerank_pairs(adc(PQ_RERANK_SHORTLIST, residual))
+            row[f"{label}_rerank_recall"] = round(
+                len(got_rr & truth) / len(truth), 4
+            )
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
