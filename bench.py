@@ -225,6 +225,7 @@ def main() -> None:
         "corpus_mixture_temperature",
         "multimodal_ppm_decode",
         "ann_ivf_pq_residual",
+        "corpus_dsir_sample",
     ):
         if name not in QUERIES:
             continue

@@ -1113,3 +1113,125 @@ def mixture_sample_temperature(
     for s, k in sorted(quotas.items()):
         qcol = F.when(F.col(strata_col) == s, F.lit(k)).otherwise(qcol)
     return out.withColumn("quota", qcol)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al.,
+# NeurIPS 2023): select raw-corpus documents whose hashed n-gram
+# feature distribution matches a small target domain. The classic
+# "make my 100 TB web crawl look like Wikipedia" selector.
+
+# Feature-hash bucket count. The paper uses 10k buckets; the registry
+# uses a small power of two so every bucket is exercised at test SF.
+# The bucket table is K rows — broadcastable at ANY corpus size, which
+# is the whole point of hashing the n-gram space down.
+DSIR_BUCKETS = 64
+# Fixed-point scale for quantized log-probabilities — same contract as
+# LM_LOGPROB_SCALE: one round() per BUCKET-TABLE entry (never per
+# token), integer sums downstream, so per-doc scores are exact,
+# associative, and cross-engine reproducible.
+DSIR_LOG_SCALE = 10**6
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_LOG_SCALE,
+) -> DataFrame:
+    """Per-document DSIR importance weights: log p_target(doc) −
+    log p_raw(doc) under add-one-smoothed bag-of-hashed-ngram models
+    (unigrams + word bigrams hashed into ``n_buckets`` buckets with
+    the portable md5 fragment).
+
+    Returns (id_col, n_feats, logw_mu, lw_per_feat, selected) where
+    logw_mu = Σ_feats [round(scale·ln p_b) − round(scale·ln q_b)]
+    as BIGINT, lw_per_feat = logw_mu / n_feats (ONE final IEEE
+    division — the repo's single-final-division contract), and
+    selected = lw_per_feat ≥ 0 (doc looks more target than raw).
+    The paper samples with Gumbel noise; the deterministic threshold
+    form is the registry binding — a production draw would add the
+    noise column and top-k per shard.
+
+    Scale shape: two passes over the token stream (one K-row
+    conditional count, one broadcast-join score — the LM-scoring
+    plan, lm_unigram_scores), never a cache of the stream itself;
+    the importance table is K rows regardless of corpus size. The
+    target distribution trains on the ``target_cond`` slice of the
+    SAME frame, so the raw/target scans share the exploded feature
+    stream."""
+    t = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        F.col(id_col),
+        target_cond.cast("long").alias("tgt"),
+        F.explode(F.concat(t, bigrams)).alias("feat"),
+    ).select(
+        id_col,
+        "tgt",
+        (F.expr(md5_int_spark_sql("feat")) % n_buckets).alias("b"),
+    )
+
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("c_all"), F.sum("tgt").alias("c_tgt")
+    )
+    dense = (
+        docs.sparkSession.range(n_buckets)
+        .withColumnRenamed("id", "b")
+        .join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_all", F.lit(0)).alias("c_all"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .cache()
+    )
+    tot = dense.agg(
+        F.sum("c_all").alias("tr"), F.sum("c_tgt").alias("tt")
+    ).head()
+    if not tot["tt"]:
+        raise ValueError(
+            "dsir_weights: the target predicate matched no documents — "
+            "an importance sampler cannot fit a target distribution on "
+            "an empty slice (check target_cond against the corpus)"
+        )
+    denom_t = float(tot["tt"] + n_buckets)
+    denom_r = float(tot["tr"] + n_buckets)
+    lw = dense.select(
+        "b",
+        (
+            F.round(
+                F.lit(scale)
+                * F.log((F.col("c_tgt").cast("double") + 1.0) / F.lit(denom_t))
+            ).cast("long")
+            - F.round(
+                F.lit(scale)
+                * F.log((F.col("c_all").cast("double") + 1.0) / F.lit(denom_r))
+            ).cast("long")
+        ).alias("lw"),
+    )
+    return (
+        feats.join(F.broadcast(lw), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lw").alias("logw_mu"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logw_mu",
+            (F.col("logw_mu").cast("double") / F.col("n_feats")).alias(
+                "lw_per_feat"
+            ),
+            (
+                F.col("logw_mu").cast("double") / F.col("n_feats") >= 0.0
+            ).alias("selected"),
+        )
+    )

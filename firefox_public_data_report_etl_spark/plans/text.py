@@ -503,6 +503,76 @@ WHERE r.rank_in_stratum <= q.quota
 """
 
 
+# DSIR target domain for the registry binding: the English slice —
+# "make the mixed-language crawl look like the English corpus", the
+# canonical domain-matching use of importance resampling.
+DSIR_TARGET_LANG = "en"
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text.py:dsir_weights; Xie et
+    al., NeurIPS 2023 "Data Selection for Language Models via
+    Importance Resampling"): score every document by the quantized
+    log importance ratio of add-one hashed-ngram models (unigram +
+    word-bigram features, 64 md5 buckets) fit on the English target
+    slice vs the whole raw corpus, and flag the docs whose
+    per-feature weight says "more target-like than raw". Output
+    carries lang so the selection's domain skew is visible in the
+    result itself.
+
+    Scale: the importance table is DSIR_BUCKETS rows (broadcast);
+    scoring is the LM-scoring plan shape — explode, broadcast join,
+    one integer-sum aggregate per doc. No window, no global sort."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == DSIR_TARGET_LANG)
+    return w.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_feats", "logw_mu", "lw_per_feat", "selected"
+    )
+
+
+def _dsir_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_LOG_SCALE,
+    )
+
+    k, s = DSIR_BUCKETS, DSIR_LOG_SCALE
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+ft AS (SELECT doc_id, CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt,
+         unnest(list_concat(t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
+           AS feat
+       FROM tk),
+bs AS (SELECT doc_id, tgt, {md5_int_sql("feat")} % {k} AS b FROM ft),
+bc AS (SELECT b, count(*) AS c_all, sum(tgt) AS c_tgt FROM bs GROUP BY b),
+dense AS (SELECT r.range AS b,
+            coalesce(c_all, 0) AS c_all, coalesce(c_tgt, 0) AS c_tgt
+          FROM range({k}) r LEFT JOIN bc ON r.range = bc.b),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tr,
+               CAST(sum(c_tgt) AS BIGINT) AS tt FROM dense),
+lw AS (SELECT b,
+        CAST(round({s} * ln((CAST(c_tgt AS DOUBLE) + 1.0)
+               / CAST((SELECT tt FROM tot) + {k} AS DOUBLE))) AS BIGINT)
+      - CAST(round({s} * ln((CAST(c_all AS DOUBLE) + 1.0)
+               / CAST((SELECT tr FROM tot) + {k} AS DOUBLE))) AS BIGINT)
+          AS lw
+       FROM dense),
+sc AS (SELECT bs.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              CAST(sum(lw.lw) AS BIGINT) AS logw_mu
+       FROM bs JOIN lw USING (b) GROUP BY bs.doc_id)
+SELECT sc.doc_id, d.lang, sc.n_feats, sc.logw_mu,
+       CAST(sc.logw_mu AS DOUBLE) / sc.n_feats AS lw_per_feat,
+       (CAST(sc.logw_mu AS DOUBLE) / sc.n_feats) >= 0.0 AS selected
+FROM sc JOIN documents d USING (doc_id)
+"""
+
+
 def corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sampling ops in one entry: the deterministic
     K-per-stratum subsample (seedless hash reservoir — 25 docs per
@@ -1971,6 +2041,7 @@ QUERIES = {
     "corpus_sampling": corpus_sampling,
     "corpus_mixture_sample": corpus_mixture_sample,
     "corpus_mixture_temperature": corpus_mixture_temperature,
+    "corpus_dsir_sample": corpus_dsir_sample,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "sequence_packing": sequence_packing,
@@ -2002,6 +2073,7 @@ ORACLES = {
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_mixture_sample": _mixture_oracle(),
     "corpus_mixture_temperature": _mixture_temperature_oracle(),
+    "corpus_dsir_sample": _dsir_oracle(),
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
