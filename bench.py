@@ -226,6 +226,9 @@ def main() -> None:
         "multimodal_ppm_decode",
         "ann_ivf_pq_residual",
         "corpus_dsir_sample",
+        "source_overlap_matrix",
+        "corpus_snapshot_diff",
+        "tokenizer_fertility",
     ):
         if name not in QUERIES:
             continue

@@ -41,3 +41,38 @@ def compaction_bins(
     return files.withColumn(
         "bin", F.floor(before / F.lit(target_bytes)).cast("long")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Corpus-version diff — the audit a dataset release runs between
+    two snapshots before publishing a changelog: one row per id ever
+    seen, with status ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both sides, payload hash differs) or ``unchanged``.
+
+    Payload equality is md5-over-concat of ``payload_cols`` (hashes
+    computed BEFORE the join, so the shuffle moves 32-byte digests,
+    not documents — the dedup_exact rule). The join is a
+    hash-partitioned full outer on the id — doc-grain, no window, no
+    skew beyond the id distribution itself.
+    """
+    payload = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])
+    )
+    o = old.select(F.col(id_col), payload.alias("old_hash"))
+    n = new.select(F.col(id_col), payload.alias("new_hash"))
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        "old_hash",
+        "new_hash",
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

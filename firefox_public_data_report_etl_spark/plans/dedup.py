@@ -509,6 +509,73 @@ FROM k GROUP BY doc_id
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — for every source pair, how
+    much distinct word-3-gram mass they share (the diagnostic a
+    curation team runs before trusting per-source mixture weights:
+    two "independent" crawls sharing half their shingle space are one
+    source wearing two names). Reuses the dedup family's hashed
+    shingle stream at SOURCE grain (``shingle_rows(id_col="source")``
+    — distinct 28-bit gram hashes per source), so the shuffles move
+    8-byte keys, never gram strings.
+
+    Output: (source_a, source_b, n_grams_a, n_grams_b, n_shared,
+    overlap) with overlap = |A∩B| / min(|A|,|B|) — ONE final IEEE
+    division per pair (the repo's ratio contract).
+
+    Scale: the gram self-join fans out ≤ S rows per hash (S =
+    source count — a config-sized constant), so the intersection is
+    |distinct grams|·O(S²) worst-case but source-pair-grain (≤ S²/2
+    rows) out of the aggregate; the sizes table is S rows,
+    broadcast. No doc-grain or pair-grain blowup anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sh = shingle_rows(docs, id_col="source")
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, (a["h"] == b["h"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a")))
+    nb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b")))
+    return (
+        inter.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_grams_a", "n_grams_b").cast("double")
+            ).alias("overlap"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT source, t FROM d WHERE len(t) >= 3),
+raw AS (SELECT source, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT DISTINCT source, {md5_int_sql('g')} AS h FROM raw),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, x.n AS n_grams_a, y.n AS n_grams_b, n_shared,
+       CAST(n_shared AS DOUBLE) / least(x.n, y.n) AS overlap
+FROM inter JOIN sizes x ON source_a = x.source
+           JOIN sizes y ON source_b = y.source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -520,6 +587,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES = {
@@ -533,6 +601,7 @@ ORACLES = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
+    "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
 }
 
 # brute-force ground truths for the banded scale paths (registry.py

@@ -249,10 +249,85 @@ SELECT table_name, "check", observed, violations, violations = 0 AS ok
 FROM ({DATA_QUALITY_ORACLE.strip()}) t
 """
 
+# Snapshot derivation for the version-diff audit: both corpus
+# versions are pure functions of the one documents table (portable
+# md5 bucket of doc_id), so the query needs no second physical
+# snapshot and the oracle recomputes both sides bit-identically.
+#   old = buckets [0,90)       new = buckets [10,100)
+#   buckets [40,60) carry an edited payload in the new version
+SNAP_OLD_MAX = 90
+SNAP_NEW_MIN = 10
+SNAP_EDIT_LO, SNAP_EDIT_HI = 40, 60
+SNAP_EDIT_SUFFIX = " [rev2]"
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release changelog (operators/maintenance.py:
+    snapshot_diff): full-outer content-hash diff of two corpus
+    versions — added / removed / changed / unchanged per doc_id. The
+    two versions here are deterministic hash-bucket slices of the
+    documents table (10% retired, 10% new, 20% edited), so the
+    DuckDB twin pins the whole diff including both hash columns.
+
+    Scale: hashes are computed under the scan BEFORE the join, so
+    the full-outer shuffle moves (id, 32-byte digest) rows — the diff
+    of two 100 TB snapshots is a join of two fingerprint tables."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
+        ).alias("bkt"),
+    )
+    old = docs.filter(F.col("bkt") < SNAP_OLD_MAX).select("doc_id", "text")
+    new = docs.filter(F.col("bkt") >= SNAP_NEW_MIN).select(
+        "doc_id",
+        F.when(
+            (F.col("bkt") >= SNAP_EDIT_LO) & (F.col("bkt") < SNAP_EDIT_HI),
+            F.concat(F.col("text"), F.lit(SNAP_EDIT_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _snapshot_diff_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    return f"""
+WITH b AS (SELECT doc_id, text,
+             {md5_int_sql("cast(doc_id as varchar)")} % 100 AS bkt
+           FROM documents),
+o AS (SELECT doc_id, md5(text) AS old_hash FROM b WHERE bkt < {SNAP_OLD_MAX}),
+n AS (SELECT doc_id,
+        md5(CASE WHEN bkt >= {SNAP_EDIT_LO} AND bkt < {SNAP_EDIT_HI}
+                 THEN text || '{SNAP_EDIT_SUFFIX}' ELSE text END) AS new_hash
+      FROM b WHERE bkt >= {SNAP_NEW_MIN}),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, old_hash, new_hash,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
+    "corpus_snapshot_diff": _snapshot_diff_oracle(),
 }

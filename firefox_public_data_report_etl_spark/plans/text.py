@@ -974,6 +974,92 @@ GROUP BY 1, 2"""
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — the per-language efficiency report
+    every multilingual tokenizer ships with (tokens-per-word and
+    chars-per-token by language; a language with 2× fertility pays 2×
+    context budget for the same text — the standard argument for
+    vocabulary rebalancing). Runs the LEARNED tokenizer
+    (bpe_train → bpe_apply) over the corpus and rolls token mass up
+    to language grain.
+
+    Scale: the token rollup is doc-grain then language-grain (two
+    map-side-combined aggregates); everything upstream is the
+    measured bpe encode chain — no new shuffle shape. Ratios are
+    sums-of-exact-integers with ONE final IEEE division each."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_train(docs)
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in mt.orderBy("step").collect()
+    ]
+    cnt = (
+        bpe_apply(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(cnt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("tokens_per_word"),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_bpe_apply_parts())
+        + """,
+cnt AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM dw d JOIN tok t USING (w) GROUP BY d.doc_id),
+docbase AS (SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         AS tokens_per_word,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+         AS chars_per_token
+FROM docbase JOIN cnt USING (doc_id)
+GROUP BY lang"""
+    )
+
+
 def _contamination_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -2050,6 +2136,7 @@ QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
     "sequence_packing_bpe": sequence_packing_bpe,
+    "tokenizer_fertility": tokenizer_fertility,
 }
 
 ORACLES = {
@@ -2082,6 +2169,7 @@ ORACLES = {
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),
     "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
+    "tokenizer_fertility": _tokenizer_fertility_oracle(),
 }
 
 
