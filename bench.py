@@ -229,6 +229,8 @@ def main() -> None:
         "source_overlap_matrix",
         "corpus_snapshot_diff",
         "tokenizer_fertility",
+        "gopher_quality_filter",
+        "curriculum_shards",
     ):
         if name not in QUERIES:
             continue

@@ -1235,3 +1235,77 @@ def dsir_weights(
             ).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1) — the composite
+# rule filter most public curation stacks (Gopher, RefinedWeb, Dolma)
+# apply before any model-based scoring. Thresholds are the paper's
+# shape scaled to the synthetic corpus's short documents.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORD_LEN_LO = 3.0
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_TYPES = 1  # distinct stopwords present (2-word list)
+GOPHER_MAX_DOMINANCE = 0.2
+GOPHER_MIN_DISTINCT_RATIO = 0.3
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher rule evaluation: one boolean per rule plus
+    the conjunctive ``keep``. Every rule compares an exact integer or
+    a single-final-division ratio against a literal threshold, so the
+    verdicts are bit-reproducible cross-engine.
+
+    Rules: word count in [min,max]; mean word length in [lo,hi];
+    symbol-to-word ratio ≤ max; ≥ ``GOPHER_MIN_STOP_TYPES`` distinct
+    stopwords present; modal-token dominance ≤ max; distinct-token
+    ratio ≥ min.
+
+    Shape: ONE pass over the token stream (the repetition aggregate
+    supplies n_tokens, modal count, and distinct count; chars/symbols
+    /stopword-presence ride the doc-grain projection) joined at doc
+    grain — two shuffles total, both map-side combined."""
+    rep = repetition_features(docs, id_col, text_col)
+    t = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(
+            F.array_intersect(F.array_distinct(t), F.array(*[F.lit(s) for s in STOPWORDS]))
+        )
+        .cast("long")
+        .alias("n_stop_types"),
+    )
+    j = base.join(rep, id_col)
+    mean_len = F.col("n_chars").cast("double") / F.col("n_tokens")
+    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_tokens")
+    rules = {
+        "ok_word_count": (F.col("n_tokens") >= GOPHER_MIN_WORDS)
+        & (F.col("n_tokens") <= GOPHER_MAX_WORDS),
+        "ok_word_len": (mean_len >= GOPHER_WORD_LEN_LO)
+        & (mean_len <= GOPHER_WORD_LEN_HI),
+        "ok_symbol_ratio": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_stopwords": F.col("n_stop_types") >= GOPHER_MIN_STOP_TYPES,
+        "ok_dominance": F.col("top_token_dominance") <= GOPHER_MAX_DOMINANCE,
+        "ok_distinct_ratio": F.col("distinct_token_ratio")
+        >= GOPHER_MIN_DISTINCT_RATIO,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        id_col,
+        F.col("n_tokens"),
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
+    )

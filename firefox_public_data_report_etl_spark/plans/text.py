@@ -1060,6 +1060,128 @@ GROUP BY lang"""
     )
 
 
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/text.py:
+    gopher_rules; Rae et al. 2021 App. A1) — per-doc rule verdicts
+    plus the conjunctive keep flag, the pre-model filter stage of
+    every public curation recipe."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        GOPHER_MAX_DOMINANCE,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_RATIO,
+        GOPHER_MIN_STOP_TYPES,
+        GOPHER_MIN_WORDS,
+        GOPHER_WORD_LEN_HI,
+        GOPHER_WORD_LEN_LO,
+        STOPWORDS,
+    )
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+pt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+rep AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(max(c) AS BIGINT) AS top_c,
+          CAST(count(*) AS BIGINT) AS n_distinct
+        FROM pt GROUP BY doc_id),
+base AS (SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                AS BIGINT) AS n_symbols,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   [{stoplist}])) AS BIGINT) AS n_stop_types
+         FROM documents),
+j AS (SELECT b.doc_id, n_tokens, top_c, n_distinct, n_chars, n_symbols,
+             n_stop_types,
+             CAST(n_chars AS DOUBLE) / n_tokens AS mean_len,
+             CAST(n_symbols AS DOUBLE) / n_tokens AS sym_ratio,
+             CAST(top_c AS DOUBLE) / n_tokens AS dominance,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+      FROM base b JOIN rep USING (doc_id))
+SELECT doc_id, n_tokens,
+       (n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS})
+         AS ok_word_count,
+       (mean_len >= {GOPHER_WORD_LEN_LO} AND mean_len <= {GOPHER_WORD_LEN_HI})
+         AS ok_word_len,
+       (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+       (n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS ok_stopwords,
+       (dominance <= {GOPHER_MAX_DOMINANCE}) AS ok_dominance,
+       (distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO}) AS ok_distinct_ratio,
+       ((n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS})
+        AND (mean_len >= {GOPHER_WORD_LEN_LO}
+             AND mean_len <= {GOPHER_WORD_LEN_HI})
+        AND (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO})
+        AND (n_stop_types >= {GOPHER_MIN_STOP_TYPES})
+        AND (dominance <= {GOPHER_MAX_DOMINANCE})
+        AND (distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO})) AS keep
+FROM j
+"""
+
+
+# Training shard count for the curriculum ordering — matches the
+# packing family's shard-parallel convention.
+CURRICULUM_SHARDS = 8
+
+
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — emit the per-shard training order
+    (easy → hard by LM fluency) that curriculum-learning recipes feed
+    the data loader: each document lands in a deterministic hash
+    shard and gets its position in that shard's curriculum, ordered
+    by descending lm_per_token (most-fluent first; doc_id breaks
+    ties — the ordering key is the ONE-division ratio of exact
+    integers, the same key the CCNet tercile family sorts on).
+
+    Scale: the window partitions by SHARD (corpus/S rows each), so
+    unlike a global sort the ordering parallelizes across shards —
+    growing S keeps per-task sort payload constant at any corpus
+    size; shard assignment is the portable md5 bucket, so a re-run
+    or a different engine reproduces the identical curriculum."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    scored = corpus_lm_quality(spark, sf_dir)
+    shard = (
+        F.expr(md5_int_spark_sql("cast(doc_id as string)"))
+        % CURRICULUM_SHARDS
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("lm_per_token"), F.asc("doc_id")
+    )
+    return (
+        scored.select("doc_id", "lm_per_token", shard)
+        .withColumn("curriculum_pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def _curriculum_oracle() -> str:
+    lm = _lm_quality_oracle().strip()
+    bucket = f"{md5_int_sql('cast(doc_id as varchar)')} % {CURRICULUM_SHARDS}"
+    return f"""
+WITH lmq AS ({lm}),
+sh AS (SELECT doc_id, lm_per_token, {bucket} AS shard FROM lmq)
+SELECT doc_id, lm_per_token, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY lm_per_token DESC, doc_id
+       ) AS BIGINT) AS curriculum_pos
+FROM sh
+"""
+
+
 def _contamination_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -2137,6 +2259,8 @@ QUERIES = {
     "bpe_encode_corpus": bpe_encode_corpus,
     "sequence_packing_bpe": sequence_packing_bpe,
     "tokenizer_fertility": tokenizer_fertility,
+    "gopher_quality_filter": gopher_quality_filter,
+    "curriculum_shards": curriculum_shards,
 }
 
 ORACLES = {
@@ -2170,6 +2294,8 @@ ORACLES = {
     "bpe_encode_corpus": _bpe_encode_oracle(),
     "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
+    "gopher_quality_filter": _gopher_oracle(),
+    "curriculum_shards": _curriculum_oracle(),
 }
 
 
