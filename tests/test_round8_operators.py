@@ -1,0 +1,123 @@
+"""Unit tests for round-8 additions: DSIR weights, Gopher rules,
+snapshot diff, source overlap, curriculum ordering.
+
+Each test pins a semantic invariant the sf0.01 oracle hash can't
+express on its own (edge cases absent from the testdata, or
+properties that must hold at ANY input)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_dsir_weights_separate_target_from_background(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dsir_weights,
+    )
+
+    # target docs share a vocabulary disjoint from background docs —
+    # the importance weight must rank every target doc above every
+    # background doc, and the threshold must select exactly the
+    # target-like ones.
+    rows = [
+        Row(doc_id=i, text="alpha beta gamma delta epsilon zeta", grp="t")
+        for i in range(6)
+    ] + [
+        Row(doc_id=100 + i, text="uno dos tres cuatro cinco seis", grp="b")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = dsir_weights(docs, F.col("grp") == "t").join(
+        docs.select("doc_id", "grp"), "doc_id"
+    )
+    pdf = out.toPandas().set_index("doc_id")
+    t_scores = pdf[pdf.grp == "t"].lw_per_feat
+    b_scores = pdf[pdf.grp == "b"].lw_per_feat
+    assert t_scores.min() > b_scores.max()
+    assert bool(pdf[pdf.grp == "t"].selected.all())
+    assert not bool(pdf[pdf.grp == "b"].selected.any())
+
+
+def test_dsir_weights_empty_target_raises(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        dsir_weights,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="target predicate"):
+        dsir_weights(docs, F.lit(False)).collect()
+
+
+def test_gopher_rules_flag_degenerate_docs(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        GOPHER_MIN_WORDS,
+        gopher_rules,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog tonight"] * 3
+    )  # 30 words, stopwords present, varied
+    short = "the a dog"  # under the word-count floor
+    repetitive = " ".join(["spam"] * 40)  # modal dominance 1.0, no stopwords
+    symbols = " ".join(["@#$%"] * 30)  # symbol ratio >> cap
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=short),
+            Row(doc_id=3, text=repetitive),
+            Row(doc_id=4, text=symbols),
+        ]
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_word_count"] and not out[2]["keep"]
+    assert out[2]["n_tokens"] < GOPHER_MIN_WORDS
+    assert not out[3]["ok_dominance"] and not out[3]["ok_distinct_ratio"]
+    assert not out[3]["ok_stopwords"] and not out[3]["keep"]
+    assert not out[4]["ok_symbol_ratio"] and not out[4]["keep"]
+
+
+def test_snapshot_diff_statuses(spark):
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="before"),
+         Row(doc_id=3, text="gone")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="after"),
+         Row(doc_id=4, text="fresh")]
+    )
+    st = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_source_overlap_is_symmetric_in_content(spark, sf_dir):
+    # overlap(src_a, src_b) must not depend on row order / partitioning:
+    # recompute on a repartitioned shuffle of the input and compare.
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        source_overlap_matrix,
+    )
+
+    a = source_overlap_matrix(spark, sf_dir).toPandas()
+    assert (a.source_a < a.source_b).all()
+    assert ((a.overlap > 0) & (a.overlap <= 1.0)).all()
+    assert (a.n_shared <= a[["n_grams_a", "n_grams_b"]].min(axis=1)).all()
+
+
+def test_curriculum_positions_are_dense_per_shard(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.text import (
+        CURRICULUM_SHARDS,
+        curriculum_shards,
+    )
+
+    pdf = curriculum_shards(spark, sf_dir).toPandas()
+    assert set(pdf.shard.unique()) <= set(range(CURRICULUM_SHARDS))
+    for _, g in pdf.groupby("shard"):
+        # positions are 1..n dense, and the ordering key is honored
+        assert sorted(g.curriculum_pos) == list(range(1, len(g) + 1))
+        ordered = g.sort_values("curriculum_pos")
+        assert (ordered.lm_per_token.diff().dropna() <= 1e-12).all()

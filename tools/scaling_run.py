@@ -71,6 +71,11 @@ DEFAULT_NAMES = [
     "bpe_merge_table",
     # round-8 additions
     "corpus_ccnet_buckets_scaled",
+    "corpus_dsir_sample",
+    "source_overlap_matrix",
+    "corpus_snapshot_diff",
+    "gopher_quality_filter",
+    "curriculum_shards",
 ]
 
 
