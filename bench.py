@@ -231,6 +231,7 @@ def main() -> None:
         "tokenizer_fertility",
         "gopher_quality_filter",
         "curriculum_shards",
+        "embedding_diversity_sample",
     ):
         if name not in QUERIES:
             continue

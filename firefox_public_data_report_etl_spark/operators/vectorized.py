@@ -362,6 +362,50 @@ def cosine_to_query(query_vec: list[float]) -> Column:
     return _cos
 
 
+def l2_assign(vecs, cent_rows, id_col: str = "vec_id"):
+    """Assign every quantized vector to its nearest centroid by exact
+    int64 squared-L2 (tie → lowest centroid id): ONE mapInPandas
+    matmul against the collected (cid, pos, c) codebook rows — the
+    k-means inner loop, exposed so non-iterative consumers (diversity
+    sampling, cell stats) reuse the vectors-never-shuffle assignment.
+    Returns (id_col, cid)."""
+    if not cent_rows:
+        raise ValueError("l2_assign: empty centroid set")
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+    c_ids = np.asarray(sorted(by_cid), dtype=np.int64)
+    c_mat = np.asarray(
+        [[by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in c_ids],
+        dtype=np.int64,
+    )
+    c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
+
+    def _assign(batches, _ids=c_ids, _mat=c_mat, _sq=c_sq):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                pdf["q"].map(lambda a: np.asarray(a, dtype=np.int64))
+            )
+            # argmin ||v-c||^2 == argmin(-2 v.c + ||c||^2): int64
+            # exact; np.argmin returns the FIRST minimum, i.e. the
+            # lowest centroid id on ties (c_ids sorted) — O(k), no
+            # full-row sort needed for top-1
+            scores = -2 * (v @ _mat.T) + _sq[None, :]
+            nearest = np.argmin(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cid": _ids[nearest],
+                }
+            )
+
+    return vecs.select(id_col, "q").mapInPandas(
+        _assign, f"{id_col} long, cid long"
+    )
+
+
 def kmeans_lloyd(
     quantized_emb,
     init_mod: int,
@@ -405,37 +449,7 @@ def kmeans_lloyd(
                 f"init_mod={init_mod} selected no seed centroids "
                 f"(no {id_col} satisfies {id_col} % {init_mod} == 1)"
             )
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
-        c_ids = np.asarray(sorted(by_cid), dtype=np.int64)
-        c_mat = np.asarray(
-            [[by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in c_ids],
-            dtype=np.int64,
-        )
-        c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
-
-        def _assign(batches, _ids=c_ids, _mat=c_mat, _sq=c_sq):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                v = np.stack(
-                    pdf["q"].map(lambda a: np.asarray(a, dtype=np.int64))
-                )
-                # argmin ||v-c||^2 == argmin(-2 v.c + ||c||^2): int64
-                # exact; np.argmin returns the FIRST minimum, i.e. the
-                # lowest centroid id on ties (c_ids sorted) — O(k), no
-                # full-row sort needed for top-1
-                scores = -2 * (v @ _mat.T) + _sq[None, :]
-                nearest = np.argmin(scores, axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                        "cid": _ids[nearest],
-                    }
-                )
-
-        assign = vecs.mapInPandas(_assign, f"{id_col} long, cid long")
+        assign = l2_assign(vecs, rows, id_col)
         upd = (
             comp.join(assign, id_col)
             .groupBy("cid", "pos")

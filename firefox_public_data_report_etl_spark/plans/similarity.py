@@ -1233,6 +1233,112 @@ FROM lab l LEFT JOIN hb USING (component) JOIN mb USING (component)"""
     )
 
 
+# Per-cell keep quota for the diversity sampler — cluster-balanced
+# coverage, the SemDeDup-adjacent "sample the space, not the mass"
+# selection (each semantic cell contributes at most this many docs
+# regardless of how dense it is).
+DIVERSITY_QUOTA = 5
+
+
+def _diversity_sample(emb, mod: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        l2_assign,
+    )
+
+    cent_rows = (
+        emb.select("vec_id", F.posexplode("q").alias("pos", "v"))
+        .filter(F.col("vec_id") % mod == 1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("v").alias("c"),
+        )
+        .collect()
+    )
+    assign = l2_assign(emb, cent_rows)
+    w = Window.partitionBy("cid").orderBy(
+        F.expr(md5_int_spark_sql("cast(vec_id as string)")), F.col("vec_id")
+    )
+    return assign.withColumn(
+        "rank_in_cell", F.row_number().over(w).cast("long")
+    ).select(
+        "vec_id",
+        "cid",
+        "rank_in_cell",
+        (F.col("rank_in_cell") <= DIVERSITY_QUOTA).alias("kept"),
+    )
+
+
+def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling — the embedding-space
+    counterpart of the mixture sampler: assign every vector to its
+    nearest seed centroid (integer L2, the k-means assignment step via
+    operators.vectorized.l2_assign — vectors never shuffle) and keep a
+    deterministic hash-reservoir quota per cell, so dense regions
+    can't dominate the training draw (the selection argument behind
+    SemDeDup/DM-coverage sampling: sample the SPACE, not the mass).
+    Emits every vector with its cell, in-cell reservoir rank, and
+    kept flag — a quota cut later is a prefix of this draw.
+
+    Guarded fixed-param form (codebook = vec_id % KM_INIT_MOD seeds;
+    the static mod keeps the oracle a fixed string) — past mod² the
+    guard names the sqrt-N twin."""
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), KM_INIT_MOD, "embedding_diversity_sample",
+        "embedding_diversity_sample_scaled",
+    )
+    return _diversity_sample(emb, KM_INIT_MOD)
+
+
+def embedding_diversity_sample_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sqrt-N-codebook twin of ``embedding_diversity_sample`` (same
+    oracle: the mod floors at KM_INIT_MOD below mod² vectors, which
+    holds at every testdata SF) — assignment stays O(N^1.5·d) and the
+    per-cell reservoir window partitions by cell, so the draw
+    parallelizes at any corpus size."""
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    return _diversity_sample(emb, max(KM_INIT_MOD, int(n**0.5)))
+
+
+def _diversity_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    return f"""
+WITH qt AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+e0 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v FROM
+       (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt)),
+cent AS (SELECT vec_id AS cid, pos, v AS c FROM e0
+         WHERE vec_id % {KM_INIT_MOD} = 1),
+dist AS (
+  SELECT a.vec_id, c.cid, CAST(sum((a.v - c.c) * (a.v - c.c)) AS BIGINT) AS d2
+  FROM e0 a JOIN cent c ON c.pos = a.pos GROUP BY a.vec_id, c.cid),
+asn AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1),
+r AS (SELECT vec_id, cid,
+        CAST(row_number() OVER (
+          PARTITION BY cid
+          ORDER BY {md5_int_sql("cast(vec_id as varchar)")}, vec_id
+        ) AS BIGINT) AS rank_in_cell
+      FROM asn)
+SELECT vec_id, cid, rank_in_cell,
+       rank_in_cell <= {DIVERSITY_QUOTA} AS kept
+FROM r
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
@@ -1251,6 +1357,8 @@ QUERIES = {
     "dedup_semantic_incremental": dedup_semantic_incremental,
     "dedup_semantic_scaled": dedup_semantic_scaled,
     "embedding_quantization_audit": embedding_quantization_audit,
+    "embedding_diversity_sample": embedding_diversity_sample,
+    "embedding_diversity_sample_scaled": embedding_diversity_sample_scaled,
 }
 
 # The _scaled twins reuse the fixed-mod oracles: their sqrt-N mod
@@ -1276,6 +1384,8 @@ ORACLES = {
     "dedup_semantic_incremental": _dedup_semantic_incremental_oracle(),
     "dedup_semantic_scaled": _dedup_semantic_oracle(),
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
+    "embedding_diversity_sample": _diversity_oracle(),
+    "embedding_diversity_sample_scaled": _diversity_oracle(),
 }
 
 # Scale classification (registry.py contract): exact |Q| x |C| top-k
@@ -1295,6 +1405,7 @@ SCALE_CLASS = {
     "ann_ivf_trained": "fixed_param",
     "dedup_semantic": "fixed_param",
     "dedup_semantic_incremental": "fixed_param",
+    "embedding_diversity_sample": "fixed_param",
 }
 # scale paths point at ann_ivf_multiprobe (round 6): sqrt-N codebook
 # AND nprobe=2 — the measured recall tables (tools/ann_recall.py) say
@@ -1312,4 +1423,5 @@ SCALE_PATH_FOR = {
     "ann_ivf_trained": "ann_ivf_multiprobe",
     "dedup_semantic": "dedup_semantic_scaled",
     "dedup_semantic_incremental": "dedup_semantic_scaled",
+    "embedding_diversity_sample": "embedding_diversity_sample_scaled",
 }

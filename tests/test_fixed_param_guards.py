@@ -21,6 +21,7 @@ from firefox_public_data_report_etl_spark.plans.similarity import (
     ann_ivf,
     ann_ivf_trained,
     dedup_semantic,
+    embedding_diversity_sample,
     kmeans_lloyd_refine,
 )
 
@@ -52,6 +53,11 @@ def _write_oversized(spark, tmp_path, n: int) -> str:
         (ann_ivf_trained, KM_INIT_MOD, "ann_ivf_multiprobe"),
         (kmeans_lloyd_refine, KM_INIT_MOD, "kmeans_refine_scaled"),
         (dedup_semantic, KM_INIT_MOD, "dedup_semantic_scaled"),
+        (
+            embedding_diversity_sample,
+            KM_INIT_MOD,
+            "embedding_diversity_sample_scaled",
+        ),
     ],
 )
 def test_fixed_param_plans_refuse_oversized_corpus(
