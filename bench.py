@@ -232,6 +232,7 @@ def main() -> None:
         "gopher_quality_filter",
         "curriculum_shards",
         "embedding_diversity_sample",
+        "embedding_cluster_purity",
     ):
         if name not in QUERIES:
             continue

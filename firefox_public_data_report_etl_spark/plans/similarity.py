@@ -1339,6 +1339,92 @@ FROM r
 """
 
 
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-composition audit — for every semantic cell, how pure
+    is it with respect to the labeled classes (majority label, its
+    share of the cell)? The report a curation team reads before
+    trusting cluster-grain decisions (diversity quotas, SemDeDup
+    cells): purity near 1/k means the cells are noise, not topics.
+
+    Codebook sizing follows the kmeans_refine_scaled convention —
+    sqrt-N floored at KM_INIT_MOD — so the fixed-mod oracle is
+    bit-identical at every testdata SF while the plan stays
+    O(N^1.5·d) at scale. Assignment is the shared l2_assign matmul
+    (vectors never shuffle); the purity window partitions by CELL
+    (label-cardinality rows per cell after the count rollup)."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        l2_assign,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    n = emb.count()
+    mod = max(KM_INIT_MOD, int(n**0.5))
+    cent_rows = (
+        emb.select("vec_id", F.posexplode("q").alias("pos", "v"))
+        .filter(F.col("vec_id") % mod == 1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("v").alias("c"),
+        )
+        .collect()
+    )
+    assign = l2_assign(emb, cent_rows)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    counts = (
+        assign.join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
+    tot = Window.partitionBy("cid")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.sum("c").over(tot).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            "n_members",
+            F.col("label").alias("top_label"),
+            F.col("c").cast("long").alias("top_count"),
+            (F.col("c").cast("double") / F.col("n_members")).alias("purity"),
+        )
+    )
+
+
+def _purity_oracle() -> str:
+    return f"""
+WITH qt AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+e0 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v FROM
+       (SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM qt)),
+cent AS (SELECT vec_id AS cid, pos, v AS c FROM e0
+         WHERE vec_id % {KM_INIT_MOD} = 1),
+dist AS (
+  SELECT a.vec_id, c.cid, CAST(sum((a.v - c.c) * (a.v - c.c)) AS BIGINT) AS d2
+  FROM e0 a JOIN cent c ON c.pos = a.pos GROUP BY a.vec_id, c.cid),
+asn AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1),
+lc AS (SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS c
+       FROM asn a JOIN embeddings e USING (vec_id)
+       GROUP BY a.cid, e.label),
+r AS (SELECT cid, label, c,
+        row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
+        CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+      FROM lc)
+SELECT cid, n_members, label AS top_label, c AS top_count,
+       CAST(c AS DOUBLE) / n_members AS purity
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
@@ -1359,6 +1445,7 @@ QUERIES = {
     "embedding_quantization_audit": embedding_quantization_audit,
     "embedding_diversity_sample": embedding_diversity_sample,
     "embedding_diversity_sample_scaled": embedding_diversity_sample_scaled,
+    "embedding_cluster_purity": embedding_cluster_purity,
 }
 
 # The _scaled twins reuse the fixed-mod oracles: their sqrt-N mod
@@ -1386,6 +1473,7 @@ ORACLES = {
     "embedding_quantization_audit": EMBEDDING_QUANT_ORACLE,
     "embedding_diversity_sample": _diversity_oracle(),
     "embedding_diversity_sample_scaled": _diversity_oracle(),
+    "embedding_cluster_purity": _purity_oracle(),
 }
 
 # Scale classification (registry.py contract): exact |Q| x |C| top-k
