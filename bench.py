@@ -233,6 +233,7 @@ def main() -> None:
         "curriculum_shards",
         "embedding_diversity_sample",
         "embedding_cluster_purity",
+        "corpus_curation_pipeline_full",
     ):
         if name not in QUERIES:
             continue

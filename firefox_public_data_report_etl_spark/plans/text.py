@@ -1383,12 +1383,17 @@ CURATE_MIN_TOKENS = 20
 # boiler_frac < 0.05  <=>  n_boiler * 20 < n_grams
 
 
-def _scrubbed_qual(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scrubbed_qual(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Narrow front of the curation capstones: PII scrub + inline
     quality gate, ONE projection pass at scan grain — no shuffle, so
     recomputing it (instead of caching corpus text) is the right 100 TB
-    trade wherever a second consumer needs the scrubbed text."""
-    docs = load_table(spark, sf_dir, "documents")
+    trade wherever a second consumer needs the scrubbed text.
+    ``docs`` overrides the source corpus (the _full capstone feeds the
+    Gopher-surviving slice; default is the whole documents table)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     scrub = pii_scrub(docs, keep_cols=("lang",))
     base = scrub.select(
         "doc_id",
@@ -1424,27 +1429,31 @@ def _boiler_gate_pred():
     return F.col("n_boiler") * 20 < F.col("n_grams")
 
 
-def _boiler_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _boiler_gate(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Doc-grain boilerplate-gate survivors (doc_id, n_grams,
     n_boiler) over the quality-passing corpus — the capstones' one
     shuffle-bearing gate stage, shared so the predicate exists in
     exactly one place."""
     return (
-        boilerplate_scores(_scrubbed_qual(spark, sf_dir))
+        boilerplate_scores(_scrubbed_qual(spark, sf_dir, docs))
         .select("doc_id", "n_grams", "n_boiler")
         .filter(_boiler_gate_pred())
     )
 
 
-def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curated_clean(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Shared front half of the curation capstones: PII scrub →
     quality gate → cross-doc boilerplate gate. Returns the surviving
     docs with their gate measurements AND the scrubbed ``text`` (the
     dedup-keep stage of each capstone decides what to key on and must
     project text away before any cache/shuffle it doesn't need it in).
     """
-    return _scrubbed_qual(spark, sf_dir).join(
-        _boiler_gate(spark, sf_dir), "doc_id"
+    return _scrubbed_qual(spark, sf_dir, docs).join(
+        _boiler_gate(spark, sf_dir, docs), "doc_id"
     )
 
 
@@ -1565,11 +1574,15 @@ def corpus_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     return hash_split(kept).select(*_CURATE_OUT_COLS, "component")
 
 
-def _curation_gate_ctes() -> list[str]:
-    """CTE chain through the gates (shared by both capstone oracles):
+def _curation_gate_ctes(s0_where: str = "TRUE") -> list[str]:
+    """CTE chain through the gates (shared by the capstone oracles):
     scrub passes s0..sN, quality gate, boilerplate df + gate — ends at
-    ``clean`` (gate-surviving docs, scrubbed text as ``x``)."""
-    ctes = ["s0 AS (SELECT doc_id, lang, text AS x FROM documents)"]
+    ``clean`` (gate-surviving docs, scrubbed text as ``x``).
+    ``s0_where`` restricts the source corpus (the _full capstone
+    passes the Gopher-keep membership predicate)."""
+    ctes = [
+        f"s0 AS (SELECT doc_id, lang, text AS x FROM documents WHERE {s0_where})"
+    ]
     names = []
     for i, (name, pat, repl) in enumerate(PII_PATTERNS):
         names.append(f"n_{name}")
@@ -1703,13 +1716,15 @@ def corpus_curation_pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(kept).select(*_CURATE_OUT_COLS, "score_munats")
 
 
-def _curation_lm_oracle() -> str:
+def _curation_lm_ctes() -> list[str]:
+    """LM-gate CTE block shared by the _lm and _full capstone oracles:
+    raw-reference vocab, quantized log-probs, fused scoring, fluency
+    floor — ends at ``lmgate`` (fluency-surviving docs + score)."""
     from firefox_public_data_report_etl_spark.operators.text import (
         LM_LOGPROB_SCALE,
     )
 
-    ctes = _curation_gate_ctes()
-    ctes += [
+    return [
         "lmtoks AS (SELECT doc_id, unnest(t) AS token FROM clean)",
         f"""lmref AS (SELECT token, count(*) AS c
        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1729,6 +1744,10 @@ def _curation_lm_oracle() -> str:
        WHERE lms.score_munats >= clean.n_tokens * {LM_GATE_MUNATS})""",
         "keep AS (SELECT h, min(doc_id) AS keep_id FROM lmgate GROUP BY h)",
     ]
+
+
+def _curation_lm_oracle() -> str:
+    ctes = _curation_gate_ctes() + _curation_lm_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1736,6 +1755,158 @@ def _curation_lm_oracle() -> str:
 SELECT doc_id, lang, n_tokens, n_types, n_grams, n_boiler, n_pii,
        {_SPLIT_CASE} AS split, score_munats
 FROM lmgate JOIN keep USING (h) WHERE doc_id = keep_id"""
+    )
+
+
+# Doc budget for the _full capstone's final temperature-mixture draw.
+CURATE_MIX_BUDGET = 200
+
+
+def corpus_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END modern curation recipe in one oracle-backed
+    plan — every stage class a public pretraining pipeline (Gopher /
+    CCNet / RefinedWeb / Dolma) chains, in their order:
+
+      0. Gopher rule gate on the RAW corpus (operators/text.py:
+         gopher_rules — cheap rejection before any regex scrub pays
+         for a doc that six integer rules would have dropped),
+      1-3. PII scrub → quality gate → cross-doc boilerplate gate
+         (the shared capstone front, now fed the rule-surviving
+         slice),
+      4-5. model-based fluency floor (raw-reference unigram LM,
+         integer cross-multiply — the _lm capstone stage),
+      6. exact-dedup keep (full-md5, lowest id) + deterministic
+         hash split,
+      7. temperature-weighted mixture draw (p^0.5 per-language
+         quotas over the hash reservoir, integer fixed-point) — the
+         step that turns a cleaned corpus into the training mixture.
+
+    Output: one row per SAMPLED document with its gate measurements,
+    LM score, split, in-stratum rank, and quota.
+
+    Scale: stage 0 is one token-stream aggregate + doc-grain join
+    (measured standalone, ~linear); the membership join pushes the
+    Gopher verdict down as a doc_id semi-join — every later stage
+    then scans ~16% less corpus; stages 1-6 are the measured _lm
+    capstone shapes; stage 7 is one window on the stratum key over
+    the KEPT set (report-sized) + a #languages-row quota table."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        gopher_rules,
+        lm_vocab_table,
+        mixture_sample_temperature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gk = gopher_rules(docs).filter(F.col("keep")).select("doc_id")
+    clean = _curated_clean(spark, sf_dir, docs.join(gk, "doc_id")).withColumn(
+        "_h", F.md5(F.col("text").cast("binary"))
+    )
+    lp, lp_oov = lm_vocab_table(
+        docs.select("doc_id", "text"),
+        F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP,
+    )
+    doc_cols = [
+        "doc_id", "lang", "n_pii", "n_tokens", "n_types",
+        "n_grams", "n_boiler", "_h",
+    ]
+    gated = (
+        clean.select(
+            *doc_cols, F.explode(F.split("text", " ")).alias("token")
+        )
+        .join(F.broadcast(lp), "token", "left")
+        .groupBy(*doc_cols)
+        .agg(F.sum(F.coalesce(F.col("lp"), lp_oov)).alias("score_munats"))
+        .filter(
+            F.col("score_munats")
+            >= F.col("n_tokens") * F.lit(LM_GATE_MUNATS)
+        )
+        .cache()
+    )
+    keeper = gated.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    kept = gated.join(keeper, "_h").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    kept = hash_split(kept).select(*_CURATE_OUT_COLS, "score_munats")
+    return mixture_sample_temperature(kept, "lang", CURATE_MIX_BUDGET)
+
+
+def _curation_full_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        GOPHER_MAX_DOMINANCE,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_RATIO,
+        GOPHER_MIN_STOP_TYPES,
+        GOPHER_MIN_WORDS,
+        GOPHER_WORD_LEN_HI,
+        GOPHER_WORD_LEN_LO,
+        MIXTURE_TEMP_SCALE,
+        STOPWORDS,
+    )
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    gopher = [
+        """gt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents)""",
+        "gpt AS (SELECT doc_id, w, count(*) AS c FROM gt GROUP BY doc_id, w)",
+        """grep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_c,
+         CAST(count(*) AS BIGINT) AS n_distinct
+       FROM gpt GROUP BY doc_id)""",
+        f"""gbase AS (SELECT doc_id,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 [{stoplist}])) AS BIGINT) AS n_stop_types
+       FROM documents)""",
+        f"""gk AS (SELECT b.doc_id
+       FROM gbase b JOIN grep r USING (doc_id)
+       WHERE r.n_tokens >= {GOPHER_MIN_WORDS}
+         AND r.n_tokens <= {GOPHER_MAX_WORDS}
+         AND CAST(b.n_chars AS DOUBLE) / r.n_tokens >= {GOPHER_WORD_LEN_LO}
+         AND CAST(b.n_chars AS DOUBLE) / r.n_tokens <= {GOPHER_WORD_LEN_HI}
+         AND CAST(b.n_symbols AS DOUBLE) / r.n_tokens
+               <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND b.n_stop_types >= {GOPHER_MIN_STOP_TYPES}
+         AND CAST(r.top_c AS DOUBLE) / r.n_tokens <= {GOPHER_MAX_DOMINANCE}
+         AND CAST(r.n_distinct AS DOUBLE) / r.n_tokens
+               >= {GOPHER_MIN_DISTINCT_RATIO})""",
+    ]
+    ctes = (
+        gopher
+        + _curation_gate_ctes("doc_id IN (SELECT doc_id FROM gk)")
+        + _curation_lm_ctes()
+    )
+    ctes += [
+        f"""kept AS (SELECT doc_id, lang, n_tokens, n_types, n_grams,
+         n_boiler, n_pii, {_SPLIT_CASE} AS split, score_munats
+       FROM lmgate JOIN keep USING (h) WHERE doc_id = keep_id)""",
+        "mixn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY lang)",
+        f"""mixw AS (SELECT lang,
+         CAST(floor(sqrt(n) * {MIXTURE_TEMP_SCALE}) AS BIGINT) AS wt
+       FROM mixn)""",
+        "mixt AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM mixw)",
+        f"""mixq AS (SELECT lang,
+         ({CURATE_MIX_BUDGET} * wt) // (SELECT tot FROM mixt) AS quota
+       FROM mixw)""",
+        f"""mixr AS (SELECT k.*,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rank_in_stratum
+       FROM kept k)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT r.doc_id, r.lang, r.n_tokens, r.n_types, r.n_grams, r.n_boiler,
+       r.n_pii, r.split, r.score_munats,
+       CAST(r.rank_in_stratum AS BIGINT) AS rank_in_stratum,
+       CAST(q.quota AS BIGINT) AS quota
+FROM mixr r JOIN mixq q USING (lang)
+WHERE r.rank_in_stratum <= q.quota"""
     )
 
 
@@ -2241,6 +2412,7 @@ QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "corpus_curation_pipeline_neardup": corpus_curation_pipeline_neardup,
     "corpus_curation_pipeline_lm": corpus_curation_pipeline_lm,
+    "corpus_curation_pipeline_full": corpus_curation_pipeline_full,
     "text_profile": text_profile,
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_bmp_decode": multimodal_bmp_decode,
@@ -2276,6 +2448,7 @@ ORACLES = {
     "corpus_curation_pipeline": _curation_oracle(),
     "corpus_curation_pipeline_neardup": _curation_neardup_oracle(),
     "corpus_curation_pipeline_lm": _curation_lm_oracle(),
+    "corpus_curation_pipeline_full": _curation_full_oracle(),
     "text_profile": _text_profile_oracle(),
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_bmp_decode": _bmp_decode_oracle(),

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "corpus_curation_pipeline": "Cross",
     "corpus_curation_pipeline_neardup": "Cross",
     "corpus_curation_pipeline_lm": "Cross",  # same gate-chain scalar cut
+    "corpus_curation_pipeline_full": "Cross",  # same gate-chain scalar cut
     # 1-row approx_percentile cutoffs crossJoin broadcast onto the
     # doc-grain scores (r8 sketch-cutoff tercile twin) — the same
     # broadcast-scalar shape as the boilerplate cut above
