@@ -234,6 +234,7 @@ def main() -> None:
         "embedding_diversity_sample",
         "embedding_cluster_purity",
         "corpus_curation_pipeline_full",
+        "training_export_manifest",
     ):
         if name not in QUERIES:
             continue

@@ -1182,6 +1182,38 @@ FROM sh
 """
 
 
+def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest of the deterministic training-shard export
+    (sources/export.py:training_manifest): per shard, doc count,
+    token mass, and the order-independent content fingerprint a
+    dataloader pins for reproducibility. The physical writer
+    (write_training_shards) emits exactly these rows for the data it
+    lands — pinned by tests/test_round8_operators.py on read-back."""
+    from firefox_public_data_report_etl_spark.sources.export import (
+        training_manifest,
+    )
+
+    return training_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def _training_manifest_oracle() -> str:
+    from firefox_public_data_report_etl_spark.sources.export import (
+        TRAINING_SHARDS,
+    )
+
+    return f"""
+WITH m AS (SELECT {md5_int_sql("cast(doc_id as varchar)")} % {TRAINING_SHARDS}
+             AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           {md5_int_sql("text")} AS fp
+           FROM documents)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(fp) AS BIGINT) AS content_fp
+FROM m GROUP BY shard
+"""
+
+
 def _contamination_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -2433,6 +2465,7 @@ QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "gopher_quality_filter": gopher_quality_filter,
     "curriculum_shards": curriculum_shards,
+    "training_export_manifest": training_export_manifest,
 }
 
 ORACLES = {
@@ -2469,6 +2502,7 @@ ORACLES = {
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
     "gopher_quality_filter": _gopher_oracle(),
     "curriculum_shards": _curriculum_oracle(),
+    "training_export_manifest": _training_manifest_oracle(),
 }
 
 

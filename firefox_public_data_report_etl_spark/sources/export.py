@@ -149,3 +149,66 @@ def hardware_annotations() -> dict:
     )
 
     return read_static_json("annotations_hardware.json")
+
+
+# --- training-shard export with manifest -----------------------------------
+
+TRAINING_SHARDS = 8
+
+
+def training_manifest(docs, n_shards: int = TRAINING_SHARDS):
+    """Per-shard manifest of a training export — the reproducibility
+    record a dataloader pins before training starts: shard id, doc
+    count, token mass, and an ORDER-INDEPENDENT content fingerprint
+    (sum of portable md5 fragments of the text — associative, so any
+    partitioning/engine reproduces it; a changed/dropped/extra doc
+    changes the sum). Shard assignment is the portable md5 bucket of
+    doc_id, i.e. a pure function of the data: re-running the export
+    anywhere yields the identical manifest.
+
+    Scale: one map-side-combined aggregate to ``n_shards`` rows."""
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    shard = F.expr(md5_int_spark_sql("cast(doc_id as string)")) % n_shards
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("_tok"),
+            F.expr(md5_int_spark_sql("text")).alias("_fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_fp").alias("content_fp"),
+        )
+    )
+
+
+def write_training_shards(docs, path: str, n_shards: int = TRAINING_SHARDS):
+    """Materialize the training export: documents written parquet-
+    partitioned by the manifest's shard assignment (each shard a
+    prunable partition a dataloader worker reads independently), plus
+    the manifest computed from the SAME frame. Returns the manifest
+    rows; the caller persists them next to the data. Idempotent:
+    re-running overwrites each shard partition in place (dynamic
+    partition overwrite, the S5 writer contract)."""
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    shard = F.expr(md5_int_spark_sql("cast(doc_id as string)")) % n_shards
+    out = docs.withColumn("shard", shard)
+    (
+        out.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return training_manifest(docs, n_shards)

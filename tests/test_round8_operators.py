@@ -121,3 +121,36 @@ def test_curriculum_positions_are_dense_per_shard(spark, sf_dir):
         assert sorted(g.curriculum_pos) == list(range(1, len(g) + 1))
         ordered = g.sort_values("curriculum_pos")
         assert (ordered.lm_per_token.diff().dropna() <= 1e-12).all()
+
+
+def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    """write_training_shards lands partition-pruned shards whose
+    read-back manifest equals the one computed from the source frame
+    (and re-running the writer is idempotent)."""
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.sources.export import (
+        training_manifest,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    m1 = {r["shard"]: r for r in write_training_shards(docs, path).collect()}
+    back = spark.read.parquet(path)
+    m2 = {
+        r["shard"]: r
+        for r in training_manifest(back.drop("shard")).collect()
+    }
+    assert m1.keys() == m2.keys()
+    for s in m1:
+        for c in ("n_docs", "n_tokens", "content_fp"):
+            assert m1[s][c] == m2[s][c], (s, c)
+    # shard column is a physical partition (prunable directory)
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(path))
+    # idempotent re-run: same manifest
+    m3 = {r["shard"]: r for r in write_training_shards(docs, path).collect()}
+    assert {s: m3[s]["content_fp"] for s in m3} == {
+        s: m1[s]["content_fp"] for s in m1
+    }
