@@ -235,6 +235,7 @@ def main() -> None:
         "embedding_cluster_purity",
         "corpus_curation_pipeline_full",
         "training_export_manifest",
+        "corpus_datasheet",
     ):
         if name not in QUERIES:
             continue

@@ -1214,6 +1214,93 @@ FROM m GROUP BY shard
 """
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet — the one-page summary a corpus release ships
+    (datasheets-for-datasets shape): corpus size, token mass, language
+    /source cardinality, per-language shares, exact-duplicate rate,
+    Gopher rule keep rate, mean document length. Tall (metric, value)
+    rows so the report is schema-stable as metrics are added.
+
+    Every value is an exact integer or a single final division of two
+    exact integers. Scale: one doc-grain pass for the corpus scalars
+    (count/sum/distinct aggregates fused in one job), one token-stream
+    pass for the rule rate (the measured gopher_rules shape), one
+    language-grain rollup; output is metric-cardinality rows."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+        F.md5("text").alias("h"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.sum("ntok").alias("tk"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("h").alias("nh"),
+    ).head()
+    n = tot["n"]
+    kept = (
+        gopher_rules(docs)
+        .agg(F.sum(F.col("keep").cast("long")).alias("k"))
+        .head()["k"]
+    )
+
+    def row(name: str, val):
+        return spark.createDataFrame(
+            [(name, float(val))], "metric string, value double"
+        )
+
+    scalars = (
+        row("n_docs", n)
+        .union(row("n_tokens", tot["tk"]))
+        .union(row("n_langs", tot["nl"]))
+        .union(row("n_sources", tot["ns"]))
+        .union(row("exact_dup_rate", (n - tot["nh"]) / n))
+        .union(row("mean_doc_tokens", tot["tk"] / n))
+        .union(row("gopher_keep_rate", kept / n))
+    )
+    shares = base.groupBy("lang").agg(F.count("*").alias("c")).select(
+        F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+        (F.col("c").cast("double") / F.lit(n).cast("double")).alias("value"),
+    )
+    return scalars.union(shares)
+
+
+def _datasheet_oracle() -> str:
+    gopher = _gopher_oracle().strip()
+    return f"""
+WITH dbase AS (SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         md5(text) AS h
+       FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ntok) AS BIGINT) AS tk,
+          CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+          CAST(count(DISTINCT source) AS BIGINT) AS ns,
+          CAST(count(DISTINCT h) AS BIGINT) AS nh
+        FROM dbase),
+gk AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k
+       FROM ({gopher}) g)
+SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'n_tokens', CAST(tk AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_sources', CAST(ns AS DOUBLE) FROM tot
+UNION ALL SELECT 'exact_dup_rate', CAST(n - nh AS DOUBLE) / n FROM tot
+UNION ALL SELECT 'mean_doc_tokens', CAST(tk AS DOUBLE) / n FROM tot
+UNION ALL SELECT 'gopher_keep_rate',
+  CAST((SELECT k FROM gk) AS DOUBLE) / (SELECT n FROM tot)
+UNION ALL SELECT 'lang_share:' || lang,
+  CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)
+  FROM dbase GROUP BY lang
+"""
+
+
 def _contamination_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -2466,6 +2553,7 @@ QUERIES = {
     "gopher_quality_filter": gopher_quality_filter,
     "curriculum_shards": curriculum_shards,
     "training_export_manifest": training_export_manifest,
+    "corpus_datasheet": corpus_datasheet,
 }
 
 ORACLES = {
@@ -2503,6 +2591,7 @@ ORACLES = {
     "gopher_quality_filter": _gopher_oracle(),
     "curriculum_shards": _curriculum_oracle(),
     "training_export_manifest": _training_manifest_oracle(),
+    "corpus_datasheet": _datasheet_oracle(),
 }
 
 
