@@ -436,3 +436,92 @@ def test_streaming_neardup_gate_sequential_equivalence_and_replay(
         for r in spark.read.parquet(decisions).collect()
     }
     assert rows3 == rows
+
+
+def test_streaming_quality_gate_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Streaming quality gate (streaming/quality_gate.py): a 3-file
+    backfill drained with maxFilesPerTrigger=1 must decide every doc
+    exactly once with verdicts equal to the BATCH computation over the
+    full corpus (the gate is stateless, so stream == batch exactly),
+    and replaying an epoch reproduces identical rows."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        gopher_rules,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        LM_GATE_MUNATS,
+        LM_REF_KEEP,
+        LM_REF_MOD,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.streaming.quality_gate import (
+        freeze_lm_table,
+        quality_gate_batch,
+        stream_quality_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm_rows, lm_oov = freeze_lm_table(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+    src = tmp_path / "src"
+    docs.repartition(3).write.parquet(str(src))
+
+    decisions = str(tmp_path / "decisions")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_quality_gate(
+        stream, lm_rows, lm_oov, decisions, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    dec = spark.read.parquet(decisions)
+    rows = {
+        r["doc_id"]: (r["rules_ok"], r["lm_ok"], r["keep"], r["batch_label"])
+        for r in dec.collect()
+    }
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(rows) == want  # every doc decided exactly once
+    assert len({v[3] for v in rows.values()}) == 3  # one epoch per file
+
+    # stream verdicts == batch-mode verdicts over the whole corpus
+    from pyspark.sql import functions as SF
+
+    lp = spark.createDataFrame(lm_rows, "token string, lp long")
+    batch_rules = {
+        r["doc_id"]: r["keep"] for r in gopher_rules(docs).collect()
+    }
+    batch_lm = {
+        r["doc_id"]: r["ok"]
+        for r in docs.select(
+            "doc_id", SF.explode(SF.split("text", " ")).alias("token")
+        )
+        .join(lp, "token", "left")
+        .groupBy("doc_id")
+        .agg(SF.sum(SF.coalesce(SF.col("lp"), SF.lit(lm_oov))).alias("s"),
+             SF.count("*").alias("n"))
+        .select(
+            "doc_id",
+            (SF.col("s") >= SF.col("n") * SF.lit(LM_GATE_MUNATS)).alias("ok"),
+        )
+        .collect()
+    }
+    for d, (rules_ok, lm_ok, keep, _) in rows.items():
+        assert rules_ok == batch_rules[d], d
+        assert lm_ok == batch_lm[d], d
+        assert keep == (rules_ok and lm_ok), d
+
+    # replaying the last epoch is a pure overwrite: identical rows
+    last = max(v[3] for v in rows.values())
+    ids = [d for d, v in rows.items() if v[3] == last]
+    batch = docs.filter(F.col("doc_id").isin(ids))
+    quality_gate_batch(spark, batch, lm_rows, lm_oov, decisions, last - 1)
+    rows2 = {
+        r["doc_id"]: (r["rules_ok"], r["lm_ok"], r["keep"], r["batch_label"])
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert rows2 == rows
