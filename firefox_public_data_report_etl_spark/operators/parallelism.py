@@ -39,11 +39,24 @@ def widen_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     if target is None:
-        target = spark.sparkContext.defaultParallelism
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no sparkContext handle —
+            # the shuffle-partition conf is the session's stated
+            # parallelism target and is readable in both modes
+            target = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
     # ``.rdd`` here only materializes the physical plan's partitioning
     # metadata (driver-side analysis, no job runs and no data moves);
     # ``getNumPartitions`` is the stable public API for that read —
-    # DataFrame exposes no plan-level equivalent.
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    # DataFrame exposes no plan-level equivalent. Under Spark Connect
+    # the RDD surface is absent: skip the no-op check and repartition
+    # unconditionally (correct either way; at worst one extra
+    # round-robin exchange).
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
