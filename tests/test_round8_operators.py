@@ -154,3 +154,35 @@ def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
     assert {s: m3[s]["content_fp"] for s in m3} == {
         s: m1[s]["content_fp"] for s in m1
     }
+
+
+def test_training_manifest_partition_invariant(spark, sf_dir):
+    """The manifest fingerprint is an order-independent integer sum:
+    any repartitioning of the input must reproduce it exactly."""
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.sources.export import (
+        training_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["shard"]: r for r in training_manifest(docs).collect()}
+    b = {
+        r["shard"]: r
+        for r in training_manifest(docs.repartition(7)).collect()
+    }
+    assert a.keys() == b.keys()
+    for s in a:
+        for c in ("n_docs", "n_tokens", "content_fp"):
+            assert a[s][c] == b[s][c]
+
+
+def test_datasheet_shares_sum_to_one(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.text import (
+        corpus_datasheet,
+    )
+
+    rows = {r["metric"]: r["value"] for r in corpus_datasheet(spark, sf_dir).collect()}
+    shares = [v for m, v in rows.items() if m.startswith("lang_share:")]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    assert rows["n_docs"] > 0 and 0 <= rows["exact_dup_rate"] <= 1
+    assert 0 <= rows["gopher_keep_rate"] <= 1
