@@ -236,6 +236,8 @@ def main() -> None:
         "corpus_curation_pipeline_full",
         "training_export_manifest",
         "corpus_datasheet",
+        "corpus_bm25_topk",
+        "retrieval_hybrid_rrf",
     ):
         if name not in QUERIES:
             continue

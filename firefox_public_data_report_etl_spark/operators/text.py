@@ -1318,3 +1318,154 @@ def gopher_rules(
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+# --- BM25 sparse retrieval ------------------------------------------------
+
+BM25_IDF_SCALE = 10_000  # idf quantized at the df-table grain
+# k1 = 6/5 = 1.2, b = 3/4 = 0.75 (the textbook Robertson constants,
+# kept as exact rationals so the saturation term is a BIGINT/BIGINT
+# quotient — see bm25_topk's fixed-point contract)
+BM25_K1_NUM, BM25_K1_DEN = 6, 5
+BM25_B_NUM, BM25_B_DEN = 3, 4
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000  # rrf contribution = RRF_SCALE // (RRF_K + rank)
+
+
+def doc_bigram_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dl, term) exploded word-bigram stream — the term grain for
+    sparse retrieval here. Bigrams (not unigrams) because a retrieval
+    term must be selective: phrase-grain terms keep df ≪ N where a
+    unigram vocabulary saturates (every term in most docs ranks
+    nothing). dl = per-doc term count (n_tokens - 1). Array-native
+    prepend-free slice+zip like lm_bigram_scores — no per-doc window
+    anywhere."""
+    t = F.split(F.col(text_col), " ")
+    return docs.filter(F.size(t) >= 2).select(
+        F.col(id_col),
+        (F.size(t) - 1).cast("long").alias("dl"),
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    df_cap_num: int = 1,
+    df_cap_den: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval, query-by-document: every
+    ``id % query_mod == 0`` document is a query; its distinct bigram
+    terms (df-capped, see below) are matched against the corpus term
+    table and candidates are ranked by the BM25 sum. Returns
+    (q_id, doc_id, score_fp, rank), rank 1..k per query, the query
+    doc itself excluded.
+
+    FIXED-POINT CONTRACT (cross-engine bit-exactness, the
+    lm_unigram_scores technique): idf is quantized ONCE at the
+    df-table grain — idf_fp = round(SCALE·ln((N-df+0.5)/(df+0.5)+1)),
+    one round per vocabulary entry. The tf-saturation factor
+    tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) is carried as an EXACT
+    BIGINT rational: with k1=6/5, b=3/4 and S=Σdl, multiplying
+    through by 10·S gives num = 22·S·tf, den = 10·S·tf + 3·S +
+    9·dl·N — both exactly-representable integers, so the double
+    quotient num/den is correctly rounded IEEE division (identical in
+    Spark and DuckDB), the single multiply by idf_fp is one IEEE op,
+    and the per-term round lands on the same BIGINT in both engines.
+    Per-(query,doc) scores are then INTEGER sums — associative and
+    partition-order-independent.
+
+    Shape at scale: (doc,term) tf aggregate [shuffle 1, carries dl via
+    first()], term-grain df/idf table [shuffle 2, vocabulary-bounded →
+    broadcast], query-term table = tf slice of the query docs joined
+    to idf (Q·terms rows → broadcast). Candidate generation is the
+    posting-list intersection tf ⋈ query_terms on term — bounded by
+    Σ_t df(t) over query terms, NOT N·Q, because ``df_cap_num/den``
+    drops head terms from queries (df ≤ cap·N): stop-term pruning,
+    the standard IR bound (on zipfian text the head terms are
+    stopwords that contribute rank noise anyway; this synthetic
+    corpus's bigram vocabulary has max df ≈ N/10, so the registry
+    entry's cap of 1/1 is inert there but the bound is structural).
+    Final per-query top-k is a window partitioned by q_id — one task
+    per query, each over its own candidate list.
+    """
+    terms = doc_bigram_terms(docs, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    t = F.split(F.col(text_col), " ")
+    tot = (
+        docs.filter(F.size(t) >= 2)
+        .select((F.size(t) - 1).cast("long").alias("dl"))
+        .agg(F.count("*").cast("long").alias("n"), F.sum("dl").alias("s"))
+        .head()
+    )
+    n_docs, s_dl = int(tot["n"]), int(tot["s"])
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.lit(BM25_IDF_SCALE)
+                * F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+            )
+            .cast("long")
+            .alias("idf_fp"),
+        )
+    )
+    qterms = (
+        tf.filter(F.col(id_col) % query_mod == 0)
+        .join(
+            F.broadcast(
+                idf.filter(
+                    F.col("df") * df_cap_den <= F.lit(n_docs * df_cap_num)
+                )
+            ),
+            "term",
+        )
+        .select(F.col(id_col).alias("q_id"), "term", "idf_fp")
+    )
+    num = F.lit(22 * s_dl) * F.col("tf")
+    den = (
+        F.lit(10 * s_dl) * F.col("tf")
+        + F.lit(3 * s_dl)
+        + F.lit(9 * n_docs) * F.col("dl")
+    )
+    contrib = F.round(
+        F.col("idf_fp") * (num.cast("double") / den.cast("double"))
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col, contrib.alias("c"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("c").alias("score_fp"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_fp"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "score_fp", "rank")
+    )

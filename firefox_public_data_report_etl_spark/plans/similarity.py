@@ -1425,6 +1425,113 @@ FROM r WHERE rn = 1
 """
 
 
+RRF_POOL = 10  # per-list pool depth fed into the fusion
+RRF_FINAL_K = 5
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion: the
+    BM25 bigram-term top-10 (sparse; operators.text.bm25_topk) and
+    the exact cosine top-10 (dense; operators.vectorized integer
+    matmul) are fused per query as
+
+        rrf_fp = Σ_lists floor(RRF_SCALE / (60 + rank))
+
+    — the standard RRF formula with k=60, in integer fixed point so
+    the fusion sum is exact on both engines (floor of a correctly-
+    rounded IEEE quotient of small integers equals DuckDB's BIGINT
+    division: the true quotient is a rational with denominator ≤ 70,
+    never within an ulp of an integer unless exact). Queries are the
+    %50 documents — doc_id and vec_id share an id space, so the same
+    entity anchors both lists. Output keeps each list's rank
+    (NULL = doc surfaced by one modality only), final top-5 by
+    (rrf_fp DESC, doc_id).
+
+    Shape: both inputs are top-K-per-query results (K-row grain), so
+    the fusion full-outer join and final window touch ≤ 2·K rows per
+    query — the corpus-sized work lives entirely inside the two
+    measured retrieval operators."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        RRF_K,
+        RRF_SCALE,
+        bm25_topk,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_matmul,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, query_mod=QUERY_MOD, k=RRF_POOL).select(
+        "q_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cos = cosine_topk_matmul(queries, emb, RRF_POOL).select(
+        "q_id",
+        F.col("n_id").alias("doc_id"),
+        F.col("rank").alias("cos_rank"),
+    )
+
+    def _contrib(rank_col):
+        return F.coalesce(
+            F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_K) + rank_col)).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    fused = bm.join(cos, ["q_id", "doc_id"], "full").withColumn(
+        "rrf_fp", _contrib(F.col("bm25_rank")) + _contrib(F.col("cos_rank"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_FINAL_K)
+        .select("q_id", "doc_id", "bm25_rank", "cos_rank", "rrf_fp", "rank")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from firefox_public_data_report_etl_spark.plans.text import BM25_CTES
+
+    return f"""
+WITH {BM25_CTES.strip()},
+{_QUANT_CTES.strip()},
+hdots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+hscored AS (
+  SELECT q_id, n_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+  FROM hdots JOIN norms x ON q_id = x.vec_id JOIN norms y ON n_id = y.vec_id
+),
+hcos AS (SELECT q_id, n_id AS doc_id,
+                CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS cos_rank
+         FROM hscored),
+hbm AS (SELECT q_id, doc_id, rank AS bm25_rank FROM bmr
+        WHERE rank <= {RRF_POOL}),
+hcs AS (SELECT q_id, doc_id, cos_rank FROM hcos
+        WHERE cos_rank <= {RRF_POOL}),
+hfus AS (SELECT q_id, doc_id, bm25_rank, cos_rank,
+                CAST(coalesce(1000000 // (60 + bm25_rank), 0)
+                     + coalesce(1000000 // (60 + cos_rank), 0) AS BIGINT)
+                  AS rrf_fp
+         FROM hbm FULL JOIN hcs USING (q_id, doc_id)),
+hr AS (SELECT q_id, doc_id, bm25_rank, cos_rank, rrf_fp,
+              CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+       FROM hfus)
+SELECT q_id, doc_id, bm25_rank, cos_rank, rrf_fp, rank
+FROM hr WHERE rank <= {RRF_FINAL_K}
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
@@ -1446,6 +1553,7 @@ QUERIES = {
     "embedding_diversity_sample": embedding_diversity_sample,
     "embedding_diversity_sample_scaled": embedding_diversity_sample_scaled,
     "embedding_cluster_purity": embedding_cluster_purity,
+    "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
 }
 
 # The _scaled twins reuse the fixed-mod oracles: their sqrt-N mod
@@ -1474,6 +1582,7 @@ ORACLES = {
     "embedding_diversity_sample": _diversity_oracle(),
     "embedding_diversity_sample_scaled": _diversity_oracle(),
     "embedding_cluster_purity": _purity_oracle(),
+    "retrieval_hybrid_rrf": _hybrid_rrf_oracle(),
 }
 
 # Scale classification (registry.py contract): exact |Q| x |C| top-k

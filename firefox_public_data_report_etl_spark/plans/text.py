@@ -2518,6 +2518,78 @@ GROUP BY p.doc_id
 """
 
 
+BM25_QUERY_MOD = 50  # every 50th doc is a query (cosine-topk parity)
+BM25_TOP_K = 5
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 sparse retrieval, query-by-document, over bigram
+    terms: every 50th document retrieves its top-5 corpus neighbors
+    by the BM25 sum (idf quantized at the df-table grain, exact-
+    rational tf saturation, integer score sums — the fixed-point
+    contract documented on operators.text.bm25_topk). The sparse
+    half of the retrieval stack whose dense half is
+    embedding_cosine_topk; retrieval_hybrid_rrf fuses the two.
+
+    No reference counterpart (the reference exports aggregates, not
+    a retrieval index); this is a training-data/RAG-pipeline
+    operator over the engine's own inverted-index machinery
+    (corpus_inverted_index / corpus_tfidf_top_terms lineage)."""
+    from firefox_public_data_report_etl_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        query_mod=BM25_QUERY_MOD,
+        k=BM25_TOP_K,
+    )
+
+
+# Shared CTE chain: corpus bigram tf/df/idf tables + per-term BM25
+# contributions for the % 50 query docs — used by the BM25 oracle and
+# (extended with the cosine CTEs) by the hybrid-RRF oracle.
+BM25_CTES = """
+bmd AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+bmt AS (SELECT doc_id, CAST(len(a) - 1 AS BIGINT) AS dl,
+               a[i] || ' ' || a[i + 1] AS term
+        FROM bmd, unnest(range(1, len(a))) AS u(i)),
+bmtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                min(dl) AS dl
+         FROM bmt GROUP BY doc_id, term),
+bmst AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(a) - 1) AS BIGINT) AS s
+         FROM bmd),
+bmdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bmtf GROUP BY term),
+bmidf AS (SELECT term, df,
+                 CAST(round(10000 * ln(((SELECT n FROM bmst) - df + 0.5)
+                                       / (df + 0.5) + 1.0)) AS BIGINT) AS idf_fp
+          FROM bmdf),
+bmq AS (SELECT bmtf.doc_id AS q_id, bmtf.term, bmidf.idf_fp
+        FROM bmtf JOIN bmidf USING (term)
+        WHERE bmtf.doc_id % 50 = 0
+          AND bmidf.df <= (SELECT n FROM bmst)),
+bmc AS (SELECT bmq.q_id, bmtf.doc_id,
+               CAST(round(bmq.idf_fp
+                    * (CAST(22 * (SELECT s FROM bmst) * bmtf.tf AS DOUBLE)
+                       / CAST(10 * (SELECT s FROM bmst) * bmtf.tf
+                              + 3 * (SELECT s FROM bmst)
+                              + 9 * (SELECT n FROM bmst) * bmtf.dl AS DOUBLE)))
+                    AS BIGINT) AS c
+        FROM bmtf JOIN bmq USING (term)
+        WHERE bmtf.doc_id <> bmq.q_id),
+bmsc AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+         FROM bmc GROUP BY q_id, doc_id),
+bmr AS (SELECT q_id, doc_id, score_fp,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+        FROM bmsc)
+"""
+
+CORPUS_BM25_ORACLE = f"""
+WITH {BM25_CTES.strip()}
+SELECT q_id, doc_id, score_fp, rank FROM bmr WHERE rank <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
@@ -2543,6 +2615,7 @@ QUERIES = {
     "corpus_dsir_sample": corpus_dsir_sample,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
+    "corpus_bm25_topk": corpus_bm25_topk,
     "sequence_packing": sequence_packing,
     "train_eval_contamination": train_eval_contamination,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
@@ -2581,6 +2654,7 @@ ORACLES = {
     "corpus_dsir_sample": _dsir_oracle(),
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
+    "corpus_bm25_topk": CORPUS_BM25_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
     "train_eval_contamination": _contamination_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),

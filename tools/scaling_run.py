@@ -76,6 +76,8 @@ DEFAULT_NAMES = [
     "corpus_snapshot_diff",
     "gopher_quality_filter",
     "curriculum_shards",
+    "corpus_bm25_topk",
+    "retrieval_hybrid_rrf",
 ]
 
 
