@@ -238,6 +238,7 @@ def main() -> None:
         "corpus_datasheet",
         "corpus_bm25_topk",
         "retrieval_hybrid_rrf",
+        "dedup_clusters_scaled",
     ):
         if name not in QUERIES:
             continue

@@ -221,6 +221,29 @@ FROM reach GROUP BY a
 """
 
 
+def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters``' any-topology scale twin: the same verified
+    MinHash-LSH pair graph labeled by alternating large-star /
+    small-star contraction (O(log n) rounds on ANY graph) instead of
+    min-label propagation (graph-diameter rounds — fine for shallow
+    dedup clusters, pathological for chained near-dups). Identical
+    min-id labeling, so the recursive-CTE oracle is shared verbatim;
+    test_operators pins the two forms equal on adversarial
+    topologies (long chains) the testdata graph doesn't contain."""
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    hs = gram_hash_arrays(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    out = connected_components_star(pairs, "da", "db")
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 EMBED_NEARDUP_THRESHOLD = 0.45
 
 
@@ -585,6 +608,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_hirecall": dedup_minhash_lsh_hirecall,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_scaled": dedup_clusters_scaled,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
@@ -599,6 +623,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_minhash_lsh_hirecall": _minhash_oracle(n_bands=HIRECALL_BANDS),
     "dedup_clusters": _clusters_oracle(),
+    "dedup_clusters_scaled": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,

@@ -1,0 +1,69 @@
+"""Connected-components operators: min-label propagation vs the
+large-star/small-star contraction twin.
+
+The sf0.01 oracle (recursive CTE) pins both registry forms on the
+real pair graph; these tests pin them on ADVERSARIAL topologies the
+testdata graph doesn't contain — long chains (diameter ≫ log n,
+where propagation is slow and contraction must still be correct),
+rings, stars, and a seeded random graph.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+
+
+def _labels(df):
+    return {r["node"]: r["comp"] for r in df.collect()}
+
+
+def _both(spark, edges, max_iter_prop=60):
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame([Row(da=a, db=b) for a, b in edges])
+    return (
+        _labels(connected_components(e, max_iter=max_iter_prop)),
+        _labels(connected_components_star(e)),
+    )
+
+
+def test_star_cc_long_chain(spark):
+    # a 25-link chain: diameter 25, log2(26) ~ 5 — the shape where
+    # star contraction's round count matters. Every node must label 0.
+    chain = [(i, i + 1) for i in range(25)]
+    prop, star = _both(spark, chain)
+    assert star == {i: 0 for i in range(26)}
+    assert prop == star
+
+
+def test_star_cc_two_components_and_star_shape(spark):
+    edges = [(10, 11), (11, 12), (20, 25), (20, 26), (20, 27)]
+    prop, star = _both(spark, edges)
+    assert star == {10: 10, 11: 10, 12: 10, 20: 20, 25: 20, 26: 20, 27: 20}
+    assert prop == star
+
+
+def test_star_cc_ring_and_duplicate_reversed_edges(spark):
+    # ring of 8 plus duplicate and reversed edges — canonicalization
+    # must not double-count or deadlock
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    edges = ring + [(b, a) for a, b in ring] + ring[:3]
+    prop, star = _both(spark, edges)
+    assert star == {i: 0 for i in range(8)}
+    assert prop == star
+
+
+def test_star_cc_random_graph_matches_propagation(spark):
+    rng = random.Random(8)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    prop, star = _both(spark, edges)
+    assert prop == star

@@ -78,6 +78,7 @@ DEFAULT_NAMES = [
     "curriculum_shards",
     "corpus_bm25_topk",
     "retrieval_hybrid_rrf",
+    "dedup_clusters_scaled",
 ]
 
 
