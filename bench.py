@@ -239,6 +239,9 @@ def main() -> None:
         "corpus_bm25_topk",
         "retrieval_hybrid_rrf",
         "dedup_clusters_scaled",
+        "corpus_quality_classifier",
+        "doc_embedding_hashproj",
+        "retrieval_hashproj_topk",
     ):
         if name not in QUERIES:
             continue

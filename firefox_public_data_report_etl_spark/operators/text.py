@@ -1469,3 +1469,238 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "score_fp", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (Brown et al. 2020 §A "quality filtering";
+# the GPT-3/LLaMA recipe): fit a classifier on "curated reference
+# sources vs the rest", score the whole corpus, keep high scorers.
+# Multinomial Naive Bayes over hashed unigram features is the
+# engine-native form: training IS two count aggregates (a K-row
+# class-conditional table + a 2-row prior), scoring IS the same
+# broadcast-join/integer-sum shape as dsir_weights / the LM scorers —
+# no gradient loop, no driver-side model state beyond K rows.
+
+NB_BUCKETS = 128
+# Same fixed-point contract as DSIR_LOG_SCALE / LM_LOGPROB_SCALE: one
+# round() per BUCKET-TABLE entry, integer sums per doc — exact,
+# associative, cross-engine reproducible.
+NB_LOG_SCALE = 10**6
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    hq_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = NB_BUCKETS,
+    scale: int = NB_LOG_SCALE,
+) -> DataFrame:
+    """Train multinomial NB on the deterministic hash-split TRAIN
+    slice (label = ``hq_cond``), score the held-out val/test docs.
+
+    Per held-out doc: margin_fp = prior_fp + Σ_b cnt_db · w_b where
+    w_b = round(scale·ln p(b|hq)) − round(scale·ln p(b|lq)) with
+    add-one smoothing, prior_fp the same contract on doc-class
+    frequencies. pred_hq = margin_fp ≥ 0; ``correct`` compares the
+    prediction against the doc's actual label, so the result set IS
+    the held-out evaluation every classifier-filter recipe reports.
+
+    Scale shape: ONE pass over the token stream into a (doc, bucket)
+    rollup (≤ token stream by construction); the weight table is
+    n_buckets rows broadcast; train/score are disjoint slices of the
+    SAME rollup so the corpus is read once. No window, no global
+    sort, no driver model state beyond the K-row table.
+    """
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hash_split,
+    )
+
+    labeled = hash_split(docs.select(id_col, text_col, hq_cond.cast("long").alias("hq")))
+    feats = (
+        labeled.select(
+            id_col,
+            "hq",
+            "split",
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .select(
+            id_col,
+            "hq",
+            "split",
+            (F.expr(md5_int_spark_sql("w")) % n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("hq").alias("hq"),
+            F.first("split").alias("split"),
+        )
+    )
+
+    train = feats.filter(F.col("split") == "train")
+    counts = train.groupBy("b").agg(
+        F.sum(F.col("cnt") * F.col("hq")).alias("c_hq"),
+        F.sum(F.col("cnt") * (1 - F.col("hq"))).alias("c_lq"),
+    )
+    dense = (
+        docs.sparkSession.range(n_buckets)
+        .withColumnRenamed("id", "b")
+        .join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_hq", F.lit(0)).alias("c_hq"),
+            F.coalesce("c_lq", F.lit(0)).alias("c_lq"),
+        )
+        .cache()
+    )
+    tot = dense.agg(
+        F.sum("c_hq").alias("t_hq"), F.sum("c_lq").alias("t_lq")
+    ).head()
+    prior = (
+        labeled.filter(F.col("split") == "train")
+        .agg(
+            F.sum("hq").alias("n_hq"),
+            F.sum(1 - F.col("hq")).alias("n_lq"),
+        )
+        .head()
+    )
+    if not prior["n_hq"] or not prior["n_lq"]:
+        raise ValueError(
+            "nb_quality_classifier: the train split has a single class "
+            f"(n_hq={prior['n_hq']}, n_lq={prior['n_lq']}) — a two-class "
+            "classifier cannot fit; check hq_cond against the corpus"
+        )
+    import math
+
+    n_train = prior["n_hq"] + prior["n_lq"]
+    prior_fp = int(
+        round(scale * math.log((prior["n_hq"] + 1) / (n_train + 2)))
+    ) - int(round(scale * math.log((prior["n_lq"] + 1) / (n_train + 2))))
+    denom_hq = float(tot["t_hq"] + n_buckets)
+    denom_lq = float(tot["t_lq"] + n_buckets)
+    w = dense.select(
+        "b",
+        (
+            F.round(
+                F.lit(scale)
+                * F.log((F.col("c_hq").cast("double") + 1.0) / F.lit(denom_hq))
+            ).cast("long")
+            - F.round(
+                F.lit(scale)
+                * F.log((F.col("c_lq").cast("double") + 1.0) / F.lit(denom_lq))
+            ).cast("long")
+        ).alias("w"),
+    )
+    heldout = feats.filter(F.col("split") != "train")
+    return (
+        heldout.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.first("split").alias("split"),
+            (F.first("hq") == 1).alias("is_hq"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+            (F.lit(prior_fp) + F.sum(F.col("w") * F.col("cnt")))
+            .cast("long")
+            .alias("margin_fp"),
+        )
+        .select(
+            id_col,
+            "split",
+            "is_hq",
+            "n_feats",
+            "margin_fp",
+            (F.col("margin_fp") >= 0).alias("pred_hq"),
+            ((F.col("margin_fp") >= 0) == F.col("is_hq")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed TF-IDF signed-random-projection document embeddings — the
+# model-free text→vector bridge (Achlioptas 2003 database-friendly
+# random projections; feature hashing per Weinberger et al. 2009):
+# e_d(doc) = Σ_t tf(t)·idf_fp(t)·sign(t, d) with sign(t, d) ∈ {−1, +1}
+# a hash bit, so the projection matrix is never materialized. Output
+# satisfies the engine's quantized-embedding contract (id, q, norm) —
+# the brute/LSH/IVF cosine stack consumes it unchanged, giving
+# text→embed→retrieve end-to-end without an external model.
+
+HASHPROJ_DIM = 16
+# idf is the ONE log in the pipeline: fixed-point per TERM-TABLE entry
+# (round(scale·ln(N/df))), integer products/sums everywhere after —
+# the DSIR/LM/NB rounding contract, so embeddings are bit-identical
+# cross-engine.
+HASHPROJ_IDF_SCALE = 10**3
+
+
+def hashproj_embeddings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASHPROJ_DIM,
+    scale: int = HASHPROJ_IDF_SCALE,
+) -> DataFrame:
+    """(id_col, q array<long>, norm long): signed-hash-projected
+    TF-IDF embeddings, dim-ordered, with the exact squared norm —
+    drop-in for operators.similarity.quantized output.
+
+    Scale shape: one token pass → (doc, term) tf rollup; the df/idf
+    table is VOCABULARY-grain (shuffle join on term — too big to
+    broadcast at corpus scale, AQE handles stopword skew); the dim
+    fan-out multiplies the (doc, term) stream by ``dim`` (16×) but
+    rows are 4 ints wide; final rollup is doc-grain. No window, no
+    global sort, no driver state — N (corpus count) is the single
+    scalar action."""
+    tf = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.count()
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "w",
+        F.round(
+            F.lit(scale)
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .cast("long")
+        .alias("idf_fp"),
+    )
+    sign = 1 - 2 * (
+        F.expr(
+            md5_int_spark_sql(f"concat(w, '#', cast(dm as string))")
+        )
+        % 2
+    )
+    comp = (
+        tf.join(idf, "w")
+        .select(
+            id_col,
+            (F.col("tf") * F.col("idf_fp")).alias("m"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dm"),
+            "w",
+        )
+        .groupBy(id_col, "dm")
+        .agg(F.sum(F.col("m") * sign).alias("val"))
+    )
+    return (
+        comp.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dm", "val"))
+                ),
+                lambda s: s["val"],
+            ).alias("q")
+        )
+        .withColumn(
+            "norm",
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+    )

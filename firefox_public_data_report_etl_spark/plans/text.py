@@ -2590,6 +2590,227 @@ SELECT q_id, doc_id, score_fp, rank FROM bmr WHERE rank <= {BM25_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (GPT-3 §A / LLaMA recipe): NB on
+# "curated reference sources vs the rest". The allowlist stands in
+# for the curated side (WebText/wiki/books analog) — 4 of the 20
+# synthetic sources, a fixed spec constant like the pipeline source
+# allowlist.
+NB_HQ_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the trained-classifier stage
+    (operators/text.py:nb_quality_classifier; Brown et al. 2020
+    App. A): fit multinomial NB with hashed unigram features on the
+    deterministic train split (label: curated-source allowlist), then
+    score the held-out val/test docs — margin, prediction, and
+    per-doc correctness, i.e. the held-out eval a filter recipe
+    reports before deployment.
+
+    Scale: training is two count aggregates over one token pass; the
+    model is a NB_BUCKETS-row broadcast table; scoring rides the same
+    (doc, bucket) rollup. No window, no global sort, no iterative
+    driver loop."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        nb_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hq = F.col("source").isin(*NB_HQ_SOURCES)
+    return nb_quality_classifier(
+        docs.select("doc_id", "text", "source"), hq
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        NB_BUCKETS,
+        NB_LOG_SCALE,
+    )
+
+    k, s = NB_BUCKETS, NB_LOG_SCALE
+    hq_list = ", ".join(f"'{x}'" for x in NB_HQ_SOURCES)
+    return f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ({hq_list}) THEN 1 ELSE 0 END AS hq,
+         CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80
+                THEN 'train'
+              WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+tk AS (SELECT doc_id, hq, split, unnest(string_split(text, ' ')) AS w
+       FROM lab),
+fe AS (SELECT doc_id, {md5_int_sql("w")} % {k} AS b,
+              CAST(count(*) AS BIGINT) AS cnt,
+              min(hq) AS hq, min(split) AS split
+       FROM tk GROUP BY doc_id, b),
+cn AS (SELECT b, sum(cnt * hq) AS c_hq, sum(cnt * (1 - hq)) AS c_lq
+       FROM fe WHERE split = 'train' GROUP BY b),
+dense AS (SELECT r.range AS b, coalesce(c_hq, 0) AS c_hq,
+                 coalesce(c_lq, 0) AS c_lq
+          FROM range({k}) r LEFT JOIN cn ON r.range = cn.b),
+tot AS (SELECT CAST(sum(c_hq) AS BIGINT) AS t_hq,
+               CAST(sum(c_lq) AS BIGINT) AS t_lq FROM dense),
+pr AS (SELECT CAST(sum(hq) AS BIGINT) AS n_hq,
+              CAST(sum(1 - hq) AS BIGINT) AS n_lq
+       FROM lab WHERE split = 'train'),
+pfp AS (SELECT CAST(round({s} * ln((n_hq + 1.0) / (n_hq + n_lq + 2.0)))
+                 AS BIGINT)
+             - CAST(round({s} * ln((n_lq + 1.0) / (n_hq + n_lq + 2.0)))
+                 AS BIGINT) AS p
+        FROM pr),
+wt AS (SELECT b,
+         CAST(round({s} * ln((CAST(c_hq AS DOUBLE) + 1.0)
+                / CAST((SELECT t_hq FROM tot) + {k} AS DOUBLE))) AS BIGINT)
+       - CAST(round({s} * ln((CAST(c_lq AS DOUBLE) + 1.0)
+                / CAST((SELECT t_lq FROM tot) + {k} AS DOUBLE))) AS BIGINT)
+           AS w
+       FROM dense),
+sc AS (SELECT fe.doc_id, min(fe.split) AS split, min(fe.hq) AS hq,
+              CAST(sum(fe.cnt) AS BIGINT) AS n_feats,
+              CAST((SELECT p FROM pfp) + sum(wt.w * fe.cnt) AS BIGINT)
+                AS margin_fp
+       FROM fe JOIN wt USING (b)
+       WHERE fe.split <> 'train'
+       GROUP BY fe.doc_id)
+SELECT doc_id, split, hq = 1 AS is_hq, n_feats, margin_fp,
+       margin_fp >= 0 AS pred_hq,
+       (margin_fp >= 0) = (hq = 1) AS correct
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-projection document embeddings + end-to-end retrieval: the
+# text→vector bridge (operators/text.py:hashproj_embeddings) and its
+# composition with the cosine top-k stack — a user gets
+# raw text → deterministic embedding → nearest neighbors with no
+# external model in the loop.
+
+HASHPROJ_QUERY_MOD = 10
+HASHPROJ_TOP_K = 3
+
+
+def _hashproj_ctes() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        HASHPROJ_DIM,
+        HASHPROJ_IDF_SCALE,
+    )
+
+    sgn = (
+        "(1 - 2 * ("
+        + md5_int_sql("concat(w, '#', cast(dm as varchar))")
+        + " % 2))"
+    )
+    return f"""
+hp_tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+hp_tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM hp_tk GROUP BY doc_id, w),
+hp_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+hp_df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM hp_tf GROUP BY w),
+hp_idf AS (SELECT w,
+             CAST(round({HASHPROJ_IDF_SCALE}
+                  * ln(CAST((SELECT n FROM hp_n) AS DOUBLE) / df))
+               AS BIGINT) AS idf_fp
+           FROM hp_df),
+hp_ex AS (SELECT t.doc_id, t.w, t.tf, i.idf_fp, d.range AS dm
+          FROM hp_tf t JOIN hp_idf i USING (w) CROSS JOIN range({HASHPROJ_DIM}) d),
+hp_e AS (SELECT doc_id, dm,
+           CAST(sum(tf * idf_fp * {sgn}) AS BIGINT) AS val
+         FROM hp_ex GROUP BY doc_id, dm)
+"""
+
+
+def doc_embedding_hashproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document embeddings from raw text: hashed TF-IDF
+    with a signed-hash random projection (operators/text.py:
+    hashproj_embeddings — Achlioptas-style projection whose matrix is
+    a hash function, never materialized). Long (doc, dim, val) output
+    so the gate hashes every component exactly.
+
+    Scale: one token pass, a vocabulary-grain idf join, a 16× dim
+    fan-out of the (doc, term) rollup, doc-grain final aggregate —
+    no window, no global sort; corpus count is the single scalar
+    action."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+
+    emb = hashproj_embeddings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return emb.select(
+        "doc_id", F.posexplode("q").alias("dm", "val")
+    ).select("doc_id", F.col("dm").cast("long").alias("dm"), "val")
+
+
+def _hashproj_oracle() -> str:
+    return (
+        "WITH "
+        + _hashproj_ctes().strip()
+        + """
+SELECT doc_id, CAST(dm AS BIGINT) AS dm, val FROM hp_e
+"""
+    )
+
+
+def retrieval_hashproj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-free retrieval: embed every document with the
+    hashed projection, then exact cosine top-k via the Arrow integer
+    matmul path (operators/vectorized.py:cosine_topk_matmul) — the
+    same machinery the `embeddings`-table queries use, proving the
+    text→vector bridge satisfies the quantized-embedding contract.
+
+    Scale: the embedding pass is hashproj_embeddings' shape; ranking
+    is |Q|·N integer dots with the query matrix in the task closure
+    (candidates never shuffle). |Q| is the mod-slice and stays
+    bounded; the production swap for corpus-sized query sets is the
+    IVF family, same as the embeddings table."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_matmul,
+    )
+
+    emb = hashproj_embeddings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).cache()
+    queries = emb.filter(F.col("doc_id") % HASHPROJ_QUERY_MOD == 0)
+    return cosine_topk_matmul(queries, emb, HASHPROJ_TOP_K, id_col="doc_id")
+
+
+def _retrieval_hashproj_oracle() -> str:
+    return (
+        "WITH "
+        + _hashproj_ctes().strip()
+        + f""",
+hp_norm AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS norm
+            FROM hp_e GROUP BY doc_id),
+hp_dot AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+                  CAST(sum(a.val * b.val) AS BIGINT) AS dot
+           FROM hp_e a JOIN hp_e b
+             ON a.dm = b.dm AND a.doc_id <> b.doc_id
+           WHERE a.doc_id % {HASHPROJ_QUERY_MOD} = 0
+           GROUP BY a.doc_id, b.doc_id),
+hp_sc AS (SELECT q_id, n_id,
+            CAST(dot AS DOUBLE)
+              / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+          FROM hp_dot JOIN hp_norm x ON q_id = x.doc_id
+                      JOIN hp_norm y ON n_id = y.doc_id),
+hp_r AS (SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+         FROM hp_sc)
+SELECT q_id, n_id, rank, cos FROM hp_r WHERE rank <= {HASHPROJ_TOP_K}
+"""
+    )
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
@@ -2624,6 +2845,9 @@ QUERIES = {
     "sequence_packing_bpe": sequence_packing_bpe,
     "tokenizer_fertility": tokenizer_fertility,
     "gopher_quality_filter": gopher_quality_filter,
+    "corpus_quality_classifier": corpus_quality_classifier,
+    "doc_embedding_hashproj": doc_embedding_hashproj,
+    "retrieval_hashproj_topk": retrieval_hashproj_topk,
     "curriculum_shards": curriculum_shards,
     "training_export_manifest": training_export_manifest,
     "corpus_datasheet": corpus_datasheet,
@@ -2663,6 +2887,9 @@ ORACLES = {
     "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
     "gopher_quality_filter": _gopher_oracle(),
+    "corpus_quality_classifier": _quality_classifier_oracle(),
+    "doc_embedding_hashproj": _hashproj_oracle(),
+    "retrieval_hashproj_topk": _retrieval_hashproj_oracle(),
     "curriculum_shards": _curriculum_oracle(),
     "training_export_manifest": _training_manifest_oracle(),
     "corpus_datasheet": _datasheet_oracle(),

@@ -186,3 +186,89 @@ def test_datasheet_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(shares) - 1.0) < 1e-9
     assert rows["n_docs"] > 0 and 0 <= rows["exact_dup_rate"] <= 1
     assert 0 <= rows["gopher_keep_rate"] <= 1
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        nb_quality_classifier,
+    )
+
+    # hq docs share a vocabulary disjoint from lq docs, ids spread so
+    # the hash split puts some of each class in train AND held-out —
+    # every held-out doc must be classified correctly.
+    rows = [
+        Row(doc_id=i, text="alpha beta gamma delta epsilon zeta", src="hq")
+        for i in range(40)
+    ] + [
+        Row(doc_id=1000 + i, text="uno dos tres cuatro cinco seis", src="lq")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = nb_quality_classifier(docs, F.col("src") == "hq").toPandas()
+    assert len(out) > 0
+    assert set(out.split) <= {"val", "test"}  # train never scored
+    assert bool(out.correct.all())
+    # margins are strictly signed by class
+    assert out[out.is_hq].margin_fp.min() > 0
+    assert out[~out.is_hq].margin_fp.max() < 0
+
+
+def test_nb_classifier_single_class_raises(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        nb_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c", src="x") for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="single class"):
+        nb_quality_classifier(docs, F.col("src") == "x").collect()
+
+
+def test_hashproj_embeddings_shape_and_norm(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        HASHPROJ_DIM,
+        hashproj_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red green blue"),
+            Row(doc_id=2, text="red green blue"),
+            Row(doc_id=3, text="one two three four"),
+        ]
+    )
+    out = hashproj_embeddings(docs).toPandas().set_index("doc_id")
+    assert all(len(q) == HASHPROJ_DIM for q in out.q)
+    for _, r in out.iterrows():
+        assert r["norm"] == sum(int(x) * int(x) for x in r["q"])
+    # identical text -> identical embedding (pure function of content)
+    assert list(out.loc[1, "q"]) == list(out.loc[2, "q"])
+    # different text -> different embedding (collision would need all
+    # 16 signed sums to coincide)
+    assert list(out.loc[1, "q"]) != list(out.loc[3, "q"])
+
+
+def test_hashproj_retrieval_finds_planted_near_copy(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_matmul,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [Row(doc_id=0, text=base), Row(doc_id=1, text=base + " today")]
+    rows += [
+        Row(doc_id=10 + i, text=f"totally unrelated words number{i} filler{i}")
+        for i in range(8)
+    ]
+    emb = hashproj_embeddings(spark.createDataFrame(rows)).cache()
+    queries = emb.filter(F.col("doc_id") == 0)
+    top = (
+        cosine_topk_matmul(queries, emb, 1, id_col="doc_id")
+        .toPandas()
+        .iloc[0]
+    )
+    assert top.n_id == 1  # the near-copy wins rank 1
+    assert top.cos > 0.9
