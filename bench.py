@@ -242,6 +242,7 @@ def main() -> None:
         "corpus_quality_classifier",
         "doc_embedding_hashproj",
         "retrieval_hashproj_topk",
+        "multimodal_wav_decode",
     ):
         if name not in QUERIES:
             continue

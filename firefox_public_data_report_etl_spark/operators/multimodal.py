@@ -453,3 +453,164 @@ def decode_ppm_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA])
 
     return media.mapInPandas(_decode, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Third real format, third MODALITY: WAV (RIFF) PCM — canonical
+# uncompressed audio. Chunked container (RIFF size header, then
+# "fmt "/"data" chunks that may be preceded or separated by other
+# chunks, each word-aligned), little-endian int16 samples — a layout
+# class neither image codec exercises. Same oracle strategy as
+# BMP/PPM: payloads are real spec bytes; the oracle recomputes the
+# sample statistics from the logical sample rule and never sees the
+# bytes, so a decoder that misparses chunk walking, alignment, or
+# sample signedness hash-mismatches.
+# ---------------------------------------------------------------------------
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("s_sum", LongType()),
+        StructField("s_min", LongType()),
+        StructField("s_max", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_cross", LongType()),
+    ]
+)
+
+
+def encode_wav16(samples, sample_rate: int, pad_chunk: bool = False) -> bytes:
+    """int16 mono samples → spec-conformant RIFF/WAVE bytes (PCM
+    format chunk + data chunk; with ``pad_chunk`` a junk "LIST"
+    chunk — with an ODD payload size, so its word-alignment pad byte
+    is exercised — is inserted between "fmt " and "data", which a
+    compliant reader must skip by walking chunk sizes)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    junk = b""
+    if pad_chunk:
+        payload = b"junk!"  # odd length -> needs a pad byte
+        junk = struct.pack("<4sI", b"LIST", len(payload)) + payload + b"\x00"
+    body = b"WAVE" + fmt + junk + struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav16(payload: bytes):
+    """Parse RIFF/WAVE PCM: returns (sample_rate, samples int16
+    ndarray). Walks the chunk list (skipping unknown chunks and
+    their word-alignment padding) to find "fmt " and "data". Raises
+    ``NotImplementedError`` for non-PCM encodings, multi-channel, or
+    bit depths other than 16 — the honest boundary of this decoder."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    sample_rate, bits, channels, audio_fmt = None, None, None, None
+    samples = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, body
+            )
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+        elif cid == b"data":
+            if audio_fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM mono 16-bit supported (fmt={audio_fmt}, "
+                    f"channels={channels}, bits={bits})"
+                )
+            samples = np.frombuffer(payload, dtype="<i2", offset=body, count=size // 2)
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if samples is None:
+        raise ValueError("no data chunk found")
+    return sample_rate, samples
+
+
+# Deterministic logical sample rule for the synthesized corpus audio:
+# sample k of media_id is ((media_id*31 + k*17) % 65536) - 32768;
+# n_samples = 50 + media_id % 101; sample_rate = 8000 + 4000*(media_id % 3).
+# The oracle recomputes the statistics from THIS rule; the payload in
+# between is real RIFF bytes (every third clip carries the junk-chunk
+# variant so chunk walking is exercised in the corpus, not just in
+# fixtures).
+def _wav_rule(media_id: int):
+    import numpy as np
+
+    n = 50 + media_id % 101
+    rate = 8000 + 4000 * (media_id % 3)
+    k = np.arange(n, dtype=np.int64)
+    s = ((media_id * 31 + k * 17) % 65536) - 32768
+    return rate, s.astype(np.int16)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL RIFF/WAVE PCM16 payload per row (Arrow-
+    batched; samples follow the deterministic rule above) — the
+    binary-column source for the audio-decode pipeline."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rate, s = _wav_rule(mid)
+                payload = encode_wav16(s, rate, pad_chunk=(mid % 3 == 0))
+                out.append((mid, payload, "audio/wav", len(payload)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode stage: parse each WAV payload and emit
+    exact integer sample statistics — count, rate, sum, extrema,
+    energy (Σ s², exact in int64), and the zero-crossing count
+    (sign(s_k) ≠ sign(s_{k−1}) with sign ≔ s ≥ 0), the classic cheap
+    audio feature. No FP anywhere, so the stage is oracle-exact."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                rate, s = decode_wav16(bytes(payload))
+                s64 = s.astype(np.int64)
+                nonneg = s64 >= 0
+                rows.append(
+                    (
+                        int(mid), len(s64), int(rate),
+                        int(s64.sum()), int(s64.min()), int(s64.max()),
+                        int((s64 * s64).sum()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA])
+
+    return media.mapInPandas(_decode, WAV_STATS_SCHEMA)

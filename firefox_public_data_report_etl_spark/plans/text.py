@@ -411,6 +411,57 @@ FROM px
 """
 
 
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real format, third MODALITY: RIFF/WAVE PCM16 audio
+    (operators/multimodal.py:encode_wav16/decode_wav16) — a CHUNKED
+    container (fmt/data chunks, word alignment, skippable unknown
+    chunks; every third clip carries an odd-sized junk chunk so the
+    walker is exercised in-corpus), the layout class neither image
+    codec touches. Same end-to-end contract as the BMP/PPM queries:
+    synthesize real spec bytes, parse them back with the independent
+    decoder in an Arrow-batched mapInPandas stage, emit exact integer
+    sample statistics (sum/extrema/energy/zero-crossings); the
+    oracle recomputes from the logical sample rule and never sees
+    the bytes. Scale: samples never shuffle — generate and decode
+    fuse into one narrow Python stage, 8 ints per clip out."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_wav_stats(attach_wav_payload(docs))
+
+
+def _wav_decode_oracle() -> str:
+    return """
+WITH m AS (SELECT doc_id AS media_id,
+                  50 + doc_id % 101 AS n,
+                  8000 + 4000 * (doc_id % 3) AS rate
+           FROM documents),
+k AS (SELECT media_id, n, rate, unnest(range(n)) AS k FROM m),
+s AS (SELECT media_id, n, rate, k,
+        ((media_id * 31 + k * 17) % 65536) - 32768 AS s,
+        ((media_id * 31 + (k - 1) * 17) % 65536) - 32768 AS sp
+      FROM k)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(sum(s) AS BIGINT) AS s_sum,
+       CAST(min(s) AS BIGINT) AS s_min,
+       CAST(max(s) AS BIGINT) AS s_max,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN k > 0 AND ((s >= 0) <> (sp >= 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+FROM s GROUP BY media_id, n, rate
+"""
+
+
 # Mixing quotas: the target per-language doc counts of the training
 # mixture (a Pile/LLaMA-style source-weighting table). zh is
 # deliberately absent: sources without a quota contribute nothing.
@@ -2829,6 +2880,7 @@ QUERIES = {
     "multimodal_pipeline": multimodal_pipeline,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
     "corpus_mixture_sample": corpus_mixture_sample,
@@ -2871,6 +2923,7 @@ ORACLES = {
     "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
     "multimodal_bmp_decode": _bmp_decode_oracle(),
     "multimodal_ppm_decode": _ppm_decode_oracle(),
+    "multimodal_wav_decode": _wav_decode_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_mixture_sample": _mixture_oracle(),
