@@ -243,6 +243,7 @@ def main() -> None:
         "doc_embedding_hashproj",
         "retrieval_hashproj_topk",
         "multimodal_wav_decode",
+        "multimodal_resize",
     ):
         if name not in QUERIES:
             continue

@@ -83,10 +83,12 @@ class FakeDecoder:
 def resize_plan(decoded: DataFrame, max_dim: int = 96, keep: tuple = ()) -> DataFrame:
     """Resize planning over decoded media: integer-exact target
     dimensions capped at ``max_dim`` on the longest side (aspect
-    preserved via integer scaling — no FP, so the stage is
-    oracle-exact). The actual pixel resample would run inside the
-    decode mapInPandas stage; THIS plan (which rows resize, to what)
-    is the distributed decision the pipeline schedules on."""
+    preserved via integer scaling, floored at 1 px so extreme aspect
+    ratios can't plan a zero-dimension target — no FP, so the stage
+    is oracle-exact). The actual pixel resample runs inside the
+    decode mapInPandas stage (resize_bmp_stats); THIS plan (which
+    rows resize, to what) is the distributed decision the pipeline
+    schedules on."""
     longest = F.greatest(F.col("width"), F.col("height"))
     needs = longest > max_dim
     return decoded.select(
@@ -97,13 +99,19 @@ def resize_plan(decoded: DataFrame, max_dim: int = 96, keep: tuple = ()) -> Data
         needs.alias("needs_resize"),
         F.when(
             needs,
-            F.expr(f"cast(width * {max_dim} as long) div greatest(width, height)"),
+            F.expr(
+                f"greatest(1L, cast(width * {max_dim} as long)"
+                " div greatest(width, height))"
+            ),
         )
         .otherwise(F.col("width").cast("long"))
         .alias("target_width"),
         F.when(
             needs,
-            F.expr(f"cast(height * {max_dim} as long) div greatest(width, height)"),
+            F.expr(
+                f"greatest(1L, cast(height * {max_dim} as long)"
+                " div greatest(width, height))"
+            ),
         )
         .otherwise(F.col("height").cast("long"))
         .alias("target_height"),
@@ -614,3 +622,72 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA])
 
     return media.mapInPandas(_decode, WAV_STATS_SCHEMA)
+
+
+def resize_nearest(rgb, tw: int, th: int):
+    """Nearest-neighbor resample of an (H, W, 3) uint8 array to
+    (th, tw, 3): target pixel (y, x) takes source pixel
+    (y*H // th, x*W // tw) — pure integer index math, so the result
+    is deterministic across engines and the oracle can recompute any
+    target pixel straight from the logical source rule."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return rgb[ys[:, None], xs[None, :]]
+
+
+RESIZED_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def resize_bmp_stats(media: DataFrame, max_dim: int) -> DataFrame:
+    """Decode + RESAMPLE fused into one Arrow stage: parse each BMP,
+    apply the resize_plan target-dimension rule (cap the longest side
+    at ``max_dim``, aspect preserved by integer scaling, floored at
+    1 px), nearest-neighbor resample, and emit exact channel sums of
+    the RESIZED image. Target dims are a pure function of (w, h) —
+    identical math to resize_plan — so the planning query and this
+    execution stage agree row-for-row without a join; pixels never
+    leave the task."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                w, h, rgb = decode_bmp24(bytes(payload))
+                longest = max(w, h)
+                if longest > max_dim:
+                    tw = max(1, (w * max_dim) // longest)
+                    th = max(1, (h * max_dim) // longest)
+                else:
+                    tw, th = w, h
+                out = resize_nearest(rgb, tw, th).reshape(-1, 3).astype("int64")
+                rows.append(
+                    (
+                        int(mid), w, h, tw, th, tw * th,
+                        int(out[:, 0].sum()), int(out[:, 1].sum()),
+                        int(out[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_STATS_SCHEMA]
+            )
+
+    return media.mapInPandas(_decode, RESIZED_STATS_SCHEMA)

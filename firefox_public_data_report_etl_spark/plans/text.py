@@ -266,10 +266,10 @@ wh AS (SELECT doc_id AS media_id,
 SELECT media_id, media_type, n_bytes, n_chunks, width, height, checksum,
        greatest(width, height) > 96 AS needs_resize,
        CASE WHEN greatest(width, height) > 96
-            THEN CAST(width AS BIGINT) * 96 // greatest(width, height)
+            THEN greatest(1, CAST(width AS BIGINT) * 96 // greatest(width, height))
             ELSE CAST(width AS BIGINT) END AS target_width,
        CASE WHEN greatest(width, height) > 96
-            THEN CAST(height AS BIGINT) * 96 // greatest(width, height)
+            THEN greatest(1, CAST(height AS BIGINT) * 96 // greatest(width, height))
             ELSE CAST(height AS BIGINT) END AS target_height
 FROM wh
 """
@@ -436,6 +436,76 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return decode_wav_stats(attach_wav_payload(docs))
+
+
+# Registry resize cap: small enough that most synthetic images (w ≤
+# 13, h ≤ 7) actually resample — at production scale this is the
+# usual 96/224/512 preprocessing cap.
+RESIZE_MAX_DIM = 4
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESAMPLE, the transform stage after decode in every
+    image-preprocessing pipeline: parse each real BMP payload, apply
+    the resize_plan target rule (longest side capped at
+    RESIZE_MAX_DIM, aspect preserved by integer scaling), nearest-
+    neighbor resample (operators/multimodal.py:resize_nearest — pure
+    integer index math), and emit exact channel sums of the RESIZED
+    pixels. The oracle recomputes every target pixel straight from
+    the logical source rule through the same index arithmetic — a
+    resampler that misrounds an index hash-mismatches.
+
+    Scale: decode + resize fuse into one narrow Arrow stage; pixels
+    never shuffle; 9 ints per image out."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        resize_bmp_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return resize_bmp_stats(attach_bmp_payload(docs), RESIZE_MAX_DIM)
+
+
+def _resize_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        BMP_H_MOD,
+        BMP_W_MOD,
+    )
+
+    m = RESIZE_MAX_DIM
+    sums = ",\n       ".join(
+        f"CAST(sum((media_id * 7 + k * 33 + {off}) % 256) AS BIGINT)"
+        f" AS sum_{c}"
+        for c, off in (("r", 0), ("g", 11), ("b", 22))
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % {BMP_W_MOD} AS INT) AS w,
+                     CAST(1 + doc_id % {BMP_H_MOD} AS INT) AS h
+              FROM documents),
+t AS (SELECT media_id, w, h,
+        CASE WHEN greatest(w, h) > {m}
+             THEN CAST(greatest(1, (w * {m}) // greatest(w, h)) AS INT)
+             ELSE w END AS tw,
+        CASE WHEN greatest(w, h) > {m}
+             THEN CAST(greatest(1, (h * {m}) // greatest(w, h)) AS INT)
+             ELSE h END AS th
+      FROM base),
+px AS (SELECT media_id, w, h, tw, th, unnest(range(tw * th)) AS p FROM t),
+src AS (SELECT media_id, w, h, tw, th,
+          (((p // tw) * h) // th) * w + ((p % tw) * w) // tw AS k
+        FROM px)
+SELECT media_id, w AS src_w, h AS src_h, tw AS width, th AS height,
+       CAST(tw * th AS BIGINT) AS n_px,
+       {sums}
+FROM src
+GROUP BY media_id, w, h, tw, th
+"""
 
 
 def _wav_decode_oracle() -> str:
@@ -2881,6 +2951,7 @@ QUERIES = {
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
     "corpus_mixture_sample": corpus_mixture_sample,
@@ -2924,6 +2995,7 @@ ORACLES = {
     "multimodal_bmp_decode": _bmp_decode_oracle(),
     "multimodal_ppm_decode": _ppm_decode_oracle(),
     "multimodal_wav_decode": _wav_decode_oracle(),
+    "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
     "corpus_mixture_sample": _mixture_oracle(),

@@ -79,3 +79,53 @@ def test_frame_sample_plan_spacing_and_empty(spark):
     assert sorted(by_id[1]) == [0, 2, 4, 6]  # evenly spaced over 8 frames
     assert sorted(by_id[2]) == [0, 1]  # fewer frames than samples: every frame
     assert 3 not in by_id  # zero-frame media emits no rows
+
+
+def test_resize_nearest_identity_and_downsample():
+    import numpy as np
+
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    # identity when target == source
+    assert np.array_equal(resize_nearest(rgb, 6, 4), rgb)
+    # 2x downsample picks every other pixel starting at index 0
+    half = resize_nearest(rgb, 3, 2)
+    assert np.array_equal(half, rgb[::2, ::2])
+    # degenerate 1x1 keeps the top-left source pixel
+    one = resize_nearest(rgb, 1, 1)
+    assert one.shape == (1, 1, 3) and np.array_equal(one[0, 0], rgb[0, 0])
+
+
+def test_resize_targets_match_resize_plan(spark):
+    """The fused Arrow-stage target-dimension math must agree with
+    the Catalyst resize_plan rule row-for-row (same inputs, no
+    join)."""
+    from pyspark.sql import Row
+
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_stats,
+        resize_bmp_stats,
+        resize_plan,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import RESIZE_MAX_DIM
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(60)])
+    media = attach_bmp_payload(docs)
+    planned = resize_plan(
+        decode_bmp_stats(media).select("media_id", "width", "height"),
+        max_dim=RESIZE_MAX_DIM,
+    ).select("media_id", "target_width", "target_height")
+    executed = resize_bmp_stats(media, RESIZE_MAX_DIM).select(
+        "media_id", "width", "height"
+    )
+    j = planned.join(executed, "media_id").toPandas()
+    assert len(j) == 60
+    assert (j.target_width == j.width).all()
+    assert (j.target_height == j.height).all()
+    # the 1-px floor binds at these dims (e.g. w=8,h=1,max=4): no
+    # zero-dimension targets anywhere
+    assert (j.width >= 1).all() and (j.height >= 1).all()
