@@ -244,6 +244,7 @@ def main() -> None:
         "retrieval_hashproj_topk",
         "multimodal_wav_decode",
         "multimodal_resize",
+        "key_skew_audit_events",
     ):
         if name not in QUERIES:
             continue

@@ -65,3 +65,49 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l.join(r, keys + ["_salt"], how).drop("_salt")
+
+
+def key_skew_audit(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """The measurement that DECIDES salting: per-key count rollup →
+    the K hottest keys, each row carrying the global skew summary —
+    row count, key cardinality, hottest-key count, the hot key's
+    share, and ``suggested_salt`` = how many times the hottest key
+    exceeds the average key (the salt-bucket count that levels it;
+    1 = no salting needed). Run this before choosing between the
+    native and salted forms of a hot aggregation/join.
+
+    Scale shape: ONE map-side-combined count aggregate (key grain);
+    the global summary is a second aggregate over the KEY-grain
+    rollup; the top-K is orderBy+limit → TakeOrderedAndProject
+    (per-partition partial top-K, no global sort); rank is a window
+    over the ALREADY-LIMITED K rows. Every share is a single final
+    division over exact integers."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    g = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(max_cnt * n_keys) div n_rows"),
+            ).alias("suggested_salt"),
+        )
+    )

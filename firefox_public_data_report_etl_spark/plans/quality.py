@@ -322,12 +322,56 @@ FROM j
 """
 
 
+SKEW_AUDIT_TOP_K = 10
+
+
+def key_skew_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit over the event stream's user key
+    (operators/skew.py:key_skew_audit) — the measurement that decides
+    whether a hot aggregation/join needs the salted form: the K
+    hottest keys with the global summary (row count, key cardinality,
+    hottest-key count/share) and ``suggested_salt``, the number of
+    salt buckets that would level the hottest key to the average.
+
+    Scale: one map-side-combined key-grain count, a summary aggregate
+    over that rollup, and a TakeOrderedAndProject top-K — no global
+    sort, no window over data-grain rows."""
+    from firefox_public_data_report_etl_spark.operators.skew import (
+        key_skew_audit,
+    )
+
+    return key_skew_audit(
+        load_table(spark, sf_dir, "events"), "user_id", SKEW_AUDIT_TOP_K
+    )
+
+
+KEY_SKEW_AUDIT_ORACLE = f"""
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+r AS (SELECT key, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+               AS rank
+      FROM c)
+SELECT r.key, r.cnt, r.rank,
+       CAST(r.cnt AS DOUBLE) / g.n_rows AS share,
+       g.n_rows, g.n_keys, g.max_cnt,
+       greatest(1, (g.max_cnt * g.n_keys) // g.n_rows) AS suggested_salt
+FROM r, g WHERE r.rank <= {SKEW_AUDIT_TOP_K}
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "key_skew_audit_events": key_skew_audit_events,
 }
 
 ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
+    "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
 }

@@ -90,6 +90,10 @@ REPORT_EDGE_WINDOWS: dict[str, str] = {
         "cumulative byte binning over a FILE LISTING — metadata "
         "cardinality; the planner input is per-file rows, not data"
     ),
+    "key_skew_audit_events": (
+        "rank column computed over the ALREADY-LIMITED top-K rows; "
+        "the global top-K itself is TakeOrderedAndProject"
+    ),
 }
 
 for _m in _MODULES:

@@ -272,3 +272,38 @@ def test_hashproj_retrieval_finds_planted_near_copy(spark):
     )
     assert top.n_id == 1  # the near-copy wins rank 1
     assert top.cos > 0.9
+
+
+def test_key_skew_audit_measures_planted_hot_key(spark):
+    from firefox_public_data_report_etl_spark.operators.skew import (
+        key_skew_audit,
+    )
+
+    # one key with 60 rows, 20 keys with 2 rows: mean = 100/21,
+    # suggested_salt = 60*21 // 100 = 12
+    rows = [Row(k="hot")] * 60 + [Row(k=f"c{i}") for i in range(20) for _ in range(2)]
+    out = key_skew_audit(spark.createDataFrame(rows), "k", k=3).toPandas()
+    assert len(out) == 3
+    top = out[out["rank"] == 1].iloc[0]
+    assert top.key == "hot" and top.cnt == 60
+    assert top.n_rows == 100 and top.n_keys == 21 and top.max_cnt == 60
+    assert top.suggested_salt == 12
+    # uniform data suggests no salting
+    uni = key_skew_audit(
+        spark.createDataFrame([Row(k=f"c{i}") for i in range(10) for _ in range(5)]),
+        "k",
+        k=2,
+    ).toPandas()
+    assert (uni.suggested_salt == 1).all()
+
+
+def test_key_skew_audit_topk_is_take_ordered(spark):
+    """The top-K must compile to TakeOrderedAndProject (per-partition
+    partial top-K), not a global sort."""
+    from firefox_public_data_report_etl_spark.plans.quality import (
+        key_skew_audit_events,
+    )
+
+    df = key_skew_audit_events(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
