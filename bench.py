@@ -245,6 +245,8 @@ def main() -> None:
         "multimodal_wav_decode",
         "multimodal_resize",
         "key_skew_audit_events",
+        "retrieval_hashproj_ivf",
+        "quality_classifier_eval",
     ):
         if name not in QUERIES:
             continue

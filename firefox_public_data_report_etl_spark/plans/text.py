@@ -2804,6 +2804,69 @@ FROM sc
 """
 
 
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row held-out evaluation a classifier-filter recipe signs
+    off on before deployment: confusion counts and precision /
+    recall / accuracy over corpus_quality_classifier's val/test
+    scores. Exact-integer confusion cells; each metric is a single
+    final division (NULL when its denominator is empty, matching the
+    oracle's CASE guard).
+
+    Scale: one aggregate over the doc-grain scored frame — the
+    classifier's own scale shape plus a 1-row rollup."""
+    scored = corpus_quality_classifier(spark, sf_dir)
+    p = F.col("pred_hq").cast("long")
+    a = F.col("is_hq").cast("long")
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(p * a).cast("long").alias("tp"),
+        F.sum(p * (1 - a)).cast("long").alias("fp"),
+        F.sum((1 - p) * a).cast("long").alias("fn"),
+        F.sum((1 - p) * (1 - a)).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+        ((F.col("tp") + F.col("tn")).cast("double") / F.col("n_docs")).alias(
+            "accuracy"
+        ),
+    )
+
+
+def _quality_classifier_eval_oracle() -> str:
+    return f"""
+WITH docgrain AS ({_quality_classifier_oracle()}),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN pred_hq AND is_hq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred_hq AND NOT is_hq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred_hq AND is_hq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred_hq AND NOT is_hq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tn
+       FROM docgrain)
+SELECT n_docs, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CAST(tp + tn AS DOUBLE) / n_docs AS accuracy
+FROM cm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hashed-projection document embeddings + end-to-end retrieval: the
 # text→vector bridge (operators/text.py:hashproj_embeddings) and its
@@ -2905,6 +2968,96 @@ def retrieval_hashproj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_matmul(queries, emb, HASHPROJ_TOP_K, id_col="doc_id")
 
 
+# IVF composition constants: centroids are the doc_id % mod == 1
+# slice (the similarity family's convention); mod^2 = 10,000 keeps
+# every testdata SF under the fixed-param validity bound.
+HASHPROJ_CENTROID_MOD = 100
+
+
+def retrieval_hashproj_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for text retrieval: hashproj embeddings fed
+    into the IVF ANN stack (operators/vectorized.py:cosine_topk_ivf)
+    — coarse cells from deterministic centroids, one-matmul
+    assignment (vectors never shuffle to assign), within-cell exact
+    ranking. Proves the text→vector bridge composes with the
+    bucketed family, not just the brute matmul: nprobe·N/cells work
+    per query instead of N. Fixed-mod guarded like the embeddings-
+    table form; sqrt-N sizing (ann_ivf_scaled) is the production
+    parameterization."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        _guard_fixed_param,
+    )
+
+    emb = hashproj_embeddings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).cache()
+    _guard_fixed_param(
+        emb.count(),
+        HASHPROJ_CENTROID_MOD,
+        "retrieval_hashproj_ivf",
+        "retrieval_hashproj_ivf with sqrt-N centroid_mod "
+        "(ann_ivf_scaled sizing)",
+    )
+    return cosine_topk_ivf(
+        emb,
+        HASHPROJ_TOP_K,
+        HASHPROJ_QUERY_MOD,
+        HASHPROJ_CENTROID_MOD,
+        id_col="doc_id",
+    )
+
+
+def _retrieval_hashproj_ivf_oracle() -> str:
+    return (
+        "WITH "
+        + _hashproj_ctes().strip()
+        + f""",
+hp_norm AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS norm
+            FROM hp_e GROUP BY doc_id),
+iv_cent AS (SELECT DISTINCT doc_id AS cid FROM hp_e
+            WHERE doc_id % {HASHPROJ_CENTROID_MOD} = 1),
+iv_vc AS (SELECT a.doc_id, c.cid, CAST(sum(a.val * b.val) AS BIGINT) AS dot
+          FROM hp_e a JOIN iv_cent c ON TRUE
+          JOIN hp_e b ON b.doc_id = c.cid AND b.dm = a.dm
+          GROUP BY a.doc_id, c.cid),
+iv_sa AS (SELECT vc.doc_id, vc.cid,
+            CAST(vc.dot AS DOUBLE)
+              / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+          FROM iv_vc vc JOIN hp_norm x ON vc.doc_id = x.doc_id
+                        JOIN hp_norm y ON vc.cid = y.doc_id),
+iv_cells AS (SELECT doc_id, cid AS cell FROM (
+               SELECT doc_id, cid,
+                      row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cos DESC, cid) AS rn
+               FROM iv_sa) WHERE rn = 1),
+iv_pairs AS (SELECT q.doc_id AS q_id, n.doc_id AS n_id
+             FROM iv_cells q JOIN iv_cells n
+               ON q.cell = n.cell AND q.doc_id <> n.doc_id
+             WHERE q.doc_id % {HASHPROJ_QUERY_MOD} = 0),
+iv_dots AS (SELECT p.q_id, p.n_id, CAST(sum(a.val * b.val) AS BIGINT) AS dot
+            FROM iv_pairs p JOIN hp_e a ON a.doc_id = p.q_id
+            JOIN hp_e b ON b.doc_id = p.n_id AND b.dm = a.dm
+            GROUP BY p.q_id, p.n_id),
+iv_sc AS (SELECT q_id, n_id,
+            CAST(dot AS DOUBLE)
+              / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+          FROM iv_dots JOIN hp_norm x ON q_id = x.doc_id
+                       JOIN hp_norm y ON n_id = y.doc_id),
+iv_r AS (SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+         FROM iv_sc)
+SELECT q_id, n_id, rank, cos FROM iv_r WHERE rank <= {HASHPROJ_TOP_K}
+"""
+    )
+
+
 def _retrieval_hashproj_oracle() -> str:
     return (
         "WITH "
@@ -2969,8 +3122,10 @@ QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "gopher_quality_filter": gopher_quality_filter,
     "corpus_quality_classifier": corpus_quality_classifier,
+    "quality_classifier_eval": quality_classifier_eval,
     "doc_embedding_hashproj": doc_embedding_hashproj,
     "retrieval_hashproj_topk": retrieval_hashproj_topk,
+    "retrieval_hashproj_ivf": retrieval_hashproj_ivf,
     "curriculum_shards": curriculum_shards,
     "training_export_manifest": training_export_manifest,
     "corpus_datasheet": corpus_datasheet,
@@ -3013,8 +3168,10 @@ ORACLES = {
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
     "gopher_quality_filter": _gopher_oracle(),
     "corpus_quality_classifier": _quality_classifier_oracle(),
+    "quality_classifier_eval": _quality_classifier_eval_oracle(),
     "doc_embedding_hashproj": _hashproj_oracle(),
     "retrieval_hashproj_topk": _retrieval_hashproj_oracle(),
+    "retrieval_hashproj_ivf": _retrieval_hashproj_ivf_oracle(),
     "curriculum_shards": _curriculum_oracle(),
     "training_export_manifest": _training_manifest_oracle(),
     "corpus_datasheet": _datasheet_oracle(),
