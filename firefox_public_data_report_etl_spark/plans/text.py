@@ -3013,6 +3013,30 @@ def retrieval_hashproj_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_hashproj_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-N sized twin of ``retrieval_hashproj_ivf`` (the
+    ann_ivf_scaled convention): centroid_mod derived from the corpus
+    count so #centroids ~ sqrt(N), floored at the registry constant —
+    bit-identical to the fixed form below mod^2 docs (every testdata
+    SF), which is why it shares the same oracle SQL; past the bound
+    it keeps assignment O(N^1.5 d) instead of O(N^2/mod)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    emb = hashproj_embeddings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).cache()
+    n = emb.count()
+    cmod = max(HASHPROJ_CENTROID_MOD, int(n**0.5))
+    return cosine_topk_ivf(
+        emb, HASHPROJ_TOP_K, HASHPROJ_QUERY_MOD, cmod, id_col="doc_id"
+    )
+
+
 def _retrieval_hashproj_ivf_oracle() -> str:
     return (
         "WITH "
@@ -3126,6 +3150,7 @@ QUERIES = {
     "doc_embedding_hashproj": doc_embedding_hashproj,
     "retrieval_hashproj_topk": retrieval_hashproj_topk,
     "retrieval_hashproj_ivf": retrieval_hashproj_ivf,
+    "retrieval_hashproj_ivf_scaled": retrieval_hashproj_ivf_scaled,
     "curriculum_shards": curriculum_shards,
     "training_export_manifest": training_export_manifest,
     "corpus_datasheet": corpus_datasheet,
@@ -3172,6 +3197,7 @@ ORACLES = {
     "doc_embedding_hashproj": _hashproj_oracle(),
     "retrieval_hashproj_topk": _retrieval_hashproj_oracle(),
     "retrieval_hashproj_ivf": _retrieval_hashproj_ivf_oracle(),
+    "retrieval_hashproj_ivf_scaled": _retrieval_hashproj_ivf_oracle(),
     "curriculum_shards": _curriculum_oracle(),
     "training_export_manifest": _training_manifest_oracle(),
     "corpus_datasheet": _datasheet_oracle(),
@@ -3182,5 +3208,18 @@ ORACLES = {
 # sketch-cutoff twin: a deliberate single-task sort, now guarded by
 # CCNET_EXACT_MAX_DOCS (r7 verdict #1 — the last unlabeled
 # single-task window); the twin is the 100 TB path.
-SCALE_CLASS = {"corpus_ccnet_buckets": "baseline"}
-SCALE_PATH_FOR = {"corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled"}
+SCALE_CLASS = {
+    "corpus_ccnet_buckets": "baseline",
+    # |Q| = N/mod grows with the corpus, so the brute matmul is
+    # O(N^2/mod) — a correctness baseline exactly like
+    # embedding_cosine_topk; the IVF composition is the scale path.
+    "retrieval_hashproj_topk": "baseline",
+    # fixed centroid_mod stops scaling past mod^2 docs (guarded at
+    # runtime by _guard_fixed_param, same as ann_ivf).
+    "retrieval_hashproj_ivf": "fixed_param",
+}
+SCALE_PATH_FOR = {
+    "corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled",
+    "retrieval_hashproj_topk": "retrieval_hashproj_ivf_scaled",
+    "retrieval_hashproj_ivf": "retrieval_hashproj_ivf_scaled",
+}
