@@ -1488,36 +1488,12 @@ NB_BUCKETS = 128
 NB_LOG_SCALE = 10**6
 
 
-def nb_quality_classifier(
-    docs: DataFrame,
-    hq_cond,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = NB_BUCKETS,
-    scale: int = NB_LOG_SCALE,
+def _nb_bucket_feats(
+    labeled: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    """Train multinomial NB on the deterministic hash-split TRAIN
-    slice (label = ``hq_cond``), score the held-out val/test docs.
-
-    Per held-out doc: margin_fp = prior_fp + Σ_b cnt_db · w_b where
-    w_b = round(scale·ln p(b|hq)) − round(scale·ln p(b|lq)) with
-    add-one smoothing, prior_fp the same contract on doc-class
-    frequencies. pred_hq = margin_fp ≥ 0; ``correct`` compares the
-    prediction against the doc's actual label, so the result set IS
-    the held-out evaluation every classifier-filter recipe reports.
-
-    Scale shape: ONE pass over the token stream into a (doc, bucket)
-    rollup (≤ token stream by construction); the weight table is
-    n_buckets rows broadcast; train/score are disjoint slices of the
-    SAME rollup so the corpus is read once. No window, no global
-    sort, no driver model state beyond the K-row table.
-    """
-    from firefox_public_data_report_etl_spark.operators.text import (
-        hash_split,
-    )
-
-    labeled = hash_split(docs.select(id_col, text_col, hq_cond.cast("long").alias("hq")))
-    feats = (
+    """ONE token pass → the (doc, bucket) count rollup both NB stages
+    (training and scoring) share, hq/split carried alongside."""
+    return (
         labeled.select(
             id_col,
             "hq",
@@ -1538,13 +1514,20 @@ def nb_quality_classifier(
         )
     )
 
+
+def _nb_model(
+    labeled: DataFrame, feats: DataFrame, n_buckets: int, scale: int
+):
+    """Fit multinomial NB on the TRAIN slice of the shared rollup:
+    returns (weights DataFrame (b, w) — n_buckets rows, broadcastable
+    — and the integer prior margin)."""
     train = feats.filter(F.col("split") == "train")
     counts = train.groupBy("b").agg(
         F.sum(F.col("cnt") * F.col("hq")).alias("c_hq"),
         F.sum(F.col("cnt") * (1 - F.col("hq"))).alias("c_lq"),
     )
     dense = (
-        docs.sparkSession.range(n_buckets)
+        labeled.sparkSession.range(n_buckets)
         .withColumnRenamed("id", "b")
         .join(counts, "b", "left")
         .select(
@@ -1592,6 +1575,65 @@ def nb_quality_classifier(
             ).cast("long")
         ).alias("w"),
     )
+    return w, prior_fp
+
+
+def nb_train_frozen(
+    docs: DataFrame,
+    hq_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = NB_BUCKETS,
+    scale: int = NB_LOG_SCALE,
+) -> tuple[list, int]:
+    """Train the NB model once on a REFERENCE corpus (same train-slice
+    protocol as nb_quality_classifier) and freeze it: returns the
+    driver-resident (bucket, weight) rows — n_buckets of them — and
+    the integer prior, the shape a long-running ingestion gate
+    re-broadcasts per micro-batch (streaming/quality_gate.py)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hash_split,
+    )
+
+    labeled = hash_split(
+        docs.select(id_col, text_col, hq_cond.cast("long").alias("hq"))
+    )
+    feats = _nb_bucket_feats(labeled, id_col, text_col, n_buckets)
+    w, prior_fp = _nb_model(labeled, feats, n_buckets, scale)
+    return [(r["b"], r["w"]) for r in w.collect()], prior_fp
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    hq_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = NB_BUCKETS,
+    scale: int = NB_LOG_SCALE,
+) -> DataFrame:
+    """Train multinomial NB on the deterministic hash-split TRAIN
+    slice (label = ``hq_cond``), score the held-out val/test docs.
+
+    Per held-out doc: margin_fp = prior_fp + Σ_b cnt_db · w_b where
+    w_b = round(scale·ln p(b|hq)) − round(scale·ln p(b|lq)) with
+    add-one smoothing, prior_fp the same contract on doc-class
+    frequencies. pred_hq = margin_fp ≥ 0; ``correct`` compares the
+    prediction against the doc's actual label, so the result set IS
+    the held-out evaluation every classifier-filter recipe reports.
+
+    Scale shape: ONE pass over the token stream into a (doc, bucket)
+    rollup (≤ token stream by construction); the weight table is
+    n_buckets rows broadcast; train/score are disjoint slices of the
+    SAME rollup so the corpus is read once. No window, no global
+    sort, no driver model state beyond the K-row table.
+    """
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hash_split,
+    )
+
+    labeled = hash_split(docs.select(id_col, text_col, hq_cond.cast("long").alias("hq")))
+    feats = _nb_bucket_feats(labeled, id_col, text_col, n_buckets)
+    w, prior_fp = _nb_model(labeled, feats, n_buckets, scale)
     heldout = feats.filter(F.col("split") != "train")
     return (
         heldout.join(F.broadcast(w), "b")

@@ -525,3 +525,110 @@ def test_streaming_quality_gate_matches_batch_and_replays(
         for r in spark.read.parquet(decisions).collect()
     }
     assert rows2 == rows
+
+
+def test_streaming_quality_gate_with_frozen_nb(spark, sf_dir, tmp_path):
+    """NB-enabled gate: the frozen classifier margin per streamed doc
+    must equal the batch recomputation with the same frozen model,
+    keep must be the three-way conjunction, and replaying an epoch
+    with the model still frozen reproduces identical rows."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        NB_BUCKETS,
+    )
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        LM_REF_KEEP,
+        LM_REF_MOD,
+        NB_HQ_SOURCES,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from firefox_public_data_report_etl_spark.streaming.quality_gate import (
+        freeze_lm_table,
+        freeze_nb_model,
+        quality_gate_batch,
+        stream_quality_gate,
+    )
+
+    full = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    docs = full.select("doc_id", "text")
+    lm_rows, lm_oov = freeze_lm_table(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+    nb_rows, nb_prior = freeze_nb_model(
+        full, F.col("source").isin(*NB_HQ_SOURCES)
+    )
+    src = tmp_path / "src"
+    docs.repartition(2).write.parquet(str(src))
+
+    decisions = str(tmp_path / "dec_nb")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_quality_gate(
+        stream, lm_rows, lm_oov, decisions, str(tmp_path / "ckpt_nb"),
+        nb_rows=nb_rows, nb_prior=nb_prior,
+    )
+    q.awaitTermination(180)
+
+    dec = spark.read.parquet(decisions)
+    rows = {
+        r["doc_id"]: (
+            r["rules_ok"], r["lm_ok"], r["nb_ok"], r["nb_margin"],
+            r["keep"], r["batch_label"],
+        )
+        for r in dec.collect()
+    }
+    assert len(rows) == docs.count()
+
+    # batch recomputation of the frozen margin
+    nbw = spark.createDataFrame(nb_rows, "b long, w long")
+    batch_margin = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w_tok")
+        )
+        .select(
+            "doc_id",
+            (F.expr(md5_int_spark_sql("w_tok")) % NB_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+        .join(nbw, "b")
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(nb_prior) + F.sum(F.col("w") * F.col("cnt")))
+            .cast("long")
+            .alias("m")
+        )
+        .collect()
+    }
+    both = set()
+    for d, (rules_ok, lm_ok, nb_ok, nb_margin, keep, _) in rows.items():
+        assert nb_margin == batch_margin[d], d
+        assert nb_ok == (nb_margin >= 0), d
+        assert keep == (rules_ok and lm_ok and nb_ok), d
+        both.add(nb_ok)
+    assert both == {True, False}  # the model actually discriminates
+
+    # replay with the frozen model: identical rows
+    last = max(v[5] for v in rows.values())
+    ids = [d for d, v in rows.items() if v[5] == last]
+    batch = docs.filter(F.col("doc_id").isin(ids))
+    quality_gate_batch(
+        spark, batch, lm_rows, lm_oov, decisions, last - 1,
+        nb_rows=nb_rows, nb_prior=nb_prior,
+    )
+    rows2 = {
+        r["doc_id"]: (
+            r["rules_ok"], r["lm_ok"], r["nb_ok"], r["nb_margin"],
+            r["keep"], r["batch_label"],
+        )
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert rows2 == rows
