@@ -247,6 +247,7 @@ def main() -> None:
         "key_skew_audit_events",
         "retrieval_hashproj_ivf",
         "quality_classifier_eval",
+        "adaptive_salted_distinct",
     ):
         if name not in QUERIES:
             continue

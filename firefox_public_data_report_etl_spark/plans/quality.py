@@ -364,14 +364,60 @@ FROM r, g WHERE r.rank <= {SKEW_AUDIT_TOP_K}
 """
 
 
+def adaptive_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit DRIVING the plan: measure key skew first
+    (key_skew_audit's summary — one key-grain rollup, one scalar
+    action), then run the per-event-type distinct-user count through
+    the salted two-stage form with ``n_salts`` set to the measured
+    recommendation — statistics-driven physical planning, the manual
+    analog of AQE's runtime skew handling for the aggregation side
+    AQE doesn't cover. The salt count rides along in the output so
+    the decision is auditable.
+
+    Salted counting is exact (a key always lands in one salt
+    bucket), so the oracle is the plain COUNT(DISTINCT) with the
+    recommendation recomputed in SQL."""
+    from firefox_public_data_report_etl_spark.operators.skew import (
+        key_skew_audit,
+        salted_count_distinct,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rec = (
+        key_skew_audit(events, "user_id", k=1)
+        .select("suggested_salt")
+        .head()["suggested_salt"]
+    )
+    out = salted_count_distinct(
+        events, ["event_type"], "user_id", "distinct_users", int(rec)
+    )
+    return out.withColumn("n_salts_used", F.lit(int(rec)).cast("long"))
+
+
+ADAPTIVE_SALTED_ORACLE = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c)
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       (SELECT greatest(1, (max_cnt * n_keys) // n_rows) FROM g)
+         AS n_salts_used
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "key_skew_audit_events": key_skew_audit_events,
+    "adaptive_salted_distinct": adaptive_salted_distinct,
 }
 
 ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
     "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
+    "adaptive_salted_distinct": ADAPTIVE_SALTED_ORACLE,
 }

@@ -79,6 +79,14 @@ DEFAULT_NAMES = [
     "corpus_bm25_topk",
     "retrieval_hybrid_rrf",
     "dedup_clusters_scaled",
+    # round-8 continuation
+    "corpus_quality_classifier",
+    "quality_classifier_eval",
+    "doc_embedding_hashproj",
+    "retrieval_hashproj_ivf_scaled",
+    "multimodal_wav_decode",
+    "multimodal_resize",
+    "key_skew_audit_events",
 ]
 
 
