@@ -248,6 +248,7 @@ def main() -> None:
         "retrieval_hashproj_ivf",
         "quality_classifier_eval",
         "adaptive_salted_distinct",
+        "retrieval_rag_chunks",
     ):
         if name not in QUERIES:
             continue

@@ -2878,7 +2878,10 @@ HASHPROJ_QUERY_MOD = 10
 HASHPROJ_TOP_K = 3
 
 
-def _hashproj_ctes() -> str:
+def _hashproj_ctes(src: str = "documents", pre: str = "") -> str:
+    """Hashproj embedding CTE chain over ``src``, any relation with
+    (doc_id, text) columns; ``pre`` prepends the CTEs that define a
+    non-table source (e.g. the chunk relation for the RAG query)."""
     from firefox_public_data_report_etl_spark.operators.text import (
         HASHPROJ_DIM,
         HASHPROJ_IDF_SCALE,
@@ -2889,12 +2892,12 @@ def _hashproj_ctes() -> str:
         + md5_int_sql("concat(w, '#', cast(dm as varchar))")
         + " % 2))"
     )
-    return f"""
+    return f"""{pre}
 hp_tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          FROM documents),
+          FROM {src}),
 hp_tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
           FROM hp_tk GROUP BY doc_id, w),
-hp_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+hp_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
 hp_df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM hp_tf GROUP BY w),
 hp_idf AS (SELECT w,
              CAST(round({HASHPROJ_IDF_SCALE}
@@ -2966,6 +2969,89 @@ def retrieval_hashproj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     queries = emb.filter(F.col("doc_id") % HASHPROJ_QUERY_MOD == 0)
     return cosine_topk_matmul(queries, emb, HASHPROJ_TOP_K, id_col="doc_id")
+
+
+# Composite chunk id: doc_id * RAG_CID_BASE + chunk_id — chunk counts
+# per doc are window-count bounded (n/stride + 1), far below the base.
+RAG_CID_BASE = 4096
+
+
+def retrieval_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG corpus build end-to-end in ONE plan: overlap-chunk the
+    corpus (document_chunks), hashproj-embed every CHUNK into one
+    shared vector space (chunk-collection idf), and rank chunk-level
+    neighbors for each query chunk (chunk 0 of every 10th document)
+    with the Arrow integer-matmul top-k. This is the retrieval shape
+    a RAG deployment indexes — chunk grain, not document grain — and
+    it composes three engine stages (chunker → embedder → ranker)
+    with no external model and a bit-exact oracle.
+
+    Scale: chunking is scan-local (zero shuffles); embedding is the
+    hashproj shape over the chunk stream; ranking is |Q|·C integer
+    dots with candidates never shuffling. |Q| is the mod slice; the
+    production swap for corpus-sized query sets is the IVF
+    composition, same as retrieval_hashproj_ivf."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_matmul,
+    )
+
+    chunks = document_chunks(spark, sf_dir).select(
+        (F.col("doc_id") * RAG_CID_BASE + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    emb = hashproj_embeddings(
+        chunks, id_col="cid", text_col="chunk_text"
+    ).cache()
+    queries = emb.filter(
+        (F.col("cid") % RAG_CID_BASE == 0)
+        & (F.expr(f"(cid div {RAG_CID_BASE})") % HASHPROJ_QUERY_MOD == 0)
+    )
+    return cosine_topk_matmul(queries, emb, HASHPROJ_TOP_K, id_col="cid")
+
+
+def _retrieval_rag_oracle() -> str:
+    pre = f"""
+rag_d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+rag_k AS (SELECT doc_id, t,
+                 unnest(range(0, greatest(0, (n - {CHUNK_TOKENS}
+                         + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}) + 1))
+                   AS chunk_id
+          FROM rag_d),
+rag_c AS (SELECT doc_id * {RAG_CID_BASE} + chunk_id AS doc_id,
+                 array_to_string(t[chunk_id * {CHUNK_STRIDE} + 1 :
+                                   chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                                 ' ') AS text
+          FROM rag_k),"""
+    return (
+        "WITH "
+        + _hashproj_ctes(src="rag_c", pre=pre).strip()
+        + f""",
+hp_norm AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS norm
+            FROM hp_e GROUP BY doc_id),
+hp_dot AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+                  CAST(sum(a.val * b.val) AS BIGINT) AS dot
+           FROM hp_e a JOIN hp_e b
+             ON a.dm = b.dm AND a.doc_id <> b.doc_id
+           WHERE a.doc_id % {RAG_CID_BASE} = 0
+             AND (a.doc_id // {RAG_CID_BASE}) % {HASHPROJ_QUERY_MOD} = 0
+           GROUP BY a.doc_id, b.doc_id),
+hp_sc AS (SELECT q_id, n_id,
+            CAST(dot AS DOUBLE)
+              / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE)) AS cos
+          FROM hp_dot JOIN hp_norm x ON q_id = x.doc_id
+                      JOIN hp_norm y ON n_id = y.doc_id),
+hp_r AS (SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+         FROM hp_sc)
+SELECT q_id, n_id, rank, cos FROM hp_r WHERE rank <= {HASHPROJ_TOP_K}
+"""
+    )
 
 
 # IVF composition constants: centroids are the doc_id % mod == 1
@@ -3151,6 +3237,7 @@ QUERIES = {
     "retrieval_hashproj_topk": retrieval_hashproj_topk,
     "retrieval_hashproj_ivf": retrieval_hashproj_ivf,
     "retrieval_hashproj_ivf_scaled": retrieval_hashproj_ivf_scaled,
+    "retrieval_rag_chunks": retrieval_rag_chunks,
     "curriculum_shards": curriculum_shards,
     "training_export_manifest": training_export_manifest,
     "corpus_datasheet": corpus_datasheet,
@@ -3198,6 +3285,7 @@ ORACLES = {
     "retrieval_hashproj_topk": _retrieval_hashproj_oracle(),
     "retrieval_hashproj_ivf": _retrieval_hashproj_ivf_oracle(),
     "retrieval_hashproj_ivf_scaled": _retrieval_hashproj_ivf_oracle(),
+    "retrieval_rag_chunks": _retrieval_rag_oracle(),
     "curriculum_shards": _curriculum_oracle(),
     "training_export_manifest": _training_manifest_oracle(),
     "corpus_datasheet": _datasheet_oracle(),
@@ -3214,6 +3302,8 @@ SCALE_CLASS = {
     # O(N^2/mod) — a correctness baseline exactly like
     # embedding_cosine_topk; the IVF composition is the scale path.
     "retrieval_hashproj_topk": "baseline",
+    # same |Q|-grows-with-corpus brute ranking over the chunk stream
+    "retrieval_rag_chunks": "baseline",
     # fixed centroid_mod stops scaling past mod^2 docs (guarded at
     # runtime by _guard_fixed_param, same as ann_ivf).
     "retrieval_hashproj_ivf": "fixed_param",
@@ -3221,5 +3311,6 @@ SCALE_CLASS = {
 SCALE_PATH_FOR = {
     "corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled",
     "retrieval_hashproj_topk": "retrieval_hashproj_ivf_scaled",
+    "retrieval_rag_chunks": "retrieval_hashproj_ivf_scaled",
     "retrieval_hashproj_ivf": "retrieval_hashproj_ivf_scaled",
 }

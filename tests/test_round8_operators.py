@@ -307,3 +307,42 @@ def test_key_skew_audit_topk_is_take_ordered(spark):
     df = key_skew_audit_events(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rag_chunks_overlap_neighbor_wins(spark, tmp_path):
+    """A long document's chunk 0 shares CHUNK_TOKENS-CHUNK_STRIDE
+    overlap tokens with its own chunk 1 — in the shared chunk vector
+    space that sibling must out-rank chunks of unrelated documents."""
+    import shutil
+
+    from firefox_public_data_report_etl_spark.plans.text import (
+        CHUNK_TOKENS,
+        CHUNK_STRIDE,
+        RAG_CID_BASE,
+        retrieval_rag_chunks,
+    )
+
+    # build a tiny corpus parquet: doc 0 long (2 chunks) with a
+    # 16-token periodic vocabulary, so its two chunks carry IDENTICAL
+    # bags (cosine ~1 — well above the D=16 projection noise floor
+    # of ~1/sqrt(16) that a mere stride-overlap signal sits inside)
+    long_text = " ".join(
+        f"tok{i % 16}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE)
+    )
+    rows = [Row(doc_id=0, text=long_text, lang="en", source="src0",
+                n_chars=len(long_text))]
+    for i in range(1, 8):
+        t = " ".join(f"other{i}w{j}" for j in range(30))
+        rows.append(Row(doc_id=i, text=t, lang="en", source="src1",
+                        n_chars=len(t)))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = retrieval_rag_chunks(spark, str(sf)).toPandas()
+    q0 = out[out.q_id == 0].sort_values("rank")
+    assert len(q0) > 0
+    # rank 1 for doc 0 chunk 0 is doc 0 chunk 1 (cid = 0*BASE + 1)
+    assert q0.iloc[0].n_id == 1
+    assert q0.iloc[0].cos > 0.99
