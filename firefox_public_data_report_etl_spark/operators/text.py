@@ -1676,12 +1676,42 @@ HASHPROJ_DIM = 16
 HASHPROJ_IDF_SCALE = 10**3
 
 
+def hashproj_idf_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = HASHPROJ_IDF_SCALE,
+) -> DataFrame:
+    """The corpus idf table (w, idf_fp) the hashproj space is built
+    on — persist/freeze it so LATE-ARRIVING queries (a serving
+    index's normal input) embed into the SAME vector space instead of
+    a drifted one computed from the query batch. Vocabulary-grain."""
+    tf = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.count()
+    return tf.groupBy("w").agg(F.count("*").alias("df")).select(
+        "w",
+        F.round(
+            F.lit(scale)
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .cast("long")
+        .alias("idf_fp"),
+    )
+
+
 def hashproj_embeddings(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = HASHPROJ_DIM,
     scale: int = HASHPROJ_IDF_SCALE,
+    idf: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, q array<long>, norm long): signed-hash-projected
     TF-IDF embeddings, dim-ordered, with the exact squared norm —
@@ -1693,7 +1723,12 @@ def hashproj_embeddings(
     fan-out multiplies the (doc, term) stream by ``dim`` (16×) but
     rows are 4 ints wide; final rollup is doc-grain. No window, no
     global sort, no driver state — N (corpus count) is the single
-    scalar action."""
+    scalar action.
+
+    Pass a FROZEN ``idf`` table (hashproj_idf_table of the indexed
+    corpus) to embed query batches into the corpus's vector space;
+    terms absent from the frozen vocabulary drop out of the inner
+    join — OOV contributes nothing, matching the zero-idf limit."""
     tf = (
         docs.select(
             id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -1701,17 +1736,8 @@ def hashproj_embeddings(
         .groupBy(id_col, "w")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = docs.count()
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    idf = dfreq.select(
-        "w",
-        F.round(
-            F.lit(scale)
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
-        )
-        .cast("long")
-        .alias("idf_fp"),
-    )
+    if idf is None:
+        idf = hashproj_idf_table(docs, id_col, text_col, scale)
     sign = 1 - 2 * (
         F.expr(
             md5_int_spark_sql(f"concat(w, '#', cast(dm as string))")

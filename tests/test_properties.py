@@ -412,3 +412,87 @@ def test_dedup_line_spans_agg_mode_agrees_with_window(spark, corpus):
         ).collect()
     }
     assert a == b
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hashproj_partition_and_order_invariant(spark, texts, parts):
+    """Embeddings are a pure function of (id, text): repartitioning
+    and reversing input order must produce identical vectors, and
+    norm must equal the exact sum of squares."""
+    from pyspark.sql import Row
+
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+    )
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    a = (
+        hashproj_embeddings(spark.createDataFrame(rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        hashproj_embeddings(
+            spark.createDataFrame(list(reversed(rows))).repartition(parts)
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert [list(q) for q in a.q] == [list(q) for q in b.q]
+    for _, r in a.iterrows():
+        assert r["norm"] == sum(int(x) * int(x) for x in r["q"])
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    max_dim=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_resize_rule_invariants(spark, w, h, max_dim):
+    """The resize target rule: identity at/below the cap, longest
+    side == cap above it (1-px floor on the short side), aspect
+    never inverted."""
+    import numpy as np
+
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    longest = max(w, h)
+    if longest > max_dim:
+        tw = max(1, (w * max_dim) // longest)
+        th = max(1, (h * max_dim) // longest)
+    else:
+        tw, th = w, h
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    out = resize_nearest(rgb, tw, th)
+    assert out.shape == (th, tw, 3)
+    if longest <= max_dim:
+        assert np.array_equal(out, rgb)  # identity below the cap
+    else:
+        assert max(tw, th) == max_dim
+    if w >= h:
+        assert tw >= th
+    else:
+        assert th >= tw
+    # every output pixel exists in the source row/col it mapped from
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    assert np.array_equal(out, rgb[ys[:, None], xs[None, :]])

@@ -209,3 +209,53 @@ def test_ivf_index_serving_matches_in_memory_and_prunes(
         "PartitionFilters", 1
     )[1][:120]
     emb.unpersist()
+
+
+def test_text_serving_index_with_frozen_idf(spark, sf_dir, tmp_path):
+    """TEXT retrieval serving end-to-end: hashproj-embed the corpus,
+    persist the IVF index, then embed LATE-ARRIVING query texts with
+    the FROZEN corpus idf (operators.text.hashproj_idf_table) and
+    probe. A query that is a near-copy of a corpus document must come
+    back rank 1; a query full of OOV terms embeds to near-zero but
+    must not crash the pipeline; and the probe must plan a partition
+    filter on the probed cells."""
+    from pyspark.sql import Row
+
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hashproj_embeddings,
+        hashproj_idf_table,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idf = hashproj_idf_table(docs).cache()
+    emb = hashproj_embeddings(docs, idf=idf).cache()
+    centroids = emb.filter(F.col("doc_id") % 25 == 1)
+    path = str(tmp_path / "text_ivf")
+    build_ivf_index(emb, centroids, path, id_col="doc_id")
+
+    # late-arriving queries: a verbatim copy of corpus doc 7's text
+    # (external id space), plus a pure-OOV query
+    target = docs.filter(F.col("doc_id") == 7).head()["text"]
+    q_rows = [
+        Row(doc_id=900001, text=target),
+        Row(doc_id=900002, text="zzqx1 zzqx2 zzqx3 zzqx4"),
+    ]
+    qdf = spark.createDataFrame(q_rows)
+    q_emb = hashproj_embeddings(qdf, idf=idf)
+    got = search_ivf_index(
+        spark, path, q_emb, k=3, nprobe=2, id_col="doc_id"
+    ).toPandas()
+    top_copy = got[(got.q_id == 900001) & (got["rank"] == 1)].iloc[0]
+    assert top_copy.n_id == 7  # the verbatim copy finds its source
+    assert top_copy.cos > 0.999999
+    # OOV query embeds to the zero vector (all terms dropped by the
+    # frozen-idf join) — norms are 0, so it produces no rankable rows
+    # but the search itself must not fail
+    oov = q_emb.filter(F.col("doc_id") == 900002).head()
+    assert oov is None or oov["norm"] == 0
+    idf.unpersist()
+    emb.unpersist()
