@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     # doc-grain scores (r8 sketch-cutoff tercile twin) — the same
     # broadcast-scalar shape as the boilerplate cut above
     "corpus_ccnet_buckets_scaled": "Cross",
+    # 1-row global-summary crossJoin broadcast onto the already-
+    # LIMITed top-K keys (r8 skew audit) — broadcast-scalar shape
+    "key_skew_audit_events": "Cross",
 }
 
 
