@@ -249,6 +249,7 @@ def main() -> None:
         "quality_classifier_eval",
         "adaptive_salted_distinct",
         "retrieval_rag_chunks",
+        "dedup_repeated_substrings",
     ):
         if name not in QUERIES:
             continue

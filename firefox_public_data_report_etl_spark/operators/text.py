@@ -1772,3 +1772,86 @@ def hashproj_embeddings(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): the suffix-array
+# result — every maximal token span of length ≥ k that occurs more
+# than once ANYWHERE in the corpus — re-derived Spark-natively: a
+# k-gram occurring twice is exactly a length-k repeated substring,
+# and a maximal repeated span of length L ≥ k is exactly a maximal
+# RUN of L−k+1 consecutive repeated k-grams, so island-merging the
+# repeated k-gram positions reconstructs the suffix-array spans
+# without any suffix array. Complements dedup_lines_c4 (line-grain,
+# exact-line matches): this finds arbitrary-boundary repetition.
+
+SUBSTR_GRAM = 10
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = SUBSTR_GRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, span_start, span_end, n_grams, span_tokens): maximal
+    spans of ≥ k tokens whose every k-window also occurs elsewhere
+    in the corpus (or again in the same document — self-repetition
+    counts, as in the paper). Positions are 1-based token indexes.
+
+    Scale shape: gram rows carry an 8-byte hash + position (never
+    the gram text past the hash projection); one map-side-combined
+    count by hash; one hash equi-join back; island merge is a
+    per-document window (doc-partitioned — no global sort). The
+    repeated-hash table is bounded by gram cardinality, and the
+    count filter (≥ 2) cuts it to the duplicated mass before the
+    join back."""
+    d = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = (
+        d.filter(F.col("n") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(1, n - {k} + 1)")
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(
+                md5_int_spark_sql(
+                    f"concat_ws(' ', slice(t, pos, {k}))"
+                )
+            ).alias("h"),
+        )
+    )
+    rep_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    rep = grams.join(rep_h, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "n_grams",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

@@ -599,6 +599,55 @@ FROM inter JOIN sizes x ON source_a = x.source
 """
 
 
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/text.py:
+    repeated_substring_spans; Lee et al. 2022) — the suffix-array
+    dedup result via repeated-k-gram island merging: every maximal
+    token span of ≥ SUBSTR_GRAM tokens that occurs more than once in
+    the corpus, with 1-based boundaries per document. The arbitrary-
+    boundary complement of dedup_lines_c4's line-grain pass.
+
+    Scale: 8-byte gram hashes + positions, one count aggregate, one
+    hash join, a doc-partitioned island window — no global sort, no
+    suffix array, nothing quadratic."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        repeated_substring_spans,
+    )
+
+    return repeated_substring_spans(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _repeated_substr_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SUBSTR_GRAM as K,
+    )
+
+    gram = md5_int_sql(f"array_to_string(t[pos : pos + {K} - 1], ' ')")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+g AS (SELECT doc_id, t, unnest(range(1, n - {K} + 2)) AS pos
+      FROM d WHERE n >= {K}),
+h AS (SELECT doc_id, pos, {gram} AS h FROM g),
+rc AS (SELECT h FROM (SELECT h, count(*) AS c FROM h GROUP BY h)
+       WHERE c >= 2),
+rep AS (SELECT doc_id, pos FROM h JOIN rc USING (h)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM rep)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {K} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(max(pos) + {K} - 1 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -612,6 +661,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
+    "dedup_repeated_substrings": dedup_repeated_substrings,
 }
 
 ORACLES = {
@@ -627,6 +677,7 @@ ORACLES = {
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
+    "dedup_repeated_substrings": _repeated_substr_oracle(),
 }
 
 # brute-force ground truths for the banded scale paths (registry.py

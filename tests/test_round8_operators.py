@@ -346,3 +346,40 @@ def test_rag_chunks_overlap_neighbor_wins(spark, tmp_path):
     # rank 1 for doc 0 chunk 0 is doc 0 chunk 1 (cid = 0*BASE + 1)
     assert q0.iloc[0].n_id == 1
     assert q0.iloc[0].cos > 0.99
+
+
+def test_repeated_substring_spans_exact_boundaries(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SUBSTR_GRAM,
+        repeated_substring_spans,
+    )
+
+    k = SUBSTR_GRAM
+    shared = [f"s{i}" for i in range(15)]  # 15-token shared phrase
+    a = [f"a{i}" for i in range(5)] + shared + [f"a{i}" for i in range(5, 17)]
+    b = [f"b{i}" for i in range(9)] + shared + [f"b{i}" for i in range(9, 14)]
+    c = [f"c{i}" for i in range(30)]  # all-unique
+    # d repeats ITS OWN 12-token run twice (self-repetition counts)
+    run = [f"d{i}" for i in range(12)]
+    d = run + ["mid1", "mid2", "mid3"] + run
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(a)),
+            Row(doc_id=2, text=" ".join(b)),
+            Row(doc_id=3, text=" ".join(c)),
+            Row(doc_id=4, text=" ".join(d)),
+        ]
+    )
+    out = repeated_substring_spans(docs, k=k).toPandas()
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in out.itertuples()
+    }
+    # the shared phrase: doc 1 at tokens 6..20, doc 2 at 10..24
+    assert (1, 6, 20, 15) in spans
+    assert (2, 10, 24, 15) in spans
+    # doc 4's self-repeated 12-token run at both occurrences
+    assert (4, 1, 12, 12) in spans
+    assert (4, 16, 27, 12) in spans
+    # nothing else — in particular no spans for the all-unique doc
+    assert len(spans) == 4

@@ -87,6 +87,9 @@ DEFAULT_NAMES = [
     "multimodal_wav_decode",
     "multimodal_resize",
     "key_skew_audit_events",
+    "adaptive_salted_distinct",
+    "retrieval_rag_chunks",
+    "dedup_repeated_substrings",
 ]
 
 
@@ -252,9 +255,14 @@ def main() -> None:
                 continue
             run_name[0] = n
             _fresh_sink()
-            row[n] = best_of(
-                lambda: run(queries[n](spark, sf_dir)), args.samples
-            )
+            try:
+                row[n] = best_of(
+                    lambda: run(queries[n](spark, sf_dir)), args.samples
+                )
+            except Exception as e:  # noqa: BLE001 — e.g. a fixed-param
+                # guard refusing an oversized stack: record it and keep
+                # measuring the rest of the set instead of losing the run
+                row[n] = f"error: {type(e).__name__}: {e}"[:300]
         print(json.dumps(row), flush=True)
     spark.stop()
 
