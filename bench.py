@@ -250,6 +250,7 @@ def main() -> None:
         "adaptive_salted_distinct",
         "retrieval_rag_chunks",
         "dedup_repeated_substrings",
+        "dedup_substring_scrub",
     ):
         if name not in QUERIES:
             continue

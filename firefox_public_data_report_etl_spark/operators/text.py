@@ -1855,3 +1855,93 @@ def repeated_substring_spans(
             ),
         )
     )
+
+
+def substring_scrub(
+    docs: DataFrame,
+    k: int = SUBSTR_GRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-substring REMOVAL with the paper's keep-first policy
+    (Lee et al. 2022 §3): a k-gram occurrence is FOREIGN when an
+    earlier occurrence exists — in a lower-id document, or earlier in
+    the same document — and every token covered by a foreign gram
+    window is dropped; the first occurrence keeps its text, so each
+    duplicated span survives exactly once corpus-wide. Returns
+    (id, text, n_tokens, n_dropped, scrubbed_text).
+
+    Shape: the gram rollup carries (min doc, min pos within min doc)
+    per hash — ONE aggregate, broadcast-size nothing; the foreign
+    test is a projection after the hash join back; coverage expands
+    each foreign gram to its k token positions (k× the foreign rows
+    only, not the corpus); reassembly is a per-doc sort-free
+    array_contains filter over the token array (positions collected
+    per doc — bounded by doc length, the dedup_lines_c4 reassembly
+    contract)."""
+    d = docs.select(
+        id_col, F.col(text_col).alias("_text"), F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = (
+        d.filter(F.col("n") >= k)
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(1, n - {k} + 1)")).alias("pos"),
+            "t",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(
+                md5_int_spark_sql(f"concat_ws(' ', slice(t, pos, {k}))")
+            ).alias("h"),
+        )
+    )
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first_occ"
+        )
+    )
+    foreign = (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col("first_occ.d") < F.col(id_col))
+            | (
+                (F.col("first_occ.d") == F.col(id_col))
+                & (F.col("first_occ.p") < F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    covered = (
+        foreign.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tp").alias("drop_pos"))
+    )
+    return (
+        d.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("_text").alias(text_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("drop_pos"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.when(
+                F.col("drop_pos").isNull(), F.col("_text")
+            )
+            .otherwise(
+                F.expr(
+                    "concat_ws(' ', filter(transform(t, (x, i) -> "
+                    "IF(array_contains(drop_pos, i + 1), NULL, x)), "
+                    "x -> x IS NOT NULL))"
+                )
+            )
+            .alias("scrubbed_text"),
+        )
+    )

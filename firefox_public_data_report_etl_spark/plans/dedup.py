@@ -648,6 +648,61 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring REMOVAL, keep-first policy (operators/
+    text.py:substring_scrub; Lee et al. 2022 §3): tokens covered by a
+    k-gram whose first occurrence is earlier (lower doc id, or
+    earlier position in the same doc) are dropped, so each duplicated
+    span survives exactly once corpus-wide; the cleaned text is
+    reassembled byte-exactly. The removal sibling of
+    dedup_repeated_substrings' detection pass.
+
+    Scale: one gram rollup carrying (min doc, min pos), one hash
+    join, foreign-cover expansion bounded by k x foreign grams, and
+    per-doc array reassembly — no window at all."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        substring_scrub,
+    )
+
+    return substring_scrub(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _substring_scrub_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SUBSTR_GRAM as K,
+    )
+
+    gram = md5_int_sql(f"array_to_string(t[pos : pos + {K} - 1], ' ')")
+    big = 1 << 32
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+g AS (SELECT doc_id, t, unnest(range(1, n - {K} + 2)) AS pos
+      FROM d WHERE n >= {K}),
+h AS (SELECT doc_id, pos, {gram} AS h FROM g),
+f AS (SELECT h, min(doc_id * {big} + pos) AS first_key FROM h GROUP BY h),
+frn AS (SELECT doc_id, pos FROM h JOIN f USING (h)
+        WHERE doc_id * {big} + pos > first_key),
+cov AS (SELECT DISTINCT doc_id, pos + off AS tp
+        FROM (SELECT doc_id, pos, unnest(range({K})) AS off FROM frn)),
+drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped FROM cov
+          GROUP BY doc_id),
+tk AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, n + 1)) AS i FROM d),
+kept AS (SELECT tk.doc_id, string_agg(tk.w, ' ' ORDER BY tk.i) AS s
+         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.tp
+         WHERE cov.tp IS NULL
+         GROUP BY tk.doc_id)
+SELECT d.doc_id, d.text, CAST(d.n AS BIGINT) AS n_tokens,
+       coalesce(drops.n_dropped, 0) AS n_dropped,
+       CASE WHEN drops.n_dropped IS NULL THEN d.text
+            ELSE coalesce(kept.s, '') END AS scrubbed_text
+FROM d LEFT JOIN drops USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -662,6 +717,7 @@ QUERIES = {
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
     "dedup_repeated_substrings": dedup_repeated_substrings,
+    "dedup_substring_scrub": dedup_substring_scrub,
 }
 
 ORACLES = {
@@ -678,6 +734,7 @@ ORACLES = {
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
     "dedup_repeated_substrings": _repeated_substr_oracle(),
+    "dedup_substring_scrub": _substring_scrub_oracle(),
 }
 
 # brute-force ground truths for the banded scale paths (registry.py

@@ -383,3 +383,74 @@ def test_repeated_substring_spans_exact_boundaries(spark):
     assert (4, 16, 27, 12) in spans
     # nothing else — in particular no spans for the all-unique doc
     assert len(spans) == 4
+
+
+def test_substring_scrub_keep_first_policy(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SUBSTR_GRAM,
+        substring_scrub,
+    )
+
+    k = SUBSTR_GRAM
+    shared = [f"s{i}" for i in range(k)]  # exactly one k-gram
+    a = [f"a{i}" for i in range(3)] + shared + ["a_tail"]
+    b = [f"b{i}" for i in range(5)] + shared + ["b_tail"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(a)), Row(doc_id=2, text=" ".join(b))]
+    )
+    out = substring_scrub(docs, k=k).toPandas().set_index("doc_id")
+    # doc 1 holds the first occurrence: untouched
+    assert out.loc[1, "n_dropped"] == 0
+    assert out.loc[1, "scrubbed_text"] == " ".join(a)
+    # doc 2's copy is foreign: exactly the k covered tokens drop,
+    # surrounding text survives byte-exactly
+    assert out.loc[2, "n_dropped"] == k
+    assert out.loc[2, "scrubbed_text"] == " ".join(
+        [f"b{i}" for i in range(5)] + ["b_tail"]
+    )
+
+
+def test_substring_scrub_second_pass_is_clean(spark, sf_dir):
+    """After one scrub pass the corpus contains no foreign k-grams:
+    re-running detection on the scrubbed text finds no spans that
+    cross documents (the keep-first copy remains, so self-contained
+    repeats inside one surviving span may legally remain)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        repeated_substring_spans,
+        substring_scrub,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    scrubbed = substring_scrub(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("scrubbed_text").alias("text"))
+    # grams appearing in >1 distinct doc after the scrub = leakage
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SUBSTR_GRAM as K,
+    )
+
+    d = scrubbed.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = (
+        d.filter(F.col("n") >= K)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, n - {K} + 1)")).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.expr(md5_int_spark_sql(f"concat_ws(' ', slice(t, pos, {K}))")).alias("h"),
+        )
+    )
+    cross_doc = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .count()
+    )
+    assert cross_doc == 0

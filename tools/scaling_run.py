@@ -90,6 +90,7 @@ DEFAULT_NAMES = [
     "adaptive_salted_distinct",
     "retrieval_rag_chunks",
     "dedup_repeated_substrings",
+    "dedup_substring_scrub",
 ]
 
 
