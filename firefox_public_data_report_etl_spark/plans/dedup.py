@@ -25,6 +25,7 @@ from firefox_public_data_report_etl_spark.operators.dedup import (
     gram_hash_arrays,
     make_perms,
     minhash_lsh_pairs_arr,
+    prefix_filter_pairs,
     shingle_rows,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -183,6 +184,21 @@ def dedup_minhash_lsh_hirecall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_arr(hs, n_bands=HIRECALL_BANDS).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at Jaccard ≥ 0.5 via prefix filtering
+    (operators.dedup.prefix_filter_pairs) — the no-false-negative
+    scale path: provably the SAME output as the brute-force
+    ``dedup_ngram_jaccard`` (the oracle is reused verbatim), computed
+    without the all-pairs shingle join. MinHash-LSH trades recall for
+    cost; this trades a bounded rare-token candidate join for
+    exactness — the right tool when a missed duplicate is a contract
+    violation (eval-set contamination scrubs, takedown compliance)."""
+    sh = shingle_rows(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    return prefix_filter_pairs(sh, JACCARD_THRESHOLD)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +727,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_hirecall": dedup_minhash_lsh_hirecall,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_scaled": dedup_clusters_scaled,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -728,6 +745,9 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_minhash_lsh_hirecall": _minhash_oracle(n_bands=HIRECALL_BANDS),
+    # exact-output scale path: same result set as brute force, so the
+    # brute-force oracle IS its oracle (prefix filtering is lossless)
+    "dedup_prefix_filter": DEDUP_NGRAM_ORACLE,
     "dedup_clusters": _clusters_oracle(),
     "dedup_clusters_scaled": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,

@@ -202,3 +202,30 @@ def test_boilerplate_xxhash64_agrees_with_raw(spark, sf_dir):
         for r in corpus_boilerplate_hashed(spark, sf_dir).collect()
     }
     assert raw == hashed
+
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir):
+    """Prefix filtering is lossless by theorem (PPJoin Lemma 1); this
+    pins it empirically — the exact thresholded pair set must equal
+    the all-pairs baseline, including the Jaccard values. Runs at two
+    thresholds so the prefix-length formula is exercised off the
+    planted-dup sweet spot too."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        all_pairs_jaccard,
+        prefix_filter_pairs,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    for t in (0.5, 0.3):
+        brute = {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in all_pairs_jaccard(sh)
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+        pf = {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in prefix_filter_pairs(sh, t).collect()
+        }
+        assert pf == brute and brute
