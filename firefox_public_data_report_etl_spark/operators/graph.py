@@ -69,6 +69,83 @@ def connected_components(
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
+PR_SCALE = 1_000_000_000  # 1e9: rank sums stay < 2^63 up to ~1e8 nodes
+PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, deg, rank_fp): PageRank over the undirected edge set,
+    ``n_iter`` synchronous iterations in EXACT integer fixed-point —
+    rank starts at ``PR_SCALE`` per node and updates as
+
+        r' = (15·SCALE) div 100 + (85 · Σ_{u→v} (r_u div deg_u)) div 100
+
+    using integral ``div`` throughout, so any engine reproduces the
+    numbers bit-for-bit (the DuckDB oracle unrolls the same iterations
+    with ``//``; floor division on non-negative ints agrees with
+    Spark's ``div``). The floor-division mass leak is deliberate:
+    exactness across engines is worth more here than the ~1e-9
+    relative drift, and ranking order is unaffected.
+
+    Every endpoint of the symmetrized edge set has deg ≥ 1, so there
+    are no dangling nodes by construction.
+
+    Scale: per iteration, ONE shuffle join of ranks onto edges (on the
+    source id) + ONE groupBy on the destination — the textbook
+    distributed PageRank data flow; the edge set is checkpointed once
+    and reused, and the rank table is node-cardinality. Lineage is
+    truncated per iteration the same way as ``connected_components``
+    (driver loop, localCheckpoint — use a reliable checkpoint dir on a
+    cluster). Iterations are a fixed small constant, not data-driven.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        F.col("a").alias("node"),
+        "deg",
+        F.lit(PR_SCALE).cast("long").alias("rank_fp"),
+    ).localCheckpoint()
+
+    base = (15 * PR_SCALE) // PR_DAMP_DEN
+    for _ in range(n_iter):
+        contrib = (
+            und.join(ranks, und.a == ranks.node)
+            .select(
+                F.col("b").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.drop("rank_fp")
+            .join(contrib, "node")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "da",

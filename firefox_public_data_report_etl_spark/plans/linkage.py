@@ -1,0 +1,313 @@
+"""Graph analytics and record linkage over the corpus tables.
+
+Engine extensions past the reference's scope (its surface has no graph
+or entity-resolution operators): PageRank centrality over the
+near-dup pair graph, token-blocked entity resolution with golden-
+record survivorship, and association-lift co-occurrence mining — the
+link-analysis layer of a training-data curation stack (e.g. ranking
+duplicate clusters by connectivity, collapsing catalog variants).
+
+Every query is exact integer arithmetic end-to-end, so the DuckDB
+oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    gram_hash_arrays,
+    minhash_lsh_pairs_arr,
+)
+from firefox_public_data_report_etl_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    pagerank_fixed,
+)
+from firefox_public_data_report_etl_spark.operators.parallelism import (
+    widen_partitions,
+)
+from firefox_public_data_report_etl_spark.plans.dedup import (
+    JACCARD_THRESHOLD,
+    _minhash_oracle,
+)
+from firefox_public_data_report_etl_spark.sources import load_table
+
+PR_ITERS = 3
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified MinHash-LSH near-dup
+    graph — ranks documents by how embedded they are in duplicate
+    neighborhoods (a high-centrality doc is the natural cluster
+    representative to KEEP; leaf nodes are the cheap drops). Three
+    synchronous iterations in exact integer fixed-point
+    (operators.graph.pagerank_fixed); the oracle unrolls the same
+    three iterations as chained CTEs, so a convergence or join bug
+    cannot hide behind floating-point tolerance.
+
+    Scale: the pair graph is the LSH output (pair-cardinality, never
+    all-pairs); each iteration is one join + one groupBy on node ids.
+    """
+    hs = gram_hash_arrays(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    out = pagerank_fixed(pairs, "da", "db", n_iter=PR_ITERS)
+    return out.select(
+        F.col("node").alias("doc_id"), "deg", "rank_fp"
+    )
+
+
+def _pagerank_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    base = (15 * PR_SCALE) // PR_DAMP_DEN
+    iter_ctes = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iter_ctes.append(
+            f"""c{i} AS (
+  SELECT e.b AS node, sum(r.rank_fp // r.deg) AS s
+  FROM e JOIN {prev} r ON e.a = r.node GROUP BY e.b
+),
+r{i} AS (
+  SELECT r.node, r.deg,
+         CAST({base} + ({PR_DAMP_NUM} * c.s) // {PR_DAMP_DEN} AS BIGINT)
+           AS rank_fp
+  FROM {prev} r JOIN c{i} c USING (node)
+)"""
+        )
+    chain = ",\n".join(iter_ctes)
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+deg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+r0 AS (SELECT a AS node, deg,
+              CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg),
+{chain}
+SELECT node AS doc_id, deg, rank_fp FROM r{PR_ITERS}
+"""
+
+
+ER_SIZE_TOL = 2
+
+
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog — the full ER pipeline:
+    BLOCK on (p_name, p_type) so candidate generation never goes
+    all-pairs, MATCH within blocks on the fuzzy multi-attribute rule
+    |size difference| ≤ 2 (brands may differ — catalog variants),
+    CLUSTER matches transitively (size chains 5-7-9 merge even though
+    5 and 9 don't match directly — why ER needs connected components,
+    not pairwise grouping), and SURVIVE one golden record per entity:
+    min partkey as the id, consolidated member/brand/size/price stats.
+
+    Singleton parts (no match) survive as their own entity, so the
+    output is a full catalog replacement, not just the matched subset.
+
+    Scale: the block self-join shuffles on the blocking key; per-block
+    pairwise work is quadratic ONLY in block size (bounded by catalog
+    structure, max 12 here; a production deployment caps or splits hot
+    blocks the same way the skew audit recommends salts). Clustering
+    runs on match pairs (pair-cardinality), survivorship is one
+    groupBy on the entity id.
+    """
+    from firefox_public_data_report_etl_spark.functions import cents
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+        "p_brand",
+        cents(F.col("p_retailprice")).alias("price_c"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        "p_name",
+        "p_type",
+        F.col("p_size").alias("sa"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        "p_name",
+        "p_type",
+        F.col("p_size").alias("sb"),
+    )
+    pairs = (
+        a.join(b, ["p_name", "p_type"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= ER_SIZE_TOL)
+        )
+        .select("ka", "kb")
+    )
+    comp = connected_components(pairs, "ka", "kb")
+    members = p.join(
+        comp, p.p_partkey == comp.node, "left"
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        "p_size",
+        "p_brand",
+        "price_c",
+        F.coalesce("comp", "p_partkey").alias("entity_id"),
+    )
+    return members.groupBy("entity_id").agg(
+        F.min("p_name").alias("p_name"),
+        F.min("p_type").alias("p_type"),
+        F.count("*").alias("n_members"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_size").alias("size_min"),
+        F.max("p_size").alias("size_max"),
+        F.min("price_c").alias("price_min_c"),
+    )
+
+
+PART_ER_ORACLE = f"""
+WITH RECURSIVE
+p AS (
+  SELECT p_partkey, p_name, p_type, CAST(p_size AS BIGINT) AS p_size,
+         p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM p a JOIN p b
+    ON a.p_name = b.p_name AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+   AND abs(a.p_size - b.p_size) <= {ER_SIZE_TOL}
+),
+e AS (SELECT ka AS a, kb AS b FROM pairs UNION SELECT kb, ka FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+m AS (
+  SELECT p.*, coalesce(c.comp, p.p_partkey) AS entity_id
+  FROM p LEFT JOIN comp c ON p.p_partkey = c.node
+)
+SELECT entity_id, min(p_name) AS p_name, min(p_type) AS p_type,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       min(p_size) AS size_min, max(p_size) AS size_max,
+       min(price_c) AS price_min_c
+FROM m GROUP BY entity_id
+"""
+
+
+LIFT_MIN_DF = 5  # vocabulary gate: document frequency ≥ 5
+LIFT_MIN_COSUP = 5  # pair gate: co-occurrence support ≥ 5
+LIFT_SCALE = 1_000_000  # fixed-point scale for the lift ratio
+
+
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the corpus vocabulary: token pairs
+    whose document co-occurrence LIFT — P(x,y) / (P(x)·P(y)) — is
+    computed in exact integer fixed-point
+    (``(SCALE·N·c_xy) div (c_x·c_y)``), with minimum document
+    frequency and minimum co-support gates (the Apriori downward-
+    closure cut: a pair can't be frequent if either token isn't).
+    Lift is the collocation/market-basket signal a curation stack
+    uses to find boilerplate templates (lift >> 1) and build
+    co-occurrence features.
+
+    Scale: the per-doc pair explosion is the classic itemset-mining
+    cost, bounded by (vocab tokens per doc)², NOT corpus size — the
+    df ≥ {LIFT_MIN_DF} vocabulary join prunes the long tail before
+    any pairing, and the support gate keeps the output frequent-pairs
+    sized. Two shuffles (doc-grain self-join, pair-grain count) plus
+    the vocab count; the corpus total N rides the canonical 1-row
+    broadcast crossJoin.
+
+    Overflow bound: SCALE·N·c_xy < 2^63 for N up to ~3e6 docs at
+    c_xy = N; production re-scales SCALE down as N grows (the lift
+    RANKING is scale-invariant).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("tok"),
+    )
+    dfr = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dfr.filter(F.col("df") >= LIFT_MIN_DF)
+    dtv = dt.join(vocab, "tok")
+    x = dtv.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    y = dtv.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    co = (
+        x.join(y, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count("*").alias("c_xy"),
+            F.min("df_a").alias("df_a"),
+            F.min("df_b").alias("df_b"),
+        )
+        .filter(F.col("c_xy") >= LIFT_MIN_COSUP)
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return co.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        "c_xy",
+        "df_a",
+        "df_b",
+        F.expr(
+            f"({LIFT_SCALE} * n_docs * c_xy) div (df_a * df_b)"
+        ).alias("lift_fp"),
+    )
+
+
+TOKEN_LIFT_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+dfr AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+  HAVING count(*) >= {LIFT_MIN_DF}
+),
+dtv AS (SELECT dt.doc_id, dt.tok, dfr.df FROM dt JOIN dfr USING (tok)),
+co AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b,
+         CAST(count(*) AS BIGINT) AS c_xy,
+         min(x.df) AS df_a, min(y.df) AS df_b
+  FROM dtv x JOIN dtv y
+    ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY x.tok, y.tok
+  HAVING count(*) >= {LIFT_MIN_COSUP}
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tok_a, tok_b, c_xy, df_a, df_b,
+       CAST(({LIFT_SCALE} * n.n_docs * c_xy) // (df_a * df_b) AS BIGINT)
+         AS lift_fp
+FROM co, n
+"""
+
+
+QUERIES = {
+    "doc_pagerank": doc_pagerank,
+    "part_entity_resolution": part_entity_resolution,
+    "token_lift_pairs": token_lift_pairs,
+}
+
+ORACLES = {
+    "doc_pagerank": _pagerank_oracle(),
+    "part_entity_resolution": PART_ER_ORACLE,
+    "token_lift_pairs": TOKEN_LIFT_ORACLE,
+}

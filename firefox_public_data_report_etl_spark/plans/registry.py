@@ -18,6 +18,7 @@ from firefox_public_data_report_etl_spark.plans import (
     annotations,
     dedup,
     hardware,
+    linkage,
     quality,
     scalars,
     shapes,
@@ -33,6 +34,7 @@ _MODULES = [
     annotations,
     dedup,
     hardware,
+    linkage,
     quality,
     scalars,
     shapes,

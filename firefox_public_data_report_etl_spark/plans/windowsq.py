@@ -324,7 +324,103 @@ GROUP BY s.user_id
 """
 
 
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build: collapse each
+    user's event stream into runs of consecutive equal states
+    (event_type), one row per run with [valid_from, valid_to) validity
+    and an is_current flag — the gaps-and-islands rebuild every
+    warehouse needs to turn an append-only event log into a queryable
+    dimension history (Kimball SCD2, built from change-point detection:
+    lag → change flag → cumulative run id).
+
+    Distinct from ``user_sessions``: sessionization splits on TIME
+    gaps; SCD2 splits on VALUE change regardless of time.
+
+    The current (open) run closes at the user's last observed event so
+    the validity column stays non-null (pandas null-int round-trip in
+    the gate differs between engines); ``is_current`` carries the
+    open-endedness.
+
+    Scale: ONE shuffle on user_id — the change-flag window, the
+    (user, run) aggregate, and the run-grain lead window all share the
+    user partitioning, so the history rebuild of a 100 TB event log
+    moves each event exactly once. Ordering is (ts, event_id) so ties
+    are deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs_src = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = runs_src.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("us").alias("valid_from_us"),
+        F.max("us").alias("last_us"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_us").over(wr)
+    return runs.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "state",
+        "valid_from_us",
+        F.coalesce(nxt, F.col("last_us")).alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+USER_STATE_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+marked AS (
+  SELECT user_id, us, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs_src AS (
+  SELECT user_id, us, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         min(event_type) AS state,
+         min(us) AS valid_from_us,
+         max(us) AS last_us,
+         count(*) AS n_events
+  FROM runs_src GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, state, valid_from_us,
+       coalesce(lead(valid_from_us) OVER wr, last_us) AS valid_to_us,
+       n_events,
+       lead(valid_from_us) OVER wr IS NULL AS is_current
+FROM runs
+WINDOW wr AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
 QUERIES = {
+    "user_state_scd2": user_state_scd2,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
@@ -332,6 +428,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_state_scd2": USER_STATE_SCD2_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,

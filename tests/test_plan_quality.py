@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     # 1-row global-summary crossJoin broadcast onto the already-
     # LIMITed top-K keys (r8 skew audit) — broadcast-scalar shape
     "key_skew_audit_events": "Cross",
+    # 1-row corpus-total crossJoin attaching N to the frequent-pair
+    # lift ratio — broadcast-scalar shape
+    "token_lift_pairs": "Cross",
 }
 
 
