@@ -323,6 +323,31 @@ def all_pairs_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _rarest_first_prefix(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h): each set's first ``n - ceil(t*n) + 1`` tokens under the
+    global rarest-first total order (document frequency asc, h asc) —
+    the shared candidate-generation core of ``prefix_filter_pairs``
+    and ``containment_pairs``. One shuffle for the df count + re-join
+    on ``h``, one per-doc window (rank and size share the
+    partitioning)."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "h")
+    ranked = sh.join(freq, "h").select(
+        id_col,
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("n"),
+    )
+    return ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select(id_col, "h")
+
+
 def prefix_filter_pairs(
     sh: DataFrame,
     threshold: float,
@@ -360,23 +385,7 @@ def prefix_filter_pairs(
     this is the path for contracts that forbid missed duplicates
     (contamination scrubs, licensing takedowns), at ~2-4x the banded
     path's cost (measured in SCALING.md)."""
-    from pyspark.sql import Window
-
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "h")
-    ranked = (
-        sh.join(freq, "h")
-        .select(
-            id_col,
-            "h",
-            F.row_number().over(w).alias("pos"),
-            F.count("*").over(Window.partitionBy(id_col)).alias("n"),
-        )
-    )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select(id_col, "h")
+    prefix = _rarest_first_prefix(sh, threshold, id_col)
     pa = prefix.select(F.col(id_col).alias("da"), "h")
     pb = prefix.select(F.col(id_col).alias("db"), "h")
     cand = (
@@ -387,6 +396,67 @@ def prefix_filter_pairs(
     )
     return jaccard_for_pairs(cand, sh, id_col=id_col).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT directed containment join: (da, db, containment) for every
+    ordered pair with |A∩B| / |A| ≥ ``threshold`` — finds documents
+    that are near-SUBSETS of others (excerpts, quotes, truncated
+    mirrors), which symmetric Jaccard structurally misses: a 100-line
+    doc fully contained in a 10,000-line doc has containment 1.0 but
+    Jaccard ≈ 0.01.
+
+    One-sided prefix theorem: C(A,B) ≥ t ⟹ |A∩B| ≥ ceil(t·|A|), so if
+    NO token of A's rarest-first prefix (length n_a − ceil(t·n_a) + 1)
+    is in B, all common tokens fit in A's suffix of ceil(t·n_a) − 1
+    tokens — contradiction. Only the CONTAINED side is prefix-pruned;
+    the container side must stay fully indexed (it is unconstrained
+    by t), so candidates are A-prefix ⋈ B-all on the token.
+
+    Scale: the join's fan-out is Σ_{h ∈ prefixes} df(h) — prefixes
+    favor RARE tokens by construction, so hot stopword-grams never
+    enter the candidate join from the prefix side. A production
+    deployment additionally caps df on the indexed side (a token in
+    half the corpus can't discriminate containment) — same knob as
+    the boilerplate scorer. Verify is exact inter/|A| on candidates
+    only; one final IEEE division, so engines hash-match."""
+    prefix = _rarest_first_prefix(sh, threshold, id_col)
+    pa = prefix.select(F.col(id_col).alias("da"), "h")
+    full = sh.select(F.col(id_col).alias("db"), "h")
+    cand = (
+        pa.join(full, "h")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    cand, bc = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("na"))
+    sa = sh.select(F.col(id_col).alias("da"), "h")
+    sb = sh.select(F.col(id_col).alias("db"), "h")
+    p = F.broadcast(cand) if bc else cand
+    inter = (
+        p.join(sa, "da")
+        .join(sb, ["db", "h"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("da"), F.col("na").alias("na"))
+    left = F.broadcast(inter) if bc else inter
+    return (
+        left.join(na, "da")
+        .select(
+            "da",
+            "db",
+            (F.col("inter").cast("double") / F.col("na")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -24,6 +24,7 @@ from firefox_public_data_report_etl_spark.operators.dedup import (
     all_pairs_jaccard,
     gram_hash_arrays,
     make_perms,
+    containment_pairs,
     minhash_lsh_pairs_arr,
     prefix_filter_pairs,
     shingle_rows,
@@ -199,6 +200,35 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen_partitions(load_table(spark, sf_dir, "documents"))
     )
     return prefix_filter_pairs(sh, JACCARD_THRESHOLD)
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-subset pairs at containment ≥ 0.8
+    (operators.dedup.containment_pairs): |A∩B|/|A| over distinct
+    3-gram shingles — the excerpt/quote/truncated-mirror detector
+    symmetric Jaccard can't see. Exact via the one-sided prefix
+    filter; the oracle is the brute-force directed form, so the
+    filter's losslessness is hash-pinned every gate run."""
+    sh = shingle_rows(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    return containment_pairs(sh, CONTAINMENT_THRESHOLD)
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTES.strip()},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db, CAST(inter AS DOUBLE) / x.n AS containment
+FROM inter JOIN sizes x ON da = x.doc_id
+WHERE CAST(inter AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +758,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_hirecall": dedup_minhash_lsh_hirecall,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_scaled": dedup_clusters_scaled,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -748,6 +779,7 @@ ORACLES = {
     # exact-output scale path: same result set as brute force, so the
     # brute-force oracle IS its oracle (prefix filtering is lossless)
     "dedup_prefix_filter": DEDUP_NGRAM_ORACLE,
+    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_clusters": _clusters_oracle(),
     "dedup_clusters_scaled": _clusters_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,

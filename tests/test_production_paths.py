@@ -229,3 +229,62 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
             for r in prefix_filter_pairs(sh, t).collect()
         }
         assert pf == brute and brute
+
+
+def test_containment_detects_excerpts_jaccard_misses(spark):
+    """A 30-token excerpt of a 200-token doc: containment(excerpt,
+    base) = 1.0 while Jaccard ≈ 0.14 — the directed join finds it, the
+    symmetric threshold can't. Also pins the one-sided prefix filter's
+    exactness: no (base, excerpt) direction, no third-doc pairs."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(50, 80))
+    other = " ".join(f"z{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], ["doc_id", "text"]
+    )
+    sh = shingle_rows(docs)
+    got = {
+        (r.da, r.db, round(r.containment, 9))
+        for r in containment_pairs(sh, 0.8).collect()
+    }
+    assert got == {(2, 1, 1.0)}
+
+
+def test_containment_equals_brute_force(spark, sf_dir):
+    """Directed-containment prefix filtering must reproduce the brute
+    directed computation exactly on the real corpus."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    sa = sh.select(F.col("doc_id").alias("da"), "h")
+    sb = sh.select(F.col("doc_id").alias("db"), "h")
+    brute = {
+        (r.da, r.db, round(r.containment, 9))
+        for r in sa.join(sb, "h")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "da"), "da")
+        .select(
+            "da",
+            "db",
+            (F.col("inter").cast("double") / F.col("na")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= 0.6)
+        .collect()
+    }
+    got = {
+        (r.da, r.db, round(r.containment, 9))
+        for r in containment_pairs(sh, 0.6).collect()
+    }
+    assert got == brute and brute
