@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from firefox_public_data_report_etl_spark.functions import week_start
 from firefox_public_data_report_etl_spark.sources import load_table
 
 SESSION_GAP_MIN = 30
@@ -419,8 +420,180 @@ WINDOW wr AS (PARTITION BY user_id ORDER BY run_id)
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event log: a user converts to
+    stage k only with an event of stage k's type STRICTLY AFTER their
+    stage-(k-1) conversion time (first-touch semantics: each stage
+    anchors at its earliest qualifying event). Output is one row per
+    stage with the surviving-user count and the conversion ratio from
+    the previous stage — the product-analytics query (view → click →
+    purchase) every event warehouse serves.
+
+    Spark-first shape: stage k is a filtered per-user MIN aggregate
+    joined against the stage-(k-1) anchor — k shuffles on user_id for
+    a k-stage funnel, each over an already-filtered event slice, with
+    NO window over the full log and no per-user event array
+    collection (the naive collect_list form OOMs on a hot user; this
+    form's per-stage state is one timestamp per user). The 3-row
+    rollup rides the 1-row-aggregate crossJoin + explode report edge
+    (the data_quality_audit shape); ratios are one IEEE division over
+    exact counts, fully lazy — no driver-side action in the plan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    s0 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s0, "user_id")
+        .filter(F.col("us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    wide = (
+        s0.agg(F.count("*").alias("n0"))
+        .crossJoin(F.broadcast(s1.agg(F.count("*").alias("n1"))))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n2"))))
+    )
+
+    def row(idx, stage, n, n_prev):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(n).alias("users"),
+            (F.col(n).cast("double") / F.col(n_prev)).alias(
+                "conv_from_prev"
+            ),
+        )
+
+    return wide.select(
+        F.explode(
+            F.array(
+                row(0, FUNNEL_STAGES[0], "n0", "n0"),
+                row(1, FUNNEL_STAGES[1], "n1", "n0"),
+                row(2, FUNNEL_STAGES[2], "n2", "n1"),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+),
+s0 AS (
+  SELECT user_id, min(us) AS t0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.us) AS t1
+  FROM ev e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > s0.t0
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > s1.t1
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM s0) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2
+)
+SELECT 0 AS stage_idx, 'view' AS stage, n0 AS users,
+       CAST(n0 AS DOUBLE) / n0 AS conv_from_prev FROM c
+UNION ALL
+SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / n0 FROM c
+UNION ALL
+SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / n1 FROM c
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active week; each (cohort_week, offset_weeks) cell counts how many
+    of that cohort were active again exactly offset weeks later, with
+    the retention ratio against the cohort size — the canonical
+    triangle chart behind every growth dashboard.
+
+    Scale: one shuffle to find each user's first week, one fact-side
+    join on user_id (user-grain dim, AQE picks the strategy), one
+    (cohort, offset) distinct-count aggregate. The matrix itself is
+    weeks² rows — a report edge.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", week_start(F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cohort_sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return cells.join(cohort_sizes, "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_weeks",
+        "active_users",
+        "cohort_users",
+        (
+            F.col("active_users").cast("double") / F.col("cohort_users")
+        ).alias("retention"),
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_wk
+),
+cells AS (
+  SELECT f.cohort_wk,
+         CAST((ev.wk - f.cohort_wk) / 7 AS BIGINT) AS offset_weeks,
+         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+  FROM ev JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       c.offset_weeks, c.active_users, s.cohort_users,
+       CAST(c.active_users AS DOUBLE) / s.cohort_users AS retention
+FROM cells c JOIN sizes s USING (cohort_wk)
+"""
+
+
 QUERIES = {
     "user_state_scd2": user_state_scd2,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
@@ -429,6 +602,8 @@ QUERIES = {
 
 ORACLES = {
     "user_state_scd2": USER_STATE_SCD2_ORACLE,
+    "funnel_conversion": FUNNEL_ORACLE,
+    "cohort_retention": COHORT_RETENTION_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,

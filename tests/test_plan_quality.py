@@ -46,6 +46,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-total crossJoin attaching N to the frequent-pair
     # lift ratio — broadcast-scalar shape
     "token_lift_pairs": "Cross",
+    # 1-row stage-count crossJoins assembling the 3-row funnel report
+    # edge — broadcast-scalar shape
+    "funnel_conversion": "Cross",
 }
 
 
