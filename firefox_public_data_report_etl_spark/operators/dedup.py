@@ -383,8 +383,14 @@ def prefix_filter_pairs(
     rare-token block sizes rather than corpus size — then the shared
     size-gated verify join. Exact where MinHash-LSH is probabilistic:
     this is the path for contracts that forbid missed duplicates
-    (contamination scrubs, licensing takedowns), at ~2-4x the banded
-    path's cost (measured in SCALING.md)."""
+    (contamination scrubs, licensing takedowns).
+
+    Cost is strongly THRESHOLD-dependent: the prefix keeps
+    ``n - ceil(t*n) + 1`` of each set's n tokens — ~half the corpus at
+    t = 0.5 (the registry form: measured ~13x the banded path at
+    sf0.1, slopes in SCALING.md), ~10% at t = 0.9 where PPJoin-family
+    joins are typically run. Pick MinHash-LSH for throughput at loose
+    thresholds; pick this for exactness or tight thresholds."""
     prefix = _rarest_first_prefix(sh, threshold, id_col)
     pa = prefix.select(F.col(id_col).alias("da"), "h")
     pb = prefix.select(F.col(id_col).alias("db"), "h")

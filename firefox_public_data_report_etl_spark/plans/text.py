@@ -2426,6 +2426,71 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection
+    (operators/text.py:moore_lewis_scores): every document scored by
+    Σ lg p_in − Σ lg p_gen, where the in-domain LM trains on the 80%
+    reference slice and the general LM on the complement — the
+    domain-adapted upgrade of corpus_lm_quality's single-LM ranking.
+    Both LMs share the fixed-point quantization contract, so the
+    delta is exact integer arithmetic and the oracle hash-matches."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        moore_lewis_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return moore_lewis_scores(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+
+
+def _moore_lewis_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        LM_LOGPROB_SCALE,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+ref_i AS (SELECT token, count(*) AS c FROM toks
+          WHERE doc_id % {LM_REF_MOD} < {LM_REF_KEEP} GROUP BY token),
+tot_i AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM ref_i),
+lp_i AS (SELECT token,
+          CAST(round({LM_LOGPROB_SCALE} *
+                 ln((CAST(c AS DOUBLE) + 1.0) / (SELECT denom FROM tot_i)))
+               AS BIGINT) AS lp
+         FROM ref_i),
+fl_i AS (SELECT CAST(round({LM_LOGPROB_SCALE} *
+                 ln(1.0 / (SELECT denom FROM tot_i))) AS BIGINT) AS lp),
+ref_g AS (SELECT token, count(*) AS c FROM toks
+          WHERE NOT (doc_id % {LM_REF_MOD} < {LM_REF_KEEP}) GROUP BY token),
+tot_g AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM ref_g),
+lp_g AS (SELECT token,
+          CAST(round({LM_LOGPROB_SCALE} *
+                 ln((CAST(c AS DOUBLE) + 1.0) / (SELECT denom FROM tot_g)))
+               AS BIGINT) AS lp
+         FROM ref_g),
+fl_g AS (SELECT CAST(round({LM_LOGPROB_SCALE} *
+                 ln(1.0 / (SELECT denom FROM tot_g))) AS BIGINT) AS lp),
+s AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(i.lp, (SELECT lp FROM fl_i))) AS BIGINT)
+           AS score_in,
+         CAST(sum(coalesce(g.lp, (SELECT lp FROM fl_g))) AS BIGINT)
+           AS score_gen
+  FROM toks t
+  LEFT JOIN lp_i i USING (token)
+  LEFT JOIN lp_g g USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, score_in, score_gen,
+       score_in - score_gen AS delta_munats,
+       CAST(score_in - score_gen AS DOUBLE) / n_tokens AS ml_per_token
+FROM s
+"""
+
+
 # Validity bound for the exact (partition-less ntile) tercile form:
 # ONE WindowExec task sorts the whole doc-grain score table, so past
 # a few million (double, long) rows the task is a straggler/OOM
@@ -3198,6 +3263,7 @@ SELECT q_id, n_id, rank, cos FROM hp_r WHERE rank <= {HASHPROJ_TOP_K}
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
+    "corpus_moore_lewis": corpus_moore_lewis,
     "corpus_lm_quality_bigram": corpus_lm_quality_bigram,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_ccnet_buckets_scaled": corpus_ccnet_buckets_scaled,
@@ -3246,6 +3312,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_ORACLE,
     "corpus_lm_quality": _lm_quality_oracle(),
+    "corpus_moore_lewis": _moore_lewis_oracle(),
     "corpus_lm_quality_bigram": _lm_bigram_oracle(),
     "corpus_ccnet_buckets": _ccnet_buckets_oracle(),
     "corpus_ccnet_buckets_scaled": _ccnet_buckets_scaled_oracle(),

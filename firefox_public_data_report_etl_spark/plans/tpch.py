@@ -864,6 +864,42 @@ FROM j
 """
 
 
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (reference parity is the SHAPE, not the query —
+    dbgen's comment-filter predicate has no analog here): distribution
+    of customers by order count, INCLUDING zero-order customers via
+    the left join — the right-skewed histogram that drives engagement
+    reporting, where the naive inner-join form silently drops the
+    (usually largest) zero bucket.
+
+    Scale: one shuffle join customer←orders on custkey (AQE picks
+    broadcast vs shuffle by dim size), one custkey-grain count that
+    reuses the join partitioning, then a histogram aggregate over
+    order-count keys (bounded by max orders per customer — dozens)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
 def _hw_block_pred() -> str:
     from firefox_public_data_report_etl_spark.plans.hardware import _BLOCK_PRED
 
@@ -882,9 +918,11 @@ QUERIES = {
     "brand_supplier_variety": brand_supplier_variety,
     "nation_market_share": nation_market_share,
     "unshipped_orders_top10": unshipped_orders_top10,
+    "customer_order_histogram": customer_order_histogram,
 }
 
 ORACLES = {
+    "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_ORACLE,
     "lineitem_cube": LINEITEM_CUBE_ORACLE,
     "pricing_summary": PRICING_SUMMARY_ORACLE,
     "pricing_summary_decimal": PRICING_DECIMAL_ORACLE,
