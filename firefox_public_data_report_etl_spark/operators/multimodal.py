@@ -334,6 +334,82 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Video temporal analytics: per-"video" frame sequences through the
+# REAL BMP codec (encode → decode round-trip per frame), then
+# scene-cut detection on the decoded per-frame statistics. The frame
+# rule is NON-WRAPPING by construction (base pattern mod 200, plus a
+# scene term ≤ 40 and an in-scene tick ≤ 3, so every value stays
+# ≤ 242 < 256): each pixel-channel advances by exactly +1 per frame
+# within a scene and by +(SCENE_JUMP − SCENE_LEN + 1) across a scene
+# boundary — consecutive-frame sum deltas are exactly n_px·3 within
+# scenes and 37·n_px·3 at cuts, all integer, all recomputable by the
+# oracle from the logical rule without seeing a byte. (A mod-256
+# wrapping rule would make sum deltas average to ~0 — uninformative.)
+# ---------------------------------------------------------------------------
+
+SCENE_LEN = 4
+SCENE_JUMP = 40
+N_FRAMES = 8  # scenes ∈ {0, 1}: max value 199 + 40 + 3 = 242 < 256
+
+FRAME_SUM_SCHEMA = StructType(
+    [
+        StructField("video_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_rgb", LongType()),
+    ]
+)
+
+
+def _frame_rule_rgb(video_id: int, frame_idx: int):
+    import numpy as np
+
+    w = 1 + video_id % BMP_W_MOD
+    h = 1 + video_id % BMP_H_MOD
+    scene = frame_idx // SCENE_LEN
+    k = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    c = np.arange(3, dtype=np.int64)
+    vals = (
+        (video_id * 7 + k[..., None] * 33 + c * 11) % 200
+        + scene * SCENE_JUMP
+        + frame_idx % SCENE_LEN
+    )
+    return vals.astype(np.uint8)
+
+
+def decode_frame_sums(frames: DataFrame) -> DataFrame:
+    """(video_id, frame_idx) → per-frame decoded pixel totals, through
+    the REAL BMP codec: each frame is encoded to spec bytes
+    (encode_bmp24) and parsed back by the independent decoder
+    (decode_bmp24) inside ONE Arrow-batched mapInPandas stage —
+    pixels never leave the stage; the output is 5 ints per frame.
+    At 100 TB the same stage reads frame payloads from object storage
+    instead of synthesizing them."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, fi in zip(pdf["video_id"], pdf["frame_idx"]):
+                payload = encode_bmp24(_frame_rule_rgb(int(vid), int(fi)))
+                w, h, rgb = decode_bmp24(payload)
+                rows.append(
+                    (
+                        int(vid),
+                        int(fi),
+                        w,
+                        h,
+                        int(rgb.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SUM_SCHEMA]
+            )
+
+    return frames.mapInPandas(_run, FRAME_SUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Second real format (round-8, r7 verdict #6): binary PPM (P6) — the
 # netpbm true-color format: an ASCII header ("P6", width, height,
 # maxval as whitespace-separated tokens, '#' comments allowed) then

@@ -129,3 +129,18 @@ def test_resize_targets_match_resize_plan(spark):
     # the 1-px floor binds at these dims (e.g. w=8,h=1,max=4): no
     # zero-dimension targets anywhere
     assert (j.width >= 1).all() and (j.height >= 1).all()
+
+
+def test_scene_cuts_exactly_at_scene_boundary(spark, sf_dir):
+    """The frame rule plants exactly one scene boundary (frame 4 of 8
+    at SCENE_LEN=4): is_cut must be TRUE there and FALSE everywhere
+    else, for every video — pins both the codec round-trip and the
+    lag-window cut logic."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_scene_cuts,
+    )
+
+    rows = multimodal_scene_cuts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.is_cut == (r.frame_idx == 4), (r.video_id, r.frame_idx)

@@ -91,6 +91,17 @@ DEFAULT_NAMES = [
     "retrieval_rag_chunks",
     "dedup_repeated_substrings",
     "dedup_substring_scrub",
+    # round-8 second-session additions
+    "dedup_prefix_filter",
+    "dedup_containment",
+    "user_state_scd2",
+    "doc_pagerank",
+    "part_entity_resolution",
+    "token_lift_pairs",
+    "funnel_conversion",
+    "cohort_retention",
+    "corpus_moore_lewis",
+    "customer_order_histogram",
 ]
 
 
