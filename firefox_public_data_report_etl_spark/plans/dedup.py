@@ -13,7 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from firefox_public_data_report_etl_spark.functions import md5_int_sql, minhash_perm_sql
+from firefox_public_data_report_etl_spark.functions import (
+    md5_int_spark_sql,
+    md5_int_sql,
+    minhash_perm_sql,
+)
 from firefox_public_data_report_etl_spark.operators.parallelism import (
     widen_partitions,
 )
@@ -264,6 +268,71 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, least(a, min(b)) AS component
 FROM reach GROUP BY a
+"""
+
+
+SPLIT_MOD = 10
+SPLIT_TRAIN_LT = 8  # hash % 10: 0-7 train, 8 val, 9 test
+
+
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: documents are assigned to
+    splits by the portable hash of their near-dup CLUSTER id, not
+    their own id — so a near-duplicate pair can never straddle the
+    train/eval boundary (the leakage mode naive per-doc hash splits
+    are blind to, and the reason eval numbers inflate: the model has
+    "seen" a 0.97-Jaccard twin of the test doc). Singleton docs form
+    their own group; 80/10/10 by construction of the hash bucket.
+
+    Scale: the cluster step is the banded LSH + pair-graph CC already
+    measured; split assignment is one hash projection — no extra
+    shuffle past the cluster join. The invariant (no cross-split
+    near-dup pair) is pinned by a test, not just implied."""
+    hs = gram_hash_arrays(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, "da", "db")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("group_id"),
+    )
+    h = F.expr(md5_int_spark_sql("cast(group_id as string)"))
+    split = (
+        F.when(h % SPLIT_MOD < SPLIT_TRAIN_LT, "train")
+        .when(h % SPLIT_MOD == SPLIT_TRAIN_LT, "val")
+        .otherwise("test")
+    )
+    return m.select("doc_id", "group_id", split.alias("split"))
+
+
+def _group_split_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    gh = md5_int_sql("CAST(group_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+m AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, group_id,
+       CASE WHEN ({gh}) % {SPLIT_MOD} < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN ({gh}) % {SPLIT_MOD} = {SPLIT_TRAIN_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM m
 """
 
 
@@ -761,6 +830,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_scaled": dedup_clusters_scaled,
+    "corpus_group_split": corpus_group_split,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
@@ -782,6 +852,7 @@ ORACLES = {
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_clusters": _clusters_oracle(),
     "dedup_clusters_scaled": _clusters_oracle(),
+    "corpus_group_split": _group_split_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,

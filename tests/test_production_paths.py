@@ -288,3 +288,36 @@ def test_containment_equals_brute_force(spark, sf_dir):
         for r in containment_pairs(sh, 0.6).collect()
     }
     assert got == brute and brute
+
+
+def test_group_split_never_leaks_near_dups(spark, sf_dir):
+    """The group-aware split's whole point: every verified near-dup
+    pair must land in ONE split. Checked directly against the pair
+    set (not the group ids), so a wrong coalesce or hash column
+    would fail even if groups were internally consistent. Also pins
+    that all three splits are non-empty at test SF."""
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        corpus_group_split,
+    )
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        minhash_lsh_pairs_arr,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    split = {
+        r.doc_id: r.split
+        for r in corpus_group_split(spark, sf_dir).collect()
+    }
+    pairs = (
+        minhash_lsh_pairs_arr(
+            gram_hash_arrays(load_table(spark, sf_dir, "documents"))
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    )
+    assert pairs
+    for p in pairs:
+        assert split[p.da] == split[p.db], (p.da, p.db)
+    assert set(split.values()) == {"train", "val", "test"}
