@@ -590,10 +590,72 @@ FROM cells c JOIN sizes s USING (cohort_wk)
 """
 
 
+IVM_CUTOFF = "2024-01-25"  # testdata events span 2024-01 at every SF
+
+
+def weekly_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a weekly rollup under
+    LATE-ARRIVING data: the base rollup was built from events before
+    the cutoff; when the late batch lands, only the WEEKS it touches
+    are recomputed (from the full log, which at production scale is a
+    partition-pruned scan on the week key) and stitched onto the
+    untouched base rows via anti-join — never a full-table rebuild.
+
+    Recompute-the-partition, not merge-the-delta, is forced by the
+    DISTINCT-user column: count(*) and sum are delta-mergeable,
+    countDistinct is NOT (a late event's user may already be counted)
+    — the precise reason real pipelines either recompute affected
+    partitions or switch the column to a mergeable sketch
+    (approx_users_sketch is this repo's sketch form of the same
+    rollup).
+
+    Correctness statement: the stitched result must equal the full
+    recompute bit-for-bit — the oracle IS the full recompute, so any
+    stitching bug (week leak, double count, missed partition)
+    hash-mismatches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        week_start(F.col("ts")).alias("wk"),
+        F.to_date("ts").alias("d"),
+        "event_type",
+        "user_id",
+    )
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+
+    def rollup(df):
+        return df.groupBy("wk", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    base = rollup(ev.filter(F.col("d") < cutoff))
+    late = ev.filter(F.col("d") >= cutoff)
+    affected = late.select("wk").distinct()
+    recomputed = rollup(ev.join(F.broadcast(affected), "wk"))
+    untouched = base.join(affected, "wk", "left_anti")
+    return untouched.unionByName(recomputed).select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "n_events",
+        "n_users",
+    )
+
+
+WEEKLY_ROLLUP_IVM_ORACLE = """
+SELECT strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d')
+         AS week_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "user_state_scd2": user_state_scd2,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "weekly_rollup_ivm": weekly_rollup_ivm,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
@@ -604,6 +666,7 @@ ORACLES = {
     "user_state_scd2": USER_STATE_SCD2_ORACLE,
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
+    "weekly_rollup_ivm": WEEKLY_ROLLUP_IVM_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
