@@ -651,11 +651,80 @@ GROUP BY 1, 2
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: count
+    (previous type → type) transitions between CONSECUTIVE events of
+    the same user within the 30-minute session gap (the same gap
+    contract as ``user_sessions``, so "transition" and "session"
+    agree), then per-source-type probabilities. The behavioral-model
+    complement to ``funnel_conversion``: the funnel checks one
+    prescribed path, the matrix measures every observed hop.
+
+    Scale: one shuffle on user_id for the lag window; the transition
+    aggregate is keyed by (from, to) — at most |types|² groups — and
+    the row-total window runs over that ≤ 25-row table, a report
+    edge. Probabilities are one IEEE division of exact counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).filter(
+        F.col("from_type").isNotNull()
+        & (F.col("gap_us") <= SESSION_GAP_MIN * 60 * 1_000_000)
+    )
+    counts = t.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt)
+        ).alias("prob"),
+    )
+
+
+EVENT_TRANSITION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+t AS (
+  SELECT lag(event_type) OVER w AS from_type,
+         event_type AS to_type,
+         us - lag(us) OVER w AS gap_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM t
+  WHERE from_type IS NOT NULL
+    AND gap_us <= {SESSION_GAP_MIN * 60 * 1_000_000}
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY from_type) AS prob
+FROM counts
+"""
+
+
 QUERIES = {
     "user_state_scd2": user_state_scd2,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "weekly_rollup_ivm": weekly_rollup_ivm,
+    "event_transition_matrix": event_transition_matrix,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
@@ -667,6 +736,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "weekly_rollup_ivm": WEEKLY_ROLLUP_IVM_ORACLE,
+    "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
