@@ -251,6 +251,19 @@ def main() -> None:
         "retrieval_rag_chunks",
         "dedup_repeated_substrings",
         "dedup_substring_scrub",
+        # round-8 second-session additions
+        "user_state_scd2",
+        "funnel_conversion",
+        "cohort_retention",
+        "event_transition_matrix",
+        "weekly_rollup_ivm",
+        "customer_order_histogram",
+        "doc_pagerank",
+        "part_entity_resolution",
+        "token_lift_pairs",
+        "corpus_moore_lewis",
+        "corpus_group_split",
+        "multimodal_scene_cuts",
     ):
         if name not in QUERIES:
             continue

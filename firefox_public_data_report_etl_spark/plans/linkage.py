@@ -93,6 +93,14 @@ SELECT node AS doc_id, deg, rank_fp FROM r{PR_ITERS}
 
 
 ER_SIZE_TOL = 2
+# Record-grain blocking validity bound: the blocking-key domain
+# (name × type) is FIXED, so block sizes — and the within-block pair
+# join — grow LINEARLY with the catalog, making candidate pairs
+# quadratic in N. sf1 (200k-part stack, max block ~1.2k) measures
+# fine at 19.4 s; the sf10 stack (max block ~12k ⇒ ~70M pair slots)
+# exhausts the local JVM. Refuse past the bound and name the
+# cell-grain twin, which is immune by construction.
+ER_MAX_BLOCK = 2_000
 
 
 def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +117,14 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a full catalog replacement, not just the matched subset.
 
     Scale: the block self-join shuffles on the blocking key; per-block
-    pairwise work is quadratic ONLY in block size (bounded by catalog
-    structure, max 12 here; a production deployment caps or splits hot
-    blocks the same way the skew audit recommends salts). Clustering
+    pairwise work is quadratic in block size, and with a FIXED key
+    domain block sizes grow linearly with the catalog — so this
+    record-grain form is GUARDED (raises past ER_MAX_BLOCK, naming
+    ``part_entity_resolution_scaled``, whose cell-grain clustering is
+    immune because the match rule depends only on (name, type, size):
+    it produces the IDENTICAL output at any SF). This form stays
+    registered as the general ER shape for match rules that DO vary
+    within a cell (string similarity, address distance). Clustering
     uses the large-star/small-star form, NOT min-label propagation:
     ER size-chains (5–7–9–…) give the match graph a diameter that
     GROWS with catalog size, and min-label needs diameter rounds —
@@ -123,6 +136,23 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firefox_public_data_report_etl_spark.operators.graph import (
         connected_components_star,
     )
+
+    blk = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name", "p_type")
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    if blk is not None and blk > ER_MAX_BLOCK:
+        raise ValueError(
+            f"part_entity_resolution: largest blocking key holds {blk} "
+            f"records, past the record-grain validity bound "
+            f"{ER_MAX_BLOCK} — the within-block pair join is quadratic "
+            "in block size here. Use the cell-grain twin "
+            "'part_entity_resolution_scaled' (identical output; see "
+            "SCALE_PATH_FOR in plans/linkage.py)."
+        )
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -163,6 +193,78 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "price_c",
         F.coalesce("comp", "p_partkey").alias("entity_id"),
+    )
+    return members.groupBy("entity_id").agg(
+        F.min("p_name").alias("p_name"),
+        F.min("p_type").alias("p_type"),
+        F.count("*").alias("n_members"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_size").alias("size_min"),
+        F.max("p_size").alias("size_max"),
+        F.min("price_c").alias("price_min_c"),
+    )
+
+
+def part_entity_resolution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-grain ER — the scale twin of ``part_entity_resolution``
+    with IDENTICAL output (they share one oracle): because the match
+    rule depends only on (name, type, size), every record in an exact
+    attribute cell is match-equivalent, so the pair join and the
+    connected components run over DISTINCT CELLS — bounded by the
+    attribute domain (|names|·|types|·|sizes|), NOT the catalog — and
+    records join back to their cell's entity with one broadcast map.
+    The cell key is min(partkey) per cell, so the component minimum
+    equals the record-grain minimum and entity ids agree exactly.
+
+    Scale: one linear aggregate to cells, domain-bounded pair join +
+    star CC (constant work at ANY catalog size), one broadcast join
+    back, one survivorship groupBy — the only N-proportional stages
+    are the two linear passes. This exact-key-collapse-first
+    decomposition is the standard production answer when fuzzy rules
+    act on low-cardinality attributes."""
+    from firefox_public_data_report_etl_spark.functions import cents
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+        "p_brand",
+        cents(F.col("p_retailprice")).alias("price_c"),
+    )
+    cells = p.groupBy("p_name", "p_type", "p_size").agg(
+        F.min("p_partkey").alias("cell_key")
+    )
+    a = cells.select(
+        "p_name", "p_type",
+        F.col("p_size").alias("sa"), F.col("cell_key").alias("ka"),
+    )
+    b = cells.select(
+        "p_name", "p_type",
+        F.col("p_size").alias("sb"), F.col("cell_key").alias("kb"),
+    )
+    pairs = (
+        a.join(b, ["p_name", "p_type"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= ER_SIZE_TOL)
+        )
+        .select("ka", "kb")
+    )
+    comp = connected_components_star(pairs, "ka", "kb")
+    cellmap = cells.join(
+        comp, cells.cell_key == comp.node, "left"
+    ).select(
+        "p_name",
+        "p_type",
+        "p_size",
+        F.coalesce("comp", "cell_key").alias("entity_id"),
+    )
+    members = p.join(
+        F.broadcast(cellmap), ["p_name", "p_type", "p_size"]
     )
     return members.groupBy("entity_id").agg(
         F.min("p_name").alias("p_name"),
@@ -307,11 +409,23 @@ FROM co, n
 QUERIES = {
     "doc_pagerank": doc_pagerank,
     "part_entity_resolution": part_entity_resolution,
+    "part_entity_resolution_scaled": part_entity_resolution_scaled,
     "token_lift_pairs": token_lift_pairs,
 }
 
 ORACLES = {
     "doc_pagerank": _pagerank_oracle(),
+    # the two ER forms are output-identical by construction, so they
+    # share the oracle (same trick as dedup_prefix_filter)
     "part_entity_resolution": PART_ER_ORACLE,
+    "part_entity_resolution_scaled": PART_ER_ORACLE,
     "token_lift_pairs": TOKEN_LIFT_ORACLE,
+}
+
+# record-grain blocking over a FIXED key domain: block sizes grow
+# linearly with the catalog, candidate pairs quadratically — guarded
+# at ER_MAX_BLOCK; the cell-grain twin is the 100 TB path
+SCALE_CLASS = {"part_entity_resolution": "fixed_param"}
+SCALE_PATH_FOR = {
+    "part_entity_resolution": "part_entity_resolution_scaled",
 }

@@ -66,3 +66,28 @@ def test_fixed_param_plans_refuse_oversized_corpus(
     sf_dir = _write_oversized(spark, tmp_path, mod * mod + 1)
     with pytest.raises(ValueError, match=twin):
         plan(spark, sf_dir)
+
+
+def test_er_record_grain_guard_and_twin_agreement(
+    spark, sf_dir, monkeypatch
+):
+    """The record-grain ER form must refuse once the largest blocking
+    key exceeds ER_MAX_BLOCK, naming the cell-grain twin — and the two
+    forms must produce the identical golden-record set when both run."""
+    from firefox_public_data_report_etl_spark.plans import linkage
+
+    a = {
+        tuple(r)
+        for r in linkage.part_entity_resolution(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in linkage.part_entity_resolution_scaled(
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == b and a
+
+    monkeypatch.setattr(linkage, "ER_MAX_BLOCK", 1)
+    with pytest.raises(ValueError, match="part_entity_resolution_scaled"):
+        linkage.part_entity_resolution(spark, sf_dir)

@@ -67,3 +67,42 @@ def test_star_cc_random_graph_matches_propagation(spark):
     edges = [(a, b) for a, b in edges if a != b]
     prop, star = _both(spark, edges)
     assert prop == star
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """Star graph (hub 1 ↔ leaves 2..5): the hub must outrank every
+    leaf, leaves must tie exactly (integer arithmetic), degrees must
+    be the undirected counts, and every rank must exceed the
+    teleport floor 0.15·SCALE."""
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["da", "db"]
+    )
+    rows = {r.node: r for r in pagerank_fixed(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].deg == 4
+    leaf_ranks = {rows[i].rank_fp for i in (2, 3, 4, 5)}
+    assert len(leaf_ranks) == 1  # exact tie
+    assert rows[1].rank_fp > leaf_ranks.pop()
+    floor = (15 * PR_SCALE) // 100
+    assert all(r.rank_fp >= floor for r in rows.values())
+    assert all(rows[i].deg == 1 for i in (2, 3, 4, 5))
+
+
+def test_pagerank_iterations_are_deterministic(spark):
+    """Same edges, two runs → identical integer ranks (no FP, no
+    partition-order sensitivity)."""
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["da", "db"]
+    ).repartition(5)
+    a = {(r.node, r.rank_fp) for r in pagerank_fixed(edges).collect()}
+    b = {(r.node, r.rank_fp) for r in pagerank_fixed(edges).collect()}
+    assert a == b
