@@ -92,6 +92,81 @@ SELECT node AS doc_id, deg, rank_fp FROM r{PR_ITERS}
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph — the
+    standard clustering-coefficient ingredient: a doc in many
+    triangles sits in a DENSE duplicate clique (template spam,
+    mirrored boilerplate families), where a chain-shaped component of
+    the same size is accidental pairwise similarity. One row per node
+    with (deg, n_triangles).
+
+    Spark-first shape: canonical a<b edges; triangles enumerated once
+    as a<b<c via two joins (edge ab ⋈ edge bc on b, verified by edge
+    ac), then exploded to the three corners and counted per node —
+    the MapReduce triangle-join standard. Scale: the graph is LSH
+    output (pair-cardinality); the join fan-out is bounded by node
+    degree, and a degree-ordered variant (join only along
+    lower-degree endpoints) is the known mitigation for hub nodes.
+    """
+    hs = gram_hash_arrays(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    e = pairs.select(
+        F.least("da", "db").alias("a"), F.greatest("da", "db").alias("b")
+    ).distinct()
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"]).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    return deg.join(corners, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+
+
+def _triangle_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM pairs),
+tri AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e ab JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+corners AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY a)
+SELECT deg.node AS doc_id, deg.deg,
+       coalesce(corners.n_triangles, 0) AS n_triangles
+FROM deg LEFT JOIN corners USING (node)
+"""
+
+
 ER_SIZE_TOL = 2
 # Record-grain blocking validity bound: the blocking-key domain
 # (name × type) is FIXED, so block sizes — and the within-block pair
@@ -408,6 +483,7 @@ FROM co, n
 
 QUERIES = {
     "doc_pagerank": doc_pagerank,
+    "graph_triangle_count": graph_triangle_count,
     "part_entity_resolution": part_entity_resolution,
     "part_entity_resolution_scaled": part_entity_resolution_scaled,
     "token_lift_pairs": token_lift_pairs,
@@ -415,6 +491,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_pagerank": _pagerank_oracle(),
+    "graph_triangle_count": _triangle_oracle(),
     # the two ER forms are output-identical by construction, so they
     # share the oracle (same trick as dedup_prefix_filter)
     "part_entity_resolution": PART_ER_ORACLE,
