@@ -144,3 +144,48 @@ def test_scene_cuts_exactly_at_scene_boundary(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.is_cut == (r.frame_idx == 4), (r.video_id, r.frame_idx)
+
+
+def test_binary_file_source_feeds_decode_stage(spark, tmp_path):
+    """The production media path: real BMP files on disk, read via
+    Spark's binaryFile source, decoded by the UNCHANGED decode stage —
+    per-channel stats must equal the in-stage synthesized path for the
+    same media ids (same pixel rule, different transport)."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        _bmp_rule_rgb,
+        attach_bmp_payload,
+        decode_bmp_stats,
+        encode_bmp24,
+    )
+    from firefox_public_data_report_etl_spark.sources.binary_media import (
+        load_media_dir,
+    )
+
+    ids = list(range(3, 23))
+    for mid in ids:
+        (tmp_path / f"{mid}.bmp").write_bytes(
+            encode_bmp24(_bmp_rule_rgb(mid))
+        )
+    from_files = {
+        r.media_id: tuple(r)[1:]
+        for r in decode_bmp_stats(
+            load_media_dir(spark, str(tmp_path), "bmp")
+        ).collect()
+    }
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    synthesized = {
+        r.media_id: tuple(r)[1:]
+        for r in decode_bmp_stats(attach_bmp_payload(docs)).collect()
+    }
+    assert from_files == synthesized and set(from_files) == set(ids)
+
+
+def test_binary_media_source_rejects_unknown_ext(spark):
+    import pytest
+
+    from firefox_public_data_report_etl_spark.sources.binary_media import (
+        load_media_dir,
+    )
+
+    with pytest.raises(ValueError, match="unknown media extension"):
+        load_media_dir(spark, "/tmp", "gif")
