@@ -345,7 +345,7 @@ def _rarest_first_prefix(
     return ranked.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select(id_col, "h")
+    ).select(id_col, "h", "n")
 
 
 def prefix_filter_pairs(
@@ -392,11 +392,24 @@ def prefix_filter_pairs(
     joins are typically run. Pick MinHash-LSH for throughput at loose
     thresholds; pick this for exactness or tight thresholds."""
     prefix = _rarest_first_prefix(sh, threshold, id_col)
-    pa = prefix.select(F.col(id_col).alias("da"), "h")
-    pb = prefix.select(F.col(id_col).alias("db"), "h")
+    pa = prefix.select(
+        F.col(id_col).alias("da"), "h", F.col("n").alias("na")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("db"), "h", F.col("n").alias("nb")
+    )
+    # PPJoin LENGTH filter: J ≥ t forces t·max(na,nb) ≤ |A∩B| ≤
+    # min(na,nb), so size-incompatible pairs are pruned INSIDE the
+    # token join, before the distinct and the verify — lossless by
+    # the same inequality the verify would apply anyway.
+    t = float(threshold)
     cand = (
         pa.join(pb, "h")
-        .filter(F.col("da") < F.col("db"))
+        .filter(
+            (F.col("da") < F.col("db"))
+            & (F.lit(t) * F.col("na") <= F.col("nb"))
+            & (F.lit(t) * F.col("nb") <= F.col("na"))
+        )
         .select("da", "db")
         .distinct()
     )
@@ -431,6 +444,13 @@ def containment_pairs(
     half the corpus can't discriminate containment) — same knob as
     the boilerplate scorer. Verify is exact inter/|A| on candidates
     only; one final IEEE division, so engines hash-match."""
+    # No length filter here, deliberately (measured): pruning
+    # containers shorter than t·|A| needs set sizes on the FULL
+    # indexed side — an extra shuffle join of the whole shingle
+    # table that cost +39% at the sf1 stack while pruning nothing on
+    # near-uniform doc sizes. The prefix join (where n rides the
+    # prefix rows for free) keeps its filter; see
+    # prefix_filter_pairs.
     prefix = _rarest_first_prefix(sh, threshold, id_col)
     pa = prefix.select(F.col(id_col).alias("da"), "h")
     full = sh.select(F.col(id_col).alias("db"), "h")
