@@ -386,6 +386,94 @@ FROM m GROUP BY entity_id
 """
 
 
+LEV_MAX = 4  # fuzzy-name match: 1 ≤ levenshtein ≤ 4 (0 = exact-key ER)
+LEV_SIZE_BAND = 5  # secondary blocking: size div 5
+
+
+def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity ER verify — the match rule that CANNOT
+    collapse to attribute cells (the reason the record-grain ER shape
+    exists): Levenshtein distance between part names, blocked on
+    (p_type, size band). Runs at the DISTINCT-NAME grain: candidate
+    pairs are (type, band, name_a, name_b) cells, so the edit-distance
+    verify volume is bounded by the NAME DOMAIN per block, not the
+    catalog — the linear stages are the cell aggregate in and the
+    member counts out. Distance 0 (equal names) is excluded: exact
+    keys belong to the exact-key ER; this surfaces typo-grade variants
+    only. Both engines' levenshtein is the unit-cost edit distance, so
+    the oracle hash-pins the verify itself."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        (F.col("p_size").cast("long") / LEV_SIZE_BAND)
+        .cast("long")
+        .alias("band"),
+    )
+    cells = p.groupBy("p_type", "band", "p_name").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("min_key"),
+    )
+    a = cells.select(
+        "p_type",
+        "band",
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        F.col("min_key").alias("key_a"),
+    )
+    b = cells.select(
+        "p_type",
+        "band",
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("min_key").alias("key_b"),
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, ["p_type", "band"])
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (lev >= 1)
+            & (lev <= LEV_MAX)
+        )
+        .select(
+            "p_type",
+            "band",
+            "name_a",
+            "name_b",
+            lev.cast("long").alias("lev"),
+            "n_a",
+            "n_b",
+            "key_a",
+            "key_b",
+        )
+    )
+
+
+PART_NAME_FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_type,
+         CAST(p_size AS BIGINT) // {LEV_SIZE_BAND} AS band
+  FROM part
+),
+cells AS (
+  SELECT p_type, band, p_name,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         min(p_partkey) AS min_key
+  FROM p GROUP BY p_type, band, p_name
+)
+SELECT a.p_type, a.band,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+       a.n_parts AS n_a, b.n_parts AS n_b,
+       a.min_key AS key_a, b.min_key AS key_b
+FROM cells a JOIN cells b
+  ON a.p_type = b.p_type AND a.band = b.band
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {LEV_MAX}
+"""
+
+
 LIFT_MIN_DF = 5  # vocabulary gate: document frequency ≥ 5
 LIFT_MIN_COSUP = 5  # pair gate: co-occurrence support ≥ 5
 LIFT_SCALE = 1_000_000  # fixed-point scale for the lift ratio
@@ -486,6 +574,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "part_entity_resolution": part_entity_resolution,
     "part_entity_resolution_scaled": part_entity_resolution_scaled,
+    "part_name_fuzzy_matches": part_name_fuzzy_matches,
     "token_lift_pairs": token_lift_pairs,
 }
 
@@ -496,6 +585,7 @@ ORACLES = {
     # share the oracle (same trick as dedup_prefix_filter)
     "part_entity_resolution": PART_ER_ORACLE,
     "part_entity_resolution_scaled": PART_ER_ORACLE,
+    "part_name_fuzzy_matches": PART_NAME_FUZZY_ORACLE,
     "token_lift_pairs": TOKEN_LIFT_ORACLE,
 }
 

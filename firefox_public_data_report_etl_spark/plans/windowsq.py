@@ -651,6 +651,66 @@ GROUP BY 1, 2
 """
 
 
+HOP_WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour window
+HOP_SLIDE_US = 30 * 60 * 1_000_000  # 30-minute hop
+
+
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 2-hour windows every 30
+    minutes via the native ``F.window(ts, windowDuration,
+    slideDuration)`` — each event lands in exactly window/slide = 4
+    overlapping windows, the smoothing shape dashboards use where
+    tumbling windows jitter. The oracle reproduces Spark's
+    epoch-aligned window starts arithmetically (start_k =
+    (floor(us/slide) − k)·slide for k in 0..3), so the alignment
+    contract itself is hash-pinned, not assumed.
+
+    Scale: the explode-to-4-windows fan-out happens inside the window
+    aggregate (map-side partial per window), one shuffle keyed by
+    (window, event_type); state is #windows × #types."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value")
+    )
+    from firefox_public_data_report_etl_spark.functions import cents
+
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+HOPPING_ORACLE = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+hops AS (
+  SELECT (us // {HOP_SLIDE_US} - k) * {HOP_SLIDE_US} AS start_us,
+         event_type, cents
+  FROM ev CROSS JOIN (
+    SELECT unnest(range(0, {HOP_WINDOW_US // HOP_SLIDE_US})) AS k
+  )
+)
+SELECT start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM hops GROUP BY start_us, event_type
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over event types: count
     (previous type → type) transitions between CONSECUTIVE events of
@@ -724,6 +784,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "weekly_rollup_ivm": weekly_rollup_ivm,
+    "hopping_event_counts": hopping_event_counts,
     "event_transition_matrix": event_transition_matrix,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
@@ -736,6 +797,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "weekly_rollup_ivm": WEEKLY_ROLLUP_IVM_ORACLE,
+    "hopping_event_counts": HOPPING_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
