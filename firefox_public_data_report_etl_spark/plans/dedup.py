@@ -336,6 +336,115 @@ FROM m
 """
 
 
+def dedup_keep_best_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: one survivor per near-dup
+    cluster, chosen as the member with the BEST LM quality score
+    (lm_per_token DESC, doc_id as the deterministic tie-break) — the
+    curation-correct upgrade over min-id survivorship: near-dup
+    families often mix a clean original with boilerplate-injected
+    mirrors, and keeping the min id keeps whichever was crawled
+    first. Composes the banded near-dup graph + connected components
+    with the fixed-point LM scorer, so both inputs are already
+    oracle-pinned; the pick itself is one window over the
+    component-keyed member table.
+
+    The ordering key is safe cross-engine: lm_per_token is ONE IEEE
+    division of two exact integers (the repo's ratio contract), and
+    ties fall to doc_id.
+
+    Scale: cluster step is the measured LSH + CC path; scoring is the
+    measured LM broadcast join; the survivor window partitions by
+    component (bounded by cluster size)."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_unigram_scores,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        LM_REF_KEEP,
+        LM_REF_MOD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = gram_hash_arrays(docs)
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs, "da", "db")
+    scored = lm_unigram_scores(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+    m = scored.join(comp, scored.doc_id == comp.node, "left").select(
+        "doc_id",
+        "n_tokens",
+        "score_munats",
+        "lm_per_token",
+        F.coalesce("comp", "doc_id").alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("lm_per_token"), "doc_id"
+    )
+    return (
+        m.select(
+            "component",
+            "doc_id",
+            "n_tokens",
+            "score_munats",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("component")).alias(
+                "n_members"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "doc_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "n_tokens",
+            "score_munats",
+        )
+    )
+
+
+def _keep_best_lm_oracle() -> str:
+    from firefox_public_data_report_etl_spark.plans.text import (
+        _lm_quality_oracle,
+    )
+
+    minhash = _minhash_oracle().strip()
+    lm = _lm_quality_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+lm AS (SELECT * FROM ({lm}) q),
+m AS (
+  SELECT lm.doc_id, lm.n_tokens, lm.score_munats, lm.lm_per_token,
+         coalesce(c.comp, lm.doc_id) AS component
+  FROM lm LEFT JOIN comp c ON lm.doc_id = c.node
+),
+r AS (
+  SELECT component, doc_id, n_tokens, score_munats,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY lm_per_token DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+           AS n_members
+  FROM m
+)
+SELECT component, doc_id, n_members, n_tokens, score_munats
+FROM r WHERE rn = 1
+"""
+
+
 def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_clusters``' any-topology scale twin: the same verified
     MinHash-LSH pair graph labeled by alternating large-star /
@@ -831,6 +940,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_scaled": dedup_clusters_scaled,
     "corpus_group_split": corpus_group_split,
+    "dedup_keep_best_lm": dedup_keep_best_lm,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
@@ -853,6 +963,7 @@ ORACLES = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_clusters_scaled": _clusters_oracle(),
     "corpus_group_split": _group_split_oracle(),
+    "dedup_keep_best_lm": _keep_best_lm_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
