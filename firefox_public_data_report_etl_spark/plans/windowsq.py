@@ -651,6 +651,56 @@ GROUP BY 1, 2
 """
 
 
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve per event type: for each (type,
+    week), how many DISTINCT users have performed that action at
+    least once up to and including that week. A naive running
+    countDistinct is non-mergeable (the same reason weekly_rollup_ivm
+    recomputes partitions); the scalable rewrite is the FIRST-SEEN
+    decomposition: per (user, type) min(week) — one shuffle — count
+    first-sightings per (type, week), then a running sum over the
+    (types × weeks)-sized rollup. The cumulative distinct becomes a
+    mergeable SUM, and the window partitions by event_type over a
+    time-bounded table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", week_start(F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min("wk").alias("wk")
+    )
+    weekly_new = first.groupBy("event_type", "wk").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly_new.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+CUMULATIVE_UNIQUE_ORACLE = """
+WITH first AS (
+  SELECT user_id, event_type,
+         min(CAST(date_trunc('week', ts) AS DATE)) AS wk
+  FROM events GROUP BY user_id, event_type
+),
+weekly AS (
+  SELECT event_type, wk, CAST(count(*) AS BIGINT) AS new_users
+  FROM first GROUP BY event_type, wk
+)
+SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY wk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM weekly
+"""
+
+
 HOP_WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour window
 HOP_SLIDE_US = 30 * 60 * 1_000_000  # 30-minute hop
 
@@ -786,6 +836,7 @@ QUERIES = {
     "weekly_rollup_ivm": weekly_rollup_ivm,
     "hopping_event_counts": hopping_event_counts,
     "event_transition_matrix": event_transition_matrix,
+    "cumulative_unique_users": cumulative_unique_users,
     "user_sessions": user_sessions,
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
@@ -799,6 +850,7 @@ ORACLES = {
     "weekly_rollup_ivm": WEEKLY_ROLLUP_IVM_ORACLE,
     "hopping_event_counts": HOPPING_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
+    "cumulative_unique_users": CUMULATIVE_UNIQUE_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
