@@ -44,6 +44,35 @@ def tumbling_event_value(
     )
 
 
+def hopping_event_value(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping-window twin of the batch ``hopping_event_counts``
+    plan: the SAME sliding F.window aggregation serves batch and
+    streaming inputs. State per key is window/slide overlapping
+    panes; the watermark reclaims panes older than the bound."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -632,3 +632,35 @@ def test_streaming_quality_gate_with_frozen_nb(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(decisions).collect()
     }
     assert rows2 == rows
+
+
+def test_hopping_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding-window streaming form == the same function on the
+    batch read: every overlapping pane, type, count, and cents sum."""
+    from firefox_public_data_report_etl_spark.streaming.windows import (
+        hopping_event_value,
+    )
+
+    batch = hopping_event_value(load_table(spark, sf_dir, "events"))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in batch.collect()
+    }
+
+    stream = hopping_event_value(
+        stream_events(spark, sf_dir), watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hopping_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM hopping_test").collect()
+    }
+    assert got == expected and expected
