@@ -69,3 +69,76 @@ def merge_stats(target: DataFrame, source: DataFrame, keys: list[str]) -> dict:
     inserted = s.join(t, keys, "left_anti").count()
     untouched = t.join(s, keys, "left_anti").count()
     return {"updated": updated, "inserted": inserted, "untouched": untouched}
+
+
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Apply one batch of observations to an SCD Type-2 dimension —
+    the WRITER side of the history the batch rebuild
+    (plans/windowsq.py:user_state_scd2) derives from a full log.
+
+    Target contract: (key, attr, valid_from_us, valid_to_us NULL for
+    the open row, is_current), exactly one is_current row per key.
+    Updates: (key, attr, ts_us), unique per key (pre-collapse a batch
+    with multiple observations per key to the LATEST first —
+    ``merge_rows``'s precondition, same reason).
+
+    Semantics per update row: attr equal to the key's current attr →
+    no-op; attr changed → close the current row (valid_to = ts,
+    is_current = false) and open a new one; unseen key → open its
+    first row. Historical rows pass through untouched.
+
+    Spark-first shape: ONE full-outer join of the current slice with
+    the update batch on the key classifies every case; the output is
+    the union of pass-through, closed, and opened rows — no window,
+    no iteration. At 100 TB pair it with a partitioned/current-flag
+    table layout so only the current partition rewrites (the same
+    pairing note as ``merge_rows``).
+
+    The one-current-row-per-key invariant holds inductively: each
+    key contributes exactly one is_current output row (kept, or the
+    newly opened one).
+    """
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    upd = updates.select(
+        F.col(key).alias("_k"),
+        F.col(attr).alias("_new_attr"),
+        F.col(ts_col).alias("_ts"),
+    )
+    j = cur.join(upd, cur[key] == upd["_k"], "full")
+    changed = F.col("_k").isNotNull() & (
+        F.col(key).isNull() | (F.col(attr) != F.col("_new_attr"))
+    )
+    # pass-through: current rows with no update, or an equal-attr update
+    keep = j.filter(F.col(key).isNotNull() & ~changed).select(
+        target.columns
+    )
+    closed = (
+        j.filter(F.col(key).isNotNull() & changed)
+        .select(
+            key,
+            attr,
+            "valid_from_us",
+            F.col("_ts").alias("valid_to_us"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    opened = j.filter(changed).select(
+        F.col("_k").alias(key),
+        F.col("_new_attr").alias(attr),
+        F.col("_ts").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(target.columns)
+        .unionByName(keep)
+        .unionByName(closed.select(target.columns))
+        .unionByName(opened.select(target.columns))
+    )

@@ -168,3 +168,48 @@ def test_date_spine_filter_pushdown(spark):
     )
     assert got[0] >= "2024-03-01" and got[-1] < "2024-06-01"
     assert len(got) == len(rows)
+
+
+def test_scd2_apply_two_waves(spark):
+    """Two observation waves through the SCD2 writer: changed keys
+    close + reopen, equal-attr updates are no-ops, new keys open, and
+    exactly one current row per key survives every wave."""
+    from firefox_public_data_report_etl_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    cols = ["user_id", "state", "valid_from_us", "valid_to_us", "is_current"]
+    target = spark.createDataFrame(
+        [
+            (1, "view", 100, None, True),
+            (2, "click", 50, None, True),
+            (2, "view", 10, 50, False),
+        ],
+        "user_id long, state string, valid_from_us long, "
+        "valid_to_us long, is_current boolean",
+    )
+    w1 = spark.createDataFrame(
+        [(1, "click", 200), (2, "click", 210), (3, "view", 220)],
+        "user_id long, state string, ts_us long",
+    )
+    t1 = scd2_apply(target, w1, "user_id", "state")
+    rows = {(r.user_id, r.state, r.valid_from_us): r for r in t1.collect()}
+    # user 1 changed: closed at 200, reopened
+    assert rows[(1, "view", 100)].valid_to_us == 200
+    assert rows[(1, "click", 200)].is_current
+    # user 2 equal attr: untouched open row
+    assert rows[(2, "click", 50)].valid_to_us is None
+    # user 3 new key
+    assert rows[(3, "view", 220)].is_current
+    cur = [r for r in t1.collect() if r.is_current]
+    assert sorted(r.user_id for r in cur) == [1, 2, 3]
+
+    w2 = spark.createDataFrame(
+        [(3, "purchase", 300)], "user_id long, state string, ts_us long"
+    )
+    t2 = scd2_apply(t1, w2, "user_id", "state")
+    out = {(r.user_id, r.state, r.valid_from_us): r for r in t2.collect()}
+    assert out[(3, "view", 220)].valid_to_us == 300
+    assert out[(3, "purchase", 300)].is_current
+    assert len([r for r in t2.collect() if r.is_current]) == 3
+    assert t2.columns == cols
