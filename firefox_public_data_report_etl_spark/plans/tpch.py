@@ -900,6 +900,91 @@ FROM per_cust GROUP BY c_count
 """
 
 
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 generalized to the full matrix: discounted revenue
+    flow between every (customer nation, supplier nation) pair — two
+    independent dimension legs hanging off one fact scan (lineitem →
+    orders → customer → nation on one side, lineitem → supplier →
+    nation on the other). Revenue is exact integer micro-cents
+    (price_c · (10000 − disc_bp), the pricing_summary contract) so
+    the matrix hash-matches.
+
+    Scale: ONE pass over lineitem; both dimension legs are broadcast
+    chains (nation/supplier/customer are dims — customer joins
+    through orders, the one fact-fact shuffle), and the final
+    aggregate is |nations|² cells. This is the join shape star-schema
+    optimizers are built around; AQE picks broadcast for every dim
+    leg without hints."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("disc_bp"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev_uc = (F.col("price_c") * (F.lit(10000) - F.col("disc_bp"))).alias(
+        "rev_uc"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            nat.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("cust_nation", "supp_nation", rev_uc)
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        F.count("*").alias("n_items"),
+        F.sum("rev_uc").alias("revenue_ucents"),
+    )
+
+
+NATION_TRADE_MATRIX_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp
+  FROM lineitem
+)
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(li.price_c * (10000 - li.disc_bp)) AS BIGINT)
+         AS revenue_ucents
+FROM li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
 def _hw_block_pred() -> str:
     from firefox_public_data_report_etl_spark.plans.hardware import _BLOCK_PRED
 
@@ -919,10 +1004,12 @@ QUERIES = {
     "nation_market_share": nation_market_share,
     "unshipped_orders_top10": unshipped_orders_top10,
     "customer_order_histogram": customer_order_histogram,
+    "nation_trade_matrix": nation_trade_matrix,
 }
 
 ORACLES = {
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_ORACLE,
+    "nation_trade_matrix": NATION_TRADE_MATRIX_ORACLE,
     "lineitem_cube": LINEITEM_CUBE_ORACLE,
     "pricing_summary": PRICING_SUMMARY_ORACLE,
     "pricing_summary_decimal": PRICING_DECIMAL_ORACLE,
