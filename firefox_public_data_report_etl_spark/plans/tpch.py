@@ -964,6 +964,125 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_EPS = 0.01
+RFM_ACC = 10_000
+
+
+def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation audit — recency (days since last order),
+    frequency (order count), monetary (exact lifetime cents) per
+    customer, with QUARTILE cutoffs from ``approx_percentile``
+    (sketch-class, no global sort — the 100 TB form; an ntile would
+    be one WindowExec task over every customer). Output is
+    dimension-grain: exact median (bit-matched linear interpolation,
+    the value_percentiles contract) plus a rank-tolerance boolean per
+    quartile cutoff — the sketch value's empirical CDF position must
+    bracket the target quantile within ±{RFM_EPS}; the le/lt interval
+    form is tie-exact, which matters for the frequency dimension
+    (small-integer order counts put real mass AT the cut value).
+
+    Customers with zero orders are out of scope by construction
+    (RFM is defined over purchasers; the zero bucket lives in
+    customer_order_histogram).
+
+    Scale: one orders scan to customer grain (one shuffle), a 3x
+    melt of the customer-grain table, one aggregate for cutoffs and
+    one for the rank positions — scalar state between passes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency"),
+            F.count("*").alias("frequency"),
+            F.sum("c").alias("monetary"),
+        )
+    )
+    melt = per_cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recency").alias("dim"),
+                    F.col("recency").alias("v"),
+                ),
+                F.struct(
+                    F.lit("frequency").alias("dim"),
+                    F.col("frequency").alias("v"),
+                ),
+                F.struct(
+                    F.lit("monetary").alias("dim"),
+                    F.col("monetary").alias("v"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    g = melt.groupBy("dim").agg(
+        F.expr("percentile(v, 0.5D)").alias("p50"),
+        F.expr(
+            "approx_percentile(v, array(0.25D, 0.5D, 0.75D), "
+            f"{RFM_ACC})"
+        ).alias("a"),
+    )
+    agg_cols = [
+        F.first("p50").alias("p50"),
+        F.count("*").alias("n_customers"),
+    ]
+    for k in (1, 2, 3):
+        cut = F.element_at("a", k)
+        agg_cols.append(
+            F.count(F.when(F.col("v") <= cut, True)).alias(f"_le{k}")
+        )
+        agg_cols.append(
+            F.count(F.when(F.col("v") < cut, True)).alias(f"_lt{k}")
+        )
+    ranked = melt.join(F.broadcast(g), "dim").groupBy("dim").agg(*agg_cols)
+    n = F.col("n_customers").cast("double")
+    out_cols = ["dim", "n_customers", "p50"]
+    for k, p in ((1, 0.25), (2, 0.5), (3, 0.75)):
+        out_cols.append(
+            (
+                (F.col(f"_le{k}") / n >= p - RFM_EPS)
+                & (F.col(f"_lt{k}") / n <= p + RFM_EPS)
+            ).alias(f"q{k}_within_tol")
+        )
+    return ranked.select(*out_cols)
+
+
+CUSTOMER_RFM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+ref AS (SELECT max(o_orderdate) AS ref_date FROM o),
+pc AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate),
+                        (SELECT ref_date FROM ref)) AS BIGINT) AS recency,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(c) AS BIGINT) AS monetary
+  FROM o GROUP BY o_custkey
+),
+melt AS (
+  SELECT 'recency' AS dim, recency AS v FROM pc
+  UNION ALL SELECT 'frequency', frequency FROM pc
+  UNION ALL SELECT 'monetary', monetary FROM pc
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n_customers,
+       quantile_cont(v, 0.5) AS p50,
+       TRUE AS q1_within_tol, TRUE AS q2_within_tol,
+       TRUE AS q3_within_tol
+FROM melt GROUP BY dim
+"""
+
+
 NATION_TRADE_MATRIX_ORACLE = """
 WITH li AS (
   SELECT l_orderkey, l_suppkey,
@@ -1005,11 +1124,13 @@ QUERIES = {
     "unshipped_orders_top10": unshipped_orders_top10,
     "customer_order_histogram": customer_order_histogram,
     "nation_trade_matrix": nation_trade_matrix,
+    "customer_rfm_quartiles": customer_rfm_quartiles,
 }
 
 ORACLES = {
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_ORACLE,
     "nation_trade_matrix": NATION_TRADE_MATRIX_ORACLE,
+    "customer_rfm_quartiles": CUSTOMER_RFM_ORACLE,
     "lineitem_cube": LINEITEM_CUBE_ORACLE,
     "pricing_summary": PRICING_SUMMARY_ORACLE,
     "pricing_summary_decimal": PRICING_DECIMAL_ORACLE,
