@@ -49,6 +49,9 @@ BNLJ_ALLOWED = {
     # 1-row stage-count crossJoins assembling the 3-row funnel report
     # edge — broadcast-scalar shape
     "funnel_conversion": "Cross",
+    # 1-row reference-date crossJoin anchoring recency — broadcast-
+    # scalar shape
+    "customer_rfm_quartiles": "Cross",
 }
 
 
