@@ -264,6 +264,14 @@ def main() -> None:
         "corpus_moore_lewis",
         "corpus_group_split",
         "multimodal_scene_cuts",
+        "hopping_event_counts",
+        "cumulative_unique_users",
+        "part_name_fuzzy_matches",
+        "dedup_keep_best_lm",
+        "graph_triangle_count",
+        "part_entity_resolution_scaled",
+        "nation_trade_matrix",
+        "customer_rfm_quartiles",
     ):
         if name not in QUERIES:
             continue

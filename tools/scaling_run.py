@@ -102,6 +102,18 @@ DEFAULT_NAMES = [
     "cohort_retention",
     "corpus_moore_lewis",
     "customer_order_histogram",
+    "part_entity_resolution_scaled",
+    "hopping_event_counts",
+    "cumulative_unique_users",
+    "part_name_fuzzy_matches",
+    "dedup_keep_best_lm",
+    "graph_triangle_count",
+    "nation_trade_matrix",
+    "customer_rfm_quartiles",
+    "weekly_rollup_ivm",
+    "event_transition_matrix",
+    "multimodal_scene_cuts",
+    "corpus_group_split",
 ]
 
 
