@@ -26,6 +26,7 @@ from firefox_public_data_report_etl_spark.plans import (
     streamingq,
     text,
     tpch,
+    tpch2,
     windowsq,
 )
 
@@ -42,6 +43,7 @@ _MODULES = [
     streamingq,
     text,
     tpch,
+    tpch2,
     windowsq,
 ]
 

@@ -52,6 +52,12 @@ BNLJ_ALLOWED = {
     # 1-row reference-date crossJoin anchoring recency — broadcast-
     # scalar shape
     "customer_rfm_quartiles": "Cross",
+    # 1-row global-total crossJoin for the Q11 fraction threshold —
+    # broadcast-scalar shape (compared by integer cross-multiply)
+    "important_parts_share": "Cross",
+    # 1-row positive-balance average crossJoin for the Q22 threshold —
+    # broadcast-scalar shape
+    "idle_customers_by_code": "Cross",
 }
 
 
