@@ -225,3 +225,52 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} rounds"
     )
+
+
+def kcore_edges(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int,
+    n_rounds: int,
+) -> DataFrame:
+    """Edges of the (approximate) k-core after ``n_rounds`` of
+    synchronous peeling: each round drops every node whose current
+    degree is below ``k``, then restricts edges to surviving
+    endpoints. With enough rounds this converges to the exact k-core
+    (peeling is monotone — once dropped, always dropped); a FIXED
+    round count keeps the plan a static join chain that a DuckDB
+    oracle can unroll as CTEs, the same determinism device as
+    ``pagerank_fixed``.
+
+    Scale: each round is one degree aggregate plus two semi joins on
+    node ids — pair-graph cardinality throughout, never all-pairs.
+    Each round references the previous edge set three times, so the
+    logical plan grows 3× per round without lineage truncation —
+    ``localCheckpoint`` per round (same device as
+    ``connected_components``) keeps it linear; on a cluster swap for a
+    reliable checkpoint dir. Rounds needed = peeling depth of the
+    graph (shallow for near-dup graphs: dropping leaf chains is the
+    common case); for unbounded corpora run more rounds or wrap in the
+    convergence-checked driver loop ``connected_components`` models.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        alive = (
+            e.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(alive, "a", "leftsemi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    return e

@@ -23,6 +23,7 @@ from firefox_public_data_report_etl_spark.operators.graph import (
     PR_DAMP_DEN,
     PR_DAMP_NUM,
     PR_SCALE,
+    kcore_edges,
     pagerank_fixed,
 )
 from firefox_public_data_report_etl_spark.operators.parallelism import (
@@ -569,8 +570,68 @@ FROM co, n
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=2) of the verified near-dup graph:
+    iteratively peel nodes with degree < k until only the dense core
+    remains. The 2-core strips leaf chains and isolated pairs — what
+    survives are the cyclic duplicate families (template spam, mirror
+    farms) worth auditing as a group rather than pair-by-pair; the
+    complement (docs that peel off) are the cheap independent drops.
+    Complements graph_triangle_count (local density) and doc_pagerank
+    (centrality) with the standard global-coreness cut.
+
+    Determinism: a FIXED 4 rounds of synchronous peeling
+    (operators.graph.kcore_edges); the oracle unrolls the identical
+    rounds as chained CTEs, so the comparison is exact even before
+    convergence — and the fixpoint test in tests/test_graph.py pins
+    that 4 rounds ARE the fixpoint on this corpus. Output is one row
+    per surviving node with its in-core degree.
+    """
+    hs = gram_hash_arrays(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    core = kcore_edges(pairs, "da", "db", k=KCORE_K, n_rounds=KCORE_ROUNDS)
+    return core.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("core_deg")
+    )
+
+
+def _kcore_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        rounds.append(
+            f"""a{i} AS (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {KCORE_K}
+),
+e{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN a{i} x ON e.a = x.a
+  JOIN a{i} y ON e.b = y.a
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({minhash}) mh),
+e0 AS (SELECT da AS a, db AS b FROM pairs
+       UNION ALL SELECT db, da FROM pairs),
+{chain}
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM e{KCORE_ROUNDS} GROUP BY a
+"""
+
+
 QUERIES = {
     "doc_pagerank": doc_pagerank,
+    "graph_kcore": graph_kcore,
     "graph_triangle_count": graph_triangle_count,
     "part_entity_resolution": part_entity_resolution,
     "part_entity_resolution_scaled": part_entity_resolution_scaled,
@@ -580,6 +641,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_pagerank": _pagerank_oracle(),
+    "graph_kcore": _kcore_oracle(),
     "graph_triangle_count": _triangle_oracle(),
     # the two ER forms are output-identical by construction, so they
     # share the oracle (same trick as dedup_prefix_filter)

@@ -829,6 +829,109 @@ FROM counts
 """
 
 
+ANOMALY_MAD_MULT = 3  # flag weeks with |count - median| > 3 * MAD
+
+
+def weekly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection over the weekly event-type
+    counts: flag weeks whose count deviates from the per-type MEDIAN
+    by more than 3× the median absolute deviation (MAD) — the
+    standard monitoring cut that, unlike mean/stddev z-scores, is not
+    dragged by the very outliers it hunts.
+
+    Exact-integer determinism trick: medians are kept doubled
+    (``med2 = low + high`` of the two middle order statistics — equal
+    to 2·median without the interpolating division), deviations as
+    ``dev2 = |2·n − med2|`` and the MAD likewise doubled again
+    (``mad4``), so the flag ``2·dev2 > 3·mad4`` is an integer
+    comparison bit-identical in both engines — no floating median
+    interpolation anywhere.
+
+    Scale: one fact-scan aggregate to the (type, week) grain, then
+    every window partitions BY event_type over that rollup —
+    (#types × #weeks) rows, time-bounded at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", week_start(F.col("ts")).alias("wk")
+    )
+    wc = ev.groupBy("event_type", "wk").agg(F.count("*").alias("n_events"))
+
+    def doubled_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        """2×median of ``val`` per event_type via order statistics:
+        rank rows, then sum the value at positions ⌊(n+1)/2⌋ and
+        ⌈(n+1)/2⌉ (the same row counted twice when n is odd)."""
+        wo = Window.partitionBy("event_type").orderBy(val, "wk")
+        wp = Window.partitionBy("event_type")
+        ranked = df.withColumn("_rn", F.row_number().over(wo)).withColumn(
+            "_cnt", F.count("*").over(wp)
+        )
+        lo = F.floor((F.col("_cnt") + 1) / 2)
+        hi = F.floor((F.col("_cnt") + 2) / 2)
+        pick = (F.col("_rn") == lo).cast("long") + (
+            F.col("_rn") == hi
+        ).cast("long")
+        med = ranked.groupBy("event_type").agg(
+            F.sum(F.col(val) * pick).alias(out)
+        )
+        return ranked.drop("_rn", "_cnt").join(F.broadcast(med), "event_type")
+
+    with_med = doubled_median(wc, "n_events", "med2")
+    with_dev = with_med.withColumn(
+        "dev2", F.abs(2 * F.col("n_events") - F.col("med2"))
+    )
+    with_mad = doubled_median(with_dev, "dev2", "mad4")
+    return with_mad.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n_events",
+        "med2",
+        "dev2",
+        "mad4",
+        (2 * F.col("dev2") > ANOMALY_MAD_MULT * F.col("mad4")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+WEEKLY_ANOMALY_ORACLE = f"""
+WITH wc AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events, wk) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM wc
+), m1 AS (
+  SELECT event_type,
+         CAST(sum(n_events * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                    + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END))
+              AS BIGINT) AS med2
+  FROM r1 GROUP BY event_type
+), dev AS (
+  SELECT wc.event_type, wc.wk, wc.n_events, m1.med2,
+         abs(2 * wc.n_events - m1.med2) AS dev2
+  FROM wc JOIN m1 USING (event_type)
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev2, wk) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+), m2 AS (
+  SELECT event_type,
+         CAST(sum(dev2 * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                    + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END))
+              AS BIGINT) AS mad4
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, strftime(d.wk, '%Y-%m-%d') AS week_start,
+       d.n_events, d.med2, d.dev2, m2.mad4,
+       2 * d.dev2 > {ANOMALY_MAD_MULT} * m2.mad4 AS is_anomaly
+FROM dev d JOIN m2 USING (event_type)
+"""
+
+
 QUERIES = {
     "user_state_scd2": user_state_scd2,
     "funnel_conversion": funnel_conversion,
@@ -841,6 +944,7 @@ QUERIES = {
     "window_frames": window_frames,
     "session_window_rollup": session_window_rollup,
     "session_incident_overlap": session_incident_overlap,
+    "weekly_event_anomalies": weekly_event_anomalies,
 }
 
 ORACLES = {
@@ -855,6 +959,7 @@ ORACLES = {
     "window_frames": WINDOW_FRAMES_ORACLE,
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
     "session_incident_overlap": SESSION_INCIDENT_ORACLE,
+    "weekly_event_anomalies": WEEKLY_ANOMALY_ORACLE,
 }
 
 # native F.session_window measured LINEAR-at-best as a batch operator

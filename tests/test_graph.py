@@ -106,3 +106,52 @@ def test_pagerank_iterations_are_deterministic(spark):
     a = {(r.node, r.rank_fp) for r in pagerank_fixed(edges).collect()}
     b = {(r.node, r.rank_fp) for r in pagerank_fixed(edges).collect()}
     assert a == b
+
+
+def _core_map(df):
+    return {r["a"]: r["n"] for r in
+            df.groupBy("a").count().withColumnRenamed("count", "n").collect()}
+
+
+def test_kcore_known_graph(spark):
+    # triangle {0,1,2} + chain 2-3-4-5 + pendant 6 off the triangle:
+    # the 2-core is exactly the triangle — the chain and pendant peel
+    # off (3 rounds needed: 5 then 4 then 3).
+    from firefox_public_data_report_etl_spark.operators.graph import kcore_edges
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (0, 6)]
+    e = spark.createDataFrame([Row(da=a, db=b) for a, b in edges])
+    out = kcore_edges(e, "da", "db", k=2, n_rounds=4)
+    assert _core_map(out) == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_registry_rounds_are_fixpoint(spark, sf_dir):
+    # the registry form runs KCORE_ROUNDS fixed rounds so the oracle
+    # can unroll them; this pins that on the real corpus those rounds
+    # ARE the fixpoint (two extra rounds change nothing).
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        minhash_lsh_pairs_arr,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import kcore_edges
+    from firefox_public_data_report_etl_spark.plans.dedup import JACCARD_THRESHOLD
+    from firefox_public_data_report_etl_spark.plans.linkage import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    pairs = minhash_lsh_pairs_arr(
+        gram_hash_arrays(load_table(spark, sf_dir, "documents"))
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pairs = pairs.persist()
+    try:
+        at = _core_map(kcore_edges(pairs, "da", "db", KCORE_K, KCORE_ROUNDS))
+        beyond = _core_map(
+            kcore_edges(pairs, "da", "db", KCORE_K, KCORE_ROUNDS + 2)
+        )
+        assert at == beyond
+    finally:
+        pairs.unpersist()
