@@ -680,3 +680,76 @@ def pq_adc_topk(
             ).alias("exact_d2"),
         )
     )
+
+
+def scatter_matrix(embq, dim: int):
+    """(i, j, s): the exact int64 Gram/scatter matrix Σ q qᵀ of a
+    quantized embedding table, computed distributedly — each Arrow
+    batch contributes one local ``Bᵀ B`` matmul (numpy int64, exact)
+    and only the d×d partials shuffle, never the vectors. The d²-row
+    result is driver-collectable by construction (d=64 → 4096 rows),
+    the same "reduce to a fixed-size sketch" shape as the k-means
+    centroid updates.
+
+    Overflow headroom: |q| ≤ 1e3 (QUANT scale) → |q_i·q_j| ≤ 1e6, so
+    int64 holds the sum for up to ~9e12 rows; past that, widen the
+    partials to per-partition decimals before the final sum.
+    """
+    import pandas as _pd
+
+    def _partials(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(
+                pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64))
+            )
+            acc += B.T @ B
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(
+                np.arange(dim, dtype=np.int32),
+                np.arange(dim, dtype=np.int32),
+                indexing="ij",
+            )
+            yield _pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
+            )
+
+    partials = embq.select("q").mapInPandas(
+        _partials, schema="i int, j int, s long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def power_iteration_fixed(
+    scatter_rows, dim: int, n_iter: int, scale: int = 1000
+) -> list[int]:
+    """Dominant eigenvector of a d×d scatter matrix in fixed-point
+    integer arithmetic: ``n_iter`` synchronous rounds of ``v ← trunc(
+    S·v · scale / max|S·v|)`` starting from the all-ones vector.
+    Driver-side pure-python ints (arbitrary precision — no overflow at
+    any corpus size); the DuckDB oracle unrolls the identical rounds
+    over HUGEINT, so the result is bit-equal by construction even
+    before convergence. The scatter matrix is PSD (a Gram matrix), so
+    power iteration converges at the λ2/λ1 rate and the all-ones start
+    is only degenerate if exactly orthogonal to the top eigenvector —
+    tests pin convergence against numpy's eigh on the test corpus.
+    """
+    S = {(r["i"], r["j"]): int(r["s"]) for r in scatter_rows}
+    v = [scale] * dim
+    for _ in range(n_iter):
+        w = [
+            sum(S.get((i, j), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero matrix — keep the start vector
+            return v
+        v = [
+            (x * scale) // m if x >= 0 else -(((-x) * scale) // m)
+            for x in w
+        ]
+    return v

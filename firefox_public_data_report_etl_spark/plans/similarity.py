@@ -1532,7 +1532,96 @@ FROM hr WHERE rank <= {RRF_FINAL_K}
 """
 
 
+PCA_ITERS = 24
+PCA_SCALE = 1000
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (uncentered, top component): project every
+    embedding onto the dominant eigenvector of the corpus scatter
+    matrix Σ q qᵀ — the standard whitening/compression/drift-analysis
+    primitive for an embedding column.
+
+    Spark-first decomposition of the classic "tall-skinny PCA":
+    (1) the d×d scatter matrix is ONE distributed pass — per-Arrow-
+    batch ``BᵀB`` matmuls, only d² partials shuffle (vectors never
+    do); (2) the eigensolve runs on the DRIVER over the d×d result
+    (4096 rows — a fixed-size sketch, like the k-means codebook
+    collects) as PCA_ITERS rounds of fixed-point integer power
+    iteration; (3) the projection is a second distributed pass with
+    the eigenvector as a 64-literal array expression. The oracle
+    unrolls the identical iteration over HUGEINT CTEs, so every stage
+    is bit-exact — the pagerank determinism device applied to linear
+    algebra. Convergence is pinned in tests/test_vectorized.py two
+    ways: exact direction (vs numpy eigh) on a planted-spectrum
+    matrix, and Rayleigh quotient ≥ 0.95·λ1 on the test corpus —
+    whose synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.98), the
+    regime where NO method can single out "the" top direction and the
+    captured-variance ratio is the honest quality metric.
+
+    Scale: pass (1) and (3) are embarrassingly parallel scans; the
+    driver step is O(d²·iters) independent of corpus size.
+    """
+    from firefox_public_data_report_etl_spark.contracts import EMBEDDING_DIM
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        power_iteration_fixed,
+        scatter_matrix,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    scatter = scatter_matrix(emb, EMBEDDING_DIM).collect()
+    v = power_iteration_fixed(
+        scatter, EMBEDDING_DIM, n_iter=PCA_ITERS, scale=PCA_SCALE
+    )
+    v_col = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("q"), v_col, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ).alias("pc1_fp"),
+    )
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    for t in range(1, PCA_ITERS + 1):
+        prev = f"v{t - 1}"
+        rounds.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT s.i, sum(s.s * v.v) AS w FROM s JOIN {prev} v ON s.j = v.i
+  GROUP BY s.i
+),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {PCA_SCALE}) // m
+                 ELSE -(((-w) * {PCA_SCALE}) // m) END AS v
+  FROM w{t}, m{t}
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS qi
+  FROM embeddings
+), s AS MATERIALIZED (
+  SELECT a.i, b.i AS j, sum(a.qi * b.qi) AS s
+  FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+), v0 AS (
+  SELECT DISTINCT i, CAST({PCA_SCALE} AS HUGEINT) AS v FROM q
+),
+{chain}
+SELECT q.vec_id, CAST(sum(q.qi * v.v) AS BIGINT) AS pc1_fp
+FROM q JOIN v{PCA_ITERS} v USING (i)
+GROUP BY q.vec_id
+"""
+
+
 QUERIES = {
+    "embedding_pca_project": embedding_pca_project,
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
     "kmeans_refine_scaled": kmeans_refine_scaled,
@@ -1562,6 +1651,7 @@ QUERIES = {
 # at oracle scales they are bit-identical to the fixed forms — while
 # being the measured scale path at the 10x/100x stacks (SCALING.md).
 ORACLES = {
+    "embedding_pca_project": _pca_oracle(),
     "label_centroids": LABEL_CENTROIDS_ORACLE,
     "kmeans_lloyd_refine": _kmeans_oracle(),
     "kmeans_refine_scaled": _kmeans_oracle(),

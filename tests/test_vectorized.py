@@ -259,3 +259,75 @@ def test_text_serving_index_with_frozen_idf(spark, sf_dir, tmp_path):
     assert oov is None or oov["norm"] == 0
     idf.unpersist()
     emb.unpersist()
+
+
+def test_pca_power_iteration_planted_direction():
+    """On a matrix WITH spectral decay the fixed-point rounds find the
+    true dominant eigenvector: plant one (lambda1 = 10x lambda2) and
+    check |cos| vs numpy eigh >= 0.999."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d = 64
+    top = rng.randn(d)
+    top /= np.linalg.norm(top)
+    noise = rng.randn(d, d)
+    S = 10_000_000 * np.outer(top, top) + (noise @ noise.T) * 100
+    Si = np.rint(S).astype(np.int64)
+    Si = (Si + Si.T) // 2  # keep exact symmetry after rounding
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        power_iteration_fixed,
+    )
+
+    rows = [
+        {"i": i, "j": j, "s": int(Si[i, j])} for i in range(d) for j in range(d)
+    ]
+    v = np.asarray(power_iteration_fixed(rows, d, 24, 1000), dtype=np.float64)
+    evecs = np.linalg.eigh(Si.astype(np.float64))[1]
+    cos = abs(v @ evecs[:, -1]) / np.linalg.norm(v)
+    assert cos >= 0.999, cos
+
+
+def test_pca_rayleigh_quotient_on_corpus(spark, sf_dir):
+    """The corpus embeddings are near-isotropic (lambda2/lambda1 ~
+    0.93 at sf0.001) — no fixed round count can single out "the" top
+    eigenvector there, so the honest convergence metric is captured
+    variance: Rayleigh(v)/lambda1 >= 0.95 (measured 0.976 at
+    PCA_ITERS=24; 8 rounds gave 0.90)."""
+    import numpy as np
+
+    from firefox_public_data_report_etl_spark.contracts import EMBEDDING_DIM
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        quantized,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        power_iteration_fixed,
+        scatter_matrix,
+    )
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        PCA_ITERS,
+        PCA_SCALE,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    rows = scatter_matrix(emb, EMBEDDING_DIM).collect()
+    v = np.asarray(
+        power_iteration_fixed(rows, EMBEDDING_DIM, PCA_ITERS, PCA_SCALE),
+        dtype=np.float64,
+    )
+    S = np.zeros((EMBEDDING_DIM, EMBEDDING_DIM))
+    for r in rows:
+        S[r["i"], r["j"]] = r["s"]
+    lam1 = np.linalg.eigvalsh(S)[-1]
+    rayleigh = (v @ S @ v) / (v @ v)
+    assert rayleigh >= 0.95 * lam1, (rayleigh, lam1)
+
+
+def test_power_iteration_zero_matrix_degenerate():
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        power_iteration_fixed,
+    )
+
+    v = power_iteration_fixed([], 4, n_iter=3, scale=10)
+    assert v == [10, 10, 10, 10]
