@@ -272,6 +272,18 @@ def main() -> None:
         "part_entity_resolution_scaled",
         "nation_trade_matrix",
         "customer_rfm_quartiles",
+        # round-8 third-session additions
+        "order_priority_counts",
+        "returned_item_top_customers",
+        "top_revenue_supplier",
+        "disjunctive_promo_revenue",
+        "important_parts_share",
+        "idle_customers_by_code",
+        "min_cost_supplier",
+        "waiting_suppliers",
+        "graph_kcore",
+        "weekly_event_anomalies",
+        "embedding_pca_project",
     ):
         if name not in QUERIES:
             continue

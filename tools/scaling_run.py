@@ -114,6 +114,14 @@ DEFAULT_NAMES = [
     "event_transition_matrix",
     "multimodal_scene_cuts",
     "corpus_group_split",
+    # round-8 third-session additions
+    "returned_item_top_customers",
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "important_parts_share",
+    "graph_kcore",
+    "weekly_event_anomalies",
+    "embedding_pca_project",
 ]
 
 
