@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from firefox_public_data_report_etl_spark.functions import week_start
+from firefox_public_data_report_etl_spark.functions import cents, week_start
 from firefox_public_data_report_etl_spark.sources import load_table
 
 SESSION_GAP_MIN = 30
@@ -829,6 +829,100 @@ FROM counts
 """
 
 
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is
+    credited to the user's MOST RECENT click/view within the 7 days
+    before it ('none' when there is no touch in the window) — revenue
+    and purchase counts rolled up per (attributed touch type, purchase
+    week).
+
+    Spark-first: the per-purchase "latest touch at-or-before" is the
+    union-window as-of strategy (operators/asof.py) inlined — touches
+    and purchases share ONE user-keyed shuffle and a single running
+    ``last(ignorenulls)`` window carries the latest touch forward onto
+    each purchase row; no self-join, no per-user arrays. Same-ts ties
+    order touch-before-purchase then by event_id, so attribution is
+    deterministic. Scale: one keyed shuffle over the type-pruned scan;
+    the window is time-ordered per user (bounded by per-user event
+    counts, the sessionization-grade assumption every query here
+    shares).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        week_start(F.col("ts")).alias("wk"),
+        "event_type",
+        F.col("value"),
+        (F.col("event_type") != "purchase").alias("is_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", F.col("is_touch").cast("int").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_type = F.when(F.col("is_touch"), F.col("event_type"))
+    touch_us = F.when(F.col("is_touch"), F.col("us"))
+    carried = base.select(
+        "*",
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("lt_us"),
+    )
+    purchases = carried.filter(~F.col("is_touch")).select(
+        F.when(
+            F.col("lt_us").isNotNull()
+            & (F.col("us") - F.col("lt_us") <= ATTR_WINDOW_US),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("attributed_type"),
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        cents(F.col("value")).alias("rev_c"),
+    )
+    return purchases.groupBy("attributed_type", "week_start").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("rev_c").alias("revenue_cents"),
+    )
+
+
+LAST_TOUCH_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(date_trunc('week', ts) AS DATE) AS wk,
+         event_type, value,
+         event_type <> 'purchase' AS is_touch
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+), carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+           OVER w AS lt_type,
+         last_value(CASE WHEN is_touch THEN us END IGNORE NULLS)
+           OVER w AS lt_us
+  FROM base
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY us, CASE WHEN is_touch THEN 1 ELSE 0 END DESC,
+                        event_id
+               ROWS UNBOUNDED PRECEDING)
+), purchases AS (
+  SELECT CASE WHEN lt_us IS NOT NULL AND us - lt_us <= {ATTR_WINDOW_US}
+              THEN lt_type ELSE 'none' END AS attributed_type,
+         strftime(wk, '%Y-%m-%d') AS week_start,
+         CAST(round(value * 100) AS BIGINT) AS rev_c
+  FROM carried WHERE NOT is_touch
+)
+SELECT attributed_type, week_start,
+       count(*) AS n_purchases,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+FROM purchases GROUP BY attributed_type, week_start
+"""
+
+
 ANOMALY_MAD_MULT = 3  # flag weeks with |count - median| > 3 * MAD
 
 
@@ -945,6 +1039,7 @@ QUERIES = {
     "session_window_rollup": session_window_rollup,
     "session_incident_overlap": session_incident_overlap,
     "weekly_event_anomalies": weekly_event_anomalies,
+    "last_touch_attribution": last_touch_attribution,
 }
 
 ORACLES = {
@@ -960,6 +1055,7 @@ ORACLES = {
     "session_window_rollup": SESSION_WINDOW_ROLLUP_ORACLE,
     "session_incident_overlap": SESSION_INCIDENT_ORACLE,
     "weekly_event_anomalies": WEEKLY_ANOMALY_ORACLE,
+    "last_touch_attribution": LAST_TOUCH_ORACLE,
 }
 
 # native F.session_window measured LINEAR-at-best as a batch operator
