@@ -284,6 +284,7 @@ def main() -> None:
         "graph_kcore",
         "weekly_event_anomalies",
         "embedding_pca_project",
+        "last_touch_attribution",
     ):
         if name not in QUERIES:
             continue

@@ -342,3 +342,37 @@ def test_native_runtime_bloom_injection_eligible(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch2_order_priority_scan_prunes_both_sides(spark, sf_dir):
+    """Q4 shape: the quarter window must reach the ORDERS parquet scan
+    and the derived shipdate lower bound the LINEITEM scan — the semi
+    join's residual is not enough at 100 TB; the reads themselves must
+    shrink."""
+    plan = _executed_plan(spark, "order_priority_counts", sf_dir)
+    pushed_blocks = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("o_orderdate" in b for b in pushed_blocks), pushed_blocks
+    assert any("l_shipdate" in b for b in pushed_blocks), pushed_blocks
+
+
+def test_tpch2_disjunctive_part_filter_pushed(spark, sf_dir):
+    """Q19 shape: the brand/size union envelope must reach the part
+    scan (it is pre-applied before the broadcast precisely because
+    Catalyst cannot derive it from the OR spanning the join)."""
+    plan = _executed_plan(spark, "disjunctive_promo_revenue", sf_dir)
+    pushed_blocks = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("p_brand" in b for b in pushed_blocks), pushed_blocks
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch2_top10_uses_take_ordered(spark, sf_dir):
+    """Q10/Q21 shapes: global top-K must be TakeOrderedAndProject, not
+    a global sort."""
+    for name in ("returned_item_top_customers", "waiting_suppliers"):
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "GlobalSort" not in plan, name

@@ -122,6 +122,7 @@ DEFAULT_NAMES = [
     "graph_kcore",
     "weekly_event_anomalies",
     "embedding_pca_project",
+    "last_touch_attribution",
 ]
 
 
