@@ -285,6 +285,8 @@ def main() -> None:
         "weekly_event_anomalies",
         "embedding_pca_project",
         "last_touch_attribution",
+        "k_anonymity_audit",
+        "multimodal_audio_vad",
     ):
         if name not in QUERIES:
             continue

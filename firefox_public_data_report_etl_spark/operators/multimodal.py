@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -767,3 +768,64 @@ def resize_bmp_stats(media: DataFrame, max_dim: int) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, RESIZED_STATS_SCHEMA)
+
+
+WAV_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("n_in_frame", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+        StructField("active", BooleanType()),
+    ]
+)
+
+# voice-activity cut: a frame is active when its MEAN-SQUARE energy
+# meets this floor (≈ the uniform-int16 mean square 65536²/12, so the
+# synthetic clips split near 50/50 and both branches are exercised).
+# Compared by integer cross-multiply: energy ≥ floor · n_in_frame.
+VAD_MS_FLOOR = 358_000_000
+
+
+def decode_wav_frames(media: DataFrame, frame_len: int) -> DataFrame:
+    """Decode → FRAME, the windowing stage after decode in every audio
+    pipeline (feature extraction, VAD, diarization all consume fixed
+    frames): parse each WAV payload, split samples into non-
+    overlapping ``frame_len``-sample frames (last frame ragged), and
+    emit per-frame exact integer features — energy (Σ s²), peak |s|,
+    and the VAD flag ``energy ≥ VAD_MS_FLOOR · n_in_frame``.
+
+    Scale: decode and framing fuse into one narrow Arrow stage —
+    samples never shuffle, only the per-frame feature rows (clip_len /
+    frame_len per clip) leave Python.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                _, s = decode_wav16(bytes(payload))
+                s64 = s.astype(np.int64)
+                for fno in range(0, len(s64), frame_len):
+                    fr = s64[fno : fno + frame_len]
+                    energy = int((fr * fr).sum())
+                    rows.append(
+                        (
+                            int(mid),
+                            fno // frame_len,
+                            len(fr),
+                            energy,
+                            int(np.abs(fr).max()),
+                            energy >= VAD_MS_FLOOR * len(fr),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_FRAME_SCHEMA])
+
+    return media.mapInPandas(_frames, WAV_FRAME_SCHEMA)

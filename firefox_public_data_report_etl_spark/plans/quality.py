@@ -408,11 +408,76 @@ FROM events GROUP BY event_type
 """
 
 
+KANON_K = 5  # a QI group smaller than this re-identifies its members
+LDIV_L = 3  # and needs at least this many distinct sensitive values
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity + l-diversity
+    over the customer table — the companion to pii_redaction (which
+    scrubs direct identifiers; THIS measures whether the remaining
+    quasi-identifiers still single people out).
+
+    Quasi-identifier tuple: (nation, market segment, balance rounded
+    to the nearest 1000). Sensitive attribute: the exact balance.
+    One row per QI group with its size, its distinct-sensitive count,
+    and the two pass/fail booleans; release tooling suppresses or
+    generalizes the failing groups.
+
+    Scale: ONE groupBy on the QI tuple computes both measures
+    (count + count_distinct fuse into the same aggregate); output is
+    QI-domain-sized, not data-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("bal_band"),
+        (
+            F.signum(F.col("c_acctbal"))
+            * F.floor(F.abs(F.col("c_acctbal")) * 100 + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("bal_c"),
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("group_n"),
+        F.count_distinct("bal_c").alias("n_sensitive"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "group_n",
+        "n_sensitive",
+        (F.col("group_n") >= KANON_K).alias("k_anonymous"),
+        (F.col("n_sensitive") >= LDIV_L).alias("l_diverse"),
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       count(*) AS group_n,
+       count(DISTINCT bal_c) AS n_sensitive,
+       count(*) >= {KANON_K} AS k_anonymous,
+       count(DISTINCT bal_c) >= {LDIV_L} AS l_diverse
+FROM cust GROUP BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "key_skew_audit_events": key_skew_audit_events,
     "adaptive_salted_distinct": adaptive_salted_distinct,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 ORACLES = {
@@ -420,4 +485,5 @@ ORACLES = {
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
     "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
     "adaptive_salted_distinct": ADAPTIVE_SALTED_ORACLE,
+    "k_anonymity_audit": K_ANONYMITY_ORACLE,
 }

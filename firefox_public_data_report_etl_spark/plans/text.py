@@ -628,6 +628,57 @@ FROM s GROUP BY media_id, n, rate
 """
 
 
+VAD_FRAME_LEN = 32  # samples per analysis frame
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → frame → gate, the windowing stage after the WAV decode
+    (multimodal_wav_decode covers parse-and-summarize; THIS covers the
+    per-frame feature extraction every audio pipeline runs next —
+    VAD, diarization, and spectral features all consume fixed frames).
+    Each clip splits into non-overlapping 32-sample frames with exact
+    integer energy/peak and the mean-square activity flag
+    (operators/multimodal.py:decode_wav_frames, VAD_MS_FLOOR). The
+    oracle recomputes every frame straight from the logical sample
+    rule — the decoded bytes and the SQL never meet, so a framing or
+    signedness bug hash-mismatches. Scale: samples never shuffle;
+    only clip_len/32 feature rows leave the fused Arrow stage."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_frames,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_wav_frames(attach_wav_payload(docs), VAD_FRAME_LEN)
+
+
+def _audio_vad_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        VAD_MS_FLOOR,
+    )
+
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, 50 + doc_id % 101 AS n
+           FROM documents),
+k AS (SELECT media_id, unnest(range(n)) AS k FROM m),
+s AS (SELECT media_id, CAST(k // {VAD_FRAME_LEN} AS INT) AS frame_no,
+             ((media_id * 31 + k * 17) % 65536) - 32768 AS s
+      FROM k)
+SELECT media_id, frame_no,
+       CAST(count(*) AS INT) AS n_in_frame,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(s * s) AS BIGINT)
+         >= {VAD_MS_FLOOR} * count(*) AS active
+FROM s GROUP BY media_id, frame_no
+"""
+
+
 # Mixing quotas: the target per-language doc counts of the training
 # mixture (a Pile/LLaMA-style source-weighting table). zh is
 # deliberately absent: sources without a quota contribute nothing.
@@ -3377,6 +3428,7 @@ QUERIES = {
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -3427,6 +3479,7 @@ ORACLES = {
     "multimodal_scene_cuts": _scene_cuts_oracle(),
     "multimodal_ppm_decode": _ppm_decode_oracle(),
     "multimodal_wav_decode": _wav_decode_oracle(),
+    "multimodal_audio_vad": _audio_vad_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,

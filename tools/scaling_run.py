@@ -123,6 +123,8 @@ DEFAULT_NAMES = [
     "weekly_event_anomalies",
     "embedding_pca_project",
     "last_touch_attribution",
+    "k_anonymity_audit",
+    "multimodal_audio_vad",
 ]
 
 
