@@ -287,6 +287,7 @@ def main() -> None:
         "last_touch_attribution",
         "k_anonymity_audit",
         "multimodal_audio_vad",
+        "ab_experiment_readout",
     ):
         if name not in QUERIES:
             continue

@@ -829,6 +829,104 @@ FROM counts
 """
 
 
+AB_SALT = "ab1:"  # experiment id baked into the assignment hash
+AB_SPLIT_DATE = "2024-01-15"  # pre-period before, experiment after
+
+
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED sufficient statistics: users
+    hash-assigned to control/treatment (pure function of user id +
+    experiment salt — stable across runs, clusters, and engines, the
+    same portable-md5 device as hash_split), metric = per-user
+    purchase revenue in the experiment period, covariate = pre-period
+    click count. Emits per-arm exact integer moments — n, Σy, Σy²,
+    Σx, Σx², Σxy — everything a CUPED-adjusted difference test needs
+    (θ = cov/var, Welch t), leaving only the final scalar float math
+    to the consumer; mean_y is the one FP column (single division over
+    identical integers, IEEE-deterministic).
+
+    Scale: ONE shuffle — the per-user conditional aggregate computes
+    metric and covariate in the same pass (the user universe is every
+    user seen in events, so zero-purchase users count in the
+    denominator); the arm rollup is 2 rows.
+    """
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit(AB_SPLIT_DATE)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= split),
+                cents(F.col("value")),
+            ).otherwise(F.lit(0))
+        ).alias("y_c"),
+        F.count(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") < split), True
+            )
+        ).alias("x"),
+    )
+    arm = F.when(
+        F.expr(
+            md5_int_spark_sql(f"concat('{AB_SALT}', cast(user_id as string))")
+        )
+        % 2
+        == 1,
+        "treatment",
+    ).otherwise("control")
+    return (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("y_c").alias("sum_y_c"),
+            F.sum(F.col("y_c") * F.col("y_c")).alias("sumsq_y_c"),
+            F.sum("x").alias("sum_x"),
+            F.sum(F.col("x") * F.col("x")).alias("sumsq_x"),
+            F.sum(F.col("x") * F.col("y_c")).alias("sum_xy_c"),
+        )
+        .select(
+            "*",
+            (F.col("sum_y_c").cast("double") / 100 / F.col("n_users")).alias(
+                "mean_y"
+            ),
+        )
+    )
+
+
+def _ab_readout_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    h = md5_int_sql(f"concat('{AB_SALT}', cast(user_id as string))")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '{AB_SPLIT_DATE}'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y_c,
+         count(CASE WHEN event_type = 'click'
+                     AND ts < TIMESTAMP '{AB_SPLIT_DATE}'
+                    THEN 1 END) AS x
+  FROM events GROUP BY user_id
+)
+SELECT CASE WHEN {h} % 2 = 1 THEN 'treatment' ELSE 'control' END AS arm,
+       count(*) AS n_users,
+       CAST(sum(y_c) AS BIGINT) AS sum_y_c,
+       CAST(sum(y_c * y_c) AS BIGINT) AS sumsq_y_c,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sumsq_x,
+       CAST(sum(x * y_c) AS BIGINT) AS sum_xy_c,
+       CAST(sum(y_c) AS DOUBLE) / 100 / count(*) AS mean_y
+FROM per_user GROUP BY 1
+"""
+
+
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 
@@ -1040,6 +1138,7 @@ QUERIES = {
     "session_incident_overlap": session_incident_overlap,
     "weekly_event_anomalies": weekly_event_anomalies,
     "last_touch_attribution": last_touch_attribution,
+    "ab_experiment_readout": ab_experiment_readout,
 }
 
 ORACLES = {
@@ -1056,6 +1155,7 @@ ORACLES = {
     "session_incident_overlap": SESSION_INCIDENT_ORACLE,
     "weekly_event_anomalies": WEEKLY_ANOMALY_ORACLE,
     "last_touch_attribution": LAST_TOUCH_ORACLE,
+    "ab_experiment_readout": _ab_readout_oracle(),
 }
 
 # native F.session_window measured LINEAR-at-best as a batch operator

@@ -125,6 +125,7 @@ DEFAULT_NAMES = [
     "last_touch_attribution",
     "k_anonymity_audit",
     "multimodal_audio_vad",
+    "ab_experiment_readout",
 ]
 
 
