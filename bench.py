@@ -288,6 +288,8 @@ def main() -> None:
         "k_anonymity_audit",
         "multimodal_audio_vad",
         "ab_experiment_readout",
+        "events_pit_enrich",
+        "embedding_outlier_knn",
     ):
         if name not in QUERIES:
             continue

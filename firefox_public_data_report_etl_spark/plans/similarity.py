@@ -1620,8 +1620,82 @@ GROUP BY q.vec_id
 """
 
 
+OUTLIER_KNN_K = 3
+OUTLIER_TOP_N = 20
+
+
+def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier detection: score every embedding by its
+    distance to its K-th nearest neighbor (K=3) and report the TOP_N
+    most isolated points — the standard curation cut for mislabeled /
+    out-of-distribution / corrupted embeddings (an inlier sits in a
+    dense neighborhood; a high 3-NN distance means nothing else is
+    near). Exact integer squared-L2 over the quantized vectors, ties
+    on neighbor id, top-N via TakeOrderedAndProject with id tiebreak.
+
+    SCALE_CLASS=baseline: the all-pairs scan is the exact ground
+    truth; the production path approximates the K-th-neighbor
+    distance inside IVF cells (`ann_ivf_multiprobe` machinery) the
+    same way the dedup baselines band out.
+    """
+    q = quantized(load_table(spark, sf_dir, "embeddings"))
+    a = q.select(
+        F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("na") + F.col("nb") - 2 * dot).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy("d2", "b_id")
+    kth = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == OUTLIER_KNN_K)
+        .select(F.col("a_id").alias("vec_id"), F.col("d2").alias("knn_d2"))
+    )
+    return kth.orderBy(F.col("knn_d2").desc(), F.col("vec_id")).limit(
+        OUTLIER_TOP_N
+    )
+
+
+EMBEDDING_OUTLIER_ORACLE = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS qi
+  FROM embeddings
+), d AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(sum((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), r AS (
+  SELECT a_id, d2,
+         row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+  FROM d
+)
+SELECT a_id AS vec_id, d2 AS knn_d2
+FROM r WHERE rn = {OUTLIER_KNN_K}
+ORDER BY d2 DESC, a_id LIMIT {OUTLIER_TOP_N}
+"""
+
+
 QUERIES = {
     "embedding_pca_project": embedding_pca_project,
+    "embedding_outlier_knn": embedding_outlier_knn,
     "label_centroids": label_centroids,
     "kmeans_lloyd_refine": kmeans_lloyd_refine,
     "kmeans_refine_scaled": kmeans_refine_scaled,
@@ -1652,6 +1726,7 @@ QUERIES = {
 # being the measured scale path at the 10x/100x stacks (SCALING.md).
 ORACLES = {
     "embedding_pca_project": _pca_oracle(),
+    "embedding_outlier_knn": EMBEDDING_OUTLIER_ORACLE,
     "label_centroids": LABEL_CENTROIDS_ORACLE,
     "kmeans_lloyd_refine": _kmeans_oracle(),
     "kmeans_refine_scaled": _kmeans_oracle(),
@@ -1683,6 +1758,7 @@ ORACLES = {
 # The sqrt-N twins are the scale paths.
 SCALE_CLASS = {
     "embedding_cosine_topk": "baseline",
+    "embedding_outlier_knn": "baseline",
     "contrastive_hard_negatives": "baseline",
     "ann_ivf": "fixed_param",
     "ann_ivf_pq": "fixed_param",
@@ -1701,6 +1777,7 @@ SCALE_CLASS = {
 # nprobe-cost-floor twin.
 SCALE_PATH_FOR = {
     "embedding_cosine_topk": "ann_ivf_multiprobe",
+    "embedding_outlier_knn": "ann_ivf_multiprobe",
     "contrastive_hard_negatives": "ann_ivf_multiprobe",
     "ann_ivf": "ann_ivf_multiprobe",
     "ann_ivf_pq": "ann_ivf_multiprobe",

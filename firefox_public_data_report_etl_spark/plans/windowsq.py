@@ -354,6 +354,13 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
+    return _scd2_runs(ev)
+
+
+def _scd2_runs(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands SCD2 rebuild over (user_id, us, event_id,
+    event_type) — shared by the full-history query above and the
+    point-in-time enrichment's state dimension."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     prev = F.lag("event_type").over(w)
     marked = ev.withColumn(
@@ -927,6 +934,122 @@ FROM per_user GROUP BY 1
 """
 
 
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join (the feature-store
+    primitive): enrich each purchase with the SCD2 state that was
+    VALID AT ITS EVENT TIME — never the current state (that leaks the
+    future into training features). The dimension is the gaps-and-
+    islands history over the state-setting events (everything but
+    purchases, `_scd2_runs`); a purchase matches the run whose
+    [valid_from, valid_to) tile contains it, the open current run
+    extends forward, and purchases before the user's first observed
+    state land in 'unknown' via the left join.
+
+    Exactly-one-or-zero match by construction: runs tile each user's
+    timeline half-open and disjoint, so the join cannot fan out.
+    Scale: the dimension build is one user-keyed shuffle (shared
+    windows), the PIT join is an equi join on user_id with the
+    interval residual — per-user fanout bounded by runs × purchases
+    per user, the same per-user-cardinality assumption as every
+    sessionization here. Output: purchases per (state-at-purchase,
+    week) with exact cents.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        week_start(F.col("ts")).alias("wk"),
+        "value",
+    )
+    dim = _scd2_runs(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "us", "event_id", "event_type"
+        )
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "wk", cents(F.col("value")).alias("rev_c")
+    )
+    j = probes.join(
+        dim,
+        (probes.user_id == dim.d_user)
+        & (dim.valid_from_us <= probes.us)
+        & ((probes.us < dim.valid_to_us) | dim.is_current),
+        "left",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("state"), F.lit("unknown")).alias("state"),
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            "rev_c",
+        )
+        .groupBy("state", "week_start")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+    )
+
+
+EVENTS_PIT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS wk, value
+  FROM events
+),
+sev AS (SELECT user_id, us, event_id, event_type FROM ev
+        WHERE event_type <> 'purchase'),
+marked AS (
+  SELECT user_id, us, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM sev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs_src AS (
+  SELECT user_id, us, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(us) AS valid_from_us, max(us) AS last_us
+  FROM runs_src GROUP BY user_id, run_id
+),
+dim AS (
+  SELECT user_id AS d_user, state, valid_from_us,
+         coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                            ORDER BY run_id),
+                  last_us) AS valid_to_us,
+         lead(valid_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY run_id) IS NULL AS is_current
+  FROM runs
+),
+probes AS (
+  SELECT user_id, us, wk,
+         CAST(round(value * 100) AS BIGINT) AS rev_c
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT coalesce(d.state, 'unknown') AS state,
+       strftime(p.wk, '%Y-%m-%d') AS week_start,
+       count(*) AS n_purchases,
+       CAST(sum(p.rev_c) AS BIGINT) AS revenue_cents
+FROM probes p
+LEFT JOIN dim d
+  ON p.user_id = d.d_user AND d.valid_from_us <= p.us
+ AND (p.us < d.valid_to_us OR d.is_current)
+GROUP BY 1, 2
+"""
+
+
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 
@@ -1139,6 +1262,7 @@ QUERIES = {
     "weekly_event_anomalies": weekly_event_anomalies,
     "last_touch_attribution": last_touch_attribution,
     "ab_experiment_readout": ab_experiment_readout,
+    "events_pit_enrich": events_pit_enrich,
 }
 
 ORACLES = {
@@ -1156,6 +1280,7 @@ ORACLES = {
     "weekly_event_anomalies": WEEKLY_ANOMALY_ORACLE,
     "last_touch_attribution": LAST_TOUCH_ORACLE,
     "ab_experiment_readout": _ab_readout_oracle(),
+    "events_pit_enrich": EVENTS_PIT_ORACLE,
 }
 
 # native F.session_window measured LINEAR-at-best as a batch operator

@@ -126,6 +126,7 @@ DEFAULT_NAMES = [
     "k_anonymity_audit",
     "multimodal_audio_vad",
     "ab_experiment_readout",
+    "events_pit_enrich",
 ]
 
 
