@@ -24,9 +24,6 @@ BNLJ_ALLOWED = {
     "user_activity_flagship": "LeftOuter",  # as-of latest-release (tiny right)
     "release_annotations": "LeftOuter",     # spine x weekly-max range join
     "embedding_cosine_topk": "Inner",       # brute-force baseline: q x cands
-    # brute-force all-pairs kNN-distance baseline (SCALE_CLASS=
-    # baseline): same broadcast theta-join shape as cosine_topk
-    "embedding_outlier_knn": "Inner",
     "dedup_embedding_cosine": "Inner",      # brute-force pair verify
     # brute-force band-scan baseline (SCALE_CLASS=baseline): shares
     # cosine_topk's broadcast theta-join shape
