@@ -290,6 +290,9 @@ def main() -> None:
         "ab_experiment_readout",
         "events_pit_enrich",
         "embedding_outlier_knn",
+        "discounted_revenue",
+        "part_token_profit",
+        "dominant_part_suppliers",
     ):
         if name not in QUERIES:
             continue

@@ -542,6 +542,173 @@ LIMIT 10
 """
 
 
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-pushdown benchmark — potential
+    revenue gain from discounted small-quantity lines in one year,
+    zero joins, one global aggregate.
+
+    Scale: everything is the scan. The year range reaches the parquet
+    reader via the raw-column prune; discount and quantity filters run
+    in the scan's Filter; the aggregate is a map-side partial with a
+    1-row shuffle. revenue = Σ price_c · disc_p exact (4-decimal).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", prune=("l_shipdate", "1996-01-01", "1997-01-01")
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    disc_p = cents(F.col("l_discount"))
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    picked = li.filter(disc_p.between(5, 7) & (qty < 24)).select(
+        (cents(F.col("l_extendedprice")) * disc_p).alias("rev_c4")
+    )
+    return picked.agg(
+        F.count("*").alias("n_lines"), F.sum("rev_c4").alias("revenue_c4")
+    )
+
+
+DISCOUNTED_REVENUE_ORACLE = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
+"""
+
+
+Q9_TOKEN = "red"
+
+
+def part_token_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue by (supplier nation, order year) for
+    parts whose name contains a token — the classic LIKE-filtered
+    dim driving a multi-way fact join with a two-key rollup (adapted:
+    no partsupp table, so the measure is discounted revenue rather
+    than revenue minus supply cost).
+
+    Scale: the token filter prunes part BEFORE its broadcast into the
+    fact scan; supplier/nation broadcast; orders joins on the orderkey
+    shuffle only to supply the year. One fact shuffle, (nation × year)
+    output.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_TOKEN}%"))
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _rev_c4(cents(F.col("l_extendedprice")), cents(F.col("l_discount"))).alias(
+            "rev_c4"
+        ),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        F.count("*").alias("n_lines"), F.sum("rev_c4").alias("revenue_c4")
+    )
+
+
+PART_TOKEN_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{Q9_TOKEN}%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+DOMINANT_NUM = 15  # supplier dominates a part at > 15% of its volume
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted: suppliers who shipped MORE THAN 15% of
+    a part's total volume (the original asks who stocks >50% of a
+    year's demand from partsupp; with lineitem as the supply relation
+    the per-group fraction threshold is the same plan shape) — a
+    PER-GROUP fraction cut, distinct from important_parts_share's
+    GLOBAL-total threshold.
+
+    Scale: two rollups share the ``l_partkey`` shuffle key — per
+    (part, supplier) volume, then per part — joined back on partkey
+    with the exact integer cross-multiply ``100·vol > 15·total``.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("vol")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("vol").alias("total_vol")
+    ).withColumnRenamed("l_partkey", "_pk")
+    dominant = per_ps.join(
+        per_part, per_ps.l_partkey == F.col("_pk")
+    ).filter(F.col("vol") * 100 > F.col("total_vol") * DOMINANT_NUM)
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        dominant.join(
+            F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_parts_dominated"),
+            F.sum("vol").alias("dominated_volume"),
+        )
+    )
+
+
+DOMINANT_SUPPLIERS_ORACLE = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS vol
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, CAST(sum(vol) AS BIGINT) AS total_vol
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+       count(*) AS n_parts_dominated,
+       CAST(sum(p.vol) AS BIGINT) AS dominated_volume
+FROM per_ps p
+JOIN per_part t ON p.l_partkey = t.l_partkey
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.vol * 100 > t.total_vol * {DOMINANT_NUM}
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
 QUERIES = {
     "order_priority_counts": order_priority_counts,
     "returned_item_top_customers": returned_item_top_customers,
@@ -551,6 +718,9 @@ QUERIES = {
     "idle_customers_by_code": idle_customers_by_code,
     "min_cost_supplier": min_cost_supplier,
     "waiting_suppliers": waiting_suppliers,
+    "discounted_revenue": discounted_revenue,
+    "part_token_profit": part_token_profit,
+    "dominant_part_suppliers": dominant_part_suppliers,
 }
 
 ORACLES = {
@@ -562,4 +732,8 @@ ORACLES = {
     "idle_customers_by_code": IDLE_CUSTOMERS_ORACLE,
     "min_cost_supplier": MIN_COST_SUPPLIER_ORACLE,
     "waiting_suppliers": WAITING_SUPPLIERS_ORACLE,
+    "discounted_revenue": DISCOUNTED_REVENUE_ORACLE,
+    "part_token_profit": PART_TOKEN_PROFIT_ORACLE,
+    "dominant_part_suppliers": DOMINANT_SUPPLIERS_ORACLE,
 }
+

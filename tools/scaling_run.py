@@ -127,6 +127,9 @@ DEFAULT_NAMES = [
     "multimodal_audio_vad",
     "ab_experiment_readout",
     "events_pit_enrich",
+    "discounted_revenue",
+    "part_token_profit",
+    "dominant_part_suppliers",
 ]
 
 
