@@ -293,6 +293,7 @@ def main() -> None:
         "discounted_revenue",
         "part_token_profit",
         "dominant_part_suppliers",
+        "graph_lpa_communities",
     ):
         if name not in QUERIES:
             continue

@@ -274,3 +274,52 @@ def kcore_edges(
             .localCheckpoint(eager=False)
         )
     return e
+
+
+def label_propagation_fixed(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    n_rounds: int,
+) -> DataFrame:
+    """(node, label) after ``n_rounds`` of synchronous label
+    propagation: every node starts as its own label; each round it
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label — fully deterministic (no RNG, no visit order),
+    so a DuckDB oracle can unroll the identical rounds as CTEs.
+    Detects communities FINER than connected components: a bridge edge
+    between two dense near-dup families keeps them one component but
+    LPA labels them separately, which is what dedup review queues
+    want.
+
+    Scale: each round is one edge⋈label join, one (node, label)
+    count, and one argmax — all keyed shuffles at pair-graph
+    cardinality; localCheckpoint per round truncates the growing
+    lineage exactly as ``kcore_edges`` does.
+    """
+    from pyspark.sql import Window
+
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(n_rounds):
+        freqs = (
+            e.join(labels, e.b == labels.node)
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            freqs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -24,6 +24,7 @@ from firefox_public_data_report_etl_spark.operators.graph import (
     PR_DAMP_NUM,
     PR_SCALE,
     kcore_edges,
+    label_propagation_fixed,
     pagerank_fixed,
 )
 from firefox_public_data_report_etl_spark.operators.parallelism import (
@@ -570,6 +571,60 @@ FROM co, n
 """
 
 
+LPA_ROUNDS = 4
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup graph — the
+    graph suite's community detector (CC gives reachability, k-core
+    density, PageRank centrality, triangles local cliquishness; LPA
+    splits a component whose dense families touch through one bridge
+    edge, which is what a dedup review queue actually wants grouped).
+    Synchronous most-frequent-neighbor-label rounds with smallest-
+    label tiebreak — fully deterministic, and a FIXED 4 rounds so the
+    oracle unrolls the identical CTEs (the kcore/pagerank device).
+    Output: one row per node with its community label.
+    """
+    hs = gram_hash_arrays(
+        widen_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    out = label_propagation_fixed(pairs, "da", "db", n_rounds=LPA_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+
+
+def _lpa_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    rounds = []
+    for t in range(1, LPA_ROUNDS + 1):
+        prev = f"l{t - 1}"
+        rounds.append(
+            f"""f{t} AS (
+  SELECT e.a AS node, l.label, count(*) AS cnt
+  FROM e0 e JOIN {prev} l ON e.b = l.node GROUP BY e.a, l.label
+),
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM f{t}
+  ) WHERE rn = 1
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({minhash}) mh),
+e0 AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
+       UNION ALL SELECT db, da FROM pairs),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM e0),
+{chain}
+SELECT node AS doc_id, label AS community FROM l{LPA_ROUNDS}
+"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 4
 
@@ -632,6 +687,7 @@ FROM e{KCORE_ROUNDS} GROUP BY a
 QUERIES = {
     "doc_pagerank": doc_pagerank,
     "graph_kcore": graph_kcore,
+    "graph_lpa_communities": graph_lpa_communities,
     "graph_triangle_count": graph_triangle_count,
     "part_entity_resolution": part_entity_resolution,
     "part_entity_resolution_scaled": part_entity_resolution_scaled,
@@ -642,6 +698,7 @@ QUERIES = {
 ORACLES = {
     "doc_pagerank": _pagerank_oracle(),
     "graph_kcore": _kcore_oracle(),
+    "graph_lpa_communities": _lpa_oracle(),
     "graph_triangle_count": _triangle_oracle(),
     # the two ER forms are output-identical by construction, so they
     # share the oracle (same trick as dedup_prefix_filter)

@@ -155,3 +155,21 @@ def test_kcore_registry_rounds_are_fixpoint(spark, sf_dir):
         assert at == beyond
     finally:
         pairs.unpersist()
+
+
+def test_lpa_splits_bridged_triangles(spark):
+    # two triangles joined by ONE bridge edge (2-3): connected
+    # components would merge them; LPA separates them — the dense
+    # sides out-vote the bridge. Expected labels hand-simulated for
+    # the deterministic most-frequent/min-tiebreak rule at 4 rounds.
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame([Row(da=a, db=b) for a, b in edges])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation_fixed(e, "da", "db", n_rounds=4).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}

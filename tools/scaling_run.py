@@ -130,6 +130,7 @@ DEFAULT_NAMES = [
     "discounted_revenue",
     "part_token_profit",
     "dominant_part_suppliers",
+    "graph_lpa_communities",
 ]
 
 
