@@ -667,7 +667,7 @@ def _kcore_oracle() -> str:
             f"""a{i} AS (
   SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {KCORE_K}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT e.a, e.b FROM {prev} e
   JOIN a{i} x ON e.a = x.a
   JOIN a{i} y ON e.b = y.a
@@ -676,7 +676,7 @@ e{i} AS (
     chain = ",\n".join(rounds)
     return f"""
 WITH pairs AS (SELECT da, db FROM ({minhash}) mh),
-e0 AS (SELECT da AS a, db AS b FROM pairs
+e0 AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
        UNION ALL SELECT db, da FROM pairs),
 {chain}
 SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg

@@ -24,6 +24,7 @@ from firefox_public_data_report_etl_spark.contracts import (
     EMBEDDING_DIM,
     EVENT_TYPES,
 )
+from firefox_public_data_report_etl_spark.functions import cents
 from firefox_public_data_report_etl_spark.sources import load_table
 
 
@@ -434,12 +435,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000)
         .cast("long")
         .alias("bal_band"),
-        (
-            F.signum(F.col("c_acctbal"))
-            * F.floor(F.abs(F.col("c_acctbal")) * 100 + F.lit(0.5))
-        )
-        .cast("long")
-        .alias("bal_c"),
+        cents(F.col("c_acctbal")).alias("bal_c"),
     )
     g = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
         F.count("*").alias("group_n"),

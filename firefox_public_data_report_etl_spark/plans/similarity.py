@@ -1561,6 +1561,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pass (1) and (3) are embarrassingly parallel scans; the
     driver step is O(d²·iters) independent of corpus size.
+
+    Degenerate-input caveat: on an all-zero scatter matrix the driver
+    iteration returns the start vector (m == 0 guard in
+    power_iteration_fixed) while the oracle's ``// m`` would divide by
+    zero — the bit-equality contract assumes at least one nonzero
+    embedding, which every testdata SF satisfies.
     """
     from firefox_public_data_report_etl_spark.contracts import EMBEDDING_DIM
     from firefox_public_data_report_etl_spark.operators.vectorized import (

@@ -1006,7 +1006,7 @@ WITH ev AS (
 sev AS (SELECT user_id, us, event_id, event_type FROM ev
         WHERE event_type <> 'purchase'),
 marked AS (
-  SELECT user_id, us, event_type,
+  SELECT user_id, us, event_id, event_type,
          CASE WHEN lag(event_type) OVER w IS NULL
                 OR lag(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
@@ -1015,7 +1015,7 @@ marked AS (
 ),
 runs_src AS (
   SELECT user_id, us, event_type,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY us
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
                         ROWS UNBOUNDED PRECEDING) AS run_id
   FROM marked
 ),
