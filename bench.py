@@ -294,6 +294,8 @@ def main() -> None:
         "part_token_profit",
         "dominant_part_suppliers",
         "graph_lpa_communities",
+        "first_touch_attribution",
+        "user_trailing_hour_stats",
     ):
         if name not in QUERIES:
             continue

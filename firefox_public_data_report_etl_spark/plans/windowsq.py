@@ -836,6 +836,136 @@ FROM counts
 """
 
 
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution, the companion policy to
+    ``last_touch_attribution``: each purchase credits the EARLIEST
+    click/view within the 7 days before it. The earliest-touch argmin
+    rides a time-valued RANGE frame as a single integer MIN — each
+    touch packs to ``us·8 + type_code`` (click=0 < view=1, so a
+    same-microsecond tie deterministically prefers the click), the
+    frame minimum is decoded back to (us, type), and the window check
+    is already the frame bound. One user-keyed shuffle, no self-join,
+    no struct ordering (DuckDB and Spark need not agree on struct
+    comparison semantics — packed integers compare identically
+    everywhere).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        week_start(F.col("ts")).alias("wk"),
+        "event_type",
+        F.col("value"),
+    )
+    type_code = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    packed = F.when(
+        F.col("event_type") != "purchase",
+        F.col("us") * 8 + type_code,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_WINDOW_US, 0)
+    )
+    carried = base.select(
+        "*", F.min(packed).over(w).alias("first_packed")
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("first_packed").isNull(), F.lit("none"))
+        .when(F.col("first_packed") % 8 == 0, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("attributed_type"),
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        cents(F.col("value")).alias("rev_c"),
+    )
+    return purchases.groupBy("attributed_type", "week_start").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("rev_c").alias("revenue_cents"),
+    )
+
+
+_ATTR_WIN_US = 7 * 24 * 3600 * 1_000_000  # = ATTR_WINDOW_US (defined below)
+
+FIRST_TOUCH_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(date_trunc('week', ts) AS DATE) AS wk,
+         event_type, value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+), carried AS (
+  SELECT *,
+         min(CASE WHEN event_type <> 'purchase'
+                  THEN us * 8 + (CASE WHEN event_type = 'click'
+                                      THEN 0 ELSE 1 END) END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_ATTR_WIN_US} PRECEDING AND CURRENT ROW)
+           AS first_packed
+  FROM base
+), purchases AS (
+  SELECT CASE WHEN first_packed IS NULL THEN 'none'
+              WHEN first_packed % 8 = 0 THEN 'click'
+              ELSE 'view' END AS attributed_type,
+         strftime(wk, '%Y-%m-%d') AS week_start,
+         CAST(round(value * 100) AS BIGINT) AS rev_c
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT attributed_type, week_start,
+       count(*) AS n_purchases,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+FROM purchases GROUP BY attributed_type, week_start
+"""
+
+
+TRAIL_HOUR_US = 3_600_000_000  # 1-hour trailing window in micros
+
+
+def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-valued RANGE frame over the raw event stream: for every
+    event, how many events (and how much exact-cents value) the same
+    user produced in the trailing hour INCLUDING this one — the
+    rate-limit / burst-detection primitive. Distinct from
+    window_frames' day-number RANGE (an integer spine at report
+    grain): this frame ranges over epoch-micros on the full fact
+    table, the shape where RANGE vs ROWS actually matters (events are
+    irregular, so a row-count frame would be wrong).
+
+    Scale: one user-keyed window shuffle; frame state is time-bounded
+    (an hour of per-user events), the same boundedness argument as
+    the watermarked streaming twin of this query shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        cents(F.col("value")).alias("val_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-TRAIL_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.sum("val_c").over(w).alias("cents_trailing_hour"),
+    )
+
+
+USER_TRAILING_HOUR_ORACLE = f"""
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       count(*) OVER w AS n_trailing_hour,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {TRAIL_HOUR_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 AB_SALT = "ab1:"  # experiment id baked into the assignment hash
 AB_SPLIT_DATE = "2024-01-15"  # pre-period before, experiment after
 
@@ -1263,6 +1393,8 @@ QUERIES = {
     "last_touch_attribution": last_touch_attribution,
     "ab_experiment_readout": ab_experiment_readout,
     "events_pit_enrich": events_pit_enrich,
+    "first_touch_attribution": first_touch_attribution,
+    "user_trailing_hour_stats": user_trailing_hour_stats,
 }
 
 ORACLES = {
@@ -1281,6 +1413,8 @@ ORACLES = {
     "last_touch_attribution": LAST_TOUCH_ORACLE,
     "ab_experiment_readout": _ab_readout_oracle(),
     "events_pit_enrich": EVENTS_PIT_ORACLE,
+    "first_touch_attribution": FIRST_TOUCH_ORACLE,
+    "user_trailing_hour_stats": USER_TRAILING_HOUR_ORACLE,
 }
 
 # native F.session_window measured LINEAR-at-best as a batch operator

@@ -131,6 +131,8 @@ DEFAULT_NAMES = [
     "part_token_profit",
     "dominant_part_suppliers",
     "graph_lpa_communities",
+    "first_touch_attribution",
+    "user_trailing_hour_stats",
 ]
 
 
