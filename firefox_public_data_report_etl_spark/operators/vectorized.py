@@ -700,6 +700,7 @@ def scatter_matrix(embq, dim: int):
     def _partials(batches):
         acc = np.zeros((dim, dim), dtype=np.int64)
         seen = False
+        n_rows = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -708,6 +709,18 @@ def scatter_matrix(embq, dim: int):
             )
             acc += B.T @ B
             seen = True
+            # loud overflow guard for the documented ~9e12-row
+            # headroom (|q|<=1e3 -> per-row |q_i*q_j| <= 1e6): a
+            # silent int64 wraparound would corrupt the eigenvector
+            n_rows += len(pdf)
+            if n_rows > 9_000_000_000_000 or np.abs(acc).max() > (
+                (1 << 62)
+            ):
+                raise OverflowError(
+                    "scatter_matrix int64 headroom exceeded"
+                    f" ({n_rows} rows in partition); widen partials"
+                    " to per-partition decimals before the final sum"
+                )
         if seen:
             ii, jj = np.meshgrid(
                 np.arange(dim, dtype=np.int32),
@@ -770,6 +783,15 @@ def knn_kth_d2_matmul(embq, k: int, id_col: str = "vec_id"):
     path approximates the k-NN distance inside IVF cells.
     """
     rows = embq.select(id_col, "q", "norm").collect()
+    if len(rows) <= k:
+        # with N <= k vectors there is no k-th OTHER neighbor for any
+        # row (the oracle emits nothing); np.partition would raise and
+        # the self-distance sentinel would leak as a fake k-th value —
+        # refuse loudly instead of returning silently-wrong rows
+        raise ValueError(
+            f"knn_kth_d2_matmul needs more than k={k} vectors, got"
+            f" {len(rows)}"
+        )
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     M = np.asarray([r[1] for r in rows], dtype=np.int64)
     norms = np.asarray([r[2] for r in rows], dtype=np.int64)

@@ -2392,16 +2392,8 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup rides a broadcast join.
 
     The K estimate extractions decode the sketch bytes in pure
-    Python (``operators/cms_codec.py`` — the serialization layout and
-    the string double-hashing scheme are public, stable contracts of
-    Spark's sketch library), so the plan runs identically under
-    classic PySpark AND Spark Connect (r7 review fix: the previous
-    cut deserialized through the private ``spark.sparkContext._jvm``
-    py4j gateway, the one Connect-incompatible plan in the repo). The
-    decoder↔writer agreement is pinned by a JVM-comparison unit test
-    plus the lower_ok / upper_ok hash-checked booleans here — a
-    hashing change in a Spark upgrade fails the oracle gate rather
-    than silently corrupting estimates.
+    Python (``operators/cms_codec.py``, Connect-safe; decoder↔writer
+    agreement pinned by a JVM byte-comparison unit test).
     """
     import math
 

@@ -836,6 +836,9 @@ FROM counts
 """
 
 
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback (first+last touch)
+
+
 def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution, the companion policy to
     ``last_touch_attribution``: each purchase credits the EARLIEST
@@ -886,8 +889,6 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ATTR_WIN_US = 7 * 24 * 3600 * 1_000_000  # = ATTR_WINDOW_US (defined below)
-
 FIRST_TOUCH_ORACLE = f"""
 WITH base AS (
   SELECT user_id, epoch_us(ts) AS us,
@@ -900,7 +901,7 @@ WITH base AS (
                   THEN us * 8 + (CASE WHEN event_type = 'click'
                                       THEN 0 ELSE 1 END) END)
            OVER (PARTITION BY user_id ORDER BY us
-                 RANGE BETWEEN {_ATTR_WIN_US} PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW)
            AS first_packed
   FROM base
 ), purchases AS (
@@ -1178,9 +1179,6 @@ LEFT JOIN dim d
  AND (p.us < d.valid_to_us OR d.is_current)
 GROUP BY 1, 2
 """
-
-
-ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 
 def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
