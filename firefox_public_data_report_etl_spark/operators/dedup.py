@@ -570,6 +570,39 @@ def simhash_pairs(
     distinct on (da, db) collapses multi-table hits before the
     verify expression.
     """
+    sig = simhash_signatures(docs, id_col, text_col, hash_mode, bits=bits)
+    return hamming_band_pairs(
+        sig,
+        id_col=id_col,
+        sig_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(da, db, hamming): ALL pairs of rows whose bit signatures are
+    within Hamming ``max_hamming``, mined from any (id, signature)
+    table by the Manku/Jain/Sarma block-combination scheme (exact
+    recall; semantics and the n_blocks knob per ``simhash_pairs``,
+    which delegates here). Shared by text SimHash, the perceptual
+    image dHash, and the audio energy-delta fingerprint — one banding
+    implementation, three signature families.
+
+    Scale: signature-table explode (C(n_blocks, n_blocks-k) rows per
+    input row) + one self-equi-join on (table, key) — never an
+    all-pairs product; candidate dedup via distinct before the
+    bit_count verify.
+    """
     from itertools import combinations
 
     if n_blocks is None:
@@ -592,10 +625,9 @@ def simhash_pairs(
             " (> 60): raise n_blocks or max_hamming so"
             " (n_blocks - max_hamming) * (bits / n_blocks) <= 60"
         )
-    sig = simhash_signatures(docs, id_col, text_col, hash_mode, bits=bits)
 
     def block(i):
-        return f"(shiftright(simhash, {i * block_bits}) & {mask})"
+        return f"(shiftright({sig_col}, {i * block_bits}) & {mask})"
 
     tables = []
     for t, combo in enumerate(combinations(range(n_blocks), keep)):
@@ -610,16 +642,16 @@ def simhash_pairs(
                 F.lit(t).alias("b"), F.expr(f"({key})").alias("v")
             )
         )
-    bands = sig.select(
+    bands = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(F.array(*tables)).alias("bb"),
-    ).select(id_col, "simhash", F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    ).select(id_col, sig_col, F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
     left = bands.select(
-        F.col(id_col).alias("da"), F.col("simhash").alias("sa"), "b", "v"
+        F.col(id_col).alias("da"), F.col(sig_col).alias("sa"), "b", "v"
     )
     right = bands.select(
-        F.col(id_col).alias("db"), F.col("simhash").alias("sb"), "b", "v"
+        F.col(id_col).alias("db"), F.col(sig_col).alias("sb"), "b", "v"
     )
     cand = (
         left.join(right, ["b", "v"])

@@ -829,3 +829,285 @@ def decode_wav_frames(media: DataFrame, frame_len: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_FRAME_SCHEMA])
 
     return media.mapInPandas(_frames, WAV_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Media near-dup (round 9, r8 verdict #1/#2): perceptual signatures
+# computed from DECODED payloads inside the Arrow codec stages, then
+# paired with the exact-recall Hamming banding the text dedup already
+# uses (operators/dedup.py:hamming_band_pairs). The corpus rules
+# plant near-copy siblings — every NEARDUP_VARIANTS consecutive
+# media_ids share one source image/clip with variant-specific
+# perturbations (brightness shift / sparse dots for images; whole-
+# frame time shift / dither for audio; one deliberately-unrelated
+# pattern per group as the far negative) — so recall is testable
+# analytically, and the oracle recomputes the signature from the
+# LOGICAL rule (never the bytes), pinning codec + downscale +
+# signature bit-for-bit.
+# ---------------------------------------------------------------------------
+
+NEARDUP_VARIANTS = 4
+# image rule: src-shared dims (so siblings share a raster), pixel
+# values kept < 197 so the +29 brightness / +58 dot offsets cannot
+# wrap — perceptual invariance must come from the HASH, not from
+# modular coincidence
+NDIMG_W_BASE, NDIMG_W_MOD = 12, 17  # width  12..28
+NDIMG_H_BASE, NDIMG_H_MOD = 12, 13  # height 12..24
+NDIMG_PIX_MOD = 197
+NDIMG_BRIGHT = 29  # v1: uniform brightness lift (dHash-invariant)
+NDIMG_DOT = 58  # v2: sparse bright dots (flips <= 2 dHash bits)
+NDIMG_DOT_STRIDE = 499
+NDIMG_ALT_SEED = 500009  # v3's unrelated-pattern seed offset
+
+# xorshift-multiply mixer shared by both corpus rules. Two simpler
+# families were measured and rejected before landing here: linear-
+# congruential rules are phase/stride-smooth (nearby sources give
+# correlated gradients → cross-source collisions), and a bare
+# multiplicative (Knuth) hash is AFFINE in its input, so two seeds
+# differ by a near-constant offset after mixing and their
+# gradient-sign signatures still collide. The xor-shift steps break
+# the additive structure (Wang-style 32-bit finalizer). Every step
+# is exact int64 arithmetic — the 32-bit value times the 27-bit
+# multiplier stays under 2^59 — so DuckDB recomputes it verbatim
+# with xor()/>>/%.
+MIX_A, MIX_M = 1_000_003, 0x45D9F3B
+
+
+def _mix(seed, pos):
+    """Well-mixed 32-bit hash of (seed, pos), identical in numpy
+    int64 and DuckDB BIGINT."""
+    x = (seed * MIX_A + pos) % (1 << 32)
+    x = ((x >> 16) ^ x) * MIX_M % (1 << 32)
+    x = ((x >> 16) ^ x) * MIX_M % (1 << 32)
+    return (x >> 16) ^ x
+# dHash grid: 6 rows x 11 cols of nearest-neighbor gray samples ->
+# 6 x 10 horizontal comparisons = 60 signature bits (fits BIGINT,
+# divisible by the k+1=4 pigeonhole bands of max_hamming=3)
+DHASH_ROWS, DHASH_COLS = 6, 11
+DHASH_BITS = DHASH_ROWS * (DHASH_COLS - 1)
+NDIMG_MAX_HAMMING = 3
+
+
+def _ndimg_rule_rgb(media_id: int):
+    """Variant-aware logical pixel rule for the near-dup image corpus:
+    src = media_id // NEARDUP_VARIANTS shares dims + base pattern;
+    v0 = base, v1 = base + uniform brightness, v2 = base + sparse
+    dots, v3 = an unrelated pattern (the far negative)."""
+    import numpy as np
+
+    src, v = divmod(media_id, NEARDUP_VARIANTS)
+    w = NDIMG_W_BASE + src % NDIMG_W_MOD
+    h = NDIMG_H_BASE + src % NDIMG_H_MOD
+    k = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    c = np.arange(3, dtype=np.int64)
+    seed = src + NDIMG_ALT_SEED if v == 3 else src
+    vals = _mix(seed, k[..., None] * 3 + c) % NDIMG_PIX_MOD
+    if v == 1:
+        vals = vals + NDIMG_BRIGHT
+    elif v == 2:
+        vals = vals + NDIMG_DOT * (
+            (k[..., None] % NDIMG_DOT_STRIDE == 0).astype(np.int64)
+        )
+    return vals.astype(np.uint8)
+
+
+def attach_neardup_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL 24-bit BMP bytes per row under the near-dup
+    variant rule — the binary source for the perceptual-hash
+    pipeline (Arrow-batched like ``attach_bmp_payload``)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                payload = encode_bmp24(_ndimg_rule_rgb(int(mid)))
+                out.append((int(mid), payload, "image/bmp", len(payload)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def dhash_signature(rgb) -> int:
+    """64->60-bit difference hash of an (H, W, 3) uint8 image:
+    nearest-neighbor downscale to the DHASH_ROWS x DHASH_COLS grid
+    (resize_nearest — pure integer index math), grayscale by exact
+    channel SUM (integer, no luma weights — deterministic across
+    engines), bit y*(COLS-1)+x set iff grid[y][x+1] > grid[y][x].
+    Invariant to uniform brightness shifts and (coarsely) to
+    resolution — the properties the planted v1/v2 siblings test."""
+    import numpy as np
+
+    grid = resize_nearest(rgb, DHASH_COLS, DHASH_ROWS).astype(np.int64)
+    gray = grid.sum(axis=2)
+    bits = gray[:, 1:] > gray[:, :-1]
+    sig = 0
+    for b, flag in enumerate(bits.ravel()):
+        if flag:
+            sig |= 1 << b
+    return sig
+
+
+def decode_dhash(media: DataFrame) -> DataFrame:
+    """mapInPandas decode→perceptual-hash stage: parse each BMP
+    payload, downscale, emit the 60-bit dHash. Pixels never leave
+    the stage — the output is (id, dims, one BIGINT) per image."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                w, h, rgb = decode_bmp24(bytes(payload))
+                rows.append((int(mid), w, h, dhash_signature(rgb)))
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA])
+
+    return media.mapInPandas(_decode, DHASH_SCHEMA)
+
+
+# audio fingerprint rule: sample range kept to ±32000 so the ±3 v2
+# dither cannot overflow int16; the v1 sibling is shifted by WHOLE
+# frames of leading silence, which the onset-anchored signature
+# cancels exactly (hamming 0, analytic)
+NDAUD_FRAME_LEN = 25
+NDAUD_SIG_FRAMES = 61  # frames after onset -> 60 delta bits
+NDAUD_BITS = NDAUD_SIG_FRAMES - 1
+NDAUD_SAMPLE_MOD = 64000
+NDAUD_ALT_SEED = 900007  # v3's unrelated-pattern seed offset
+NDAUD_SHIFT_FRAMES = 2  # v1: leading-silence time shift
+NDAUD_MAX_HAMMING = 3
+
+
+def _ndaud_rule(media_id: int):
+    """Variant-aware logical sample rule for the near-dup audio
+    corpus: v0 = base, v1 = base shifted by NDAUD_SHIFT_FRAMES frames
+    of leading silence, v2 = base + small deterministic dither
+    (re-encode stand-in), v3 = an unrelated pattern."""
+    import numpy as np
+
+    src, v = divmod(media_id, NEARDUP_VARIANTS)
+    n_body = NDAUD_FRAME_LEN * NDAUD_SIG_FRAMES
+    k = np.arange(n_body, dtype=np.int64)
+    seed = src + NDAUD_ALT_SEED if v == 3 else src
+    body = _mix(seed, k) % NDAUD_SAMPLE_MOD - NDAUD_SAMPLE_MOD // 2
+    if v == 2:
+        body = body + ((k * 13) % 7 - 3)
+    if v == 1:
+        body = np.concatenate(
+            [
+                np.zeros(NDAUD_FRAME_LEN * NDAUD_SHIFT_FRAMES, dtype=np.int64),
+                body,
+            ]
+        )
+    return body.astype(np.int16)
+
+
+def attach_neardup_wav_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE PCM16 bytes per row under the
+    near-dup variant rule (every third clip carries the junk-chunk
+    layout so chunk walking stays exercised)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payload = encode_wav16(
+                    _ndaud_rule(mid), 8000, pad_chunk=(mid % 3 == 0)
+                )
+                out.append((mid, payload, "audio/wav", len(payload)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("onset", IntegerType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(samples) -> tuple[int, int, int]:
+    """(n_frames, onset, fingerprint): onset-anchored energy-delta
+    fingerprint of an int16 clip — frame energies (Σ s² per
+    NDAUD_FRAME_LEN samples), onset = first frame with energy > 0,
+    bit b set iff e[onset+b+1] > e[onset+b] for b in 0..59. The onset
+    anchor makes the signature exactly invariant to whole-frame
+    leading silence (the time-shift sibling); sign-of-delta makes it
+    robust to gain and small dither. Raises if the clip is too short
+    to fill the signature past its onset — the honest boundary."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n_full = len(s) - len(s) % NDAUD_FRAME_LEN
+    e = (
+        (s[:n_full].reshape(-1, NDAUD_FRAME_LEN) ** 2).sum(axis=1)
+        if n_full
+        else np.zeros(0, dtype=np.int64)
+    )
+    active = np.nonzero(e > 0)[0]
+    if len(active) == 0:
+        raise ValueError("all-silent clip has no onset")
+    onset = int(active[0])
+    if onset + NDAUD_SIG_FRAMES > len(e):
+        raise ValueError(
+            f"clip too short: {len(e)} frames, onset {onset}, need "
+            f"{NDAUD_SIG_FRAMES} past onset"
+        )
+    win = e[onset : onset + NDAUD_SIG_FRAMES]
+    sig = 0
+    for b in range(NDAUD_BITS):
+        if win[b + 1] > win[b]:
+            sig |= 1 << b
+    return len(e), onset, sig
+
+
+def decode_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """mapInPandas decode→fingerprint stage: parse each WAV payload,
+    frame it, emit the 60-bit onset-anchored fingerprint. Samples
+    never leave the stage."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                _, s = decode_wav16(bytes(payload))
+                n_frames, onset, sig = audio_fingerprint(s)
+                rows.append((int(mid), n_frames, onset, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA]
+            )
+
+    return media.mapInPandas(_decode, AUDIO_FP_SCHEMA)

@@ -679,6 +679,246 @@ FROM s GROUP BY media_id, frame_no
 """
 
 
+def _mix_chain_sql(seed_expr: str, pos_list_expr: str) -> str:
+    """DuckDB list expression recomputing operators/multimodal.py:_mix
+    over a position list: chained list_transform stages (each lambda
+    references its variable, never re-expanding the inner expression)
+    for the seed-add, the two xorshift-multiply rounds, and the final
+    fold — BIGINT-exact, byte-free."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        MIX_A,
+        MIX_M,
+    )
+
+    m32 = 1 << 32
+    return (
+        f"list_transform(list_transform(list_transform("
+        f"list_transform({pos_list_expr},"
+        f" p -> (({seed_expr}) * {MIX_A} + p) % {m32}),"
+        f" x -> xor(x >> 16, x) * {MIX_M} % {m32}),"
+        f" x -> xor(x >> 16, x) * {MIX_M} % {m32}),"
+        f" x -> xor(x >> 16, x))"
+    )
+
+
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (r8 verdict #1): every document
+    becomes a REAL 24-bit BMP under the variant rule
+    (operators/multimodal.py:attach_neardup_bmp_payload — each group
+    of 4 consecutive ids shares one source image, with a brightness-
+    shifted sibling, a sparse-dot sibling, and an unrelated-pattern
+    negative), the Arrow decode stage parses the bytes and computes a
+    60-bit dHash (decode_dhash: nearest-neighbor 6×11 downscale →
+    integer-gray horizontal gradient signs), and pairs within Hamming
+    ≤ 3 are mined by the SAME exact-recall pigeonhole banding the
+    text SimHash uses (operators/dedup.py:hamming_band_pairs — never
+    all-pairs). The oracle recomputes signatures from the LOGICAL
+    pixel rule (never the bytes) and brute-forces ground-truth pairs,
+    so codec, downscale, signature, and banding recall are all pinned
+    by the value hash.
+
+    Scale: pixels never shuffle (decode+hash fuse into one narrow
+    Arrow stage, one BIGINT out per image); pair mining is the
+    banded self-join — 4 band rows per image, bucket-sized
+    candidates. The planted-sibling recall and negative separation
+    are additionally pinned by tests/test_media_neardup.py."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDIMG_MAX_HAMMING,
+        attach_neardup_bmp_payload,
+        decode_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sigs = decode_dhash(attach_neardup_bmp_payload(docs))
+    return hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=DHASH_BITS,
+        max_hamming=NDIMG_MAX_HAMMING,
+    ).select(F.col("da"), F.col("db"), F.col("hamming"))
+
+
+def _image_neardup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        NDIMG_ALT_SEED,
+        NDIMG_BRIGHT,
+        NDIMG_DOT,
+        NDIMG_DOT_STRIDE,
+        NDIMG_H_BASE,
+        NDIMG_H_MOD,
+        NDIMG_MAX_HAMMING,
+        NDIMG_PIX_MOD,
+        NDIMG_W_BASE,
+        NDIMG_W_MOD,
+        NEARDUP_VARIANTS,
+    )
+
+    n_cells = DHASH_ROWS * DHASH_COLS
+    cmp_cols = DHASH_COLS - 1
+    # channel position i (0..3*n_cells-1): grid cell gg=i//3, channel
+    # c=i%3; source pixel k = ((gg//COLS)*height)//ROWS * width +
+    # ((gg%COLS)*width)//COLS; mix position = k*3+c
+    k_of = (
+        f"((((i // 3) // {DHASH_COLS}) * height) // {DHASH_ROWS}) * width"
+        f" + ((((i // 3) % {DHASH_COLS}) * width) // {DHASH_COLS})"
+    )
+    pos_list = (
+        f"list_transform(range(0, {3 * n_cells}),"
+        f" i -> ({k_of}) * 3 + (i % 3))"
+    )
+    seed = f"CASE WHEN v = 3 THEN src + {NDIMG_ALT_SEED} ELSE src END"
+    mixed = _mix_chain_sql(seed, pos_list)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         doc_id // {NEARDUP_VARIANTS} AS src,
+         doc_id % {NEARDUP_VARIANTS} AS v,
+         {NDIMG_W_BASE} + (doc_id // {NEARDUP_VARIANTS}) % {NDIMG_W_MOD}
+           AS width,
+         {NDIMG_H_BASE} + (doc_id // {NEARDUP_VARIANTS}) % {NDIMG_H_MOD}
+           AS height
+  FROM documents),
+mx AS (SELECT media_id, v, width, height, {mixed} AS ml FROM base),
+vals AS (
+  SELECT media_id, width, height,
+         list_transform(range(0, {3 * n_cells}), i ->
+           ml[i + 1] % {NDIMG_PIX_MOD}
+           + CASE WHEN v = 1 THEN {NDIMG_BRIGHT}
+                  WHEN v = 2 AND ({k_of}) % {NDIMG_DOT_STRIDE} = 0
+                    THEN {NDIMG_DOT}
+                  ELSE 0 END) AS vl
+  FROM mx),
+gray AS (
+  SELECT media_id,
+         list_transform(range(0, {n_cells}), g ->
+           vl[3 * g + 1] + vl[3 * g + 2] + vl[3 * g + 3]) AS gl
+  FROM vals),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, {DHASH_ROWS * cmp_cols}),
+           b -> CASE WHEN
+                  gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 2]
+                  > gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 1]
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
+  FROM gray)
+SELECT a.media_id AS da, b.media_id AS db,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}
+"""
+
+
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup (r8 verdict #2), the WAV sibling of
+    ``multimodal_image_neardup``: every document becomes a REAL
+    RIFF/WAVE PCM16 clip under the variant rule (each group of 4 ids
+    shares one source clip, with a whole-frame time-SHIFTED sibling,
+    a dithered sibling, and an unrelated negative), the Arrow decode
+    stage frames the samples and computes the 60-bit onset-anchored
+    energy-delta fingerprint (operators/multimodal.py:
+    audio_fingerprint — the onset anchor cancels leading silence
+    EXACTLY, sign-of-delta absorbs gain/dither), and pairs within
+    Hamming ≤ 3 ride the shared pigeonhole banding. Oracle: logical
+    sample rule → frame energies → onset → fingerprint → brute
+    ground-truth pairs, never the bytes.
+
+    Scale: samples never shuffle; one BIGINT leaves the stage per
+    clip; banded pair mining as in the image query."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_BITS,
+        NDAUD_MAX_HAMMING,
+        attach_neardup_wav_payload,
+        decode_audio_fingerprint,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sigs = decode_audio_fingerprint(attach_neardup_wav_payload(docs))
+    return hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="afp",
+        bits=NDAUD_BITS,
+        max_hamming=NDAUD_MAX_HAMMING,
+    ).select(F.col("da"), F.col("db"), F.col("hamming"))
+
+
+def _audio_neardup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_ALT_SEED,
+        NDAUD_FRAME_LEN,
+        NDAUD_MAX_HAMMING,
+        NDAUD_SAMPLE_MOD,
+        NDAUD_SHIFT_FRAMES,
+        NDAUD_SIG_FRAMES,
+        NEARDUP_VARIANTS,
+    )
+
+    n_body = NDAUD_FRAME_LEN * NDAUD_SIG_FRAMES
+    half = NDAUD_SAMPLE_MOD // 2
+    seed = f"CASE WHEN v = 3 THEN src + {NDAUD_ALT_SEED} ELSE src END"
+    mixed = _mix_chain_sql(seed, f"range(0, {n_body})")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         doc_id // {NEARDUP_VARIANTS} AS src,
+         doc_id % {NEARDUP_VARIANTS} AS v,
+         CASE WHEN doc_id % {NEARDUP_VARIANTS} = 1
+              THEN {NDAUD_SHIFT_FRAMES} ELSE 0 END AS pf
+  FROM documents),
+mx AS (SELECT media_id, v, pf, {mixed} AS ml FROM base),
+body AS (
+  SELECT media_id, pf,
+         list_transform(range(0, {n_body}), k ->
+           ml[k + 1] % {NDAUD_SAMPLE_MOD} - {half}
+           + CASE WHEN v = 2 THEN (k * 13) % 7 - 3 ELSE 0 END) AS sl
+  FROM mx),
+en AS (
+  SELECT media_id, pf,
+         list_transform(range(0, pf + {NDAUD_SIG_FRAMES}), j ->
+           CASE WHEN j < pf THEN 0
+                ELSE list_sum(list_transform(range(0, {NDAUD_FRAME_LEN}),
+                  i -> sl[(j - pf) * {NDAUD_FRAME_LEN} + i + 1]
+                       * sl[(j - pf) * {NDAUD_FRAME_LEN} + i + 1]))
+           END) AS el
+  FROM body),
+anchored AS (
+  SELECT media_id, el,
+         list_min(list_filter(range(0, len(el)), j -> el[j + 1] > 0))
+           AS onset
+  FROM en),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, {NDAUD_SIG_FRAMES - 1}),
+           b -> CASE WHEN el[onset + b + 2] > el[onset + b + 1]
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
+  FROM anchored)
+SELECT a.media_id AS da, b.media_id AS db,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.s, b.s)) <= {NDAUD_MAX_HAMMING}
+"""
+
+
 # Mixing quotas: the target per-language doc counts of the training
 # mixture (a Pile/LLaMA-style source-weighting table). zh is
 # deliberately absent: sources without a quota contribute nothing.
@@ -3421,6 +3661,8 @@ QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_audio_vad": multimodal_audio_vad,
+    "multimodal_image_neardup": multimodal_image_neardup,
+    "multimodal_audio_neardup": multimodal_audio_neardup,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -3472,6 +3714,8 @@ ORACLES = {
     "multimodal_ppm_decode": _ppm_decode_oracle(),
     "multimodal_wav_decode": _wav_decode_oracle(),
     "multimodal_audio_vad": _audio_vad_oracle(),
+    "multimodal_image_neardup": _image_neardup_oracle(),
+    "multimodal_audio_neardup": _audio_neardup_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
