@@ -262,13 +262,17 @@ def build_ivf_index(
     quantized_emb, centroids, path: str, id_col: str = "vec_id"
 ) -> None:
     """Persist an IVF serving index: vectors land in parquet
-    PARTITIONED BY their cell (one directory per coarse cell) plus
-    the centroid codebook as a side table. The layout IS the index —
-    at serving time a query's probed cells become a partition filter,
-    so the scan plans only nprobe directories and the candidate cut
-    happens before any vector IO (same storage-layout trick as the
-    Z-order operator, applied to ANN). Build once per corpus/codebook
-    refresh; `search_ivf_index` is the query-many path."""
+    PARTITIONED BY (bl, cell) — ``bl`` is the batch label (0 = the
+    initial build; ``operators/ivf_lifecycle.py:append_to_ivf_index``
+    adds later batches under their own label, the same labeled-slice
+    lifecycle as the MinHash signature index) — plus the centroid
+    codebook as a side table. The layout IS the index — at serving
+    time a query's probed cells become a partition filter, so the
+    scan plans only nprobe directories per label and the candidate
+    cut happens before any vector IO (same storage-layout trick as
+    the Z-order operator, applied to ANN). The codebook is FROZEN at
+    build time: appends assign against it (that is the IVF model);
+    refreshing the codebook is a rebuild."""
     cells = ivf_assign(quantized_emb, centroids, id_col)
     # repartition ON the partition column first (round-7, same
     # measured lesson as the minhash signature index): without it
@@ -277,10 +281,25 @@ def build_ivf_index(
     # of IO (measured 600 files for 150 cells; 4x the opens per
     # probed cell for zero benefit). One shuffle of fingerprint-sized
     # rows buys one well-sized file per cell.
-    quantized_emb.join(cells, id_col).repartition("cell").write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(f"{path}/vectors")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # overwrite must be explicitly STATIC (same review history as the
+    # minhash build): a leaked session-wide dynamic mode would only
+    # replace the bl=0 leaves, keeping a previous index's appended
+    # batches alive at the same path.
+    conf = quantized_emb.sparkSession.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        quantized_emb.join(cells, id_col).withColumn(
+            "bl", F.lit(0)
+        ).repartition("cell").write.partitionBy("bl", "cell").mode(
+            "overwrite"
+        ).parquet(f"{path}/vectors")
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def search_ivf_index(
@@ -291,6 +310,7 @@ def search_ivf_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     exclude_self: bool = False,
+    exclude_label: int | None = None,
 ):
     """ANN search against a `build_ivf_index` layout. Queries are
     assigned to their nprobe cells against the STORED codebook; the
@@ -302,7 +322,14 @@ def search_ivf_index(
     serving index is usually probed by an EXTERNAL id space, where
     dropping q_id == n_id would silently hide a corpus vector that
     happens to share a query's id; pass True when the queries are
-    rows of the indexed corpus (dedup-style search)."""
+    rows of the indexed corpus (dedup-style search).
+
+    ``exclude_label``: skip one ``bl`` batch-partition (another
+    partition-pruned literal). The streaming embedding gate passes
+    its OWN label — on checkpoint replay the crashed attempt's
+    append is already in the index, and without the exclusion the
+    batch would match its own vectors and drop every row (same
+    replay contract as ``probe_minhash_index``)."""
     centroids = spark.read.parquet(f"{path}/centroids")
     assign = ivf_assign(queries, centroids, id_col, nprobe=nprobe).collect()
     probed = sorted({r["cell"] for r in assign})
@@ -313,6 +340,8 @@ def search_ivf_index(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probed)
     )
+    if exclude_label is not None:
+        vectors = vectors.filter(F.col("bl") != exclude_label)
     q = queries.join(qcells, id_col).select(
         F.col(id_col).alias("q_id"),
         F.col("q").alias("qa"),

@@ -7,6 +7,10 @@ from firefox_public_data_report_etl_spark.streaming.joins import (
 from firefox_public_data_report_etl_spark.streaming.tws import (
     running_user_totals_tws,
 )
+from firefox_public_data_report_etl_spark.streaming.embedgate import (
+    embed_gate_batch,
+    stream_embed_gate,
+)
 from firefox_public_data_report_etl_spark.streaming.neardup import (
     neardup_gate_batch,
     stream_neardup_gate,
@@ -26,6 +30,8 @@ from firefox_public_data_report_etl_spark.streaming.windows import (
 
 __all__ = [
     "click_purchase_attribution",
+    "embed_gate_batch",
+    "stream_embed_gate",
     "neardup_gate_batch",
     "stream_neardup_gate",
     "stream_dedup_events",
