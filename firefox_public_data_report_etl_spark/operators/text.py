@@ -2008,3 +2008,196 @@ def substring_scrub(
             .alias("scrubbed_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM-style tokenizer (round 9, r8 verdict #4): the second
+# tokenizer family real pipelines A/B against BPE — a SentencePiece-
+# shaped vocabulary learner (Kudo 2018's pipeline shape: seed a
+# large candidate vocabulary from frequent substrings, iterate
+# segment → count → prune to a fixed point) with a greedy
+# longest-match-first encoder (the WordPiece-style deterministic
+# 1-best stand-in for Viterbi; hard-EM rounds, integer counts only,
+# so the DuckDB twin replays the identical rounds bit-for-bit).
+#
+# Scale shape, same vocabulary trick as bpe_train: after one
+# corpus-sized word count, every round runs over the DISTINCT-WORD
+# table (vocabulary-cardinality, weighted by word count). The piece
+# set is a tokenizer artifact (bounded like the BPE merge table) and
+# rides in the segmentation stage's closure; per round the retained
+# pieces are collected once — the iterative-algorithm driver edge,
+# same class as bpe_train's per-round argmax.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_ROUNDS = 3
+# fractional thresholds (integer cross-multiply — SF-independent in
+# FORM, exact in both engines): a seed substring must carry >=
+# 1/SEED_DIV of the weighted substring mass; a piece survives a
+# round if its segmentation usage carries >= 1/PRUNE_DIV of the
+# corpus word mass. Single chars are always retained (coverage).
+UNIGRAM_SEED_DIV = 400
+UNIGRAM_PRUNE_DIV = 100
+# the DuckDB oracle unrolls the greedy match this many steps (one
+# per consumed char); corpus words are <= 8 chars (TESTDATA.md) —
+# the Spark side has no such bound (its loop is per-word)
+UNIGRAM_MAX_WORD = 8
+
+
+def _greedy_pieces(word: str, pieces, max_piece: int) -> list[str]:
+    """Greedy longest-match-first segmentation; single chars always
+    match (full coverage even for chars outside the piece set)."""
+    out, i = [], 0
+    while i < len(word):
+        for ln in range(min(max_piece, len(word) - i), 0, -1):
+            if ln == 1 or word[i : i + ln] in pieces:
+                out.append(word[i : i + ln])
+                i += ln
+                break
+    return out
+
+
+def segment_words_unigram(
+    words: DataFrame, pieces, max_piece: int = UNIGRAM_MAX_PIECE
+) -> DataFrame:
+    """(w, sub_pos, piece): greedy longest-match segmentation of a
+    distinct-word table against a piece set riding in the closure —
+    Arrow-batched mapInPandas (per-word iteration is genuinely
+    imperative; the input is vocabulary-cardinality, never corpus
+    text)."""
+    import pandas as pd
+
+    pset = frozenset(pieces)
+
+    def _seg(batches):
+        for pdf in batches:
+            rows = []
+            for w in pdf["w"]:
+                for sp, p in enumerate(_greedy_pieces(w, pset, max_piece)):
+                    rows.append((w, sp, p))
+            yield pd.DataFrame(rows, columns=["w", "sub_pos", "piece"])
+
+    return words.select("w").mapInPandas(
+        _seg, "w string, sub_pos long, piece string"
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = UNIGRAM_ROUNDS,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> list[str]:
+    """Learn the unigram vocabulary: seed = substrings (length <=
+    ``max_piece``) carrying >= 1/SEED_DIV of the weighted substring
+    mass, then ``rounds`` hard-EM iterations — segment the distinct
+    words greedily with the current vocabulary, count weighted piece
+    usage, prune multi-char pieces below 1/PRUNE_DIV of the corpus
+    word mass (single chars always survive). Runs every round even
+    after the vocabulary stops changing, so the unrolled oracle is
+    bit-equal by construction. Returns the sorted final piece list —
+    the artifact a tokenizer ships."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    subs = vocab.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)),"
+                f" i -> transform(sequence(1, least({max_piece},"
+                " length(w) - i + 1)), L -> substring(w, i, L))))"
+            )
+        ).alias("piece"),
+        "c",
+    )
+    agg = subs.groupBy("piece").agg(F.sum("c").alias("cnt"))
+    seed_total = subs.agg(F.sum("c")).head()[0]
+    seed_rows = agg.filter(
+        (F.length("piece") == 1)
+        | (F.col("cnt") * UNIGRAM_SEED_DIV >= F.lit(seed_total))
+    ).collect()
+    pieces = sorted(r["piece"] for r in seed_rows)
+    word_total = vocab.agg(F.sum("c")).head()[0]
+    chars = {p for p in pieces if len(p) == 1}
+    for _ in range(rounds):
+        seg = segment_words_unigram(vocab, pieces, max_piece)
+        usage = (
+            seg.join(vocab, "w")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("usage"))
+        )
+        kept = usage.filter(
+            (F.length("piece") > 1)
+            & (F.col("usage") * UNIGRAM_PRUNE_DIV >= F.lit(word_total))
+        ).collect()
+        pieces = sorted(chars | {r["piece"] for r in kept})
+    vocab.unpersist()
+    return pieces
+
+
+def unigram_vocab_usage(
+    docs: DataFrame, pieces: list[str], text_col: str = "text"
+) -> DataFrame:
+    """(piece, usage, piece_id): the final vocabulary with its
+    weighted usage under the final segmentation (0 for retained-but-
+    unused single chars) and the shipping id — dense index over the
+    piece-sorted vocabulary (python/DuckDB code-point collation,
+    identical over the ASCII testdata, same note as bpe_apply)."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    usage = (
+        segment_words_unigram(vocab, pieces)
+        .join(vocab, "w")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("usage"))
+    )
+    ids = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(sorted(pieces))],
+        "piece string, piece_id long",
+    )
+    return ids.join(usage, "piece", "left").select(
+        "piece",
+        F.coalesce("usage", F.lit(0)).cast("long").alias("usage"),
+        "piece_id",
+    )
+
+
+def unigram_apply(
+    docs: DataFrame,
+    pieces: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a learned unigram vocabulary — the
+    apply half, same output grain as ``bpe_apply``: (doc_id,
+    word_pos, sub_pos, piece, piece_id). Corpus-sized work is one
+    posexplode + one (word → pieces) equi-join; segmentation runs
+    once over the distinct-word table."""
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
+    )
+    seg = segment_words_unigram(words.select("w").distinct(), pieces)
+    ids = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(sorted(pieces))],
+        "piece string, piece_id long",
+    )
+    return (
+        words.join(seg, "w")
+        .join(F.broadcast(ids), "piece")
+        .select(
+            id_col,
+            F.col("word_pos").cast("long").alias("word_pos"),
+            F.col("sub_pos").cast("long").alias("sub_pos"),
+            "piece",
+            "piece_id",
+        )
+    )

@@ -1568,6 +1568,276 @@ GROUP BY lang"""
     )
 
 
+def _unigram_seg_parts(vocab_cte: str, prefix: str) -> list[str]:
+    """Unrolled greedy longest-match segmentation of the distinct-word
+    table against ``vocab_cte`` (a one-column `piece` CTE):
+    UNIGRAM_MAX_WORD chained steps, each consuming the longest piece
+    (<= UNIGRAM_MAX_PIECE chars) that prefixes the remainder —
+    single chars always match. Rows past their word's end pass
+    through frozen. Mirrors operators.text._greedy_pieces exactly."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MAX_WORD,
+    )
+
+    parts = [
+        f"""{prefix}0 AS (SELECT w, c, 1 AS pos,
+         CAST([] AS VARCHAR[]) AS toks FROM uv)"""
+    ]
+    ml = " ".join(
+        f"WHEN pos + {ln - 1} <= length(w) AND substr(w, pos, {ln})"
+        f" IN (SELECT piece FROM {vocab_cte}) THEN {ln}"
+        for ln in range(UNIGRAM_MAX_PIECE, 1, -1)
+    )
+    for k in range(UNIGRAM_MAX_WORD):
+        parts.append(
+            f"""{prefix}{k + 1} AS (SELECT w, c,
+    CASE WHEN pos <= length(w) THEN pos + ml ELSE pos END AS pos,
+    CASE WHEN pos <= length(w)
+         THEN list_append(toks, substr(w, pos, ml)) ELSE toks END AS toks
+  FROM (SELECT w, c, pos, toks,
+          CASE {ml} ELSE 1 END AS ml
+        FROM {prefix}{k}))"""
+        )
+    return parts
+
+
+def _unigram_parts() -> list[str]:
+    """The unrolled unigram-LM training chain (seed → ROUNDS of
+    segment/count/prune → final segmentation + ids), shared by the
+    vocab-table, corpus-encoding, and fertility-A/B oracles —
+    replays operators.text.unigram_train bit-for-bit (integer
+    cross-multiplied thresholds, greedy segmentation, piece-sorted
+    ids)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MAX_WORD,
+        UNIGRAM_PRUNE_DIV,
+        UNIGRAM_ROUNDS,
+        UNIGRAM_SEED_DIV,
+    )
+
+    parts = [
+        """uv AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+       (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w)""",
+        f"""usub AS (SELECT substr(w, i, L) AS piece, c
+  FROM uv, unnest(range(1, length(w) + 1)) t1(i),
+       unnest(range(1, least({UNIGRAM_MAX_PIECE}, length(w) - i + 1) + 1))
+         t2(L))""",
+        """useedtot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM usub)""",
+        """uwordtot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uv)""",
+        """uchars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+  FROM uv, unnest(range(1, length(w) + 1)) t(i))""",
+        f"""uvv0 AS (SELECT DISTINCT piece FROM (
+    SELECT piece FROM (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+                       FROM usub GROUP BY piece)
+    WHERE cnt * {UNIGRAM_SEED_DIV} >= (SELECT t FROM useedtot)
+    UNION ALL SELECT piece FROM uchars))""",
+    ]
+    for r in range(UNIGRAM_ROUNDS):
+        parts += _unigram_seg_parts(f"uvv{r}", f"usg{r}_")
+        parts.append(
+            f"""uu{r} AS (SELECT piece, CAST(sum(c) AS BIGINT) AS usage
+  FROM (SELECT unnest(toks) AS piece, c FROM usg{r}_{UNIGRAM_MAX_WORD})
+  GROUP BY piece)"""
+        )
+        parts.append(
+            f"""uvv{r + 1} AS (SELECT DISTINCT piece FROM (
+    SELECT piece FROM uu{r}
+    WHERE length(piece) > 1
+      AND usage * {UNIGRAM_PRUNE_DIV} >= (SELECT t FROM uwordtot)
+    UNION ALL SELECT piece FROM uchars))"""
+        )
+    final = f"uvv{UNIGRAM_ROUNDS}"
+    parts += _unigram_seg_parts(final, "usgF_")
+    parts.append(
+        f"""uuF AS (SELECT piece, CAST(sum(c) AS BIGINT) AS usage
+  FROM (SELECT unnest(toks) AS piece, c FROM usgF_{UNIGRAM_MAX_WORD})
+  GROUP BY piece)"""
+    )
+    parts.append(
+        f"""uids AS (SELECT piece,
+    CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS piece_id
+  FROM {final})"""
+    )
+    parts.append(
+        f"""utok AS (SELECT w, CAST(i - 1 AS BIGINT) AS sub_pos,
+         toks[i] AS piece
+  FROM usgF_{UNIGRAM_MAX_WORD}, unnest(range(1, len(toks) + 1)) u(i))"""
+    )
+    return parts
+
+
+def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (r8 verdict #4 — the second
+    tokenizer family, the SentencePiece-shaped A/B partner to BPE):
+    seed a candidate vocabulary from frequent substrings, iterate
+    greedy-segment → weighted-count → prune to a fixed point
+    (operators/text.py:unigram_train — hard-EM with integer
+    fractional thresholds; on this corpus the vocabulary reaches its
+    fixed point after round 1, 226 → 59 pieces, and the remaining
+    rounds verify it). Output: the shipped vocabulary with final
+    usage and dense piece ids. The oracle unrolls the IDENTICAL
+    rounds — each greedy match as an UNIGRAM_MAX_WORD-step CTE chain
+    — so the learned vocabulary is bit-equal by construction.
+
+    Scale: one corpus-sized word count; every round is vocabulary-
+    cardinality (the bpe_train trick); the per-round piece collect is
+    a bounded tokenizer artifact, the same driver-edge class as
+    bpe_train's argmax."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        unigram_train,
+        unigram_vocab_usage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_train(docs)
+    return unigram_vocab_usage(docs, pieces)
+
+
+def _unigram_vocab_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_unigram_parts())
+        + """
+SELECT i.piece, CAST(coalesce(u.usage, 0) AS BIGINT) AS usage, i.piece_id
+FROM uids i LEFT JOIN uuF u USING (piece)"""
+    )
+
+
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram vocabulary, then ENCODE the corpus with it
+    (operators/text.py:unigram_apply) — the train→apply composition
+    at the same token grain as ``bpe_encode_corpus``, so the two
+    tokenizer families are directly comparable row-for-row. Oracle:
+    the unrolled training chain plus the final greedy segmentation
+    joined back to corpus word positions — bit-exact.
+
+    Scale: segmentation runs once over the distinct-word table; the
+    corpus-sized work is one posexplode + one (word → pieces)
+    equi-join, identical shape to the BPE encoder."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_train(docs)
+    return unigram_apply(docs, pieces)
+
+
+def _unigram_encode_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_unigram_parts())
+        + """,
+udw AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, arr[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       unnest(range(1, len(arr) + 1)) u(i))
+SELECT d.doc_id, d.word_pos, t.sub_pos, t.piece, i.piece_id
+FROM udw d JOIN utok t USING (w) JOIN uids i USING (piece)"""
+    )
+
+
+def tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer A/B readout — the comparison ``tokenizer_fertility``
+    exists to feed (r8 verdict #4): BOTH learned tokenizers (BPE
+    merges, unigram vocabulary) encode the corpus, and per-language
+    token mass + fertility land side by side with the unigram/BPE
+    token ratio — the number a vocabulary-selection decision reads.
+    Exact-integer masses, one IEEE division per ratio at the edge.
+
+    Scale: two distinct-word encode chains (each the measured
+    vocabulary-trick shape) + two doc-grain rollups sharing the
+    language-grain aggregate — no new shuffle class."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_train(docs)
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in mt.orderBy("step").collect()
+    ]
+    bpe_cnt = (
+        bpe_apply(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bpe_tokens"))
+    )
+    pieces = unigram_train(docs)
+    uni_cnt = (
+        unigram_apply(docs, pieces)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("uni_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return (
+        base.join(bpe_cnt, "doc_id")
+        .join(uni_cnt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("uni_tokens").alias("uni_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "bpe_tokens",
+            "uni_tokens",
+            (
+                F.col("bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("bpe_tokens_per_word"),
+            (
+                F.col("uni_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("uni_tokens_per_word"),
+            (
+                F.col("uni_tokens").cast("double")
+                / F.col("bpe_tokens").cast("double")
+            ).alias("uni_over_bpe"),
+        )
+    )
+
+
+def _tokenizer_fertility_ab_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_bpe_apply_parts())
+        + ",\n"
+        + ",\n".join(_unigram_parts())
+        + """,
+bcnt AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS bpe_tokens
+         FROM dw d JOIN tok t USING (w) GROUP BY d.doc_id),
+ucnt AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS uni_tokens
+         FROM dw d JOIN utok t USING (w) GROUP BY d.doc_id),
+wbase AS (SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents)
+SELECT lang,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(uni_tokens) AS BIGINT) AS uni_tokens,
+       CAST(sum(bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         AS bpe_tokens_per_word,
+       CAST(sum(uni_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         AS uni_tokens_per_word,
+       CAST(sum(uni_tokens) AS DOUBLE) / CAST(sum(bpe_tokens) AS DOUBLE)
+         AS uni_over_bpe
+FROM wbase JOIN bcnt USING (doc_id) JOIN ucnt USING (doc_id)
+GROUP BY lang"""
+    )
+
+
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (operators/text.py:
     gopher_rules; Rae et al. 2021 App. A1) — per-doc rule verdicts
@@ -3679,6 +3949,9 @@ QUERIES = {
     "bpe_encode_corpus": bpe_encode_corpus,
     "sequence_packing_bpe": sequence_packing_bpe,
     "tokenizer_fertility": tokenizer_fertility,
+    "unigram_vocab_table": unigram_vocab_table,
+    "unigram_encode_corpus": unigram_encode_corpus,
+    "tokenizer_fertility_ab": tokenizer_fertility_ab,
     "gopher_quality_filter": gopher_quality_filter,
     "corpus_quality_classifier": corpus_quality_classifier,
     "quality_classifier_eval": quality_classifier_eval,
@@ -3732,6 +4005,9 @@ ORACLES = {
     "bpe_encode_corpus": _bpe_encode_oracle(),
     "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
+    "unigram_vocab_table": _unigram_vocab_oracle(),
+    "unigram_encode_corpus": _unigram_encode_oracle(),
+    "tokenizer_fertility_ab": _tokenizer_fertility_ab_oracle(),
     "gopher_quality_filter": _gopher_oracle(),
     "corpus_quality_classifier": _quality_classifier_oracle(),
     "quality_classifier_eval": _quality_classifier_eval_oracle(),
