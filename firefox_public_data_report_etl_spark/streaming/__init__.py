@@ -15,6 +15,11 @@ from firefox_public_data_report_etl_spark.streaming.neardup import (
     neardup_gate_batch,
     stream_neardup_gate,
 )
+from firefox_public_data_report_etl_spark.streaming.pitenrich import (
+    pit_enrich_rows,
+    pit_gate_batch,
+    stream_pit_enrich,
+)
 from firefox_public_data_report_etl_spark.streaming.sketches import (
     stream_sketch_union,
     weekly_estimates,
@@ -34,6 +39,9 @@ __all__ = [
     "stream_embed_gate",
     "neardup_gate_batch",
     "stream_neardup_gate",
+    "pit_enrich_rows",
+    "pit_gate_batch",
+    "stream_pit_enrich",
     "stream_dedup_events",
     "running_user_totals_tws",
     "stream_events",

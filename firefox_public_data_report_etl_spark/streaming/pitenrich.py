@@ -1,0 +1,139 @@
+"""Streaming point-in-time enrichment (round 9, r8 verdict #6): the
+stream==batch twin of `events_pit_enrich` — purchases stream through
+foreachBatch and are enriched, per trigger, with the SCD2 state
+dimension REBUILT from a dim-events path that can be refreshed
+mid-stream (the feature-store serving shape: facts stream, the
+dimension is a slowly-refreshing table the gate re-reads each
+trigger).
+
+One code path with the batch query: `pit_enrich_rows` below is the
+projection both the batch twin and every micro-batch run, built on
+the same `_scd2_runs` gaps-and-islands rebuild — the streaming and
+batch sides can never tile validity differently.
+
+Exactly-once by the established label protocol: enriched rows land
+partitioned by the trigger's ``batch_label`` with scoped dynamic
+overwrite — a replayed trigger REPLACES its label with identical
+rows (enrichment is a pure function of batch content + the dim
+state, and PIT semantics make in-time-order dim refreshes
+append-only for already-enriched purchases: a state event with a
+LATER timestamp than a landed purchase closes the open run AFTER
+that purchase, so its tile and state are unchanged).
+
+Honest boundary, documented not hidden: a LATE dim event — one whose
+timestamp precedes purchases already enriched — changes what the
+batch twin would report; that is the general late-upstream problem
+every PIT feature store has (the fix is reprocessing the affected
+labels, which the label layout makes a partition-scoped rewrite).
+
+Scale: per trigger, one user-keyed shuffle for the dim rebuild
+(shared windows — same plan as the batch query) and one equi-join
+with interval residual for the batch's purchases; the dim read is a
+column-pruned scan of state events, never of enriched history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from firefox_public_data_report_etl_spark.functions import cents, week_start
+
+
+def pit_enrich_rows(purchases: DataFrame, dim_events: DataFrame) -> DataFrame:
+    """(event_id, user_id, us, state, week_start, rev_c): each
+    purchase enriched with the SCD2 state valid at its event time
+    ('unknown' before the user's first observed state). ``purchases``
+    and ``dim_events`` are raw event rows (event_id, user_id, ts,
+    event_type, value); purchases are filtered here so both callers
+    share one definition of the fact slice."""
+    from firefox_public_data_report_etl_spark.plans.windowsq import (
+        _scd2_runs,
+    )
+
+    dim = _scd2_runs(
+        dim_events.filter(F.col("event_type") != "purchase").select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+    )
+    probes = purchases.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.date_format(week_start(F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        cents(F.col("value")).alias("rev_c"),
+    )
+    j = probes.join(
+        dim,
+        (probes.user_id == dim.d_user)
+        & (dim.valid_from_us <= probes.us)
+        & ((probes.us < dim.valid_to_us) | dim.is_current),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.coalesce(F.col("state"), F.lit("unknown")).alias("state"),
+        "week_start",
+        "rev_c",
+    )
+
+
+def pit_gate_batch(
+    spark: SparkSession,
+    batch_events: DataFrame,
+    dim_path: str,
+    out_path: str,
+    batch_id: int,
+) -> None:
+    """Process one micro-batch of fact events: refresh the dimension
+    (re-read ``dim_path``), PIT-enrich the batch's purchases, land
+    under the trigger's label."""
+    label = batch_id + 1
+    dim_events = spark.read.parquet(dim_path)
+    enriched = pit_enrich_rows(batch_events, dim_events).withColumn(
+        "batch_label", F.lit(label)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        enriched.write.partitionBy("batch_label").mode("overwrite").parquet(
+            out_path
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stream_pit_enrich(
+    events_stream: DataFrame,
+    dim_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """writeStream wiring: foreachBatch over a streaming fact-event
+    source; the dimension is re-read from ``dim_path`` every
+    trigger. ``availableNow`` so backfills drain and stop."""
+    return (
+        events_stream.writeStream.foreachBatch(
+            lambda b, bid: pit_gate_batch(
+                b.sparkSession, b, dim_path, out_path, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
