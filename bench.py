@@ -296,6 +296,12 @@ def main() -> None:
         "graph_lpa_communities",
         "first_touch_attribution",
         "user_trailing_hour_stats",
+        # round-9 additions
+        "multimodal_image_neardup",
+        "multimodal_audio_neardup",
+        "unigram_vocab_table",
+        "unigram_encode_corpus",
+        "tokenizer_fertility_ab",
     ):
         if name not in QUERIES:
             continue
