@@ -299,6 +299,7 @@ def main() -> None:
         # round-9 additions
         "multimodal_image_neardup",
         "multimodal_audio_neardup",
+        "multimodal_image_dedup",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

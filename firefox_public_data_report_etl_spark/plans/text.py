@@ -748,7 +748,10 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("da"), F.col("db"), F.col("hamming"))
 
 
-def _image_neardup_oracle() -> str:
+def _image_sig_body() -> str:
+    """The WITH-body (base → mixed pixels → gray grid → 60-bit sig)
+    recomputing the image dHash from the LOGICAL pixel rule — shared
+    by the pair-mining oracle and the dedup-decision oracle."""
     from firefox_public_data_report_etl_spark.operators.multimodal import (
         DHASH_COLS,
         DHASH_ROWS,
@@ -758,7 +761,6 @@ def _image_neardup_oracle() -> str:
         NDIMG_DOT_STRIDE,
         NDIMG_H_BASE,
         NDIMG_H_MOD,
-        NDIMG_MAX_HAMMING,
         NDIMG_PIX_MOD,
         NDIMG_W_BASE,
         NDIMG_W_MOD,
@@ -780,8 +782,7 @@ def _image_neardup_oracle() -> str:
     )
     seed = f"CASE WHEN v = 3 THEN src + {NDIMG_ALT_SEED} ELSE src END"
     mixed = _mix_chain_sql(seed, pos_list)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS media_id,
          doc_id // {NEARDUP_VARIANTS} AS src,
          doc_id % {NEARDUP_VARIANTS} AS v,
@@ -812,11 +813,101 @@ sig AS (
                   gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 2]
                   > gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 1]
                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
-  FROM gray)
+  FROM gray)"""
+
+
+def _image_neardup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDIMG_MAX_HAMMING,
+    )
+
+    return f"""
+WITH {_image_sig_body()}
 SELECT a.media_id AS da, b.media_id AS db,
        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}
+"""
+
+
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual pairs → keep/drop DECISIONS, the composition a
+    media curation pipeline actually lands (the image-space mirror of
+    `dedup_clusters` + the keep rule): dHash near-dup pairs feed the
+    lineage-truncated min-label connected components, every image
+    gets its cluster label (singletons label themselves), and
+    ``keep`` marks the one representative (min media_id) per
+    cluster. Oracle: the byte-free signature recompute + brute pairs
+    + an independent recursive-CTE reachability fixpoint — a CC
+    convergence bug cannot hide behind the pair oracle.
+
+    Scale: pair mining is the banded self-join (never all-pairs);
+    CC runs on the pair-sized edge set; the decision join is one
+    media-keyed broadcast-or-shuffle of cluster labels."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDIMG_MAX_HAMMING,
+        attach_neardup_bmp_payload,
+        decode_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sigs = decode_dhash(attach_neardup_bmp_payload(docs))
+    pairs = hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=DHASH_BITS,
+        max_hamming=NDIMG_MAX_HAMMING,
+    )
+    comp = connected_components(pairs, "da", "db").withColumnRenamed(
+        "node", "media_id"
+    )
+    return (
+        docs.select(F.col("doc_id").alias("media_id"))
+        .join(comp, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("comp", F.col("media_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("media_id") == F.col("component"))
+    )
+
+
+def _image_dedup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDIMG_MAX_HAMMING,
+    )
+
+    return f"""
+WITH RECURSIVE {_image_sig_body()},
+pairs AS (
+  SELECT a.media_id AS da, b.media_id AS db
+  FROM sig a JOIN sig b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS media_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT d.doc_id AS media_id,
+       coalesce(c.component, d.doc_id) AS component,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.media_id
 """
 
 
@@ -3933,6 +4024,7 @@ QUERIES = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_image_neardup": multimodal_image_neardup,
     "multimodal_audio_neardup": multimodal_audio_neardup,
+    "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -3989,6 +4081,7 @@ ORACLES = {
     "multimodal_audio_vad": _audio_vad_oracle(),
     "multimodal_image_neardup": _image_neardup_oracle(),
     "multimodal_audio_neardup": _audio_neardup_oracle(),
+    "multimodal_image_dedup": _image_dedup_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,

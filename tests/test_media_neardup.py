@@ -131,3 +131,25 @@ def test_banded_mining_finds_every_planted_pair(spark, sf_dir):
             da % NEARDUP_VARIANTS == 3 or db % NEARDUP_VARIANTS == 3
             for da, db in pairs
         )
+
+
+def test_image_dedup_keeps_one_per_group(spark, sf_dir):
+    """The keep/drop composition: every 4-id source group must keep
+    exactly its v0 representative (min id of the sibling cluster)
+    plus the unrelated v3 as its own singleton."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_image_dedup,
+    )
+    from firefox_public_data_report_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = {
+        r["media_id"]: (r["component"], r["keep"])
+        for r in multimodal_image_dedup(spark, sf_dir).collect()
+    }
+    assert len(rows) == n_docs
+    for g in range(n_docs // NEARDUP_VARIANTS):
+        base = NEARDUP_VARIANTS * g
+        for v in range(3):
+            assert rows[base + v] == (base, v == 0)
+        assert rows[base + 3] == (base + 3, True)  # singleton negative
