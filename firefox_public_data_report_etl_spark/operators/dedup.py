@@ -603,6 +603,52 @@ def hamming_band_pairs(
     all-pairs product; candidate dedup via distinct before the
     bit_count verify.
     """
+    bands = hamming_band_rows(
+        sigs,
+        id_col=id_col,
+        sig_col=sig_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    left = bands.select(
+        F.col(id_col).alias("da"), F.col(sig_col).alias("sa"), "b", "v"
+    )
+    right = bands.select(
+        F.col(id_col).alias("db"), F.col(sig_col).alias("sb"), "b", "v"
+    )
+    cand = (
+        left.join(right, ["b", "v"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", "hamming")
+    )
+
+
+def hamming_band_rows(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id, sig, b, v): the Manku block-combination banding rows of a
+    signature table — table index ``b``, packed key ``v`` — the ONE
+    banding definition shared by the in-memory pair join
+    (``hamming_band_pairs``) and the persisted signature index
+    (operators/hamming_index.py), so the index and a live batch can
+    never band differently. Validates the (bits, max_hamming,
+    n_blocks) geometry here, on every path."""
     from itertools import combinations
 
     if n_blocks is None:
@@ -642,30 +688,12 @@ def hamming_band_pairs(
                 F.lit(t).alias("b"), F.expr(f"({key})").alias("v")
             )
         )
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.col(sig_col),
         F.explode(F.array(*tables)).alias("bb"),
-    ).select(id_col, sig_col, F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
-    left = bands.select(
-        F.col(id_col).alias("da"), F.col(sig_col).alias("sa"), "b", "v"
-    )
-    right = bands.select(
-        F.col(id_col).alias("db"), F.col(sig_col).alias("sb"), "b", "v"
-    )
-    cand = (
-        left.join(right, ["b", "v"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "sa", "sb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("da", "db", "hamming")
+    ).select(
+        id_col, sig_col, F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
     )
 
 

@@ -11,6 +11,10 @@ from firefox_public_data_report_etl_spark.streaming.embedgate import (
     embed_gate_batch,
     stream_embed_gate,
 )
+from firefox_public_data_report_etl_spark.streaming.mediagate import (
+    media_gate_batch,
+    stream_media_gate,
+)
 from firefox_public_data_report_etl_spark.streaming.neardup import (
     neardup_gate_batch,
     stream_neardup_gate,
@@ -37,6 +41,8 @@ __all__ = [
     "click_purchase_attribution",
     "embed_gate_batch",
     "stream_embed_gate",
+    "media_gate_batch",
+    "stream_media_gate",
     "neardup_gate_batch",
     "stream_neardup_gate",
     "pit_enrich_rows",
