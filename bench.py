@@ -300,6 +300,7 @@ def main() -> None:
         "multimodal_image_neardup",
         "multimodal_audio_neardup",
         "multimodal_image_dedup",
+        "multimodal_dedup_incremental",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

@@ -697,6 +697,48 @@ def hamming_band_rows(
     )
 
 
+def hamming_cross_pairs(
+    base_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(base_id, batch_id, hamming): banded pairs BETWEEN a base
+    signature table and a batch table — the incremental form: the
+    base-base pair space is never generated (same asymmetry as
+    ``cross_pairs_against_bands`` for MinHash). Exact recall by the
+    pigeonhole theorem, like every Hamming path here; the persisted
+    index probe (operators/hamming_index.py) is the storage-backed
+    equivalent and is pinned equal to this twin by test."""
+    kw = dict(
+        id_col=id_col, sig_col=sig_col, bits=bits,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+    a = hamming_band_rows(base_sigs, **kw).select(
+        F.col(id_col).alias("base_id"), F.col(sig_col).alias("sa"), "b", "v"
+    )
+    bt = hamming_band_rows(batch_sigs, **kw).select(
+        F.col(id_col).alias("batch_id"), F.col(sig_col).alias("sb"), "b", "v"
+    )
+    cand = (
+        a.join(bt, ["b", "v"])
+        .select("base_id", "batch_id", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("base_id", "batch_id", "hamming")
+    )
+
+
 def gram_hash_arrays(
     docs: DataFrame,
     id_col: str = "doc_id",

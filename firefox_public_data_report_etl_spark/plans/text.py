@@ -911,6 +911,71 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.media_id
 """
 
 
+NDIMG_BATCH_MOD = 4  # media_id % 4 == 2 plays the incoming batch
+
+
+def multimodal_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental cross-corpus MEDIA dedup, registry form (the
+    media mirror of `dedup_incremental`): the v2 sibling slice plays
+    this week's incoming batch, everything else is the curated base,
+    and the banded cross join (operators/dedup.py:
+    hamming_cross_pairs) finds every base↔batch pair within Hamming
+    ≤ 3 WITHOUT ever generating the base-base pair space. The
+    persisted-index probe (operators/hamming_index.py) is the
+    storage-backed equivalent, pinned equal to this twin by
+    test_hamming_index; the oracle brute-forces the cross pairs from
+    the byte-free logical-rule signatures.
+
+    Scale: two signature passes (fused decode stages) + one banded
+    equi-join restricted to batch-touching buckets — incremental
+    cost tracks the batch, not the corpus."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_cross_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDIMG_MAX_HAMMING,
+        attach_neardup_bmp_payload,
+        decode_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sigs = decode_dhash(attach_neardup_bmp_payload(docs))
+    base = sigs.filter(F.col("media_id") % NDIMG_BATCH_MOD != 2)
+    batch = sigs.filter(F.col("media_id") % NDIMG_BATCH_MOD == 2)
+    return hamming_cross_pairs(
+        base,
+        batch,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=DHASH_BITS,
+        max_hamming=NDIMG_MAX_HAMMING,
+    )
+
+
+def _image_dedup_incr_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDIMG_MAX_HAMMING,
+    )
+
+    return f"""
+WITH {_image_sig_body()}
+SELECT a.media_id AS base_id, b.media_id AS batch_id,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b
+  ON a.media_id % {NDIMG_BATCH_MOD} <> 2
+ AND b.media_id % {NDIMG_BATCH_MOD} = 2
+WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}
+"""
+
+
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r8 verdict #2), the WAV sibling of
     ``multimodal_image_neardup``: every document becomes a REAL
@@ -4025,6 +4090,7 @@ QUERIES = {
     "multimodal_image_neardup": multimodal_image_neardup,
     "multimodal_audio_neardup": multimodal_audio_neardup,
     "multimodal_image_dedup": multimodal_image_dedup,
+    "multimodal_dedup_incremental": multimodal_dedup_incremental,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4082,6 +4148,7 @@ ORACLES = {
     "multimodal_image_neardup": _image_neardup_oracle(),
     "multimodal_audio_neardup": _audio_neardup_oracle(),
     "multimodal_image_dedup": _image_dedup_oracle(),
+    "multimodal_dedup_incremental": _image_dedup_incr_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
