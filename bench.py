@@ -301,6 +301,7 @@ def main() -> None:
         "multimodal_audio_neardup",
         "multimodal_image_dedup",
         "multimodal_dedup_incremental",
+        "multimodal_video_neardup",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

@@ -1111,3 +1111,130 @@ def decode_audio_fingerprint(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (round 9, completing the modality set): clip-level
+# duplicate detection by FRAME VOTE — each frame goes through the
+# real BMP codec round-trip and gets its 60-bit dHash; two clips are
+# near-dups when >= NDVID_MIN_FRAMES of their time-ALIGNED frames
+# are within per-frame Hamming NDVID_MAX_HAMMING. Robust to
+# re-encoding (brightness-shifted sibling: every frame hash
+# identical) and to re-editing (one replaced frame: 7/8 still
+# match); unrelated clips share ~0 aligned frames. The corpus rule
+# plants exactly those siblings per 4-id group.
+# ---------------------------------------------------------------------------
+
+NDVID_FRAMES = 8
+NDVID_SEED_STRIDE = 16  # > NDVID_FRAMES: frame seeds never collide
+NDVID_MAX_HAMMING = 2  # per-frame bit budget (tighter than stills)
+NDVID_MIN_FRAMES = 6  # clip verdict: >= 6 of 8 aligned frames match
+NDVID_EDIT_FRAME = 4  # v2: this frame is replaced (re-edit sibling)
+NDVID_EDIT_SEED = 700_003
+NDVID_ALT_SEED = 800_011
+
+
+def _ndvid_frame_rgb(video_id: int, frame_idx: int):
+    """Logical pixel rule for near-dup video frames: per 4-id group,
+    v0 = base clip, v1 = brightness-lifted re-encode (dHash-
+    invariant per frame), v2 = base with ONE frame replaced by
+    unrelated content, v3 = fully unrelated clip."""
+    import numpy as np
+
+    src, v = divmod(video_id, NEARDUP_VARIANTS)
+    w = NDIMG_W_BASE + src % NDIMG_W_MOD
+    h = NDIMG_H_BASE + src % NDIMG_H_MOD
+    seed = src * NDVID_SEED_STRIDE + frame_idx
+    if v == 3:
+        seed += NDVID_ALT_SEED
+    elif v == 2 and frame_idx == NDVID_EDIT_FRAME:
+        seed += NDVID_EDIT_SEED
+    k = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    c = np.arange(3, dtype=np.int64)
+    vals = _mix(seed, k[..., None] * 3 + c) % NDIMG_PIX_MOD
+    if v == 1:
+        vals = vals + NDIMG_BRIGHT
+    return vals.astype(np.uint8)
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("video_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("fhash", LongType()),
+    ]
+)
+
+
+def decode_frame_dhash(frames: DataFrame) -> DataFrame:
+    """(video_id, frame_idx) → per-frame dHash through the REAL BMP
+    codec (encode → independent decode → downscale → hash, one
+    Arrow stage — pixels never leave the task; one BIGINT per frame
+    does)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, fi in zip(pdf["video_id"], pdf["frame_idx"]):
+                payload = encode_bmp24(_ndvid_frame_rgb(int(vid), int(fi)))
+                _, _, rgb = decode_bmp24(payload)
+                rows.append((int(vid), int(fi), dhash_signature(rgb)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_DHASH_SCHEMA]
+            )
+
+    return frames.mapInPandas(_run, FRAME_DHASH_SCHEMA)
+
+
+def video_neardup_pairs(frame_hashes: DataFrame) -> DataFrame:
+    """(va, vb, n_matched): clip pairs with >= NDVID_MIN_FRAMES
+    time-aligned frames within per-frame Hamming NDVID_MAX_HAMMING.
+
+    Mining is the shared Manku banding over a composite
+    (video, frame) id with the FRAME INDEX joined alongside the band
+    key — candidates are only ever aligned frames of two clips, so
+    the join volume is banded-per-frame, never clips × clips and
+    never frames × frames across time."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_rows,
+    )
+
+    sigs = frame_hashes.select(
+        (
+            F.col("video_id") * NDVID_FRAMES + F.col("frame_idx")
+        ).alias("fid"),
+        F.col("fhash"),
+    )
+    rows = hamming_band_rows(
+        sigs,
+        id_col="fid",
+        sig_col="fhash",
+        bits=DHASH_BITS,
+        max_hamming=NDVID_MAX_HAMMING,
+    ).withColumn("f", F.col("fid") % NDVID_FRAMES)
+    left = rows.select(
+        F.col("fid").alias("fa"), F.col("fhash").alias("sa"), "b", "v", "f"
+    )
+    right = rows.select(
+        F.col("fid").alias("fb"), F.col("fhash").alias("sb"), "b", "v", "f"
+    )
+    cand = (
+        left.join(right, ["b", "v", "f"])
+        .filter((F.col("fa") / NDVID_FRAMES).cast("long")
+                < (F.col("fb") / NDVID_FRAMES).cast("long"))
+        .select("fa", "fb", "sa", "sb", "f")
+        .distinct()
+    )
+    matched = cand.filter(
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        <= NDVID_MAX_HAMMING
+    ).select(
+        (F.col("fa") / NDVID_FRAMES).cast("long").alias("va"),
+        (F.col("fb") / NDVID_FRAMES).cast("long").alias("vb"),
+        "f",
+    ).distinct()
+    return (
+        matched.groupBy("va", "vb")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
+    )

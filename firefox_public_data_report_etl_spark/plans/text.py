@@ -976,6 +976,122 @@ WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}
 """
 
 
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video near-dup by FRAME VOTE (completing the
+    modality set): every document becomes an 8-frame clip under the
+    variant rule (operators/multimodal.py:_ndvid_frame_rgb — per
+    group: a brightness-lifted re-encode sibling, a one-frame-
+    replaced re-edit sibling, an unrelated negative), each frame
+    round-trips the REAL BMP codec and gets its 60-bit dHash
+    (decode_frame_dhash), and clip pairs with ≥ 6 of 8 time-aligned
+    frames within per-frame Hamming 2 are mined by the shared Manku
+    banding with the frame index alongside the band key
+    (video_neardup_pairs — candidates are only aligned frames,
+    never clips × clips). Oracle: byte-free logical-rule frame
+    signatures + brute aligned-frame vote.
+
+    Scale: pixels never shuffle (decode+hash fuse per frame, one
+    BIGINT out); the vote is a pair-sized aggregate over banded
+    candidates."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDVID_FRAMES,
+        decode_frame_dhash,
+        video_neardup_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(NDVID_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    )
+    return video_neardup_pairs(decode_frame_dhash(frames))
+
+
+def _video_neardup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        NDIMG_BRIGHT,
+        NDIMG_H_BASE,
+        NDIMG_H_MOD,
+        NDIMG_PIX_MOD,
+        NDIMG_W_BASE,
+        NDIMG_W_MOD,
+        NDVID_ALT_SEED,
+        NDVID_EDIT_FRAME,
+        NDVID_EDIT_SEED,
+        NDVID_FRAMES,
+        NDVID_MAX_HAMMING,
+        NDVID_MIN_FRAMES,
+        NDVID_SEED_STRIDE,
+        NEARDUP_VARIANTS,
+    )
+
+    n_cells = DHASH_ROWS * DHASH_COLS
+    cmp_cols = DHASH_COLS - 1
+    k_of = (
+        f"((((i // 3) // {DHASH_COLS}) * height) // {DHASH_ROWS}) * width"
+        f" + ((((i // 3) % {DHASH_COLS}) * width) // {DHASH_COLS})"
+    )
+    pos_list = (
+        f"list_transform(range(0, {3 * n_cells}),"
+        f" i -> ({k_of}) * 3 + (i % 3))"
+    )
+    seed = (
+        f"src * {NDVID_SEED_STRIDE} + f"
+        f" + CASE WHEN v = 3 THEN {NDVID_ALT_SEED}"
+        f"        WHEN v = 2 AND f = {NDVID_EDIT_FRAME}"
+        f"          THEN {NDVID_EDIT_SEED} ELSE 0 END"
+    )
+    mixed = _mix_chain_sql(seed, pos_list)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS video_id,
+         doc_id // {NEARDUP_VARIANTS} AS src,
+         doc_id % {NEARDUP_VARIANTS} AS v,
+         {NDIMG_W_BASE} + (doc_id // {NEARDUP_VARIANTS}) % {NDIMG_W_MOD}
+           AS width,
+         {NDIMG_H_BASE} + (doc_id // {NEARDUP_VARIANTS}) % {NDIMG_H_MOD}
+           AS height,
+         CAST(unnest(range(0, {NDVID_FRAMES})) AS BIGINT) AS f
+  FROM documents),
+mx AS (SELECT video_id, f, v, width, height, {mixed} AS ml FROM base),
+vals AS (
+  SELECT video_id, f,
+         list_transform(range(0, {3 * n_cells}), i ->
+           ml[i + 1] % {NDIMG_PIX_MOD}
+           + CASE WHEN v = 1 THEN {NDIMG_BRIGHT} ELSE 0 END) AS vl
+  FROM mx),
+gray AS (
+  SELECT video_id, f,
+         list_transform(range(0, {n_cells}), g ->
+           vl[3 * g + 1] + vl[3 * g + 2] + vl[3 * g + 3]) AS gl
+  FROM vals),
+vsig AS (
+  SELECT video_id, f,
+         CAST(list_sum(list_transform(range(0, {DHASH_ROWS * cmp_cols}),
+           b -> CASE WHEN
+                  gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 2]
+                  > gl[(b // {cmp_cols}) * {DHASH_COLS} + b % {cmp_cols} + 1]
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
+  FROM gray)
+SELECT a.video_id AS va, b.video_id AS vb,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM vsig a JOIN vsig b
+  ON a.f = b.f AND a.video_id < b.video_id
+WHERE bit_count(xor(a.s, b.s)) <= {NDVID_MAX_HAMMING}
+GROUP BY a.video_id, b.video_id
+HAVING count(*) >= {NDVID_MIN_FRAMES}
+"""
+
+
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r8 verdict #2), the WAV sibling of
     ``multimodal_image_neardup``: every document becomes a REAL
@@ -4091,6 +4207,7 @@ QUERIES = {
     "multimodal_audio_neardup": multimodal_audio_neardup,
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_dedup_incremental": multimodal_dedup_incremental,
+    "multimodal_video_neardup": multimodal_video_neardup,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4149,6 +4266,7 @@ ORACLES = {
     "multimodal_audio_neardup": _audio_neardup_oracle(),
     "multimodal_image_dedup": _image_dedup_oracle(),
     "multimodal_dedup_incremental": _image_dedup_incr_oracle(),
+    "multimodal_video_neardup": _video_neardup_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,

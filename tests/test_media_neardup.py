@@ -133,6 +133,32 @@ def test_banded_mining_finds_every_planted_pair(spark, sf_dir):
         )
 
 
+def test_video_frame_vote_planted_structure(spark, sf_dir):
+    """Clip-level frame vote: per source group, the re-encode sibling
+    matches 8/8 aligned frames, the one-frame re-edit 7/8, and the
+    unrelated clip (and every cross-group pair) is absent."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDVID_FRAMES,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_video_neardup,
+    )
+    from firefox_public_data_report_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    pairs = {
+        (r["va"], r["vb"]): r["n_matched"]
+        for r in multimodal_video_neardup(spark, sf_dir).collect()
+    }
+    n_groups = n_docs // NEARDUP_VARIANTS
+    assert len(pairs) == 3 * n_groups
+    for g in range(n_groups):
+        base = NEARDUP_VARIANTS * g
+        assert pairs[(base, base + 1)] == NDVID_FRAMES
+        assert pairs[(base, base + 2)] == NDVID_FRAMES - 1
+        assert pairs[(base + 1, base + 2)] == NDVID_FRAMES - 1
+
+
 def test_image_dedup_keeps_one_per_group(spark, sf_dir):
     """The keep/drop composition: every 4-id source group must keep
     exactly its v0 representative (min id of the sibling cluster)
