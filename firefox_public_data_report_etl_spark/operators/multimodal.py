@@ -1220,8 +1220,9 @@ def video_neardup_pairs(frame_hashes: DataFrame) -> DataFrame:
     )
     cand = (
         left.join(right, ["b", "v", "f"])
-        .filter((F.col("fa") / NDVID_FRAMES).cast("long")
-                < (F.col("fb") / NDVID_FRAMES).cast("long"))
+        .filter(
+            F.expr(f"fa div {NDVID_FRAMES}") < F.expr(f"fb div {NDVID_FRAMES}")
+        )
         .select("fa", "fb", "sa", "sb", "f")
         .distinct()
     )
@@ -1229,8 +1230,8 @@ def video_neardup_pairs(frame_hashes: DataFrame) -> DataFrame:
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
         <= NDVID_MAX_HAMMING
     ).select(
-        (F.col("fa") / NDVID_FRAMES).cast("long").alias("va"),
-        (F.col("fb") / NDVID_FRAMES).cast("long").alias("vb"),
+        F.expr(f"fa div {NDVID_FRAMES}").alias("va"),
+        F.expr(f"fb div {NDVID_FRAMES}").alias("vb"),
         "f",
     ).distinct()
     return (
