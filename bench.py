@@ -302,6 +302,9 @@ def main() -> None:
         "multimodal_image_dedup",
         "multimodal_dedup_incremental",
         "multimodal_video_neardup",
+        "multimodal_image_quality_filter",
+        "multimodal_audio_quality_filter",
+        "dedup_multimodal_joint",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

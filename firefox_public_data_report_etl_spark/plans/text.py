@@ -1092,6 +1092,252 @@ HAVING count(*) >= {NDVID_MIN_FRAMES}
 """
 
 
+# image quality rules (LAION-style pre-filters, integer-exact): a
+# kept image must have enough pixels, a sane aspect ratio, and mean
+# brightness inside [IMGQ_BRIGHT_LO, IMGQ_BRIGHT_HI] (compared by
+# cross-multiply against 3·n_px — no FP)
+IMGQ_MIN_PX = 12
+IMGQ_MAX_ASPECT = 4
+IMGQ_BRIGHT_LO, IMGQ_BRIGHT_HI = 96, 160
+
+
+def multimodal_image_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based image quality filter — the Gopher-for-pixels stage
+    every multimodal curation pipeline runs before dedup (LAION-style
+    size/aspect/brightness pre-filters): per-image rule verdicts plus
+    the conjunctive keep flag, computed from the REAL decode's exact
+    channel statistics (decode_bmp_stats — pixels never shuffle; the
+    rules are integer comparisons over 13 ints per image). The
+    oracle wraps the decode oracle (logical pixel rule, byte-free)
+    and re-evaluates the same integer rules."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    s = decode_bmp_stats(attach_bmp_payload(docs))
+    bright = F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+    size_ok = F.col("n_px") >= IMGQ_MIN_PX
+    aspect_ok = (
+        F.col("width") <= IMGQ_MAX_ASPECT * F.col("height")
+    ) & (F.col("height") <= IMGQ_MAX_ASPECT * F.col("width"))
+    bright_ok = (bright >= IMGQ_BRIGHT_LO * 3 * F.col("n_px")) & (
+        bright <= IMGQ_BRIGHT_HI * 3 * F.col("n_px")
+    )
+    return s.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        size_ok.alias("size_ok"),
+        aspect_ok.alias("aspect_ok"),
+        bright_ok.alias("bright_ok"),
+        (size_ok & aspect_ok & bright_ok).alias("keep"),
+    )
+
+
+def _image_quality_oracle() -> str:
+    return f"""
+WITH s AS ({_bmp_decode_oracle()})
+SELECT media_id, width, height, n_px,
+       n_px >= {IMGQ_MIN_PX} AS size_ok,
+       (width <= {IMGQ_MAX_ASPECT} * height
+        AND height <= {IMGQ_MAX_ASPECT} * width) AS aspect_ok,
+       (sum_r + sum_g + sum_b >= {IMGQ_BRIGHT_LO} * 3 * n_px
+        AND sum_r + sum_g + sum_b <= {IMGQ_BRIGHT_HI} * 3 * n_px)
+         AS bright_ok,
+       (n_px >= {IMGQ_MIN_PX}
+        AND width <= {IMGQ_MAX_ASPECT} * height
+        AND height <= {IMGQ_MAX_ASPECT} * width
+        AND sum_r + sum_g + sum_b >= {IMGQ_BRIGHT_LO} * 3 * n_px
+        AND sum_r + sum_g + sum_b <= {IMGQ_BRIGHT_HI} * 3 * n_px) AS keep
+FROM s
+"""
+
+
+def dedup_multimodal_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT text+image dedup decisions — the multi-signal rule real
+    multimodal pipelines apply (two items are the same content if
+    EITHER their text near-dups OR their image near-dups): the
+    MinHash-LSH text pair set (jaccard ≥ 0.5, the registry
+    threshold) unions with the dHash image pair set, connected
+    components run over the merged edge graph, and every document
+    gets its joint cluster plus the one kept representative. Signals
+    that individually miss a duplicate (paraphrased caption, same
+    image — or same caption, re-encoded image) still merge through
+    the other edge set.
+
+    Oracle: both pair formulations recomputed independently (the
+    banded-minhash SQL twin + the byte-free signature twin), merged
+    under one recursive-CTE reachability fixpoint.
+
+    Scale: both pair miners are banded (never all-pairs); the union
+    edge set is pair-sized; CC is the shipped lineage-truncated
+    loop; the decision join is one doc-keyed pass."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+        hamming_band_pairs,
+        minhash_lsh_pairs_arr,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDIMG_MAX_HAMMING,
+        attach_neardup_bmp_payload,
+        decode_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_pairs = minhash_lsh_pairs_arr(gram_hash_arrays(docs)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("da", "db")
+    ids = widen_partitions(docs.select("doc_id"))
+    img_pairs = hamming_band_pairs(
+        decode_dhash(attach_neardup_bmp_payload(ids)),
+        id_col="media_id",
+        sig_col="dhash",
+        bits=DHASH_BITS,
+        max_hamming=NDIMG_MAX_HAMMING,
+    ).select("da", "db")
+    edges = text_pairs.unionByName(img_pairs)
+    comp = connected_components(edges, "da", "db").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
+
+
+def _joint_dedup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDIMG_MAX_HAMMING,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    minhash = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE
+tp AS (SELECT da, db FROM ({minhash}) mh),
+ip AS (SELECT da, db FROM (
+  WITH {_image_sig_body()}
+  SELECT a.media_id AS da, b.media_id AS db
+  FROM sig a JOIN sig b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}) x),
+pairs AS (SELECT da, db FROM tp UNION SELECT da, db FROM ip),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+# audio quality rules: a kept clip must be long enough and have a
+# voice-activity ratio inside [30%, 90%] (integer cross-multiply
+# over the VAD frame verdicts)
+AUDQ_MIN_SAMPLES = 75
+AUDQ_ACT_LO_NUM, AUDQ_ACT_HI_NUM, AUDQ_ACT_DEN = 3, 9, 10
+
+
+def multimodal_audio_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based audio quality filter over the REAL WAV decode's
+    frame features (decode_wav_frames): per-clip duration and
+    voice-activity-ratio verdicts plus the conjunctive keep flag —
+    the pre-filter stage of an audio curation pipeline (too-short
+    and mostly-silent/mostly-hot clips are dropped before the
+    expensive stages). Integer-exact: the activity ratio compares by
+    cross-multiply. Oracle wraps the VAD oracle and re-aggregates."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_frames,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    fr = decode_wav_frames(attach_wav_payload(docs), VAD_FRAME_LEN)
+    agg = fr.groupBy("media_id").agg(
+        F.sum("n_in_frame").cast("long").alias("n_samples"),
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("active").cast("long")).alias("n_active"),
+    )
+    dur_ok = F.col("n_samples") >= AUDQ_MIN_SAMPLES
+    act_ok = (
+        F.col("n_active") * AUDQ_ACT_DEN
+        >= F.col("n_frames") * AUDQ_ACT_LO_NUM
+    ) & (
+        F.col("n_active") * AUDQ_ACT_DEN
+        <= F.col("n_frames") * AUDQ_ACT_HI_NUM
+    )
+    return agg.select(
+        "media_id",
+        "n_samples",
+        "n_frames",
+        "n_active",
+        dur_ok.alias("duration_ok"),
+        act_ok.alias("activity_ok"),
+        (dur_ok & act_ok).alias("keep"),
+    )
+
+
+def _audio_quality_oracle() -> str:
+    return f"""
+WITH fr AS ({_audio_vad_oracle()}),
+agg AS (SELECT media_id,
+          CAST(sum(n_in_frame) AS BIGINT) AS n_samples,
+          CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_active
+        FROM fr GROUP BY media_id)
+SELECT media_id, n_samples, n_frames, n_active,
+       n_samples >= {AUDQ_MIN_SAMPLES} AS duration_ok,
+       (n_active * {AUDQ_ACT_DEN} >= n_frames * {AUDQ_ACT_LO_NUM}
+        AND n_active * {AUDQ_ACT_DEN} <= n_frames * {AUDQ_ACT_HI_NUM})
+         AS activity_ok,
+       (n_samples >= {AUDQ_MIN_SAMPLES}
+        AND n_active * {AUDQ_ACT_DEN} >= n_frames * {AUDQ_ACT_LO_NUM}
+        AND n_active * {AUDQ_ACT_DEN} <= n_frames * {AUDQ_ACT_HI_NUM})
+         AS keep
+FROM agg
+"""
+
+
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r8 verdict #2), the WAV sibling of
     ``multimodal_image_neardup``: every document becomes a REAL
@@ -4208,6 +4454,9 @@ QUERIES = {
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_dedup_incremental": multimodal_dedup_incremental,
     "multimodal_video_neardup": multimodal_video_neardup,
+    "multimodal_image_quality_filter": multimodal_image_quality_filter,
+    "multimodal_audio_quality_filter": multimodal_audio_quality_filter,
+    "dedup_multimodal_joint": dedup_multimodal_joint,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4267,6 +4516,9 @@ ORACLES = {
     "multimodal_image_dedup": _image_dedup_oracle(),
     "multimodal_dedup_incremental": _image_dedup_incr_oracle(),
     "multimodal_video_neardup": _video_neardup_oracle(),
+    "multimodal_image_quality_filter": _image_quality_oracle(),
+    "multimodal_audio_quality_filter": _audio_quality_oracle(),
+    "dedup_multimodal_joint": _joint_dedup_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
