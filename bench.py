@@ -305,6 +305,7 @@ def main() -> None:
         "multimodal_image_quality_filter",
         "multimodal_audio_quality_filter",
         "dedup_multimodal_joint",
+        "multimodal_curation_pipeline",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

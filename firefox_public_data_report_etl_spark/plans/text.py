@@ -1263,6 +1263,162 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+# media curation pipeline rules (evaluated on the near-dup image
+# corpus, whose planted brightness sibling the bright band is tuned
+# to reject: base pixels mean ≈98 → inside [85, 115]; the +29 lifted
+# re-encode ≈127 → outside)
+MCUR_MIN_PX = 300
+MCUR_BRIGHT_LO, MCUR_BRIGHT_HI = 85, 115
+
+
+def multimodal_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The media curation pipeline END TO END — the multimodal
+    mirror of `corpus_curation_pipeline_full`: decode once, apply
+    the quality rules (size + brightness band over exact channel
+    sums), mine near-dup pairs among the SURVIVORS only, cluster,
+    and land one staged verdict per image: ``stage ∈ {quality,
+    dedup, kept}`` with the cluster label. On the planted corpus
+    the brightness-lifted re-encode sibling dies at the quality
+    stage, the dot sibling dedups against its source, and the
+    unrelated negative survives alone — the interaction the
+    composed stages exist to test (a dedup-then-quality ordering
+    would keep the bright sibling whenever it won the cluster).
+
+    Scale: ONE decode pass feeds both stages (stats + dHash from
+    the same Arrow stage would be ideal; here the two fused stages
+    each stay narrow and pixel-local); pair mining is banded over
+    the already-filtered survivor set — the quality cut shrinks the
+    candidate space before any join, the same stage ordering as the
+    text pipeline."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDIMG_MAX_HAMMING,
+        attach_neardup_bmp_payload,
+        decode_bmp_stats,
+        decode_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = attach_neardup_bmp_payload(docs)
+    stats = decode_bmp_stats(media)
+    bright = F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+    q = stats.select(
+        "media_id",
+        (
+            (F.col("n_px") >= MCUR_MIN_PX)
+            & (bright >= MCUR_BRIGHT_LO * 3 * F.col("n_px"))
+            & (bright <= MCUR_BRIGHT_HI * 3 * F.col("n_px"))
+        ).alias("quality_keep"),
+    )
+    survivors = q.filter("quality_keep").select("media_id")
+    sigs = decode_dhash(media).join(survivors, "media_id")
+    pairs = hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=DHASH_BITS,
+        max_hamming=NDIMG_MAX_HAMMING,
+    )
+    comp = connected_components(pairs, "da", "db").withColumnRenamed(
+        "node", "media_id"
+    )
+    out = (
+        q.join(comp, "media_id", "left")
+        .select(
+            "media_id",
+            "quality_keep",
+            F.when(F.col("quality_keep"), F.coalesce("comp", F.col("media_id")))
+            .otherwise(F.col("media_id"))
+            .alias("component"),
+        )
+        .withColumn(
+            "keep",
+            F.col("quality_keep") & (F.col("media_id") == F.col("component")),
+        )
+    )
+    return out.withColumn(
+        "stage",
+        F.when(~F.col("quality_keep"), F.lit("quality"))
+        .when(~F.col("keep"), F.lit("dedup"))
+        .otherwise(F.lit("kept")),
+    )
+
+
+def _mcur_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDIMG_ALT_SEED,
+        NDIMG_BRIGHT,
+        NDIMG_DOT,
+        NDIMG_DOT_STRIDE,
+        NDIMG_MAX_HAMMING,
+        NDIMG_PIX_MOD,
+    )
+
+    # full-image channel sums from the logical rule (the sig body
+    # samples only the dHash grid; the quality band needs ALL pixels)
+    seed = f"CASE WHEN v = 3 THEN src + {NDIMG_ALT_SEED} ELSE src END"
+    full_mix = _mix_chain_sql(seed, "range(0, 3 * width * height)")
+    return f"""
+WITH RECURSIVE {_image_sig_body()},
+fm AS (SELECT media_id, v, width, height, {full_mix} AS fl FROM base),
+qsum AS (
+  SELECT media_id,
+         CAST(width * height AS BIGINT) AS n_px,
+         CAST(list_sum(list_transform(range(0, 3 * width * height), i ->
+           fl[i + 1] % {NDIMG_PIX_MOD}
+           + CASE WHEN v = 1 THEN {NDIMG_BRIGHT}
+                  WHEN v = 2 AND (i // 3) % {NDIMG_DOT_STRIDE} = 0
+                    THEN {NDIMG_DOT}
+                  ELSE 0 END)) AS BIGINT) AS s3
+  FROM fm),
+q AS (
+  SELECT media_id,
+         (n_px >= {MCUR_MIN_PX}
+          AND s3 >= {MCUR_BRIGHT_LO} * 3 * n_px
+          AND s3 <= {MCUR_BRIGHT_HI} * 3 * n_px) AS quality_keep
+  FROM qsum),
+surv AS (SELECT s.media_id, s.s FROM sig s
+         JOIN q USING (media_id) WHERE q.quality_keep),
+pairs AS (
+  SELECT a.media_id AS da, b.media_id AS db
+  FROM surv a JOIN surv b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.s, b.s)) <= {NDIMG_MAX_HAMMING}),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS media_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+lab AS (
+  SELECT q.media_id, q.quality_keep,
+         CASE WHEN q.quality_keep
+              THEN coalesce(c.component, q.media_id)
+              ELSE q.media_id END AS component
+  FROM q LEFT JOIN comp c USING (media_id))
+SELECT media_id, quality_keep, component,
+       quality_keep AND media_id = component AS keep,
+       CASE WHEN NOT quality_keep THEN 'quality'
+            WHEN media_id <> component THEN 'dedup'
+            ELSE 'kept' END AS stage
+FROM lab
+"""
+
+
 # audio quality rules: a kept clip must be long enough and have a
 # voice-activity ratio inside [30%, 90%] (integer cross-multiply
 # over the VAD frame verdicts)
@@ -4457,6 +4613,7 @@ QUERIES = {
     "multimodal_image_quality_filter": multimodal_image_quality_filter,
     "multimodal_audio_quality_filter": multimodal_audio_quality_filter,
     "dedup_multimodal_joint": dedup_multimodal_joint,
+    "multimodal_curation_pipeline": multimodal_curation_pipeline,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4519,6 +4676,7 @@ ORACLES = {
     "multimodal_image_quality_filter": _image_quality_oracle(),
     "multimodal_audio_quality_filter": _audio_quality_oracle(),
     "dedup_multimodal_joint": _joint_dedup_oracle(),
+    "multimodal_curation_pipeline": _mcur_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,

@@ -159,6 +159,34 @@ def test_video_frame_vote_planted_structure(spark, sf_dir):
         assert pairs[(base + 1, base + 2)] == NDVID_FRAMES - 1
 
 
+def test_curation_pipeline_stage_interaction(spark, sf_dir):
+    """The composed stages must interact as designed: the brightness-
+    lifted re-encode sibling dies at the QUALITY stage in every
+    group (never wins a dedup cluster), and in size-passing groups
+    the source is kept, the dot sibling dedups against it, and the
+    unrelated negative survives alone."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_curation_pipeline,
+    )
+
+    rows = {
+        r["media_id"]: (r["stage"], r["component"])
+        for r in multimodal_curation_pipeline(spark, sf_dir).collect()
+    }
+    groups = len(rows) // NEARDUP_VARIANTS
+    assert groups > 0
+    for g in range(groups):
+        base = NEARDUP_VARIANTS * g
+        assert rows[base + 1][0] == "quality"  # bright sibling always
+        stages = {v: rows[base + v][0] for v in range(4)}
+        if stages[0] != "quality":  # size-passing group
+            assert stages[0] == "kept"
+            assert rows[base + 2] == ("dedup", base)
+            assert stages[3] == "kept"
+        else:  # size-failing group drops every variant at quality
+            assert set(stages.values()) == {"quality"}
+
+
 def test_image_dedup_keeps_one_per_group(spark, sf_dir):
     """The keep/drop composition: every 4-id source group must keep
     exactly its v0 representative (min id of the sibling cluster)
