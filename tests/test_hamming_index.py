@@ -170,6 +170,51 @@ def test_compaction_preserves_probe_and_newest_label(
     sigs.unpersist()
 
 
+def test_index_is_modality_agnostic_audio(spark, sf_dir, tmp_path):
+    """The index stores its id/sig column names and geometry in meta,
+    so the AUDIO fingerprint family runs through the same lifecycle
+    unchanged — probe == in-memory cross twin on afp signatures."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_BITS,
+        NDAUD_MAX_HAMMING,
+        attach_neardup_wav_payload,
+        decode_audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    sigs = decode_audio_fingerprint(
+        attach_neardup_wav_payload(docs)
+    ).select("media_id", "afp").cache()
+    base = sigs.filter(F.col("media_id") % 4 != 1)
+    batch = sigs.filter(F.col("media_id") % 4 == 1)
+    path = str(tmp_path / "aidx")
+    geom = {"bits": NDAUD_BITS, "max_hamming": NDAUD_MAX_HAMMING}
+    build_hamming_index(
+        base, path, id_col="media_id", sig_col="afp", **geom
+    )
+    got = {
+        (r["base_id"], r["batch_id"], r["hamming"])
+        for r in probe_hamming_index(spark, path, batch).collect()
+    }
+    all_sigs = base.unionByName(batch)
+    pairs = hamming_band_pairs(
+        all_sigs, id_col="media_id", sig_col="afp", **geom
+    )
+    base_ids = {r["media_id"] for r in base.select("media_id").collect()}
+    want = set()
+    for r in pairs.collect():
+        if (r["da"] in base_ids) != (r["db"] in base_ids):
+            bb, bt = (
+                (r["da"], r["db"]) if r["da"] in base_ids
+                else (r["db"], r["da"])
+            )
+            want.add((bb, bt, r["hamming"]))
+    assert got == want
+    # the planted time-shifted siblings guarantee matches exist
+    assert got
+    sigs.unpersist()
+
+
 def test_streaming_media_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):
