@@ -1239,3 +1239,50 @@ def video_neardup_pairs(frame_hashes: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
     )
+
+
+STATS_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def decode_bmp_stats_dhash(media: DataFrame) -> DataFrame:
+    """ONE decode pass feeding both curation stages: parse each BMP
+    payload once and emit the exact channel sums (the quality rules'
+    input) AND the 60-bit dHash (the dedup stage's input) from the
+    same in-memory pixels — at 100 TB this halves blob IO vs running
+    decode_bmp_stats and decode_dhash as separate branches (each
+    re-reads every payload; mapInPandas stages share no work)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                w, h, rgb = decode_bmp24(bytes(payload))
+                flat = rgb.reshape(-1, 3).astype("int64")
+                rows.append(
+                    (
+                        int(mid), w, h, w * h,
+                        int(flat[:, 0].sum()), int(flat[:, 1].sum()),
+                        int(flat[:, 2].sum()),
+                        dhash_signature(rgb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in STATS_DHASH_SCHEMA]
+            )
+
+    return media.mapInPandas(_decode, STATS_DHASH_SCHEMA)

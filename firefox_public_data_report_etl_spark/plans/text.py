@@ -1286,12 +1286,14 @@ def multimodal_curation_pipeline(
     composed stages exist to test (a dedup-then-quality ordering
     would keep the bright sibling whenever it won the cluster).
 
-    Scale: ONE decode pass feeds both stages (stats + dHash from
-    the same Arrow stage would be ideal; here the two fused stages
-    each stay narrow and pixel-local); pair mining is banded over
-    the already-filtered survivor set — the quality cut shrinks the
-    candidate space before any join, the same stage ordering as the
-    text pipeline."""
+    Scale: ONE decode pass feeds both stages — the fused
+    decode_bmp_stats_dhash stage emits channel sums AND the dHash
+    from the same in-memory pixels (two separate mapInPandas
+    branches would each re-read every payload: 2× blob IO at
+    100 TB); pair mining is banded over the already-filtered
+    survivor set — the quality cut shrinks the candidate space
+    before any join, the same stage ordering as the text
+    pipeline."""
     from firefox_public_data_report_etl_spark.operators.dedup import (
         hamming_band_pairs,
     )
@@ -1302,8 +1304,7 @@ def multimodal_curation_pipeline(
         DHASH_BITS,
         NDIMG_MAX_HAMMING,
         attach_neardup_bmp_payload,
-        decode_bmp_stats,
-        decode_dhash,
+        decode_bmp_stats_dhash,
     )
     from firefox_public_data_report_etl_spark.operators.parallelism import (
         widen_partitions,
@@ -1312,10 +1313,11 @@ def multimodal_curation_pipeline(
     docs = widen_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
-    media = attach_neardup_bmp_payload(docs)
-    stats = decode_bmp_stats(media)
+    decoded = decode_bmp_stats_dhash(
+        attach_neardup_bmp_payload(docs)
+    ).localCheckpoint()
     bright = F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
-    q = stats.select(
+    q = decoded.select(
         "media_id",
         (
             (F.col("n_px") >= MCUR_MIN_PX)
@@ -1324,7 +1326,7 @@ def multimodal_curation_pipeline(
         ).alias("quality_keep"),
     )
     survivors = q.filter("quality_keep").select("media_id")
-    sigs = decode_dhash(media).join(survivors, "media_id")
+    sigs = decoded.select("media_id", "dhash").join(survivors, "media_id")
     pairs = hamming_band_pairs(
         sigs,
         id_col="media_id",
