@@ -611,6 +611,22 @@ def hamming_band_pairs(
         max_hamming=max_hamming,
         n_blocks=n_blocks,
     )
+    return hamming_pairs_from_band_rows(
+        bands, id_col=id_col, sig_col=sig_col, max_hamming=max_hamming
+    )
+
+
+def hamming_pairs_from_band_rows(
+    bands: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """The self-join + verify half of ``hamming_band_pairs``, split
+    out so callers that ALREADY hold band rows (the persisted-index
+    probe caches the batch's — review fix: the media gate previously
+    re-banded the batch per trigger) can pair without re-exploding."""
     left = bands.select(
         F.col(id_col).alias("da"), F.col(sig_col).alias("sa"), "b", "v"
     )

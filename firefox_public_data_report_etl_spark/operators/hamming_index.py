@@ -116,10 +116,11 @@ def _write_slice(
     # write + scoped STATIC overwrite — both the measured lessons the
     # MinHash/IVF writers already encode (sliver files; leaked
     # dynamic mode keeping a previous index's appends alive)
-    conf = sigs.sparkSession.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(sigs.sparkSession, "static"):
         bands = hamming_band_rows(
             sigs, id_col=id_col, sig_col=sig_col, bits=bits,
             max_hamming=max_hamming, n_blocks=n_blocks,
@@ -129,11 +130,6 @@ def _write_slice(
         ).repartition("b", "pb").write.partitionBy("bl", "b", "pb").mode(
             mode
         ).parquet(f"{path}/bands")
-    finally:
-        if prev is None:
-            conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def probe_hamming_index(
@@ -206,45 +202,30 @@ def probe_hamming_index(
         .select("base_id", "batch_id", "hamming")
     )
     # caller-owned cache lifecycle, same contract as the MinHash
-    # probe: the band rows feed the returned plan's candidate join
+    # probe: the band rows feed the returned plan's candidate join.
+    # ``batch_band_rows`` is the documented reuse handle — a gate
+    # that also needs within-batch pairs pairs THESE rows
+    # (dedup.hamming_pairs_from_band_rows) instead of re-banding.
     out._probe_persisted = [batch_bands]
+    out.batch_band_rows = batch_bands
     return out
 
 
 def compact_hamming_index(spark: SparkSession, path: str) -> None:
     """Fold appended labels into bl=0, preserving the NEWEST label
-    for streaming replay safety; crash-safe stage/move-aside/move-in
-    swap — the protocol shared by all three index lifecycles."""
-    import os
-    import shutil
+    for streaming replay safety — the shared swap protocol
+    (``operators/incremental.py:compact_labeled_table``, recovery
+    preamble first)."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        compact_labeled_table,
+        newest_label,
+        recover_table_swap,
+    )
 
     _require_local_dir(path)
-    labels = [
-        r["bl"]
-        for r in spark.read.parquet(f"{path}/bands")
-        .select("bl").distinct().collect()
-    ]
-    keep_label = max((bl for bl in labels if bl != 0), default=None)
-    src = f"{path}/bands"
-    stage = f"{path}/bands__compact"
-    old = f"{path}/bands__old"
-    if not os.path.exists(src) and os.path.exists(old):
-        shutil.move(old, src)
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    df = spark.read.parquet(src).withColumn(
-        "bl",
-        F.when(F.col("bl") == F.lit(keep_label), F.col("bl")).otherwise(
-            F.lit(0)
-        )
-        if keep_label is not None
-        else F.lit(0),
+    recover_table_swap(path, "bands")
+    keep_label = newest_label(spark, path, "bands")
+    compact_labeled_table(
+        spark, path, "bands", ["bl", "b", "pb"], keep_label,
+        repartition_cols=["b", "pb"],
     )
-    df.repartition("b", "pb").write.partitionBy("bl", "b", "pb").mode(
-        "overwrite"
-    ).parquet(stage)
-    shutil.move(src, old)
-    shutil.move(stage, src)
-    shutil.rmtree(old)

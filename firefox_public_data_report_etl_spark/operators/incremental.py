@@ -72,6 +72,87 @@ def _require_local_dir(path: str) -> None:
         )
 
 
+def _recover_swap(src: str, stage: str, old: str) -> None:
+    """Roll an interrupted compaction swap back on the next run —
+    MUST run before anything READS ``src`` (review fix: the first
+    cut listed labels from ``src`` before recovering, so the exact
+    crash window the protocol exists for — src moved aside, stage
+    not yet moved in — left every later read failing on a missing
+    path instead of self-healing)."""
+    import os
+    import shutil
+
+    if not os.path.exists(src) and os.path.exists(old):
+        shutil.move(old, src)
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def recover_table_swap(path: str, table: str) -> None:
+    """Public recovery preamble for one labeled table under
+    ``{path}/{table}`` (stage/old siblings per the shared swap
+    protocol)."""
+    _recover_swap(
+        f"{path}/{table}", f"{path}/{table}__compact", f"{path}/{table}__old"
+    )
+
+
+def newest_label(spark: SparkSession, path: str, table: str) -> int | None:
+    """The newest appended ``bl`` label of a labeled table (None when
+    only the base build exists) — the label every compactor must
+    preserve for streaming replay safety. Call AFTER
+    ``recover_table_swap``."""
+    labels = [
+        r["bl"]
+        for r in spark.read.parquet(f"{path}/{table}")
+        .select("bl").distinct().collect()
+    ]
+    return max((bl for bl in labels if bl != 0), default=None)
+
+
+def compact_labeled_table(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    partition_cols: list[str],
+    keep_label: int | None,
+    repartition_cols: list[str] | None = None,
+    coalesce_n: int | None = None,
+) -> None:
+    """Fold labels 0..max-1 of one labeled table into bl=0 (keeping
+    ``keep_label`` untouched) with the crash-safe
+    stage/move-aside/move-in swap — the ONE compaction protocol
+    shared by the MinHash, IVF, and Hamming index lifecycles (review
+    fix: three near-verbatim copies collapsed here; callers run
+    ``recover_table_swap`` before reading labels)."""
+    import shutil
+
+    src = f"{path}/{table}"
+    stage = f"{path}/{table}__compact"
+    old = f"{path}/{table}__old"
+    _recover_swap(src, stage, old)
+    df = spark.read.parquet(src).withColumn(
+        "bl",
+        F.when(F.col("bl") == F.lit(keep_label), F.col("bl")).otherwise(
+            F.lit(0)
+        )
+        if keep_label is not None
+        else F.lit(0),
+    )
+    if repartition_cols:
+        w = df.repartition(*repartition_cols)
+    elif coalesce_n:
+        w = df.coalesce(coalesce_n)
+    else:
+        w = df
+    w.write.partitionBy(*partition_cols).mode("overwrite").parquet(stage)
+    shutil.move(src, old)
+    shutil.move(stage, src)
+    shutil.rmtree(old)
+
+
 def build_minhash_index(
     hs_df: DataFrame,
     path: str,
@@ -176,10 +257,11 @@ def _write_index_slice(
     # Saved and restored (review fix): flipping it session-wide would
     # be the same leaked-global-state hazard in the other direction
     # for whatever partitioned overwrite runs next in the session.
-    conf = hs_df.sparkSession.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(hs_df.sparkSession, "static"):
         bands = minhash_band_rows(hs_df, id_col, n_bands, rows_per_band)
         bands.select(id_col, "bi", "bv").withColumn(
             "bl", F.lit(batch_label)
@@ -191,11 +273,6 @@ def _write_index_slice(
         hs_df.select(id_col, "hs", "n").withColumn(
             "bl", F.lit(batch_label)
         ).write.partitionBy("bl").mode(mode).parquet(f"{path}/grams")
-    finally:
-        if prev is None:
-            conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _verified_jaccard(cand: DataFrame) -> DataFrame:
@@ -467,56 +544,28 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     uncompacted makes compaction safe to run at any time without
     coordinating with the stream's checkpoint state.
 
-    Crash-safe without a transaction log: the rewrite stages to a
-    sibling directory, the live table is moved ASIDE (never deleted
-    while it is the only copy), the staged table moves in, and only
-    then is the old copy removed — so a crash at any point leaves
-    either the original or the compacted table recoverable, and the
-    recovery preamble below rolls an interrupted swap forward or back
-    on the next run (review fix: the first cut deleted src before the
-    rename, so a crash inside that window lost the index). On an
-    object store without atomic rename, stage to a new versioned path
-    and flip the pointer the deployment already uses for index
-    discovery."""
-    import os
-    import shutil
-
+    Crash-safe without a transaction log via the shared swap protocol
+    (``compact_labeled_table``): the rewrite stages to a sibling
+    directory, the live table is moved ASIDE (never deleted while it
+    is the only copy), the staged table moves in, and only then is
+    the old copy removed; the recovery preamble runs BEFORE any read
+    of either table, so an interrupted swap self-heals instead of
+    failing every later probe (review fix — the first cut listed
+    labels before recovering). On an object store without atomic
+    rename, stage to a new versioned path and flip the pointer the
+    deployment already uses for index discovery."""
     _require_local_dir(path)
+    for table in ("bands", "grams"):
+        recover_table_swap(path, table)
     meta = spark.read.parquet(f"{path}/meta").head()
     # newest appended label stays uncompacted (see docstring); found
     # from the partition listing — fingerprint-sized metadata read
-    labels = [
-        r["bl"]
-        for r in spark.read.parquet(f"{path}/bands")
-        .select("bl").distinct().collect()
-    ]
-    keep_label = max((bl for bl in labels if bl != 0), default=None)
-    for table, parts in (("bands", ["bl", "bi", "pb"]), ("grams", ["bl"])):
-        src = f"{path}/{table}"
-        stage = f"{path}/{table}__compact"
-        old = f"{path}/{table}__old"
-        # recovery: a previous run crashed between move-aside and
-        # move-in (src missing, old present) → roll back to the
-        # original; stale stage/old leftovers are discarded
-        if not os.path.exists(src) and os.path.exists(old):
-            shutil.move(old, src)
-        if os.path.exists(stage):
-            shutil.rmtree(stage)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        df = spark.read.parquet(src).withColumn(
-            "bl",
-            F.when(F.col("bl") == F.lit(keep_label), F.col("bl")).otherwise(
-                F.lit(0)
-            )
-            if keep_label is not None
-            else F.lit(0),
-        )
-        rep = ["bi", "pb"] if table == "bands" else []
-        w = df.repartition(*rep) if rep else df.coalesce(
-            max(1, meta["bucket_parts"] // 8)
-        )
-        w.write.partitionBy(*parts).mode("overwrite").parquet(stage)
-        shutil.move(src, old)
-        shutil.move(stage, src)
-        shutil.rmtree(old)
+    keep_label = newest_label(spark, path, "bands")
+    compact_labeled_table(
+        spark, path, "bands", ["bl", "bi", "pb"], keep_label,
+        repartition_cols=["bi", "pb"],
+    )
+    compact_labeled_table(
+        spark, path, "grams", ["bl"], keep_label,
+        coalesce_n=max(1, meta["bucket_parts"] // 8),
+    )

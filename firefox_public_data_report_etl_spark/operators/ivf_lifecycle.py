@@ -91,41 +91,20 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     can be a crashed in-flight epoch, so compaction is safe to run at
     any time without coordinating with the stream's checkpoint.
 
-    Crash-safe without a transaction log (same protocol as
-    ``compact_minhash_index``): stage to a sibling, move the live
-    table aside, move the staged table in, then drop the old copy;
-    the recovery preamble rolls an interrupted swap back on the next
-    run."""
-    import os
-    import shutil
+    Crash-safe via the shared swap protocol
+    (``operators/incremental.py:compact_labeled_table`` — recovery
+    preamble first, stage/move-aside/move-in, one implementation for
+    all three index lifecycles)."""
+    from firefox_public_data_report_etl_spark.operators.incremental import (
+        compact_labeled_table,
+        newest_label,
+        recover_table_swap,
+    )
 
     _require_local_dir(path)
-    labels = [
-        r["bl"]
-        for r in spark.read.parquet(f"{path}/vectors")
-        .select("bl").distinct().collect()
-    ]
-    keep_label = max((bl for bl in labels if bl != 0), default=None)
-    src = f"{path}/vectors"
-    stage = f"{path}/vectors__compact"
-    old = f"{path}/vectors__old"
-    if not os.path.exists(src) and os.path.exists(old):
-        shutil.move(old, src)
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    df = spark.read.parquet(src).withColumn(
-        "bl",
-        F.when(F.col("bl") == F.lit(keep_label), F.col("bl")).otherwise(
-            F.lit(0)
-        )
-        if keep_label is not None
-        else F.lit(0),
+    recover_table_swap(path, "vectors")
+    keep_label = newest_label(spark, path, "vectors")
+    compact_labeled_table(
+        spark, path, "vectors", ["bl", "cell"], keep_label,
+        repartition_cols=["cell"],
     )
-    df.repartition("cell").write.partitionBy("bl", "cell").mode(
-        "overwrite"
-    ).parquet(stage)
-    shutil.move(src, old)
-    shutil.move(stage, src)
-    shutil.rmtree(old)

@@ -2139,7 +2139,10 @@ def unigram_train(
 
 
 def unigram_vocab_usage(
-    docs: DataFrame, pieces: list[str], text_col: str = "text"
+    docs: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    max_piece: int = UNIGRAM_MAX_PIECE,
 ) -> DataFrame:
     """(piece, usage, piece_id): the final vocabulary with its
     weighted usage under the final segmentation (0 for retained-but-
@@ -2153,7 +2156,7 @@ def unigram_vocab_usage(
         .agg(F.count("*").alias("c"))
     )
     usage = (
-        segment_words_unigram(vocab, pieces)
+        segment_words_unigram(vocab, pieces, max_piece)
         .join(vocab, "w")
         .groupBy("piece")
         .agg(F.sum("c").alias("usage"))
@@ -2174,6 +2177,7 @@ def unigram_apply(
     pieces: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_piece: int = UNIGRAM_MAX_PIECE,
 ) -> DataFrame:
     """Encode the corpus with a learned unigram vocabulary — the
     apply half, same output grain as ``bpe_apply``: (doc_id,
@@ -2185,7 +2189,11 @@ def unigram_apply(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
     )
-    seg = segment_words_unigram(words.select("w").distinct(), pieces)
+    # max_piece MUST match the trained geometry (review fix: a
+    # vocabulary trained with a larger lookahead would otherwise be
+    # silently re-segmented with the default and its longer pieces
+    # could never match)
+    seg = segment_words_unigram(words.select("w").distinct(), pieces, max_piece)
     ids = spark.createDataFrame(
         [(p, i) for i, p in enumerate(sorted(pieces))],
         "piece string, piece_id long",

@@ -285,21 +285,17 @@ def build_ivf_index(
     # minhash build): a leaked session-wide dynamic mode would only
     # replace the bl=0 leaves, keeping a previous index's appended
     # batches alive at the same path.
-    conf = quantized_emb.sparkSession.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(quantized_emb.sparkSession, "static"):
         quantized_emb.join(cells, id_col).withColumn(
             "bl", F.lit(0)
         ).repartition("cell").write.partitionBy("bl", "cell").mode(
             "overwrite"
         ).parquet(f"{path}/vectors")
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    finally:
-        if prev is None:
-            conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def search_ivf_index(
@@ -311,6 +307,7 @@ def search_ivf_index(
     id_col: str = "vec_id",
     exclude_self: bool = False,
     exclude_label: int | None = None,
+    centroids=None,
 ):
     """ANN search against a `build_ivf_index` layout. Queries are
     assigned to their nprobe cells against the STORED codebook; the
@@ -329,8 +326,14 @@ def search_ivf_index(
     its OWN label — on checkpoint replay the crashed attempt's
     append is already in the index, and without the exclusion the
     batch would match its own vectors and drop every row (same
-    replay contract as ``probe_minhash_index``)."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    replay contract as ``probe_minhash_index``).
+
+    ``centroids``: pass the already-read codebook DataFrame to skip
+    the parquet read (per-trigger callers that also need it for
+    within-batch blocking read it once — review fix); it must BE the
+    stored codebook, or the probe's cells diverge from the layout."""
+    if centroids is None:
+        centroids = spark.read.parquet(f"{path}/centroids")
     assign = ivf_assign(queries, centroids, id_col, nprobe=nprobe).collect()
     probed = sorted({r["cell"] for r in assign})
     qcells = spark.createDataFrame(
@@ -763,7 +766,26 @@ def scatter_matrix(embq, dim: int):
     partials = embq.select("q").mapInPandas(
         _partials, schema="i int, j int, s long"
     )
-    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    # the cross-partition sum aggregates in DECIMAL(38,0) and casts
+    # back with a loud guard (review fix: per-partition headroom
+    # checks cannot bound the FINAL sum — P clean partials can still
+    # overflow int64 together, and the default non-ANSI long sum
+    # would wrap silently)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("sd"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CASE WHEN abs(sd) <= 9223372036854775807"
+                " THEN CAST(sd AS LONG)"
+                " ELSE raise_error('scatter_matrix int64 overflow in"
+                " cross-partition sum; widen consumers to decimal')"
+                " END"
+            ).alias("s"),
+        )
+    )
 
 
 def power_iteration_fixed(

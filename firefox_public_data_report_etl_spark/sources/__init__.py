@@ -5,6 +5,7 @@ from firefox_public_data_report_etl_spark.sources.tables import (
     load_table,
     load_tables,
     normalize_timestamps,
+    partition_overwrite_mode,
     write_partitioned,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "load_table",
     "load_tables",
     "normalize_timestamps",
+    "partition_overwrite_mode",
     "write_partitioned",
 ]

@@ -132,6 +132,29 @@ def date_spine(start_col, stop_col, step_days: int = 7):
     return F.sequence(start_col, stop_col, F.expr(f"interval {step_days} days"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def partition_overwrite_mode(spark: SparkSession, mode: str):
+    """Scope ``spark.sql.sources.partitionOverwriteMode`` to a write:
+    save, set, and ALWAYS restore (unset if it was unset) — the one
+    implementation of the conf-juggling idiom every labeled-store
+    writer needs (review fix: five hand-copied try/finally blocks
+    collapsed here; a leaked session-wide mode is order-dependent
+    global state for whatever partitioned overwrite runs next)."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    try:
+        yield
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

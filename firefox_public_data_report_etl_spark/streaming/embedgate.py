@@ -36,7 +36,6 @@ from firefox_public_data_report_etl_spark.operators.ivf_lifecycle import (
 )
 from firefox_public_data_report_etl_spark.operators.vectorized import (
     ivf_assign,
-    score_probed_cells,
     search_ivf_index,
 )
 
@@ -52,35 +51,52 @@ K_MATCHES = 10
 
 
 def _within_batch_pairs(
-    spark: SparkSession,
-    path: str,
     batch: DataFrame,
+    centroids: DataFrame,
     threshold: float,
     id_col: str,
 ) -> DataFrame:
     """(da, db) near-dup pairs INSIDE the batch, paired only within
     shared coarse cells of the stored codebook (the IVF blocking —
-    same recall class as the index probe itself, never all-pairs)."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    same recall class as the index probe itself, never all-pairs).
+
+    Deliberately NO per-query top-k truncation (review fix: ranking
+    before the da < db cut silently dropped edges whenever a vector
+    had more than K neighbors in the batch — a burst of >K identical
+    vectors then kept several representatives instead of one; every
+    above-threshold within-cell pair must edge-connect so the CC
+    keeps exactly one)."""
     cells = ivf_assign(batch, centroids, id_col)
     with_cell = batch.join(cells, id_col)
-    q = with_cell.select(
-        F.col(id_col).alias("q_id"),
+    a = with_cell.select(
+        F.col(id_col).alias("da"),
         F.col("q").alias("qa"),
         F.col("norm").alias("na"),
         "cell",
     )
-    c = with_cell.select(
-        F.col(id_col).alias("n_id"),
+    b = with_cell.select(
+        F.col(id_col).alias("db"),
         F.col("q").alias("qb"),
         F.col("norm").alias("nb"),
         "cell",
     )
-    scored = score_probed_cells(c, q, K_MATCHES, exclude_self=True)
     return (
-        scored.filter(F.col("cos") >= threshold)
-        .filter(F.col("q_id") < F.col("n_id"))
-        .select(F.col("q_id").alias("da"), F.col("n_id").alias("db"))
+        a.join(b, "cell")
+        .filter(F.col("da") < F.col("db"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " 0L, (s, v) -> s + v)"
+            ),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("da", "db")
         .distinct()
     )
 
@@ -101,6 +117,10 @@ def embed_gate_batch(
     ``batch_id + 1`` (0 is the initial build)."""
     label = batch_id + 1
     batch = batch_vecs.select(id_col, "q", "norm").cache()
+    # centroids read ONCE per trigger, shared by the index probe and
+    # the within-batch blocking (review fix: each previously re-read
+    # the codebook parquet)
+    centroids = spark.read.parquet(f"{index_path}/centroids").cache()
     probe = search_ivf_index(
         spark,
         index_path,
@@ -110,11 +130,12 @@ def embed_gate_batch(
         id_col=id_col,
         exclude_self=False,
         exclude_label=label,
+        centroids=centroids,
     )
     cross = probe.filter(F.col("cos") >= threshold).select(
         F.col("n_id").alias("base_id"), F.col("q_id").alias("batch_id")
     )
-    within = _within_batch_pairs(spark, index_path, batch, threshold, id_col)
+    within = _within_batch_pairs(batch, centroids, threshold, id_col)
     decisions = (
         incremental_decisions(
             batch.select(F.col(id_col).alias("doc_id")), cross, within
@@ -123,26 +144,21 @@ def embed_gate_batch(
         .withColumn("batch_label", F.lit(label))
         .cache()
     )
-    # dynamic mode scoped to the decisions write (same review history
-    # as the text gate: session-wide it is order-dependent global
-    # state for any later partitioned overwrite)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(spark, "dynamic"):
         decisions.write.partitionBy("batch_label").mode(
             "overwrite"
         ).parquet(decisions_path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     kept = decisions.filter("keep").select(id_col)
     append_to_ivf_index(
         spark, index_path, batch.join(kept, id_col), label, id_col=id_col
     )
     decisions.unpersist()
     batch.unpersist()
+    centroids.unpersist()
 
 
 def stream_embed_gate(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.operators.dedup import (
     hamming_band_pairs,
+    hamming_pairs_from_band_rows,
 )
 from firefox_public_data_report_etl_spark.operators.hamming_index import (
     append_to_hamming_index,
@@ -53,14 +54,26 @@ def media_gate_batch(
     batch = batch_sigs.select(id_col, sig_col).cache()
     probe = probe_hamming_index(spark, index_path, batch, exclude_label=label)
     cross = probe.select("base_id", "batch_id")
-    within = hamming_band_pairs(
-        batch,
-        id_col=id_col,
-        sig_col=sig_col,
-        bits=m["bits"],
-        max_hamming=m["max_hamming"],
-        n_blocks=m["n_blocks"],
-    ).select("da", "db")
+    # within-batch pairs reuse the probe's CACHED band rows instead
+    # of re-exploding the batch (review fix); the empty-batch probe
+    # returns no handle — there is nothing to pair then either
+    bands = getattr(probe, "batch_band_rows", None)
+    if bands is not None:
+        within = hamming_pairs_from_band_rows(
+            bands,
+            id_col=id_col,
+            sig_col=sig_col,
+            max_hamming=m["max_hamming"],
+        ).select("da", "db")
+    else:
+        within = hamming_band_pairs(
+            batch,
+            id_col=id_col,
+            sig_col=sig_col,
+            bits=m["bits"],
+            max_hamming=m["max_hamming"],
+            n_blocks=m["n_blocks"],
+        ).select("da", "db")
     decisions = (
         incremental_decisions(
             batch.select(F.col(id_col).alias("doc_id")), cross, within
@@ -69,17 +82,14 @@ def media_gate_batch(
         .withColumn("batch_label", F.lit(label))
         .cache()
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(spark, "dynamic"):
         decisions.write.partitionBy("batch_label").mode(
             "overwrite"
         ).parquet(decisions_path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     kept = decisions.filter("keep").select(id_col)
     append_to_hamming_index(
         spark, index_path, batch.join(kept, id_col), label

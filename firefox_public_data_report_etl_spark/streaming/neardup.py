@@ -80,20 +80,16 @@ def neardup_gate_batch(
         .withColumn("batch_label", F.lit(label))
         .cache()
     )
-    # dynamic mode scoped to the decisions write (review fix: leaving
-    # it flipped session-wide is order-dependent global state for any
-    # later partitioned overwrite in the same session)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    # dynamic mode scoped to the decisions write (shared context
+    # manager — review fix history on sources.partition_overwrite_mode)
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(spark, "dynamic"):
         decisions.write.partitionBy("batch_label").mode(
             "overwrite"
         ).parquet(decisions_path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     kept = decisions.filter("keep").select("doc_id")
     kept_hs = batch_hs.join(kept, "doc_id")
     append_to_minhash_index(spark, index_path, kept_hs, label)

@@ -105,17 +105,14 @@ def pit_gate_batch(
     enriched = pit_enrich_rows(batch_events, dim_events).withColumn(
         "batch_label", F.lit(label)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from firefox_public_data_report_etl_spark.sources import (
+        partition_overwrite_mode,
+    )
+
+    with partition_overwrite_mode(spark, "dynamic"):
         enriched.write.partitionBy("batch_label").mode("overwrite").parquet(
             out_path
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def stream_pit_enrich(

@@ -170,6 +170,38 @@ def test_compaction_preserves_probe_and_newest_label(
     sigs.unpersist()
 
 
+def test_compaction_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """The exact crash window the swap protocol exists for: src moved
+    aside, stage not yet moved in. The next compaction run must
+    self-heal BEFORE reading labels (review fix: the first cut listed
+    labels from the missing src and raised) and end bit-identical."""
+    import shutil
+
+    sigs = _sigs(spark, sf_dir).cache()
+    path = str(tmp_path / "hidx")
+    build_hamming_index(
+        sigs.filter(F.col("media_id") % 4 == 0), path,
+        id_col="media_id", sig_col="dhash", **GEOM,
+    )
+    append_to_hamming_index(
+        spark, path, sigs.filter(F.col("media_id") % 4 == 1), 1
+    )
+    batch = sigs.filter(F.col("media_id") % 4 == 2)
+    before = {
+        (r["base_id"], r["batch_id"], r["hamming"])
+        for r in probe_hamming_index(spark, path, batch).collect()
+    }
+    # simulate the mid-swap crash: live table moved aside, no stage
+    shutil.move(f"{path}/bands", f"{path}/bands__old")
+    compact_hamming_index(spark, path)  # must self-heal, then compact
+    after = {
+        (r["base_id"], r["batch_id"], r["hamming"])
+        for r in probe_hamming_index(spark, path, batch).collect()
+    }
+    assert after == before
+    sigs.unpersist()
+
+
 def test_index_is_modality_agnostic_audio(spark, sf_dir, tmp_path):
     """The index stores its id/sig column names and geometry in meta,
     so the AUDIO fingerprint family runs through the same lifecycle
