@@ -1286,3 +1286,50 @@ def decode_bmp_stats_dhash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, STATS_DHASH_SCHEMA)
+
+
+def video_neardup_against_index(
+    spark, index_path: str, batch_frame_hashes: DataFrame
+) -> DataFrame:
+    """(base_video, batch_video, n_matched): incremental clip-level
+    video near-dup — an incoming batch of clips (per-frame dHash
+    rows, ``decode_frame_dhash`` output) voted against a PERSISTED
+    frame-hash index (``operators/hamming_index.py`` built over
+    composite ``fid = video_id·NDVID_FRAMES + frame_idx`` ids with
+    sig column ``fhash``). The banded probe yields frame-level
+    candidates; time alignment (``fid % NDVID_FRAMES`` equal) and
+    the ≥ NDVID_MIN_FRAMES vote run post-probe — alignment cannot
+    lose recall (an aligned frame pair within the per-frame budget
+    always shares a band by pigeonhole; misaligned candidates are
+    merely filtered).
+
+    Scale: probe IO is the partition-pruned bucket set the batch
+    occupies; the vote is a pair-sized aggregate. Accepted history
+    is never rescanned — the same incremental contract as the text,
+    embedding, and still-image gates."""
+    from firefox_public_data_report_etl_spark.operators.hamming_index import (
+        probe_hamming_index,
+    )
+
+    sigs = batch_frame_hashes.select(
+        (
+            F.col("video_id") * NDVID_FRAMES + F.col("frame_idx")
+        ).alias("fid"),
+        F.col("fhash"),
+    )
+    probe = probe_hamming_index(spark, index_path, sigs)
+    return (
+        probe.filter(
+            F.col("base_id") % NDVID_FRAMES
+            == F.col("batch_id") % NDVID_FRAMES
+        )
+        .select(
+            F.expr(f"base_id div {NDVID_FRAMES}").alias("base_video"),
+            F.expr(f"batch_id div {NDVID_FRAMES}").alias("batch_video"),
+            (F.col("base_id") % NDVID_FRAMES).alias("f"),
+        )
+        .distinct()
+        .groupBy("base_video", "batch_video")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
+    )

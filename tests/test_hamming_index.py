@@ -247,6 +247,50 @@ def test_index_is_modality_agnostic_audio(spark, sf_dir, tmp_path):
     sigs.unpersist()
 
 
+def test_video_vote_against_persisted_index(spark, sf_dir, tmp_path):
+    """Incremental video near-dup: v0 clips' frame hashes land in the
+    index; probing with the sibling clips must vote the planted
+    structure (re-encode 8/8, re-edit 7/8, unrelated absent)."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDVID_FRAMES,
+        NDVID_MAX_HAMMING,
+        decode_frame_dhash,
+        video_neardup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(100)
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(NDVID_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    )
+    fh = decode_frame_dhash(frames).cache()
+    fid = F.col("video_id") * NDVID_FRAMES + F.col("frame_idx")
+    base = fh.filter(F.col("video_id") % 4 == 0).select(
+        fid.alias("fid"), "fhash"
+    )
+    path = str(tmp_path / "vidx")
+    build_hamming_index(
+        base, path, id_col="fid", sig_col="fhash",
+        bits=DHASH_BITS, max_hamming=NDVID_MAX_HAMMING,
+    )
+    batch = fh.filter(F.col("video_id") % 4 != 0)
+    votes = {
+        (r["base_video"], r["batch_video"]): r["n_matched"]
+        for r in video_neardup_against_index(spark, path, batch).collect()
+    }
+    n_groups = 100 // 4
+    assert len(votes) == 2 * n_groups  # v1 and v2 per group, no v3
+    for g in range(n_groups):
+        v0 = 4 * g
+        assert votes[(v0, v0 + 1)] == NDVID_FRAMES
+        assert votes[(v0, v0 + 2)] == NDVID_FRAMES - 1
+        assert (v0, v0 + 3) not in votes
+    fh.unpersist()
+
+
 def test_streaming_media_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):
