@@ -173,6 +173,45 @@ def test_compaction_preserves_results_and_newest_label(
     emb.unpersist()
 
 
+def test_embed_gate_burst_of_identical_vectors_keeps_one(
+    spark, sf_dir, tmp_path
+):
+    """Review-fix regression: a micro-batch containing MORE identical
+    vectors than any per-query candidate cap must still collapse to
+    ONE kept representative (the pre-fix top-k-then-filter ordering
+    dropped within-batch edges for ids above the cap, keeping
+    several)."""
+    from firefox_public_data_report_etl_spark.streaming.embedgate import (
+        K_MATCHES,
+        embed_gate_batch,
+    )
+
+    emb = _emb(spark, sf_dir).cache()
+    centroids = emb.filter(F.col("vec_id") % CMOD == 1)
+    base = emb.filter(F.col("vec_id") % 7 == 1)
+    index = str(tmp_path / "index")
+    build_ivf_index(base, centroids, index)
+
+    # a burst: one non-indexed vector duplicated under 2*K fresh ids
+    burst_n = 2 * K_MATCHES
+    seed = emb.filter(F.col("vec_id") % 7 == 0).limit(1)
+    burst = seed.crossJoin(
+        spark.range(burst_n).select(
+            (F.col("id") + 5_000_000).alias("new_id")
+        )
+    ).select(F.col("new_id").alias("vec_id"), "q", "norm")
+    embed_gate_batch(
+        spark, burst, index, str(tmp_path / "dec"), batch_id=0
+    )
+    rows = {
+        r["vec_id"]: r["keep"]
+        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+    }
+    assert len(rows) == burst_n
+    assert sum(rows.values()) == 1  # exactly one representative
+    emb.unpersist()
+
+
 def test_streaming_embed_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):
