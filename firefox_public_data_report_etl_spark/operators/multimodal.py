@@ -1289,7 +1289,10 @@ def decode_bmp_stats_dhash(media: DataFrame) -> DataFrame:
 
 
 def video_neardup_against_index(
-    spark, index_path: str, batch_frame_hashes: DataFrame
+    spark,
+    index_path: str,
+    batch_frame_hashes: DataFrame,
+    exclude_label: int | None = None,
 ) -> DataFrame:
     """(base_video, batch_video, n_matched): incremental clip-level
     video near-dup — an incoming batch of clips (per-frame dHash
@@ -1317,7 +1320,9 @@ def video_neardup_against_index(
         ).alias("fid"),
         F.col("fhash"),
     )
-    probe = probe_hamming_index(spark, index_path, sigs)
+    probe = probe_hamming_index(
+        spark, index_path, sigs, exclude_label=exclude_label
+    )
     return (
         probe.filter(
             F.col("base_id") % NDVID_FRAMES

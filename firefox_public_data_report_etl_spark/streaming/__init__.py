@@ -28,6 +28,10 @@ from firefox_public_data_report_etl_spark.streaming.sketches import (
     stream_sketch_union,
     weekly_estimates,
 )
+from firefox_public_data_report_etl_spark.streaming.videogate import (
+    stream_video_gate,
+    video_gate_batch,
+)
 from firefox_public_data_report_etl_spark.streaming.upsert import (
     stream_upsert,
     upsert_batch,
@@ -53,6 +57,8 @@ __all__ = [
     "stream_events",
     "stream_sketch_union",
     "stream_upsert",
+    "stream_video_gate",
+    "video_gate_batch",
     "weekly_estimates",
     "tumbling_event_value",
     "upsert_batch",

@@ -65,12 +65,18 @@ def test_probe_equals_in_memory_twin(spark, sf_dir, tmp_path):
     build_hamming_index(
         base, path, id_col="media_id", sig_col="dhash", **GEOM
     )
+    probe = probe_hamming_index(spark, path, batch)
     got = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe.collect()
     }
     assert got == _cross_twin(base, batch)
     assert got  # the planted v2 siblings guarantee cross pairs exist
+    # the touched-bucket cut must reach the scan as PARTITION filters
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "b" in seg and "pb" in seg
     sigs.unpersist()
 
 
@@ -288,6 +294,114 @@ def test_video_vote_against_persisted_index(spark, sf_dir, tmp_path):
         assert votes[(v0, v0 + 1)] == NDVID_FRAMES
         assert votes[(v0, v0 + 2)] == NDVID_FRAMES - 1
         assert (v0, v0 + 3) not in votes
+    fh.unpersist()
+
+
+def test_streaming_video_gate_sequential_equivalence_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """The video gate: 3-wave clip backfill against a v0-only index —
+    every clip decided once, re-encode/re-edit siblings matched and
+    dropped, unrelated clips kept, sequential-equivalent, replay-safe."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        DHASH_BITS,
+        NDVID_FRAMES,
+        NDVID_MAX_HAMMING,
+        decode_frame_dhash,
+    )
+    from firefox_public_data_report_etl_spark.streaming.videogate import (
+        stream_video_gate,
+        video_gate_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(120)
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(NDVID_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    )
+    fh = decode_frame_dhash(frames).cache()
+    fid = F.col("video_id") * NDVID_FRAMES + F.col("frame_idx")
+    base = fh.filter(F.col("video_id") % 4 == 0).select(
+        fid.alias("fid"), "fhash"
+    )
+    index = str(tmp_path / "vidx")
+    decisions = str(tmp_path / "dec")
+    build_hamming_index(
+        base, index, id_col="fid", sig_col="fhash",
+        bits=DHASH_BITS, max_hamming=NDVID_MAX_HAMMING,
+    )
+    stream_frames = fh.filter(F.col("video_id") % 4 != 0)
+    src = tmp_path / "src"
+    # one file per wave, clips never split across files (repartition
+    # BY video_id then write per-range): write 3 explicit slices
+    for i in range(3):
+        stream_frames.filter(
+            (F.col("video_id") % 3 == i)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(stream_frames.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_video_gate(stream, index, decisions, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    rows = {
+        r["video_id"]: (r["matched_base"], r["keep"], r["batch_label"])
+        for r in spark.read.parquet(decisions).collect()
+    }
+    want_ids = {
+        r["video_id"]
+        for r in stream_frames.select("video_id").distinct().collect()
+    }
+    assert set(rows) == want_ids
+    labels = sorted({v[2] for v in rows.values()})
+    assert len(labels) == 3
+    for vid, (matched, keep, _) in rows.items():
+        if vid % 4 in (1, 2):  # planted siblings of indexed v0 clips
+            assert matched and not keep, vid
+        else:  # v3 negatives
+            assert not matched and keep, vid
+
+    # sequential batch-mode equivalence
+    index2 = str(tmp_path / "vidx2")
+    decisions2 = str(tmp_path / "dec2")
+    build_hamming_index(
+        base, index2, id_col="fid", sig_col="fhash",
+        bits=DHASH_BITS, max_hamming=NDVID_MAX_HAMMING,
+    )
+    for lb in labels:
+        ids = [v for v, r in rows.items() if r[2] == lb]
+        video_gate_batch(
+            spark,
+            stream_frames.filter(F.col("video_id").isin(ids)),
+            index2,
+            decisions2,
+            lb - 1,
+        )
+    rows2 = {
+        r["video_id"]: (r["matched_base"], r["keep"], r["batch_label"])
+        for r in spark.read.parquet(decisions2).collect()
+    }
+    assert rows2 == rows
+
+    # crash-retry replay of the last epoch
+    last = labels[-1]
+    ids = [v for v, r in rows.items() if r[2] == last]
+    video_gate_batch(
+        spark,
+        stream_frames.filter(F.col("video_id").isin(ids)),
+        index,
+        decisions,
+        last - 1,
+    )
+    rows3 = {
+        r["video_id"]: (r["matched_base"], r["keep"], r["batch_label"])
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert rows3 == rows
     fh.unpersist()
 
 
