@@ -306,6 +306,7 @@ def main() -> None:
         "multimodal_audio_quality_filter",
         "dedup_multimodal_joint",
         "multimodal_curation_pipeline",
+        "multimodal_export_manifest",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

@@ -1421,6 +1421,75 @@ FROM lab
 """
 
 
+MEDIA_EXPORT_SHARDS = 16
+
+
+def multimodal_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of a media training export — the media twin
+    of `training_export_manifest`: shard id (portable md5 bucket of
+    media_id — a pure function of the data, so any engine re-derives
+    it), item count, pixel mass, and an ORDER-INDEPENDENT content
+    fingerprint (sum of XOR-FOLDED decoded dHashes — the fold to 30
+    bits keeps every signature bit contributing while the per-shard
+    sum stays exact int64 up to ~8.6e9 items/shard; raw 60-bit
+    hashes would overflow the sum at 8 items). The dHash comes from
+    the REAL decode, so the manifest fingerprints pixels, not
+    metadata.
+
+    Scale: one fused decode pass (decode_bmp_stats_dhash) + one
+    map-side-combined aggregate to MEDIA_EXPORT_SHARDS rows."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_neardup_bmp_payload,
+        decode_bmp_stats_dhash,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    decoded = decode_bmp_stats_dhash(attach_neardup_bmp_payload(docs))
+    shard = (
+        F.expr(md5_int_spark_sql("cast(media_id as string)"))
+        % MEDIA_EXPORT_SHARDS
+    )
+    return (
+        decoded.select(
+            shard.alias("shard"),
+            F.col("n_px"),
+            F.expr(
+                "(shiftright(dhash, 30) ^ dhash) % 1073741824"
+            ).alias("_fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_px").alias("total_px"),
+            F.sum("_fp").alias("content_fp"),
+        )
+    )
+
+
+def _media_manifest_oracle() -> str:
+    return f"""
+WITH {_image_sig_body()},
+px AS (SELECT media_id, CAST(width * height AS BIGINT) AS n_px,
+              xor(s >> 30, s) % 1073741824 AS fp
+       FROM sig JOIN base USING (media_id)),
+sh AS (SELECT {md5_int_sql("cast(media_id as varchar)")}
+         % {MEDIA_EXPORT_SHARDS} AS shard,
+       n_px, fp FROM px)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_px) AS BIGINT) AS total_px,
+       CAST(sum(fp) AS BIGINT) AS content_fp
+FROM sh GROUP BY shard
+"""
+
+
 # audio quality rules: a kept clip must be long enough and have a
 # voice-activity ratio inside [30%, 90%] (integer cross-multiply
 # over the VAD frame verdicts)
@@ -4616,6 +4685,7 @@ QUERIES = {
     "multimodal_audio_quality_filter": multimodal_audio_quality_filter,
     "dedup_multimodal_joint": dedup_multimodal_joint,
     "multimodal_curation_pipeline": multimodal_curation_pipeline,
+    "multimodal_export_manifest": multimodal_export_manifest,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4679,6 +4749,7 @@ ORACLES = {
     "multimodal_audio_quality_filter": _audio_quality_oracle(),
     "dedup_multimodal_joint": _joint_dedup_oracle(),
     "multimodal_curation_pipeline": _mcur_oracle(),
+    "multimodal_export_manifest": _media_manifest_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,
