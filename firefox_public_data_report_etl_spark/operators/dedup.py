@@ -627,25 +627,47 @@ def hamming_pairs_from_band_rows(
     out so callers that ALREADY hold band rows (the persisted-index
     probe caches the batch's — review fix: the media gate previously
     re-banded the batch per trigger) can pair without re-exploding."""
-    left = bands.select(
-        F.col(id_col).alias("da"), F.col(sig_col).alias("sa"), "b", "v"
+    return _banded_pair_join(
+        bands, bands, id_col=id_col, sig_col=sig_col,
+        max_hamming=max_hamming, out_left="da", out_right="db",
+        ordered=True,
     )
-    right = bands.select(
-        F.col(id_col).alias("db"), F.col(sig_col).alias("sb"), "b", "v"
+
+
+def _banded_pair_join(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    out_left: str,
+    out_right: str,
+    ordered: bool,
+) -> DataFrame:
+    """The ONE candidate-join + bit_count-verify body behind every
+    Hamming pairing (self-join, cross-join, and the persisted probe
+    mirror this shape): join band rows on (table, key), optionally
+    order the pair to dedup the symmetric self-join, distinct, then
+    the exact verify (review fix: the cross form had re-implemented
+    this verbatim)."""
+    left = left_bands.select(
+        F.col(id_col).alias(out_left), F.col(sig_col).alias("sa"), "b", "v"
     )
-    cand = (
-        left.join(right, ["b", "v"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "sa", "sb")
-        .distinct()
+    right = right_bands.select(
+        F.col(id_col).alias(out_right), F.col(sig_col).alias("sb"), "b", "v"
     )
+    cand = left.join(right, ["b", "v"])
+    if ordered:
+        cand = cand.filter(F.col(out_left) < F.col(out_right))
+    cand = cand.select(out_left, out_right, "sa", "sb").distinct()
     return (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("da", "db", "hamming")
+        .select(out_left, out_right, "hamming")
     )
 
 
@@ -734,24 +756,15 @@ def hamming_cross_pairs(
         id_col=id_col, sig_col=sig_col, bits=bits,
         max_hamming=max_hamming, n_blocks=n_blocks,
     )
-    a = hamming_band_rows(base_sigs, **kw).select(
-        F.col(id_col).alias("base_id"), F.col(sig_col).alias("sa"), "b", "v"
-    )
-    bt = hamming_band_rows(batch_sigs, **kw).select(
-        F.col(id_col).alias("batch_id"), F.col(sig_col).alias("sb"), "b", "v"
-    )
-    cand = (
-        a.join(bt, ["b", "v"])
-        .select("base_id", "batch_id", "sa", "sb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("base_id", "batch_id", "hamming")
+    return _banded_pair_join(
+        hamming_band_rows(base_sigs, **kw),
+        hamming_band_rows(batch_sigs, **kw),
+        id_col=id_col,
+        sig_col=sig_col,
+        max_hamming=max_hamming,
+        out_left="base_id",
+        out_right="batch_id",
+        ordered=False,
     )
 
 

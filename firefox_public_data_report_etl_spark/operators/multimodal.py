@@ -1323,7 +1323,7 @@ def video_neardup_against_index(
     probe = probe_hamming_index(
         spark, index_path, sigs, exclude_label=exclude_label
     )
-    return (
+    out = (
         probe.filter(
             F.col("base_id") % NDVID_FRAMES
             == F.col("batch_id") % NDVID_FRAMES
@@ -1338,3 +1338,10 @@ def video_neardup_against_index(
         .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
     )
+    # propagate the probe's caller-owned cache handles (review fix:
+    # dropping them leaked one cached band-row relation per call —
+    # a long-running streaming gate pins a batch per trigger) and
+    # the band-row reuse handle for within-batch pairing
+    out._probe_persisted = getattr(probe, "_probe_persisted", [])
+    out.batch_band_rows = getattr(probe, "batch_band_rows", None)
+    return out

@@ -947,7 +947,11 @@ def multimodal_dedup_incremental(
     docs = widen_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
-    sigs = decode_dhash(attach_neardup_bmp_payload(docs))
+    # localCheckpoint: the base and batch branches are DIFFERENT
+    # filters of the decode output, so Spark cannot reuse the
+    # mapInPandas subplan across them — without materialization every
+    # payload would be decoded twice (review fix; 2x blob IO at scale)
+    sigs = decode_dhash(attach_neardup_bmp_payload(docs)).localCheckpoint()
     base = sigs.filter(F.col("media_id") % NDIMG_BATCH_MOD != 2)
     batch = sigs.filter(F.col("media_id") % NDIMG_BATCH_MOD == 2)
     return hamming_cross_pairs(

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from firefox_public_data_report_etl_spark.operators.dedup import (
+    hamming_pairs_from_band_rows,
+)
 from firefox_public_data_report_etl_spark.operators.hamming_index import (
     append_to_hamming_index,
 )
@@ -26,6 +29,7 @@ from firefox_public_data_report_etl_spark.operators.incremental import (
 )
 from firefox_public_data_report_etl_spark.operators.multimodal import (
     NDVID_FRAMES,
+    NDVID_MIN_FRAMES,
     video_neardup_against_index,
     video_neardup_pairs,
 )
@@ -44,15 +48,43 @@ def video_gate_batch(
     append kept clips' frame hashes under the label."""
     label = batch_id + 1
     batch = batch_frames.select("video_id", "frame_idx", "fhash").cache()
-    cross = video_neardup_against_index(
+    votes = video_neardup_against_index(
         spark, index_path, batch, exclude_label=label
-    ).select(
+    )
+    cross = votes.select(
         F.col("base_video").alias("base_id"),
         F.col("batch_video").alias("batch_id"),
     )
-    within = video_neardup_pairs(batch).select(
-        F.col("va").alias("da"), F.col("vb").alias("db")
-    )
+    # within-batch frame pairs reuse the probe's CACHED band rows
+    # (review fix: re-banding re-paid the explode per trigger), then
+    # the same alignment + vote the cross side applies
+    bands = getattr(votes, "batch_band_rows", None)
+    if bands is not None:
+        m = spark.read.parquet(f"{index_path}/meta").head()
+        fp = hamming_pairs_from_band_rows(
+            bands, id_col="fid", sig_col="fhash",
+            max_hamming=m["max_hamming"],
+        )
+        within = (
+            fp.filter(
+                F.col("da") % NDVID_FRAMES == F.col("db") % NDVID_FRAMES
+            )
+            .select(
+                F.expr(f"da div {NDVID_FRAMES}").alias("va"),
+                F.expr(f"db div {NDVID_FRAMES}").alias("vb"),
+                (F.col("da") % NDVID_FRAMES).alias("f"),
+            )
+            .filter(F.col("va") < F.col("vb"))
+            .distinct()
+            .groupBy("va", "vb")
+            .agg(F.count("*").alias("n_matched"))
+            .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
+            .select(F.col("va").alias("da"), F.col("vb").alias("db"))
+        )
+    else:  # empty-batch probe returns no handle; nothing to pair
+        within = video_neardup_pairs(batch).select(
+            F.col("va").alias("da"), F.col("vb").alias("db")
+        )
     decisions = (
         incremental_decisions(
             batch.select(F.col("video_id").alias("doc_id")).distinct(),
@@ -81,6 +113,8 @@ def video_gate_batch(
     append_to_hamming_index(spark, index_path, kept_fids, label)
     decisions.unpersist()
     batch.unpersist()
+    for cached in getattr(votes, "_probe_persisted", []):
+        cached.unpersist()
 
 
 def stream_video_gate(

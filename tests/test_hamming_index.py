@@ -73,10 +73,14 @@ def test_probe_equals_in_memory_twin(spark, sf_dir, tmp_path):
     assert got == _cross_twin(base, batch)
     assert got  # the planted v2 siblings guarantee cross pairs exist
     # the touched-bucket cut must reach the scan as PARTITION filters
+    import re
+
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
-    assert "b" in seg and "pb" in seg
+    # match the column TOKENS — a bare "b" substring is vacuous
+    assert re.search(r"\bb#\d", seg), seg
+    assert re.search(r"\bpb#\d", seg), seg
     sigs.unpersist()
 
 
