@@ -307,6 +307,7 @@ def main() -> None:
         "dedup_multimodal_joint",
         "multimodal_curation_pipeline",
         "multimodal_export_manifest",
+        "multimodal_audio_curation",
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",

@@ -1611,11 +1611,15 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("da"), F.col("db"), F.col("hamming"))
 
 
-def _audio_neardup_oracle() -> str:
+def _audio_sig_body() -> str:
+    """The WITH-body (variant rule -> frame energies -> onset ->
+    60-bit fingerprint) recomputing the audio signature from the
+    LOGICAL sample rule, shared by the pair-mining oracle and the
+    audio curation-pipeline oracle (``anchored`` carries the onset
+    the quality stage reads)."""
     from firefox_public_data_report_etl_spark.operators.multimodal import (
         NDAUD_ALT_SEED,
         NDAUD_FRAME_LEN,
-        NDAUD_MAX_HAMMING,
         NDAUD_SAMPLE_MOD,
         NDAUD_SHIFT_FRAMES,
         NDAUD_SIG_FRAMES,
@@ -1626,8 +1630,7 @@ def _audio_neardup_oracle() -> str:
     half = NDAUD_SAMPLE_MOD // 2
     seed = f"CASE WHEN v = 3 THEN src + {NDAUD_ALT_SEED} ELSE src END"
     mixed = _mix_chain_sql(seed, f"range(0, {n_body})")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS media_id,
          doc_id // {NEARDUP_VARIANTS} AS src,
          doc_id % {NEARDUP_VARIANTS} AS v,
@@ -1661,10 +1664,144 @@ sig AS (
            b -> CASE WHEN el[onset + b + 2] > el[onset + b + 1]
                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS s
   FROM anchored)
+"""
+
+
+def _audio_neardup_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_MAX_HAMMING,
+    )
+
+    return f"""
+WITH {_audio_sig_body()}
 SELECT a.media_id AS da, b.media_id AS db,
        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.s, b.s)) <= {NDAUD_MAX_HAMMING}
+"""
+
+
+# audio curation rule: at most this many leading silent frames (the
+# onset the fingerprint stage already computes); the planted
+# time-shifted sibling carries NDAUD_SHIFT_FRAMES=2 of leading
+# silence and dies at this stage — the audio mirror of the image
+# pipeline's brightness band
+AUDCUR_MAX_LEAD_SILENCE = 1
+
+
+def multimodal_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO curation pipeline end-to-end, the WAV mirror of
+    `multimodal_curation_pipeline`: ONE fused decode
+    (decode_audio_fingerprint emits onset AND the 60-bit fingerprint
+    from the same samples), the leading-silence quality rule drops
+    the time-shifted sibling, banded fingerprint pairs among the
+    SURVIVORS feed CC, and every clip lands one staged verdict
+    (``quality | dedup | kept``). On the planted corpus: the shifted
+    sibling dies at quality, the dither sibling dedups against its
+    source, the unrelated clip survives alone — the same stage
+    interaction the image pipeline pins (dedup-then-quality would
+    keep the shifted copy whenever it won the cluster).
+
+    Scale: samples never shuffle (one Arrow stage, two ints + one
+    BIGINT out per clip, localCheckpointed so the quality branch,
+    survivor join, and CC read one materialization); pair mining is
+    banded over survivors only."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_BITS,
+        NDAUD_MAX_HAMMING,
+        attach_neardup_wav_payload,
+        decode_audio_fingerprint,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    decoded = decode_audio_fingerprint(
+        attach_neardup_wav_payload(docs)
+    ).localCheckpoint()
+    q = decoded.select(
+        "media_id",
+        (F.col("onset") <= AUDCUR_MAX_LEAD_SILENCE).alias("quality_keep"),
+    )
+    survivors = q.filter("quality_keep").select("media_id")
+    sigs = decoded.select("media_id", "afp").join(survivors, "media_id")
+    pairs = hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="afp",
+        bits=NDAUD_BITS,
+        max_hamming=NDAUD_MAX_HAMMING,
+    )
+    comp = connected_components(pairs, "da", "db").withColumnRenamed(
+        "node", "media_id"
+    )
+    out = (
+        q.join(comp, "media_id", "left")
+        .select(
+            "media_id",
+            "quality_keep",
+            F.when(F.col("quality_keep"), F.coalesce("comp", F.col("media_id")))
+            .otherwise(F.col("media_id"))
+            .alias("component"),
+        )
+        .withColumn(
+            "keep",
+            F.col("quality_keep") & (F.col("media_id") == F.col("component")),
+        )
+    )
+    return out.withColumn(
+        "stage",
+        F.when(~F.col("quality_keep"), F.lit("quality"))
+        .when(~F.col("keep"), F.lit("dedup"))
+        .otherwise(F.lit("kept")),
+    )
+
+
+def _audio_curation_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_MAX_HAMMING,
+    )
+
+    return f"""
+WITH RECURSIVE {_audio_sig_body()},
+q AS (SELECT media_id,
+             onset <= {AUDCUR_MAX_LEAD_SILENCE} AS quality_keep
+      FROM anchored),
+surv AS (SELECT s.media_id, s.s FROM sig s
+         JOIN q USING (media_id) WHERE q.quality_keep),
+pairs AS (
+  SELECT a.media_id AS da, b.media_id AS db
+  FROM surv a JOIN surv b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.s, b.s)) <= {NDAUD_MAX_HAMMING}),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS media_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+lab AS (
+  SELECT q.media_id, q.quality_keep,
+         CASE WHEN q.quality_keep
+              THEN coalesce(c.component, q.media_id)
+              ELSE q.media_id END AS component
+  FROM q LEFT JOIN comp c USING (media_id))
+SELECT media_id, quality_keep, component,
+       quality_keep AND media_id = component AS keep,
+       CASE WHEN NOT quality_keep THEN 'quality'
+            WHEN media_id <> component THEN 'dedup'
+            ELSE 'kept' END AS stage
+FROM lab
 """
 
 
@@ -4690,6 +4827,7 @@ QUERIES = {
     "dedup_multimodal_joint": dedup_multimodal_joint,
     "multimodal_curation_pipeline": multimodal_curation_pipeline,
     "multimodal_export_manifest": multimodal_export_manifest,
+    "multimodal_audio_curation": multimodal_audio_curation,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_sampling": corpus_sampling,
@@ -4754,6 +4892,7 @@ ORACLES = {
     "dedup_multimodal_joint": _joint_dedup_oracle(),
     "multimodal_curation_pipeline": _mcur_oracle(),
     "multimodal_export_manifest": _media_manifest_oracle(),
+    "multimodal_audio_curation": _audio_curation_oracle(),
     "multimodal_resize": _resize_oracle(),
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "corpus_sampling": CORPUS_SAMPLING_ORACLE,

@@ -187,6 +187,29 @@ def test_curation_pipeline_stage_interaction(spark, sf_dir):
             assert set(stages.values()) == {"quality"}
 
 
+def test_audio_curation_stage_interaction(spark, sf_dir):
+    """The audio pipeline's planted interaction: the time-shifted
+    sibling dies at the leading-silence QUALITY rule in every group,
+    the dither sibling dedups against its source, sources and
+    unrelated clips are kept."""
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_audio_curation,
+    )
+
+    rows = {
+        r["media_id"]: (r["stage"], r["component"])
+        for r in multimodal_audio_curation(spark, sf_dir).collect()
+    }
+    groups = len(rows) // NEARDUP_VARIANTS
+    assert groups > 0
+    for g in range(groups):
+        base = NEARDUP_VARIANTS * g
+        assert rows[base] == ("kept", base)
+        assert rows[base + 1][0] == "quality"
+        assert rows[base + 2] == ("dedup", base)
+        assert rows[base + 3] == ("kept", base + 3)
+
+
 def test_image_dedup_keeps_one_per_group(spark, sf_dir):
     """The keep/drop composition: every 4-id source group must keep
     exactly its v0 representative (min id of the sibling cluster)
