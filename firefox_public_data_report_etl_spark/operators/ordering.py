@@ -1,0 +1,156 @@
+"""Scale-safe global enumeration and deterministic training order.
+
+Two primitives every training-data exporter needs and naive Spark
+gets wrong at 100 TB:
+
+- ``assign_contiguous_ids``: dense 0..N-1 row ids in a total order
+  WITHOUT the single-task global window (``row_number() OVER (ORDER
+  BY ...)`` with no PARTITION BY executes as ONE WindowExec task — the
+  exact straggler class tests/test_scale_class_completeness.py exists
+  to catch). The scale-safe shape is the classic two-pass device:
+  range-repartition on the order keys, count each partition (ONE tiny
+  collect — one row per partition, never data), broadcast the running
+  offsets back as a literal map, and number rows with a window
+  partitioned BY the range partition — so every window task is
+  bounded by N / num_partitions, the same knob as
+  spark.sql.shuffle.partitions.
+
+- ``epoch_shuffle_key``: a deterministic per-epoch pseudo-shuffle key
+  from integer arithmetic that both Spark and any ANSI engine
+  evaluate bit-identically (two rounds of multiply-add-mod with all
+  intermediates < 2^63 — no xxhash64, which the oracle engine lacks;
+  no rand(), which is not replayable). Sorting by (key, id) within a
+  hash-assigned shard gives each epoch a different, reproducible
+  visitation order — the "global shuffle" a training run needs,
+  executed as an embarrassingly parallel per-shard sort instead of a
+  global one.
+
+The reference has no enumeration surface (its exports are
+report-grain, firefox_public_data_report_etl/main.py); these exist
+for the training-export extension (plans/loader.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# LCG-family constants (Numerical Recipes / C99 rand): quality is
+# irrelevant here beyond "decorrelates adjacent ids across epochs";
+# what matters is exact cross-engine arithmetic, pinned by tests and
+# the registry oracle.
+_MIX_A = 1103515245
+_MIX_C = 1013904223
+_EPOCH_STRIDE = 12345
+_MIX_B = 48271
+_MOD = 2147483647  # 2^31 - 1; keeps every product < 2^63
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "row_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Dense 0-based ids in the total order of ``order_cols``.
+
+    ``order_cols`` must be a unique key (ties would make the numbering
+    depend on which side of a range boundary a row sampled into).
+    ``num_partitions`` is the scale knob: each window task holds
+    ~N/num_partitions rows — raise it with corpus size exactly like
+    shuffle partitions. One driver-side collect of num_partitions
+    count rows; no global single-task stage anywhere in the plan.
+
+    localCheckpoint pins the range-partition assignment between the
+    two passes (count, then number) so ``spark_partition_id()`` is
+    read from the SAME materialized layout both times.
+    """
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.withColumn(
+            id_name,
+            (
+                F.row_number().over(w).cast("long")
+                - F.lit(1)
+                + off_map[F.col("_pid")].cast("long")
+            ),
+        )
+        .drop("_pid")
+    )
+
+
+def epoch_shuffle_key(id_col, epoch_col):
+    """Deterministic per-epoch shuffle key: two multiply-add-mod
+    rounds over an integer id. All intermediates bounded by
+    id < 2^31 → a*id + e*s + c < 2^62 and h1 < 2^31 → h1*b < 2^47,
+    so the SAME expression evaluates exactly in any int64 engine
+    (the registry oracle interpolates these constants verbatim)."""
+    h1 = (
+        id_col.cast("long") * F.lit(_MIX_A)
+        + epoch_col.cast("long") * F.lit(_EPOCH_STRIDE)
+        + F.lit(_MIX_C)
+    ) % F.lit(_MOD)
+    return (h1 * F.lit(_MIX_B)) % F.lit(_MOD)
+
+
+def epoch_training_order(
+    df: DataFrame,
+    id_col: str,
+    n_epochs: int,
+    n_shards: int,
+) -> DataFrame:
+    """(epoch, shard_id, <id>, pos): for each epoch, a reproducible
+    pseudo-random visitation order, sharded for parallel readers.
+
+    shard_id = key % n_shards hash-assigns rows to shards (different
+    assignment per epoch — shard boundaries reshuffle too, as a real
+    dataloader's do); pos numbers rows within (epoch, shard) by
+    (key, id) — the window is PARTITIONED by shard, so at 100 TB you
+    pick n_shards = corpus_rows / target_shard_rows and every sort
+    task stays file-sized. n_shards is therefore corpus-proportional
+    by construction (like BUCKET_PARTS in operators/hamming_index.py);
+    the registry binds a fixed value only so the oracle is a static
+    SQL string.
+
+    Epoch-coverage invariant (pinned by tests/test_loader_order.py):
+    every epoch visits every row exactly once — the key is a pure
+    function of (id, epoch), never sampled.
+    """
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(n_epochs - 1))
+    ).alias("epoch")
+    keyed = df.select(F.col(id_col), epochs).withColumn(
+        "_k", epoch_shuffle_key(F.col(id_col), F.col("epoch"))
+    )
+    keyed = keyed.withColumn(
+        "shard_id", (F.col("_k") % F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("_k", id_col)
+    return (
+        keyed.withColumn(
+            "pos", F.row_number().over(w).cast("long") - F.lit(1)
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard_id",
+            id_col,
+            "pos",
+        )
+    )

@@ -19,6 +19,7 @@ from firefox_public_data_report_etl_spark.plans import (
     dedup,
     hardware,
     linkage,
+    loader,
     quality,
     scalars,
     shapes,
@@ -36,6 +37,7 @@ _MODULES = [
     dedup,
     hardware,
     linkage,
+    loader,
     quality,
     scalars,
     shapes,

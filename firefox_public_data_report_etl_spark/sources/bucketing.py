@@ -39,3 +39,54 @@ def cobucketed_join(
     """Join two co-bucketed tables on their bucket key; with matching
     bucket specs Catalyst elides both Exchanges (asserted in tests)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning — the OTHER layout lever
+    besides bucketing. A filter on a partition column prunes at
+    LISTING time (static pruning), and a join against a filtered dim
+    prunes at RUN time via Spark's dynamic partition pruning (DPP):
+    the dim side executes first as a subquery and the fact scan reads
+    only the matched partition directories.
+
+    DPP caveat the tests pin (tests/test_dpp.py): it only matters when
+    the dim filter is on a NON-key attribute. A predicate expressible
+    in the join key itself (e.g. ``dayofmonth(week) <= 7``) is
+    propagated to the fact side as a STATIC partition filter by
+    constraint propagation — measured: such a join reads the same
+    files with DPP disabled. The week→attribute lookup shape
+    (annotations, release dims) is the one that needs DPP."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def scan_file_stats(df: DataFrame) -> list[tuple[int, int | None]]:
+    """(numFiles, numPartitions) per parquet scan of an EXECUTED
+    DataFrame — the honest measure of partition pruning (plan strings
+    show the filter; these metrics show files actually read). Walks
+    the physical tree via py4j; requires adaptive execution OFF for
+    the executed plan to be the final tree (test helper, not a
+    production path)."""
+    qe = df._jdf.queryExecution().executedPlan()
+    out: list[tuple[int, int | None]] = []
+
+    def walk(node) -> None:
+        if "Scan" in node.nodeName():
+            m = node.metrics()
+            keys = m.keys().toList()
+            d = {
+                keys.apply(i): m.apply(keys.apply(i)).value()
+                for i in range(keys.size())
+            }
+            if "numFiles" in d:
+                out.append((d["numFiles"], d.get("numPartitions")))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(qe)
+    return out

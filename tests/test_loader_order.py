@@ -1,0 +1,129 @@
+"""Training-loader order invariants (plans/loader.py,
+operators/ordering.py): dense contiguous ids without a global
+single-task window, exact epoch coverage, cross-epoch decorrelation,
+and order-sensitive manifest checksums."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.ordering import (
+    assign_contiguous_ids,
+    epoch_training_order,
+)
+from firefox_public_data_report_etl_spark.plans.loader import (
+    documents_row_ids,
+    loader_shard_manifest,
+    training_epoch_order,
+)
+
+
+def test_contiguous_ids_dense_and_ordered(spark):
+    # 1000 rows through MORE partitions than some ranges can fill
+    # (num_partitions=32 on skewed keys → empty partitions exercised).
+    df = spark.range(1000).select(
+        (F.col("id") * 7 % 997).alias("k"), F.col("id").alias("orig")
+    )
+    # (k, orig) is unique even where k collides
+    out = assign_contiguous_ids(df, ["k", "orig"], id_name="rid")
+    rows = out.orderBy("rid").collect()
+    assert [r["rid"] for r in rows] == list(range(1000))
+    # ids follow the total (k, orig) order exactly
+    assert [(r["k"], r["orig"]) for r in rows] == sorted(
+        (r["k"], r["orig"]) for r in rows
+    )
+
+
+def test_contiguous_ids_tiny_input(spark):
+    # fewer rows than partitions: empty partitions must contribute
+    # zero-width offsets, not nulls
+    df = spark.range(3).select(F.col("id").alias("k"))
+    out = assign_contiguous_ids(df, ["k"], id_name="rid", num_partitions=8)
+    assert sorted(r["rid"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_row_ids_plan_has_no_partitionless_window(spark, sf_dir):
+    # the entire point vs ROW_NUMBER() OVER (ORDER BY ...): every
+    # window in the executed plan is partitioned
+    plan = documents_row_ids(spark, sf_dir)._jdf.queryExecution().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert head and "ASC" not in head and "DESC" not in head, (
+            "partition-less window leaked into documents_row_ids: "
+            + spec
+        )
+
+
+def test_epoch_order_exact_coverage(spark, sf_dir):
+    out = training_epoch_order(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # every epoch visits every doc exactly once
+    per_epoch = (
+        out.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .collect()
+    )
+    assert len(per_epoch) == 2
+    for r in per_epoch:
+        assert r["n"] == n and r["nd"] == n
+
+
+def test_epoch_orders_differ_and_positions_dense(spark, sf_dir):
+    out = training_epoch_order(spark, sf_dir).collect()
+    by_epoch: dict[int, list] = {0: [], 1: []}
+    for r in out:
+        by_epoch[r["epoch"]].append((r["shard_id"], r["pos"], r["doc_id"]))
+    o0 = [d for _, _, d in sorted(by_epoch[0])]
+    o1 = [d for _, _, d in sorted(by_epoch[1])]
+    assert sorted(o0) == sorted(o1)  # same membership
+    assert o0 != o1  # different order
+    # positions dense per (epoch, shard)
+    from collections import defaultdict
+
+    shard_pos = defaultdict(list)
+    for r in out:
+        shard_pos[(r["epoch"], r["shard_id"])].append(r["pos"])
+    for ps in shard_pos.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_manifest_checksum_is_order_sensitive(spark, sf_dir):
+    man = {
+        (r["epoch"], r["shard_id"]): r
+        for r in loader_shard_manifest(spark, sf_dir).collect()
+    }
+    for r in man.values():
+        assert r["max_pos"] == r["n_rows"] - 1
+    # recompute one shard's checksum with two ids swapped: must differ
+    order = [
+        (r["doc_id"], r["pos"])
+        for r in training_epoch_order(spark, sf_dir)
+        .filter((F.col("epoch") == 0) & (F.col("shard_id") == 0))
+        .collect()
+    ]
+    assert len(order) >= 2
+    mod = 2147483647
+    chk = sum(d % mod * ((p + 1) % mod) % mod for d, p in order) % mod
+    assert chk == man[(0, 0)]["order_checksum"]
+    swapped = list(order)
+    (d0, p0), (d1, p1) = swapped[0], swapped[1]
+    swapped[0], swapped[1] = (d1, p0), (d0, p1)
+    chk2 = sum(d % mod * ((p + 1) % mod) % mod for d, p in swapped) % mod
+    assert chk2 != chk
+
+
+def test_epoch_order_window_is_shard_partitioned(spark, sf_dir):
+    df = epoch_training_order(
+        spark.range(100).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        n_epochs=2,
+        n_shards=4,
+    )
+    plan = df._jdf.queryExecution().toString()
+    assert "windowspecdefinition(epoch" in plan
