@@ -96,6 +96,33 @@ def assign_contiguous_ids(
     )
 
 
+def write_training_shards(
+    order: DataFrame,
+    payload: DataFrame,
+    id_col: str,
+    path: str,
+) -> None:
+    """Materialize a training epoch as one parquet file per
+    (epoch, shard_id) directory with rows IN VISITATION ORDER — the
+    layout a sequential reader mmaps without any further sort.
+
+    repartition(epoch, shard_id) maps each shard to exactly one write
+    task (so one file per directory, pinned by the read-back test) and
+    sortWithinPartitions orders rows inside the file by pos; parquet
+    preserves within-file row order, so a plain file read replays the
+    epoch order. At 100 TB the shard count (not this writer) bounds
+    file size — n_shards = corpus_rows / shard_rows upstream.
+    """
+    (
+        order.join(payload, id_col)
+        .repartition("epoch", "shard_id")
+        .sortWithinPartitions("epoch", "shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard_id")
+        .parquet(path)
+    )
+
+
 def epoch_shuffle_key(id_col, epoch_col):
     """Deterministic per-epoch shuffle key: two multiply-add-mod
     rounds over an integer id. All intermediates bounded by

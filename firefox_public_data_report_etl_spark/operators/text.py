@@ -345,6 +345,83 @@ def pack_sequences(
     )
 
 
+def pack_window_spans(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-WINDOW span manifest for concat-then-chunk packing — the
+    artifact a trainer actually reads: for every (shard, bin_id)
+    context window, the documents present in it with their in-window
+    offset and span length, INCLUDING continuations of documents that
+    started in an earlier window (``is_start`` false) — exactly what
+    EOD-token insertion and block-diagonal attention masks need.
+    ``pack_sequences`` places each doc once (by its first token); this
+    explodes the doc's token interval [cum-tokens, cum) over every
+    window it intersects via a bounded ``sequence()`` (a doc of T
+    tokens touches at most T/capacity + 1 windows — the explode is
+    corpus-linear in tokens, never quadratic).
+
+    Zero-token docs (possible under the chars/4 estimate) occupy no
+    window and emit no span — the oracle's interval semantics agree.
+
+    Scale: same single shard-partitioned prefix-sum window as
+    ``pack_sequences``; the explode is map-side (no extra shuffle).
+    """
+    toks = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        (
+            F.col(tokens_col)
+            if tokens_col
+            else F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        )
+        .cast("long")
+        .alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        toks.withColumn("cum", F.sum("tokens").over(w))
+        .filter(F.col("tokens") > 0)
+        .select(
+            id_col,
+            "shard",
+            (F.col("cum") - F.col("tokens")).alias("s"),
+            F.col("cum").alias("e"),
+        )
+    )
+    cap = F.lit(capacity)
+    b = F.explode(
+        F.sequence(
+            F.expr(f"s div {capacity}"), F.expr(f"(e - 1) div {capacity}")
+        )
+    ).alias("bin_id")
+    spans = iv.select(id_col, "shard", "s", "e", b)
+    win_lo = F.col("bin_id") * cap
+    return spans.select(
+        "shard",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        id_col,
+        (F.greatest(F.col("s"), win_lo) - win_lo)
+        .cast("long")
+        .alias("tok_offset"),
+        (
+            F.least(F.col("e"), win_lo + cap)
+            - F.greatest(F.col("s"), win_lo)
+        )
+        .cast("long")
+        .alias("span_len"),
+        (F.col("bin_id") == F.expr(f"s div {capacity}")).alias("is_start"),
+    )
+
+
 # --- cross-document boilerplate (corpus-repeated n-grams) -----------
 
 BOILER_GRAM = 3  # token n-gram length for the boilerplate signal

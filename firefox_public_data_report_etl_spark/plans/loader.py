@@ -83,6 +83,65 @@ def loader_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-window span manifest `sequence_packing` (plans/text.py)
+    stops short of: every (shard, window) × document span with
+    in-window offset, length, and is_start — continuations of
+    straddling documents included, which is what EOD insertion and
+    block-diagonal attention masks consume. Same constants as
+    sequence_packing so the two manifests describe one layout."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_window_spans,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    return pack_window_spans(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def _packing_spans_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    cap = PACK_CAPACITY
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+), iv AS (
+  -- window SUM promotes to HUGEINT; generate_series needs BIGINT
+  SELECT doc_id, shard, CAST(c - tokens AS BIGINT) AS s,
+         CAST(c AS BIGINT) AS e
+  FROM cum WHERE tokens > 0
+)
+SELECT shard,
+       CAST(b AS BIGINT) AS bin_id,
+       doc_id,
+       CAST(GREATEST(s, b * {cap}) - b * {cap} AS BIGINT) AS tok_offset,
+       CAST(LEAST(e, (b + 1) * {cap}) - GREATEST(s, b * {cap}) AS BIGINT)
+         AS span_len,
+       (b = s // {cap}) AS is_start
+FROM iv, UNNEST(generate_series(s // {cap}, (e - 1) // {cap})) AS t(b)
+"""
+
+
 # Shared CTE: the exact mix arithmetic, interpolated from the same
 # constants the Spark side uses (operators/ordering.py).
 _ORDER_CTE = f"""
@@ -111,9 +170,11 @@ QUERIES = {
     "documents_row_ids": documents_row_ids,
     "training_epoch_order": training_epoch_order,
     "loader_shard_manifest": loader_shard_manifest,
+    "packing_window_spans": packing_window_spans,
 }
 
 ORACLES = {
+    "packing_window_spans": _packing_spans_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

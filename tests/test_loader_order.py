@@ -127,3 +127,84 @@ def test_epoch_order_window_is_shard_partitioned(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().toString()
     assert "windowspecdefinition(epoch" in plan
+
+
+def test_window_spans_straddle_hand_case(spark):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_window_spans,
+    )
+
+    # doc0: 700 tokens (2800 chars), doc1: 200 tokens — one shard
+    docs = spark.createDataFrame(
+        [(0, "x" * 2800), (1, "y" * 800)], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["bin_id"], r["doc_id"], r["tok_offset"], r["span_len"], r["is_start"])
+        for r in pack_window_spans(docs, capacity=512, n_shards=1).collect()
+    )
+    assert out == [
+        (0, 0, 0, 512, True),   # doc0 fills window 0
+        (1, 0, 0, 188, False),  # doc0 continues 188 tokens into window 1
+        (1, 1, 188, 200, True), # doc1 starts right after
+    ]
+
+
+def test_window_spans_conserve_tokens(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        packing_window_spans,
+    )
+
+    out = packing_window_spans(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("span_len").alias("mass"),
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0)).alias("starts"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("tokens")
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .filter(
+            (F.col("mass") != F.col("tokens")) | (F.col("starts") != 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_write_training_shards_file_order(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from firefox_public_data_report_etl_spark.operators.ordering import (
+        epoch_training_order,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    order = epoch_training_order(
+        docs.select("doc_id"), "doc_id", n_epochs=2, n_shards=4
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(order, docs, "doc_id", path)
+    dirs = sorted(glob.glob(f"{path}/epoch=*/shard_id=*"))
+    assert len(dirs) == 8
+    # per-directory: exactly one file, rows already in pos order
+    ref = {}
+    for r in order.collect():
+        ref.setdefault((r["epoch"], r["shard_id"]), []).append(
+            (r["pos"], r["doc_id"])
+        )
+    for d in dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1
+        t = pq.read_table(files[0]).to_pydict()
+        assert t["pos"] == sorted(t["pos"])
+        assert t["pos"] == list(range(len(t["pos"])))
+        epoch = int(d.split("epoch=")[1].split("/")[0])
+        shard = int(d.split("shard_id=")[1])
+        expect = [doc for _, doc in sorted(ref[(epoch, shard)])]
+        assert t["doc_id"] == expect
