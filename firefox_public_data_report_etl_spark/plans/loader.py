@@ -142,6 +142,171 @@ FROM iv, UNNEST(generate_series(s // {cap}, (e - 1) // {cap})) AS t(b)
 """
 
 
+# --- epoch-annealed mixture schedule --------------------------------
+#
+# Real pretraining runs anneal the data mixture across epochs (start
+# broad, finish on the up-weighted high-quality recipe). Quotas for
+# every (stratum, epoch) are precomputed in PYTHON integers (floor
+# interpolation) and emitted as literals on BOTH sides — no div/floor
+# semantics can diverge between engines.
+ANNEAL_EPOCHS = 3
+ANNEAL_TO = {"en": 60, "de": 60, "es": 40, "fr": 40}
+
+
+def _anneal_quotas() -> dict[tuple[str, int], int]:
+    from firefox_public_data_report_etl_spark.plans.text import (
+        MIXTURE_QUOTAS,
+    )
+
+    out = {}
+    for s in sorted(MIXTURE_QUOTAS):
+        a, b = MIXTURE_QUOTAS[s], ANNEAL_TO[s]
+        for e in range(ANNEAL_EPOCHS):
+            out[(s, e)] = a + ((b - a) * e) // (ANNEAL_EPOCHS - 1)
+    return out
+
+
+def mixture_schedule_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch annealed mixture: epoch 0 trains on the base recipe
+    (MIXTURE_QUOTAS), the last epoch on ANNEAL_TO, intermediate epochs
+    on the integer-interpolated quotas — and every epoch's draw is the
+    PREFIX of one shared rank (mixture_sample's advertised property),
+    so annealing never resamples: a document in epoch e's cut is in
+    every epoch whose quota is larger. ONE window shuffle total; the
+    epoch fan-out is a bounded map-side explode."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        mixture_sample,
+    )
+
+    q = _anneal_quotas()
+    max_q = {}
+    for (s, _e), v in q.items():
+        max_q[s] = max(max_q.get(s, 0), v)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranks = mixture_sample(docs, "lang", max_q)
+    fan = ranks.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(ANNEAL_EPOCHS - 1)))
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+    quota = F.lit(0)
+    for (s, e), v in sorted(q.items()):
+        quota = F.when(
+            (F.col("lang") == s) & (F.col("epoch") == e), F.lit(v)
+        ).otherwise(quota)
+    return fan.filter(F.col("rank_in_stratum") <= quota).select(
+        "epoch", "lang", "doc_id", "rank_in_stratum"
+    )
+
+
+def _anneal_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    q = _anneal_quotas()
+    cases = " ".join(
+        f"WHEN lang = '{s}' AND epoch = {e} THEN {v}"
+        for (s, e), v in sorted(q.items())
+    )
+    epochs = " UNION ALL ".join(
+        f"SELECT {e} AS epoch" for e in range(ANNEAL_EPOCHS)
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rank_in_stratum
+  FROM documents
+), epochs AS ({epochs})
+SELECT CAST(epoch AS BIGINT) AS epoch, lang, doc_id,
+       CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+FROM r CROSS JOIN epochs
+WHERE rank_in_stratum <= CASE {cases} ELSE 0 END
+"""
+
+
+# --- decontaminated training export ---------------------------------
+
+# drop a train doc when more than this percent of its distinct
+# 3-grams appear in the held-out splits (exact integer comparison)
+DECON_MAX_PCT = 5
+
+
+def training_export_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The export manifest a release actually ships: the train split
+    MINUS eval-contaminated documents. Composes three existing
+    primitives end-to-end — the md5 hash split, the shingle-probe
+    contamination audit (train_eval_contamination), and the shard
+    manifest (sources/export.py:training_manifest) — with the drop
+    rule as the exact integer comparison
+    n_contaminated * 100 > n_grams * DECON_MAX_PCT. Documents too
+    short to shingle have no contamination rows and are kept (the
+    oracle's LEFT-probe semantics agree)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hash_split,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        train_eval_contamination,
+    )
+    from firefox_public_data_report_etl_spark.sources.export import (
+        training_manifest,
+    )
+
+    cont = train_eval_contamination(spark, sf_dir)
+    flagged = cont.filter(
+        F.col("n_contaminated") * 100
+        > F.col("n_grams") * F.lit(DECON_MAX_PCT)
+    ).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    train_docs = hash_split(docs).filter(F.col("split") == "train")
+    clean = train_docs.join(flagged, "doc_id", "left_anti")
+    return training_manifest(clean)
+
+
+def _decon_export_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        DUCK_SHINGLES,
+    )
+    from firefox_public_data_report_etl_spark.sources.export import (
+        TRAINING_SHARDS,
+    )
+
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h,
+              CASE WHEN {bucket} < 80 THEN 'train'
+                   WHEN {bucket} < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM raw),
+held AS (SELECT DISTINCT h FROM sh WHERE split <> 'train'),
+cont AS (SELECT s.doc_id, count(*) AS n_grams,
+                sum(CASE WHEN held.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS n_contaminated
+         FROM sh s LEFT JOIN held ON s.h = held.h
+         WHERE s.split = 'train'
+         GROUP BY s.doc_id),
+flagged AS (SELECT doc_id FROM cont
+            WHERE n_contaminated * 100 > n_grams * {DECON_MAX_PCT}),
+clean AS (SELECT doc_id, text FROM documents
+          WHERE {bucket} < 80
+            AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+m AS (SELECT {md5_int_sql("cast(doc_id as varchar)")} % {TRAINING_SHARDS}
+        AS shard,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      {md5_int_sql("text")} AS fp
+      FROM clean)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(fp) AS BIGINT) AS content_fp
+FROM m GROUP BY shard
+"""
+
+
 # Shared CTE: the exact mix arithmetic, interpolated from the same
 # constants the Spark side uses (operators/ordering.py).
 _ORDER_CTE = f"""
@@ -171,10 +336,14 @@ QUERIES = {
     "training_epoch_order": training_epoch_order,
     "loader_shard_manifest": loader_shard_manifest,
     "packing_window_spans": packing_window_spans,
+    "mixture_schedule_anneal": mixture_schedule_anneal,
+    "training_export_decontaminated": training_export_decontaminated,
 }
 
 ORACLES = {
     "packing_window_spans": _packing_spans_oracle(),
+    "mixture_schedule_anneal": _anneal_oracle(),
+    "training_export_decontaminated": _decon_export_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

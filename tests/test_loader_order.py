@@ -208,3 +208,62 @@ def test_write_training_shards_file_order(spark, sf_dir, tmp_path):
         shard = int(d.split("shard_id=")[1])
         expect = [doc for _, doc in sorted(ref[(epoch, shard)])]
         assert t["doc_id"] == expect
+
+
+def test_anneal_prefix_property(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        _anneal_quotas,
+        mixture_schedule_anneal,
+    )
+
+    rows = mixture_schedule_anneal(spark, sf_dir).collect()
+    q = _anneal_quotas()
+    by = {}
+    for r in rows:
+        by.setdefault((r["lang"], r["epoch"]), set()).add(r["doc_id"])
+    langs = {s for s, _ in q}
+    for s in langs:
+        for e1 in range(3):
+            for e2 in range(3):
+                if q[(s, e1)] <= q[(s, e2)]:
+                    assert by.get((s, e1), set()) <= by.get(
+                        (s, e2), set()
+                    ), f"anneal must be prefix-nested: {s} {e1}->{e2}"
+        # per-epoch sizes match the quota (capped by stratum size)
+        for e in range(3):
+            assert len(by.get((s, e), set())) <= q[(s, e)]
+
+
+def test_decontaminated_export_excludes_flagged(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        DECON_MAX_PCT,
+        training_export_decontaminated,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        train_eval_contamination,
+        training_export_manifest,
+    )
+
+    full = {
+        r["shard"]: r["n_docs"]
+        for r in training_export_manifest(spark, sf_dir).collect()
+    }
+    clean = {
+        r["shard"]: r["n_docs"]
+        for r in training_export_decontaminated(spark, sf_dir).collect()
+    }
+    # manifest over a subset: per-shard counts never grow
+    assert all(clean[s] <= full[s] for s in clean)
+    # and the subset is strictly smaller iff something was flagged
+    n_flagged = (
+        train_eval_contamination(spark, sf_dir)
+        .filter(
+            F.col("n_contaminated") * 100
+            > F.col("n_grams") * DECON_MAX_PCT
+        )
+        .count()
+    )
+    # full manifest covers ALL docs; clean covers train-split minus
+    # flagged — so the difference is at least n_flagged (val/test
+    # docs are also absent from clean)
+    assert sum(full.values()) - sum(clean.values()) >= n_flagged
