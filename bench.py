@@ -311,6 +311,12 @@ def main() -> None:
         "unigram_vocab_table",
         "unigram_encode_corpus",
         "tokenizer_fertility_ab",
+        "documents_row_ids",
+        "training_epoch_order",
+        "loader_shard_manifest",
+        "packing_window_spans",
+        "mixture_schedule_anneal",
+        "training_export_decontaminated",
     ):
         if name not in QUERIES:
             continue

@@ -96,6 +96,70 @@ def assign_contiguous_ids(
     )
 
 
+def assign_contiguous_ids_ranged(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "row_id",
+    num_partitions: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Checkpoint-free twin of ``assign_contiguous_ids`` for a
+    NUMERIC unique key — the preferred 100 TB form.
+
+    The generic form must ``localCheckpoint`` because
+    ``spark_partition_id()`` after repartitionByRange is a property of
+    a materialized layout; that is a full-width write of the dataset
+    to executor disks. Here the partition id is instead a PURE
+    FUNCTION of the key — count of approxQuantile boundaries below it
+    (one ``F.aggregate`` over a literal array, JVM-side, linear in
+    num_partitions) — so nothing needs pinning: the plan is three
+    scans of the pruned key column (quantiles, per-range counts, the
+    numbering pass), which parquet column pruning makes far cheaper
+    than materializing every column once.
+
+    Boundary skew is harmless for correctness: duplicated quantiles
+    collapse (ranges merely unbalance, the window stays partitioned);
+    exact balance isn't the contract, bounded tasks are. Keys must be
+    unique; beyond 2^53 the double-typed boundaries lose exactness —
+    use the generic form there.
+    """
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, rel_err)))
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col) > b, 1).otherwise(0),
+        )
+    else:
+        pid = F.lit(0)
+    keyed = df.withColumn("_pid", pid)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in range(len(bounds) + 1):
+        offsets[p] = acc
+        acc += counts.get(p, 0)
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        keyed.withColumn(
+            id_name,
+            (
+                F.row_number().over(w).cast("long")
+                - F.lit(1)
+                + off_map[F.col("_pid")].cast("long")
+            ),
+        )
+        .drop("_pid")
+    )
+
+
 def write_training_shards(
     order: DataFrame,
     payload: DataFrame,

@@ -25,7 +25,7 @@ from firefox_public_data_report_etl_spark.operators.ordering import (
     _MIX_B,
     _MIX_C,
     _MOD,
-    assign_contiguous_ids,
+    assign_contiguous_ids_ranged,
     epoch_training_order,
 )
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -37,14 +37,18 @@ N_SHARDS = 8  # registry binding; corpus-proportional at scale (the
 
 
 def documents_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense 0..N-1 ids over documents in doc_id order — the two-pass
-    range-partition device (operators/ordering.py): no partition-less
-    window anywhere in the plan; the one collect moves num_partitions
-    COUNT rows, never data."""
+    """Dense 0..N-1 ids over documents in doc_id order — the
+    checkpoint-free ranged device (operators/ordering.py:
+    assign_contiguous_ids_ranged): partition ids are a pure function
+    of approxQuantile boundaries, so no materialization, no
+    partition-less window anywhere in the plan, and the only collects
+    move boundary/count rows (num_partitions each), never data. The
+    generic multi-column form (assign_contiguous_ids) stays for
+    non-numeric keys; an agreement test pins the two equal."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return assign_contiguous_ids(docs, ["doc_id"], id_name="row_id").select(
-        "doc_id", "lang", "row_id"
-    )
+    return assign_contiguous_ids_ranged(
+        docs, "doc_id", id_name="row_id"
+    ).select("doc_id", "lang", "row_id")
 
 
 def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,3 +267,39 @@ def test_decontaminated_export_excludes_flagged(spark, sf_dir):
     # flagged — so the difference is at least n_flagged (val/test
     # docs are also absent from clean)
     assert sum(full.values()) - sum(clean.values()) >= n_flagged
+
+
+def test_ranged_ids_agree_with_generic_form(spark):
+    from firefox_public_data_report_etl_spark.operators.ordering import (
+        assign_contiguous_ids_ranged,
+    )
+
+    # unique skewed numeric keys (clustered low values + sparse tail)
+    df = spark.range(500).select(
+        F.when(F.col("id") < 400, F.col("id"))
+        .otherwise(F.col("id") * 1000)
+        .alias("k")
+    )
+    a = {
+        r["k"]: r["rid"]
+        for r in assign_contiguous_ids(df, ["k"], id_name="rid").collect()
+    }
+    b = {
+        r["k"]: r["rid"]
+        for r in assign_contiguous_ids_ranged(
+            df, "k", id_name="rid"
+        ).collect()
+    }
+    assert a == b
+    assert sorted(b.values()) == list(range(500))
+
+
+def test_ranged_ids_no_checkpoint_no_partitionless_window(spark, sf_dir):
+    import re
+
+    plan = documents_row_ids(spark, sf_dir)._jdf.queryExecution().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert head and "ASC" not in head and "DESC" not in head
+    # the ranged form never materializes: no checkpoint scan node
+    assert "Checkpoint" not in plan and "LogicalRDD" not in plan
