@@ -189,12 +189,15 @@ def write_training_shards(
 
 def epoch_shuffle_key(id_col, epoch_col):
     """Deterministic per-epoch shuffle key: two multiply-add-mod
-    rounds over an integer id. All intermediates bounded by
-    id < 2^31 → a*id + e*s + c < 2^62 and h1 < 2^31 → h1*b < 2^47,
-    so the SAME expression evaluates exactly in any int64 engine
-    (the registry oracle interpolates these constants verbatim)."""
+    rounds over an integer id. The id is reduced mod 2^31-1 FIRST, so
+    every intermediate stays < 2^62 for ANY int64 id — Spark's
+    non-ANSI multiply would silently wrap where DuckDB errors, so the
+    pre-reduction is what keeps the expression engine-exact at 100 TB
+    id ranges, not just test ones. Ids congruent mod 2^31-1 share a
+    key; the (key, id) sort tiebreak keeps the order a valid
+    permutation regardless."""
     h1 = (
-        id_col.cast("long") * F.lit(_MIX_A)
+        (id_col.cast("long") % F.lit(_MOD)) * F.lit(_MIX_A)
         + epoch_col.cast("long") * F.lit(_EPOCH_STRIDE)
         + F.lit(_MIX_C)
     ) % F.lit(_MOD)

@@ -318,7 +318,8 @@ WITH epochs AS (
   SELECT 0 AS epoch UNION ALL SELECT 1
 ), mixed AS (
   SELECT e.epoch, d.doc_id,
-         ((d.doc_id * {_MIX_A} + e.epoch * {_EPOCH_STRIDE} + {_MIX_C})
+         (((d.doc_id % {_MOD}) * {_MIX_A}
+           + e.epoch * {_EPOCH_STRIDE} + {_MIX_C})
           % {_MOD}) AS h1
   FROM documents d CROSS JOIN epochs e
 ), keyed AS (

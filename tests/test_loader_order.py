@@ -303,3 +303,28 @@ def test_ranged_ids_no_checkpoint_no_partitionless_window(spark, sf_dir):
         assert head and "ASC" not in head and "DESC" not in head
     # the ranged form never materializes: no checkpoint scan node
     assert "Checkpoint" not in plan and "LogicalRDD" not in plan
+
+
+def test_shuffle_key_exact_at_int64_extremes(spark):
+    from firefox_public_data_report_etl_spark.operators.ordering import (
+        _EPOCH_STRIDE,
+        _MIX_A,
+        _MIX_B,
+        _MIX_C,
+        _MOD,
+        epoch_shuffle_key,
+    )
+
+    ids = [17, 2**31 - 2, 2**31, 2**45 + 3, 2**62]
+    df = spark.createDataFrame([(i, 1) for i in ids], "doc_id long, e int")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id",
+            epoch_shuffle_key(F.col("doc_id"), F.col("e")).alias("k"),
+        ).collect()
+    }
+    for i in ids:
+        want = ((i % _MOD) * _MIX_A + 1 * _EPOCH_STRIDE + _MIX_C) % _MOD
+        want = (want * _MIX_B) % _MOD
+        assert got[i] == want, i
