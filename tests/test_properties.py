@@ -496,3 +496,76 @@ def test_resize_rule_invariants(spark, w, h, max_dim):
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     assert np.array_equal(out, rgb[ys[:, None], xs[None, :]])
+
+
+# --- training-loader order properties (round 9 continuation) ---------
+
+tok_docs_strategy = st.lists(
+    st.integers(min_value=0, max_value=1300),  # token counts incl. 0
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(toks=tok_docs_strategy)
+@_settings
+def test_window_spans_properties(spark, toks):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_window_spans,
+    )
+
+    cap = 128
+    rows = [(i, "x" * (4 * t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_window_spans(df, capacity=cap, n_shards=2).collect()
+    # conservation: every doc's spans sum to its token count, with
+    # exactly one is_start; zero-token docs emit nothing
+    mass: dict[int, int] = {}
+    starts: dict[int, int] = {}
+    for r in out:
+        mass[r["doc_id"]] = mass.get(r["doc_id"], 0) + r["span_len"]
+        starts[r["doc_id"]] = starts.get(r["doc_id"], 0) + bool(
+            r["is_start"]
+        )
+        assert 0 <= r["tok_offset"] < cap
+        assert 1 <= r["span_len"] <= cap
+        assert r["tok_offset"] + r["span_len"] <= cap
+    for i, t in enumerate(toks):
+        assert mass.get(i, 0) == t
+        assert starts.get(i, 0) == (1 if t > 0 else 0)
+    # windows are exactly full except possibly each shard's last
+    fill: dict[tuple, int] = {}
+    for r in out:
+        key = (r["shard"], r["bin_id"])
+        fill[key] = fill.get(key, 0) + r["span_len"]
+    for shard in {s for s, _ in fill}:
+        bins = sorted(b for s, b in fill if s == shard)
+        assert bins == list(range(len(bins)))  # bins are dense
+        for b in bins[:-1]:
+            assert fill[(shard, b)] == cap
+
+
+ids_strategy = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(keys=ids_strategy)
+@_settings
+def test_ranged_ids_dense_any_distribution(spark, keys):
+    from firefox_public_data_report_etl_spark.operators.ordering import (
+        assign_contiguous_ids_ranged,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {
+        r["k"]: r["rid"]
+        for r in assign_contiguous_ids_ranged(
+            df, "k", id_name="rid", num_partitions=8
+        ).collect()
+    }
+    ordered = sorted(keys)
+    assert out == {k: i for i, k in enumerate(ordered)}
