@@ -212,3 +212,32 @@ def write_training_shards(docs, path: str, n_shards: int = TRAINING_SHARDS):
         .parquet(path)
     )
     return training_manifest(docs, n_shards)
+
+
+def write_jsonl_shards(
+    docs,
+    path: str,
+    max_records_per_file: int = 50_000,
+    order_col: str | None = None,
+):
+    """JSONL training export — the interchange format most training
+    stacks ingest directly: one JSON object per line, files bounded to
+    ``max_records_per_file`` rows via Spark's maxRecordsPerFile (the
+    writer splits a task's output across files at the bound, so file
+    size is governed regardless of partitioning). With ``order_col``,
+    rows are sorted within partitions first — each emitted file is
+    internally ordered (parquet-free replay of a curriculum or epoch
+    order; cross-file order is the partition order, which callers
+    control by repartitioning upstream).
+
+    JSONL loses parquet's types (dates/decimals become strings) — this
+    writer is the LAST hop to a trainer, not a storage format; the
+    manifest/export family stays on parquet."""
+    w = docs
+    if order_col is not None:
+        w = w.sortWithinPartitions(order_col)
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )

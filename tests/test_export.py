@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from firefox_public_data_report_etl_spark.sources.export import (
     DEFAULT_USAGE_ANNOTATIONS,
     ReportUploader,
@@ -80,3 +82,33 @@ def test_fxhealth_records_shape(spark, sf_dir):
         "new_profile_rate",
         "latest_version_ratio",
     }
+
+
+def test_write_jsonl_shards_bounds_file_records(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from firefox_public_data_report_etl_spark.sources.export import (
+        write_jsonl_shards,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "jsonl")
+    write_jsonl_shards(
+        docs.repartition(2), path, max_records_per_file=100,
+        order_col="doc_id",
+    )
+    files = sorted(glob.glob(f"{path}/part-*"))
+    assert len(files) >= 10  # 1000 rows / 100-record bound
+    seen = []
+    for f in files:
+        with open(f) as fh:
+            rows = [_json.loads(ln) for ln in fh if ln.strip()]
+        assert 0 < len(rows) <= 100
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids)  # in-file order respected
+        seen.extend(ids)
+    assert sorted(seen) == list(range(1000))

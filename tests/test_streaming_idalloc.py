@@ -123,3 +123,17 @@ def test_stream_wiring_three_triggers(spark, tmp_path):
     # three labels committed
     meta = spark.read.parquet(f"{store}/meta")
     assert meta.count() == 3
+
+
+def test_empty_batch_holds_base(spark, tmp_path):
+    store = str(tmp_path / "store")
+    w1 = spark.createDataFrame([(5,), (1,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_id long")
+    w3 = spark.createDataFrame([(9,)], "doc_id long")
+    alloc_ids_batch(spark, w1, store, batch_id=0)
+    alloc_ids_batch(spark, empty, store, batch_id=1)
+    alloc_ids_batch(spark, w3, store, batch_id=2)
+    got = _assigned(spark, store)
+    assert got == {1: 0, 5: 1, 9: 2}
+    meta = spark.read.parquet(f"{store}/meta")
+    assert meta.count() == 3  # the empty batch still commits its meta
