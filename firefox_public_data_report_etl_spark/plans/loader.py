@@ -228,6 +228,94 @@ WHERE rank_in_stratum <= CASE {cases} ELSE 0 END
 """
 
 
+# --- upsampling mixture (sampling WITH replacement) ------------------
+#
+# mixture_sample / the anneal draw PREFIXES — they can only
+# DOWN-sample a stratum. Small high-value sources are routinely
+# UP-sampled past their size (repeated within an epoch); the exact
+# deterministic form: with quota k over a stratum of n docs, every doc
+# repeats floor(k/n) times and the first k mod n docs by the portable
+# md5 rank repeat once more — total exactly k, no RNG, prefix-stable
+# under corpus growth like the rest of the mixture family.
+UPSAMPLE_QUOTAS = {"es": 900, "fr": 150}
+
+
+def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling WITH replacement: (doc_id, lang, copy_idx) rows whose
+    per-stratum total is exactly the quota even when the quota exceeds
+    the stratum (copy_idx > 1 marks repeats). At small SF the quota
+    up-samples (repeats exercised); at large SF the same quota
+    down-samples to a prefix — both from one formula, which is the
+    honest cross-SF behavior of a FIXED token budget over a growing
+    corpus. Scale: one stratum-partitioned window (rank + count fused
+    over the same partitioning), a literal quota CASE, and a bounded
+    map-side explode."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("lang").isin(list(UPSAMPLE_QUOTAS)))
+    )
+    h = F.expr(md5_int_spark_sql("cast(doc_id as string)"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    wn = Window.partitionBy("lang")
+    quota = F.lit(0)
+    for s, k in sorted(UPSAMPLE_QUOTAS.items()):
+        quota = F.when(F.col("lang") == s, F.lit(k)).otherwise(quota)
+    r = (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        .withColumn("q", quota)
+        .withColumn(
+            "repeats",
+            F.expr("q div n")
+            + F.when(F.col("rnk") <= F.col("q") % F.col("n"), 1).otherwise(
+                0
+            ),
+        )
+        .filter(F.col("repeats") > 0)
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.col("repeats"))).alias("copy_idx"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("long"))
+
+
+def _upsample_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    langs = ", ".join(f"'{s}'" for s in sorted(UPSAMPLE_QUOTAS))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {k}" for s, k in sorted(UPSAMPLE_QUOTAS.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+         ) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n,
+         CASE lang {cases} ELSE 0 END AS q
+  FROM documents
+  WHERE lang IN ({langs})
+), rep AS (
+  SELECT doc_id, lang,
+         q // n + CASE WHEN rnk <= q % n THEN 1 ELSE 0 END AS repeats
+  FROM r
+)
+SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+FROM rep, UNNEST(generate_series(1, CAST(repeats AS BIGINT))) AS t(copy_idx)
+WHERE repeats > 0
+"""
+
+
 # --- decontaminated training export ---------------------------------
 
 # drop a train doc when more than this percent of its distinct
@@ -343,12 +431,14 @@ QUERIES = {
     "packing_window_spans": packing_window_spans,
     "mixture_schedule_anneal": mixture_schedule_anneal,
     "training_export_decontaminated": training_export_decontaminated,
+    "corpus_mixture_upsample": corpus_mixture_upsample,
 }
 
 ORACLES = {
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),
+    "corpus_mixture_upsample": _upsample_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -328,3 +328,43 @@ def test_shuffle_key_exact_at_int64_extremes(spark):
         want = ((i % _MOD) * _MIX_A + 1 * _EPOCH_STRIDE + _MIX_C) % _MOD
         want = (want * _MIX_B) % _MOD
         assert got[i] == want, i
+
+
+def test_upsample_exact_quota_and_repeat_shape(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        UPSAMPLE_QUOTAS,
+        corpus_mixture_upsample,
+    )
+
+    rows = corpus_mixture_upsample(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in rows)
+    per_doc = Counter((r["lang"], r["doc_id"]) for r in rows)
+    for s, k in UPSAMPLE_QUOTAS.items():
+        n = n_by_lang[s]
+        if k >= n:
+            # upsampling: total exactly k, every doc floor or ceil times
+            assert per_lang[s] == k
+            lo, hi = k // n, k // n + (1 if k % n else 0)
+            reps = [c for (l, _), c in per_doc.items() if l == s]
+            assert len(reps) == n  # every doc present
+            assert set(reps) <= {lo, hi}
+            assert sum(reps) == k
+        else:
+            # downsampling prefix: k distinct docs, once each
+            assert per_lang[s] == k
+            assert all(
+                c == 1 for (l, _), c in per_doc.items() if l == s
+            )
+    # copy_idx within each doc is dense 1..reps
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["lang"], r["doc_id"]), []).append(r["copy_idx"])
+    for v in by_doc.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
