@@ -368,3 +368,38 @@ def test_upsample_exact_quota_and_repeat_shape(spark, sf_dir):
         by_doc.setdefault((r["lang"], r["doc_id"]), []).append(r["copy_idx"])
     for v in by_doc.values():
         assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_length_grouped_batching_cuts_padding_waste(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        LEN_BATCH_SIZE,
+        length_grouped_batches,
+    )
+
+    out = length_grouped_batches(spark, sf_dir).collect()
+    for r in out:
+        assert 1 <= r["n_seqs"] <= LEN_BATCH_SIZE
+        assert r["padding_waste"] == (
+            r["n_seqs"] * r["max_tokens"] - r["sum_tokens"]
+        )
+        assert r["padding_waste"] >= 0
+    grouped_waste = sum(r["padding_waste"] for r in out)
+    # naive arrival-order batching (by doc_id, no length grouping)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("tokens")
+    )
+    w = Window.orderBy("doc_id")
+    naive = (
+        docs.withColumn(
+            "b", ((F.row_number().over(w) - 1) / LEN_BATCH_SIZE).cast("long")
+        )
+        .groupBy("b")
+        .agg(
+            (F.count("*") * F.max("tokens") - F.sum("tokens")).alias("w")
+        )
+        .agg(F.sum("w").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert grouped_waste < naive
