@@ -317,6 +317,8 @@ def main() -> None:
         "packing_window_spans",
         "mixture_schedule_anneal",
         "training_export_decontaminated",
+        "corpus_mixture_upsample",
+        "length_grouped_batches",
     ):
         if name not in QUERIES:
             continue

@@ -42,7 +42,6 @@ def cosine_topk_matmul(
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.asarray([r[1] for r in qrows], dtype=np.int64)
     q_norm = np.asarray([r[2] for r in qrows], dtype=np.int64)
-    nq = len(q_ids)
 
     def _score(batches):
         for pdf in batches:
@@ -120,7 +119,6 @@ def cosine_topk_matmul_f32(
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.asarray([r[1] for r in qrows], dtype=np.float32)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    nq = len(q_ids)
 
     def _score(batches):
         for pdf in batches:
