@@ -403,3 +403,32 @@ def test_length_grouped_batching_cuts_padding_waste(spark, sf_dir):
         .collect()[0]["total"]
     )
     assert grouped_waste < naive
+
+
+def test_spans_agree_with_pack_sequences_placement(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_sequences,
+        pack_window_spans,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    placed = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            docs, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+        ).collect()
+        if r["tokens"] > 0
+    }
+    starts = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["tok_offset"])
+        for r in pack_window_spans(
+            docs, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+        ).collect()
+        if r["is_start"]
+    }
+    # the two manifests describe ONE layout: identical placement keys
+    assert placed == starts
