@@ -319,6 +319,8 @@ def main() -> None:
         "training_export_decontaminated",
         "corpus_mixture_upsample",
         "length_grouped_batches",
+        "corpus_mixture_token_budget",
+        "shuffle_quality_audit",
     ):
         if name not in QUERIES:
             continue

@@ -228,6 +228,146 @@ WHERE rank_in_stratum <= CASE {cases} ELSE 0 END
 """
 
 
+# --- token-budget mixture ---------------------------------------------
+#
+# Real mixture recipes quota TOKENS, not documents. Greedy-prefix
+# semantics: walk each stratum in md5-rank order and take every doc
+# that STARTS inside the budget (cum − tokens < budget) — total may
+# overrun by part of the last doc, never undershoot a doc boundary;
+# deterministic, prefix-stable, and exactly the rule a sequential
+# budget-filler implements.
+TOKEN_BUDGETS = {"en": 12_000, "de": 6_000, "fr": 3_000}
+
+
+def corpus_mixture_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, lang, tokens, cum_tokens) for every doc whose prefix
+    cumsum starts inside its stratum's TOKEN budget. One
+    stratum-partitioned window (rank + running sum share the
+    partitioning); the budget lookup is a literal CASE."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(list(TOKEN_BUDGETS)))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"length(text) div {CHARS_PER_TOKEN_EST}")
+            .cast("long")
+            .alias("tokens"),
+        )
+    )
+    h = F.expr(md5_int_spark_sql("cast(doc_id as string)"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(0)
+    for s, b in sorted(TOKEN_BUDGETS.items()):
+        budget = F.when(F.col("lang") == s, F.lit(b)).otherwise(budget)
+    return (
+        docs.withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") - F.col("tokens") < budget)
+        .select("doc_id", "lang", "tokens", "cum_tokens")
+    )
+
+
+def _token_budget_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+
+    langs = ", ".join(f"'{s}'" for s in sorted(TOKEN_BUDGETS))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents WHERE lang IN ({langs})
+), c AS (
+  SELECT doc_id, lang, tokens,
+         CAST(sum(tokens) OVER (
+                PARTITION BY lang
+                ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, tokens, cum_tokens
+FROM c
+WHERE cum_tokens - tokens < CASE lang {cases} ELSE 0 END
+"""
+
+
+# --- shuffle-quality audit ---------------------------------------------
+
+
+def shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency audit of the epoch shuffle — the check dataloader
+    work audits a shuffle with: for every epoch, how many ADJACENT
+    positions (pos, pos+1 within a shard) hold same-language
+    documents. A broken shuffle (e.g. sorted by source) shows runs;
+    a healthy one sits near the language-frequency-squared baseline.
+    Exact integer counts only — the expectation comparison lives in
+    the test, not the query, so the oracle stays bit-exact.
+
+    Scale: the order is the shard-partitioned epoch shuffle; the
+    adjacency probe is a self equi-join on (epoch, shard, pos+1) —
+    shuffle on the composite key, pair volume = corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    order = epoch_training_order(
+        docs.select("doc_id"), "doc_id", n_epochs=N_EPOCHS, n_shards=N_SHARDS
+    ).join(docs, "doc_id")
+    a = order.select(
+        "epoch", "shard_id", "pos", F.col("lang").alias("lang_a")
+    )
+    b = order.select(
+        "epoch",
+        "shard_id",
+        (F.col("pos") - F.lit(1)).alias("pos"),
+        F.col("lang").alias("lang_b"),
+    )
+    pairs = a.join(b, ["epoch", "shard_id", "pos"])
+    return pairs.groupBy("epoch").agg(
+        F.count("*").alias("n_adjacent"),
+        F.sum(
+            F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0)
+        ).alias("n_same_lang"),
+    )
+
+
+def _shuffle_audit_oracle() -> str:
+    return (
+        _ORDER_CTE
+        + """
+, o AS (
+  SELECT ordered.epoch, ordered.shard_id, ordered.pos, d.lang
+  FROM ordered JOIN documents d ON ordered.doc_id = d.doc_id
+)
+SELECT a.epoch,
+       CAST(count(*) AS BIGINT) AS n_adjacent,
+       CAST(sum(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_lang
+FROM o a JOIN o b
+  ON a.epoch = b.epoch AND a.shard_id = b.shard_id
+ AND a.pos = b.pos - 1
+GROUP BY a.epoch
+"""
+    )
+
+
 # --- length-grouped batching -----------------------------------------
 #
 # Padding-aware batch assembly (HF group_by_length / fairseq
@@ -529,6 +669,8 @@ QUERIES = {
     "training_export_decontaminated": training_export_decontaminated,
     "corpus_mixture_upsample": corpus_mixture_upsample,
     "length_grouped_batches": length_grouped_batches,
+    "corpus_mixture_token_budget": corpus_mixture_token_budget,
+    "shuffle_quality_audit": shuffle_quality_audit,
 }
 
 ORACLES = {
@@ -537,6 +679,8 @@ ORACLES = {
     "training_export_decontaminated": _decon_export_oracle(),
     "corpus_mixture_upsample": _upsample_oracle(),
     "length_grouped_batches": _length_batches_oracle(),
+    "corpus_mixture_token_budget": _token_budget_oracle(),
+    "shuffle_quality_audit": _shuffle_audit_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

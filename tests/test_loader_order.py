@@ -432,3 +432,63 @@ def test_spans_agree_with_pack_sequences_placement(spark, sf_dir):
     }
     # the two manifests describe ONE layout: identical placement keys
     assert placed == starts
+
+
+def test_token_budget_greedy_prefix(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        TOKEN_BUDGETS,
+        corpus_mixture_token_budget,
+    )
+
+    rows = corpus_mixture_token_budget(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for s, b in TOKEN_BUDGETS.items():
+        lrows = sorted(by_lang.get(s, []), key=lambda r: r["cum_tokens"])
+        if not lrows:
+            continue
+        # every selected doc STARTS inside the budget; overrun only by
+        # part of the last doc
+        for r in lrows:
+            assert r["cum_tokens"] - r["tokens"] < b
+        assert lrows[-1]["cum_tokens"] >= min(
+            b, lrows[-1]["cum_tokens"]
+        )
+        # prefix is maximal: dropping the last doc leaves cum < budget
+        # (unless the stratum ran out of docs entirely)
+        if lrows[-1]["cum_tokens"] > b:
+            assert lrows[-1]["cum_tokens"] - lrows[-1]["tokens"] < b
+
+
+def test_shuffle_audit_counts_match_python(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        shuffle_quality_audit,
+        training_epoch_order,
+    )
+
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    order = {}
+    for r in training_epoch_order(spark, sf_dir).collect():
+        order.setdefault((r["epoch"], r["shard_id"]), {})[r["pos"]] = r[
+            "doc_id"
+        ]
+    want = {}
+    for (e, _s), posmap in order.items():
+        adj = same = 0
+        for p, d in posmap.items():
+            if p + 1 in posmap:
+                adj += 1
+                same += docs[d] == docs[posmap[p + 1]]
+        a, sm = want.get(e, (0, 0))
+        want[e] = (a + adj, sm + same)
+    got = {
+        r["epoch"]: (r["n_adjacent"], r["n_same_lang"])
+        for r in shuffle_quality_audit(spark, sf_dir).collect()
+    }
+    assert got == want
