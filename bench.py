@@ -321,6 +321,7 @@ def main() -> None:
         "length_grouped_batches",
         "corpus_mixture_token_budget",
         "shuffle_quality_audit",
+        "packing_efficiency_report",
     ):
         if name not in QUERIES:
             continue

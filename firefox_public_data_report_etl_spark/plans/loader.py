@@ -146,6 +146,88 @@ FROM iv, UNNEST(generate_series(s // {cap}, (e - 1) // {cap})) AS t(b)
 """
 
 
+def packing_efficiency_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-shard packing KPI over the span manifest: window count,
+    token mass, docs started, and the exact fill of the LAST window
+    (every earlier window is full by construction — pinned as a
+    property test; so per-shard waste = capacity − tail_fill, the
+    one number concat-then-chunk packing can waste). Report-grain
+    rollup of packing_window_spans: same plan plus one groupBy."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_window_spans,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    spans = pack_window_spans(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+    per_win = spans.groupBy("shard", "bin_id").agg(
+        F.sum("span_len").alias("fill"),
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0)).alias("starts"),
+    )
+    return per_win.groupBy("shard").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("fill").alias("total_tokens"),
+        F.sum("starts").alias("docs_started"),
+        F.max(F.col("bin_id")).alias("last_bin"),
+        F.max_by(F.col("fill"), F.col("bin_id")).alias("tail_fill"),
+    )
+
+
+def _packing_efficiency_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    cap = PACK_CAPACITY
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+), iv AS (
+  SELECT doc_id, shard, CAST(c - tokens AS BIGINT) AS s,
+         CAST(c AS BIGINT) AS e
+  FROM cum WHERE tokens > 0
+), spans AS (
+  SELECT shard, CAST(b AS BIGINT) AS bin_id,
+         CAST(LEAST(e, (b + 1) * {cap}) - GREATEST(s, b * {cap}) AS BIGINT)
+           AS span_len,
+         (b = s // {cap}) AS is_start
+  FROM iv, UNNEST(generate_series(s // {cap}, (e - 1) // {cap})) AS t(b)
+), per_win AS (
+  SELECT shard, bin_id,
+         CAST(sum(span_len) AS BIGINT) AS fill,
+         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+           AS starts
+  FROM spans GROUP BY 1, 2
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       CAST(sum(starts) AS BIGINT) AS docs_started,
+       CAST(max(bin_id) AS BIGINT) AS last_bin,
+       CAST(max_by(fill, bin_id) AS BIGINT) AS tail_fill
+FROM per_win GROUP BY shard
+"""
+
+
 # --- epoch-annealed mixture schedule --------------------------------
 #
 # Real pretraining runs anneal the data mixture across epochs (start
@@ -671,6 +753,7 @@ QUERIES = {
     "length_grouped_batches": length_grouped_batches,
     "corpus_mixture_token_budget": corpus_mixture_token_budget,
     "shuffle_quality_audit": shuffle_quality_audit,
+    "packing_efficiency_report": packing_efficiency_report,
 }
 
 ORACLES = {
@@ -681,6 +764,7 @@ ORACLES = {
     "length_grouped_batches": _length_batches_oracle(),
     "corpus_mixture_token_budget": _token_budget_oracle(),
     "shuffle_quality_audit": _shuffle_audit_oracle(),
+    "packing_efficiency_report": _packing_efficiency_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
