@@ -1,18 +1,31 @@
-"""Training-loader order queries: scale-safe global enumeration,
-deterministic epoch shuffles, and the shard manifest a resumable
-dataloader reads.
+"""Training-loader queries — the last mile between a curated corpus
+and a training run. The reference exports report-grain JSON
+(main.py); a trainer's dataloader additionally needs everything this
+module registers:
 
-The reference exports report-grain JSON (main.py); a training
-pipeline additionally needs to hand the loader (a) dense global row
-ids (sample indexing, loss masking by position), (b) a reproducible
-per-epoch visitation order (the "global shuffle" — but executed as
-per-shard sorts, never a single-task global window), and (c) a
-per-shard manifest with an order-sensitive checksum so a resumed run
-can verify it is reading the same order it checkpointed under.
+- dense global row ids (documents_row_ids) — sample indexing, loss
+  masking by position; checkpoint-free ranged numbering;
+- a reproducible per-epoch visitation order (training_epoch_order) —
+  the "global shuffle" executed as per-shard sorts, never a
+  single-task global window — plus its order-checksummed resume
+  manifest (loader_shard_manifest) and adjacency decorrelation audit
+  (shuffle_quality_audit);
+- the packed-window layout (packing_window_spans — per-window doc
+  spans incl. straddling continuations, i.e. the EOD/attention-mask
+  artifact) and its per-shard KPI rollup (packing_efficiency_report);
+- mixture control: epoch-annealed quotas (mixture_schedule_anneal),
+  sampling WITH replacement at exact quota (corpus_mixture_upsample),
+  token-denominated budgets (corpus_mixture_token_budget);
+- padding-aware batch assembly (length_grouped_batches);
+- the decontaminated shard export (training_export_decontaminated).
 
-All arithmetic is integer multiply-add-mod with intermediates < 2^63
-(operators/ordering.py) so the DuckDB oracle interpolates the same
-constants and matches bit-for-bit.
+Every deterministic draw/shuffle is integer arithmetic (multiply-add-
+mod with intermediates < 2^63, or the portable md5 fragment) so the
+DuckDB oracle interpolates the same constants and matches
+bit-for-bit. Physical writers live in operators/ordering.py
+(write_training_shards) and sources/export.py (write_jsonl_shards);
+the streaming id allocator (streaming/idalloc.py) is this module's
+ingestion-time twin.
 """
 
 from __future__ import annotations
