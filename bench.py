@@ -322,6 +322,7 @@ def main() -> None:
         "corpus_mixture_token_budget",
         "shuffle_quality_audit",
         "packing_efficiency_report",
+        "sequence_packing_nosplit",
     ):
         if name not in QUERIES:
             continue

@@ -422,6 +422,69 @@ def pack_window_spans(
     )
 
 
+def pack_no_split(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """No-split packing — the OTHER standard layout besides
+    concat-then-chunk (pack_sequences): documents are never divided
+    across windows (SFT / instruction-tuning, where truncating an
+    example corrupts it); a window holds whole documents and wastes
+    its tail. Strategy: next-fit-decreasing per shard — sort by
+    (tokens DESC, id), walk once, open a new bin when the current one
+    can't fit the next doc. Deterministic, single sequential state
+    (bin, fill), so the DuckDB oracle replays it as a linear
+    recursive CTE bit-for-bit; NFD waste is bounded (≤ 2x optimal)
+    and reported per window by packing rollups.
+
+    Docs with tokens == 0 or tokens > capacity are EXCLUDED (an
+    oversized doc can never be packed whole; the caller chunks it
+    first — document_chunks — or raises capacity).
+
+    Scale: the walk is inherently sequential per shard, so shards are
+    the parallelism knob exactly as in pack_sequences: one Arrow
+    group per shard (n_shards = corpus/shard_rows keeps groups
+    task-sized), no shuffle beyond the one groupBy exchange.
+    """
+    import pandas as _pd
+
+    toks = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.expr(f"length({text_col}) div {CHARS_PER_TOKEN_EST}")
+        .cast("long")
+        .alias("tokens"),
+    ).filter((F.col("tokens") > 0) & (F.col("tokens") <= capacity))
+
+    def _walk(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        for t in pdf["tokens"]:
+            if fill + t <= capacity:
+                offs.append(fill)
+                fill += t
+            else:
+                bin_id += 1
+                offs.append(0)
+                fill = t
+            bins.append(bin_id)
+        pdf["bin_id"] = _pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = _pd.Series(offs, dtype="int64")
+        return pdf[["shard", id_col, "tokens", "bin_id", "bin_offset"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        _walk,
+        schema=f"shard long, {id_col} long, tokens long, bin_id long,"
+        " bin_offset long",
+    )
+
+
 # --- cross-document boilerplate (corpus-repeated n-grams) -----------
 
 BOILER_GRAM = 3  # token n-gram length for the boilerplate signal

@@ -241,6 +241,65 @@ FROM per_win GROUP BY shard
 """
 
 
+def sequence_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split (SFT-style) packing: whole documents per window, NFD
+    walk per shard (operators/text.py:pack_no_split) — the layout for
+    training data whose examples must not be truncated. The oracle
+    replays the sequential walk as a linear recursive CTE, so the
+    per-doc (bin, offset) assignment is hash-pinned bit-for-bit."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_no_split,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    return pack_no_split(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def _nosplit_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    cap = PACK_CAPACITY
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents
+), r AS (
+  SELECT shard, doc_id, tokens,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY tokens DESC, doc_id) AS rn
+  FROM t WHERE tokens > 0 AND tokens <= {cap}
+), walk(shard, rn, doc_id, tokens, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.tokens,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.bin_id
+              ELSE w.bin_id + 1 END,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.fill + r.tokens
+              ELSE r.tokens END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+)
+SELECT shard, doc_id, tokens,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(fill - tokens AS BIGINT) AS bin_offset
+FROM walk
+"""
+
+
 # --- epoch-annealed mixture schedule --------------------------------
 #
 # Real pretraining runs anneal the data mixture across epochs (start
@@ -767,6 +826,7 @@ QUERIES = {
     "corpus_mixture_token_budget": corpus_mixture_token_budget,
     "shuffle_quality_audit": shuffle_quality_audit,
     "packing_efficiency_report": packing_efficiency_report,
+    "sequence_packing_nosplit": sequence_packing_nosplit,
 }
 
 ORACLES = {
@@ -778,6 +838,7 @@ ORACLES = {
     "corpus_mixture_token_budget": _token_budget_oracle(),
     "shuffle_quality_audit": _shuffle_audit_oracle(),
     "packing_efficiency_report": _packing_efficiency_oracle(),
+    "sequence_packing_nosplit": _nosplit_oracle(),
     "documents_row_ids": """
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -492,3 +492,41 @@ def test_shuffle_audit_counts_match_python(spark, sf_dir):
         for r in shuffle_quality_audit(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_nosplit_packing_invariants(spark, sf_dir):
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        sequence_packing_nosplit,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+    )
+
+    rows = sequence_packing_nosplit(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    bins: dict[tuple, list] = {}
+    for r in rows:
+        assert r["doc_id"] not in seen  # whole docs, exactly once
+        seen.add(r["doc_id"])
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(
+            (r["bin_offset"], r["tokens"])
+        )
+    for spans in bins.values():
+        spans.sort()
+        fill = 0
+        for off, t in spans:
+            assert off == fill  # contiguous within the bin
+            fill += t
+        assert fill <= PACK_CAPACITY  # capacity never exceeded
+    # only eligible docs packed (0 < tokens <= capacity)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("t")
+    )
+    eligible = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("t") > 0) & (F.col("t") <= PACK_CAPACITY)
+        ).collect()
+    }
+    assert seen == eligible
