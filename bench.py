@@ -2,9 +2,13 @@
 """Headline-query benchmark.
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf", "floor_sec"}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line (<1 KB) as the LAST stdout line: {"metric", "value"
+(total sec), "unit", "queries" {headline name: sec}, "sf",
+"floor_sec", controls, error/extra counts}. The driver keeps only the
+last ~2 KB of stdout, so the compact line is the parseable artifact;
+the FULL payload (all ~150 extra rows + scale classification) is
+written to BENCHLINE_r10.json next to this script.
 
 Methodology: steady-state wall time — JVM/session startup excluded,
 plans JIT/codegen-warmed at sf0.001, then each query measured as the
@@ -53,7 +57,12 @@ def main() -> None:
     from firefox_public_data_report_etl_spark import get_spark
     from firefox_public_data_report_etl_spark.plans import QUERIES
 
-    spark = get_spark(app_name="fpdr-bench")
+    # No console progress bars: stray \r-frames on stdout would push
+    # the compact JSON line out of the driver's 2 KB stdout tail.
+    spark = get_spark(
+        app_name="fpdr-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # Warm JVM JIT + whole-stage-codegen compilation on the smallest SF
     # so sf0.1 timings measure steady-state execution, not first-call
     # compilation. Two passes: C2 JIT promotion needs more invocations
@@ -353,23 +362,51 @@ def main() -> None:
         if SCALE_CLASS.get(n, "scale") != "scale"
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "extra": extra,
-                "sf": sf,
-                "floor_sec": floor_sec,
-                "duck_control_sec": duck_control_sec,
-                "duck_control_post_sec": duck_control_post_sec,
-                "scale_class": scale_class,
-                "errors": errors,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "extra": extra,
+        "sf": sf,
+        "floor_sec": floor_sec,
+        "duck_control_sec": duck_control_sec,
+        "duck_control_post_sec": duck_control_post_sec,
+        "scale_class": scale_class,
+        "errors": errors,
+    }
+    # Full payload -> file (the judge reads it); compact line -> stdout
+    # (the driver parses the LAST line out of a 2 KB tail, so it must
+    # stay well under that even as the extras list grows).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCHLINE_r10.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f)
+            f.write("\n")
+    except OSError:
+        full_path = None
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "floor_sec": floor_sec,
+        "duck_control_sec": duck_control_sec,
+        "duck_control_post_sec": duck_control_post_sec,
+        "extra_total_sec": round(sum(extra.values()), 3),
+        "extra_count": len(extra),
+        "error_count": len(errors),
+        "full_payload": full_path,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never exceed the driver's stdout tail
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -34,6 +34,7 @@ public Manku/Jain/Sarma technique).
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,6 +47,40 @@ from firefox_public_data_report_etl_spark.operators.incremental import (
 )
 
 HAMMING_BUCKET_PARTS = 32  # same fan rationale as the MinHash index
+
+
+@dataclass
+class HammingProbe:
+    """Explicit probe result (round-9 advice: cache handles were
+    ad-hoc DataFrame attributes that vanished through any further
+    transformation — a caller that forgot to re-propagate them leaked
+    one persisted relation per streaming trigger).
+
+    ``pairs`` is the verified (base_id, batch_id, hamming) plan.
+    ``band_rows`` is the CACHED batch band-row relation the pairs
+    plan joins through — a gate that also needs within-batch pairs
+    pairs these rows (dedup.hamming_pairs_from_band_rows) instead of
+    re-banding; None when the batch was empty. ``close()`` (or using
+    the probe as a context manager) releases every persisted handle
+    AFTER the caller has materialized everything built on ``pairs`` /
+    ``band_rows`` — unpersisting earlier would silently recompute the
+    banding inside the verify join."""
+
+    pairs: DataFrame
+    band_rows: DataFrame | None = None
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def close(self) -> None:
+        for h in self.persisted:
+            h.unpersist()
+        self.persisted = []
+        self.band_rows = None
+
+    def __enter__(self) -> "HammingProbe":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def build_hamming_index(
@@ -137,14 +172,16 @@ def probe_hamming_index(
     path: str,
     batch_sigs: DataFrame,
     exclude_label: int | None = None,
-) -> DataFrame:
-    """(base_id, batch_id, hamming) for the batch against the index:
-    batch band rows (stored geometry), distinct (b, pb) combos as a
-    literal partition filter (the per-band disjunct form the MinHash
-    probe measured 10x faster than a flat OR), the (b, v) equi-join,
-    then the exact bit_count verify on the carried signatures —
-    exact recall, no second table read. ``exclude_label`` masks one
-    label partition (the streaming gate's replay guard)."""
+) -> HammingProbe:
+    """``HammingProbe`` whose ``pairs`` is (base_id, batch_id,
+    hamming) for the batch against the index: batch band rows (stored
+    geometry), distinct (b, pb) combos as a literal partition filter
+    (the per-band disjunct form the MinHash probe measured 10x faster
+    than a flat OR), the (b, v) equi-join, then the exact bit_count
+    verify on the carried signatures — exact recall, no second table
+    read. ``exclude_label`` masks one label partition (the streaming
+    gate's replay guard). The caller owns the probe's cache lifecycle
+    via ``probe.close()`` once results are materialized."""
     m = spark.read.parquet(f"{path}/meta").head()
     id_col, sig_col = m["id_col"], m["sig_col"]
     batch_bands = (
@@ -161,8 +198,10 @@ def probe_hamming_index(
     if not touched:
         batch_bands.unpersist()
         id_type = dict(batch_sigs.dtypes)[id_col]
-        return spark.createDataFrame(
-            [], f"base_id {id_type}, batch_id {id_type}, hamming long"
+        return HammingProbe(
+            pairs=spark.createDataFrame(
+                [], f"base_id {id_type}, batch_id {id_type}, hamming long"
+            )
         )
     cond = reduce(
         lambda x, y: x | y,
@@ -201,14 +240,9 @@ def probe_hamming_index(
         .filter(F.col("hamming") <= m["max_hamming"])
         .select("base_id", "batch_id", "hamming")
     )
-    # caller-owned cache lifecycle, same contract as the MinHash
-    # probe: the band rows feed the returned plan's candidate join.
-    # ``batch_band_rows`` is the documented reuse handle — a gate
-    # that also needs within-batch pairs pairs THESE rows
-    # (dedup.hamming_pairs_from_band_rows) instead of re-banding.
-    out._probe_persisted = [batch_bands]
-    out.batch_band_rows = batch_bands
-    return out
+    return HammingProbe(
+        pairs=out, band_rows=batch_bands, persisted=[batch_bands]
+    )
 
 
 def compact_hamming_index(spark: SparkSession, path: str) -> None:

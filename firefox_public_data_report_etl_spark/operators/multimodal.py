@@ -701,6 +701,84 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, WAV_STATS_SCHEMA)
 
 
+def resample_nearest(samples, src_rate: int, target_rate: int):
+    """Nearest-neighbor rate conversion of an int16 clip — the audio
+    twin of ``resize_nearest``: output sample j takes source sample
+    (j*src_rate) // target_rate, n_out = n*target_rate // src_rate.
+    Pure integer index math, so the result is deterministic across
+    engines and the oracle can recompute any output sample straight
+    from the logical source rule. Identity when the rates match
+    (n_out == n and every index maps to itself); an exact-integer
+    upsample by factor r repeats each sample r times, which is what
+    makes the fingerprint-invariance property hold (energies scale
+    by exactly r per r-times-longer frame, preserving delta signs)."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    n = len(s)
+    n_out = (n * target_rate) // src_rate
+    idx = (np.arange(n_out, dtype=np.int64) * src_rate) // target_rate
+    return s[idx]
+
+
+RESAMPLED_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_rate", LongType()),
+        StructField("target_rate", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("r_min", LongType()),
+        StructField("r_max", LongType()),
+        StructField("r_energy", LongType()),
+        StructField("r_zero_cross", LongType()),
+    ]
+)
+
+
+def resample_wav_stats(media: DataFrame, target_rate: int) -> DataFrame:
+    """Decode → RESAMPLE fused into one Arrow stage (the audio twin of
+    ``resize_bmp_stats``): parse each WAV payload, nearest-resample
+    to ``target_rate`` (real pipelines normalize rates before
+    fingerprinting/featurizing — the corpus carries three), and emit
+    exact integer statistics of the RESAMPLED signal. No FP anywhere,
+    so a resampler that misrounds one index hash-mismatches."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                rate, s = decode_wav16(bytes(payload))
+                r = resample_nearest(s, rate, target_rate).astype(np.int64)
+                if len(r) == 0:  # clip shorter than one output sample
+                    raise ValueError(
+                        f"clip {mid}: {len(s)} samples @ {rate} Hz "
+                        f"resample to 0 samples @ {target_rate} Hz"
+                    )
+                nonneg = r >= 0
+                rows.append(
+                    (
+                        int(mid), int(rate), int(target_rate),
+                        len(s), len(r),
+                        int(r.sum()), int(r.min()), int(r.max()),
+                        int((r * r).sum()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESAMPLED_STATS_SCHEMA]
+            )
+
+    return media.mapInPandas(_decode, RESAMPLED_STATS_SCHEMA)
+
+
 def resize_nearest(rgb, tw: int, th: int):
     """Nearest-neighbor resample of an (H, W, 3) uint8 array to
     (th, tw, 3): target pixel (y, x) takes source pixel
@@ -1055,10 +1133,12 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
-def audio_fingerprint(samples) -> tuple[int, int, int]:
+def audio_fingerprint(
+    samples, frame_len: int = NDAUD_FRAME_LEN
+) -> tuple[int, int, int]:
     """(n_frames, onset, fingerprint): onset-anchored energy-delta
     fingerprint of an int16 clip — frame energies (Σ s² per
-    NDAUD_FRAME_LEN samples), onset = first frame with energy > 0,
+    ``frame_len`` samples), onset = first frame with energy > 0,
     bit b set iff e[onset+b+1] > e[onset+b] for b in 0..59. The onset
     anchor makes the signature exactly invariant to whole-frame
     leading silence (the time-shift sibling); sign-of-delta makes it
@@ -1067,9 +1147,9 @@ def audio_fingerprint(samples) -> tuple[int, int, int]:
     import numpy as np
 
     s = np.asarray(samples, dtype=np.int64)
-    n_full = len(s) - len(s) % NDAUD_FRAME_LEN
+    n_full = len(s) - len(s) % frame_len
     e = (
-        (s[:n_full].reshape(-1, NDAUD_FRAME_LEN) ** 2).sum(axis=1)
+        (s[:n_full].reshape(-1, frame_len) ** 2).sum(axis=1)
         if n_full
         else np.zeros(0, dtype=np.int64)
     )
@@ -1293,8 +1373,9 @@ def video_neardup_against_index(
     index_path: str,
     batch_frame_hashes: DataFrame,
     exclude_label: int | None = None,
-) -> DataFrame:
-    """(base_video, batch_video, n_matched): incremental clip-level
+):
+    """``HammingProbe`` whose ``pairs`` is (base_video, batch_video,
+    n_matched): incremental clip-level
     video near-dup — an incoming batch of clips (per-frame dHash
     rows, ``decode_frame_dhash`` output) voted against a PERSISTED
     frame-hash index (``operators/hamming_index.py`` built over
@@ -1324,7 +1405,7 @@ def video_neardup_against_index(
         spark, index_path, sigs, exclude_label=exclude_label
     )
     out = (
-        probe.filter(
+        probe.pairs.filter(
             F.col("base_id") % NDVID_FRAMES
             == F.col("batch_id") % NDVID_FRAMES
         )
@@ -1338,10 +1419,8 @@ def video_neardup_against_index(
         .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") >= NDVID_MIN_FRAMES)
     )
-    # propagate the probe's caller-owned cache handles (review fix:
-    # dropping them leaked one cached band-row relation per call —
-    # a long-running streaming gate pins a batch per trigger) and
-    # the band-row reuse handle for within-batch pairing
-    out._probe_persisted = getattr(probe, "_probe_persisted", [])
-    out.batch_band_rows = getattr(probe, "batch_band_rows", None)
-    return out
+    # the vote rides the probe's result object: the cache handles and
+    # the band-row reuse handle survive the clip-level aggregation
+    # without ad-hoc attribute re-propagation (round-9 advice)
+    probe.pairs = out
+    return probe

@@ -485,6 +485,83 @@ def pack_no_split(
     )
 
 
+def sft_pack_loss_mask(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT assembly: no-split packing of two-part (prompt/completion)
+    examples with per-span loss masks — the layout instruction-tuning
+    loaders consume, where the loss is computed over completion
+    tokens ONLY and prompt tokens are attended but masked out.
+
+    Documents ride the exact `pack_no_split` NFD walk (one packing
+    code path — SFT windows can never tile differently from the plain
+    no-split layout); each packed doc then splits into two contiguous
+    spans inside its window:
+
+      (part='prompt',     loss_mask=false) [bin_offset, +prompt_len)
+      (part='completion', loss_mask=true)  [+prompt_len, +tokens)
+
+    The prompt/completion boundary is a deterministic per-doc rule
+    (30-70% prompt share by ``id % 5``, >= 1 token each side — the
+    container has no instruction corpus, so the boundary is synthetic
+    but the packing/masking algebra is real), so the DuckDB oracle
+    recomputes it closed-form. Docs with < 2 tokens are excluded (an
+    SFT example needs a non-empty prompt AND completion); both spans
+    exist for every packed doc and conserve its tokens exactly
+    (span-union property pinned by test).
+
+    Scale: inherits pack_no_split's contract — sequential walk per
+    shard, shards are the parallelism knob, the split is pure
+    Catalyst arithmetic after the walk (no second Python stage).
+    """
+    eligible = docs.filter(
+        F.length(text_col) >= 2 * CHARS_PER_TOKEN_EST
+    )
+    packed = pack_no_split(
+        eligible, capacity=capacity, n_shards=n_shards,
+        id_col=id_col, text_col=text_col,
+    )
+    p_len = F.least(
+        F.col("tokens") - 1,
+        F.greatest(
+            F.lit(1),
+            F.expr(f"(tokens * (({id_col} % 5) + 3)) div 10"),
+        ),
+    ).cast("long")
+    parts = packed.withColumn("prompt_len", p_len)
+    span = F.explode(
+        F.array(
+            F.struct(
+                F.lit("prompt").alias("part"),
+                F.col("bin_offset").alias("span_offset"),
+                F.col("prompt_len").alias("span_len"),
+                F.lit(False).alias("loss_mask"),
+            ),
+            F.struct(
+                F.lit("completion").alias("part"),
+                (F.col("bin_offset") + F.col("prompt_len")).alias(
+                    "span_offset"
+                ),
+                (F.col("tokens") - F.col("prompt_len")).alias("span_len"),
+                F.lit(True).alias("loss_mask"),
+            ),
+        )
+    ).alias("sp")
+    return parts.select("shard", "bin_id", id_col, span).select(
+        "shard",
+        "bin_id",
+        id_col,
+        F.col("sp.part").alias("part"),
+        F.col("sp.span_offset").cast("long").alias("span_offset"),
+        F.col("sp.span_len").cast("long").alias("span_len"),
+        F.col("sp.loss_mask").alias("loss_mask"),
+    )
+
+
 # --- cross-document boilerplate (corpus-repeated n-grams) -----------
 
 BOILER_GRAM = 3  # token n-gram length for the boilerplate signal
@@ -1858,6 +1935,173 @@ def nb_quality_classifier(
             (F.col("margin_fp") >= 0).alias("pred_hq"),
             ((F.col("margin_fp") >= 0) == F.col("is_hq")).alias("correct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained multilingual language ID (round 10): the multi-class sibling
+# of nb_quality_classifier — the heuristic marker-vote langid was the
+# only quality signal without a trained scale path. Multinomial NB
+# over hashed unigrams, one weight table row per (class, bucket),
+# argmax with a deterministic (score DESC, class ASC) tie-break.
+
+NB_LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def nb_langid_classifier(
+    docs: DataFrame,
+    classes: tuple[str, ...] = NB_LANGID_CLASSES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = NB_BUCKETS,
+    scale: int = NB_LOG_SCALE,
+) -> DataFrame:
+    """Train multi-class multinomial NB on the hash-split TRAIN slice
+    (label = the corpus' ``lang_col``), score the held-out val/test
+    docs: per class c, score_fp(d, c) = prior_c + Σ_b cnt_db · w_cb
+    with w_cb = round(scale·ln((c_cb+1)/(tot_c+K))) and prior_c =
+    round(scale·ln((n_c+1)/(n_train+L))) — add-one smoothing, one
+    round() per model entry, integer sums per doc (the established
+    NB/DSIR fixed-point contract). pred = argmax, ties broken by
+    class name ascending; ``margin_fp`` is winner minus runner-up
+    (the per-doc confidence every langid filter thresholds on).
+
+    Scale shape: ONE token pass into the (doc, bucket) rollup; the
+    model is L·K rows broadcast in long form; the argmax is a
+    doc-keyed window over L rows per doc. No global sort, no driver
+    model state beyond the L·K-row table."""
+    labeled = hash_split(
+        docs.select(id_col, text_col, lang_col).filter(
+            F.col(lang_col).isin(*classes)
+        ),
+        id_col=id_col,
+    )
+    feats = (
+        labeled.select(
+            id_col,
+            lang_col,
+            "split",
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "split",
+            (F.expr(md5_int_spark_sql("w")) % n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first(lang_col).alias(lang_col),
+            F.first("split").alias("split"),
+        )
+    )
+    train = feats.filter(F.col("split") == "train")
+    counts = train.groupBy("b").agg(
+        *[
+            F.sum(
+                F.when(F.col(lang_col) == c, F.col("cnt")).otherwise(0)
+            ).alias(f"c_{c}")
+            for c in classes
+        ]
+    )
+    dense = (
+        docs.sparkSession.range(n_buckets)
+        .withColumnRenamed("id", "b")
+        .join(counts, "b", "left")
+        .select(
+            "b",
+            *[
+                F.coalesce(f"c_{c}", F.lit(0)).alias(f"c_{c}")
+                for c in classes
+            ],
+        )
+        .cache()
+    )
+    tot = dense.agg(
+        *[F.sum(f"c_{c}").alias(f"t_{c}") for c in classes]
+    ).head()
+    prior = (
+        labeled.filter(F.col("split") == "train")
+        .groupBy(lang_col)
+        .agg(F.count("*").alias("n"))
+    )
+    n_by_class = {r[lang_col]: r["n"] for r in prior.collect()}
+    import math
+
+    n_train = sum(n_by_class.values())
+    if len(n_by_class) < 2:
+        raise ValueError(
+            "nb_langid_classifier: the train split has "
+            f"{len(n_by_class)} class(es) — a classifier cannot fit"
+        )
+    prior_fp = {
+        c: int(
+            round(
+                scale
+                * math.log(
+                    (n_by_class.get(c, 0) + 1) / (n_train + len(classes))
+                )
+            )
+        )
+        for c in classes
+    }
+    # long-form weight table (cl, b, w): L*K rows, broadcastable
+    wl = None
+    for c in classes:
+        denom = float(tot[f"t_{c}"] + n_buckets)
+        part = dense.select(
+            F.lit(c).alias("cl"),
+            "b",
+            F.round(
+                F.lit(scale)
+                * F.log((F.col(f"c_{c}").cast("double") + 1.0) / F.lit(denom))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        wl = part if wl is None else wl.unionByName(part)
+    priors = docs.sparkSession.createDataFrame(
+        [(c, prior_fp[c]) for c in classes], "cl string, prior_fp long"
+    )
+    heldout = feats.filter(F.col("split") != "train")
+    scores = (
+        heldout.join(F.broadcast(wl), "b")
+        .groupBy(id_col, "cl")
+        .agg(
+            F.first("split").alias("split"),
+            F.first(lang_col).alias(lang_col),
+            F.sum(F.col("w") * F.col("cnt")).cast("long").alias("s"),
+        )
+        .join(F.broadcast(priors), "cl")
+        .select(
+            id_col,
+            "split",
+            lang_col,
+            "cl",
+            (F.col("s") + F.col("prior_fp")).alias("score_fp"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score_fp"), F.asc("cl")
+    )
+    ranked = scores.select(
+        id_col,
+        "split",
+        lang_col,
+        "cl",
+        "score_fp",
+        F.row_number().over(win).alias("rn"),
+        F.lead("score_fp").over(win).alias("s2"),
+    ).filter(F.col("rn") == 1)
+    return ranked.select(
+        id_col,
+        "split",
+        F.col(lang_col).alias("labeled_lang"),
+        F.col("cl").alias("pred_lang"),
+        (F.col("score_fp") - F.col("s2")).cast("long").alias("margin_fp"),
+        (F.col("cl") == F.col(lang_col)).alias("correct"),
     )
 
 

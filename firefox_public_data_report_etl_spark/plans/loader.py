@@ -300,6 +300,81 @@ FROM walk
 """
 
 
+def sft_pack_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT assembly with loss masks (round-10): two-part documents
+    packed whole via the no-split NFD walk, one span row per
+    (window, doc, part) with loss_mask=true over completion tokens
+    only (operators/text.py:sft_pack_loss_mask). The oracle replays
+    the walk as the same linear recursive CTE and recomputes the
+    prompt boundary closed-form, so spans AND masks are hash-pinned
+    bit-for-bit."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        sft_pack_loss_mask as _op,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    return _op(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def _sft_mask_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    cap = PACK_CAPACITY
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents
+), r AS (
+  SELECT shard, doc_id, tokens,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY tokens DESC, doc_id) AS rn
+  FROM t WHERE tokens >= 2 AND tokens <= {cap}
+), walk(shard, rn, doc_id, tokens, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.tokens,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.bin_id
+              ELSE w.bin_id + 1 END,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.fill + r.tokens
+              ELSE r.tokens END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+), packed AS (
+  SELECT shard, doc_id, tokens,
+         CAST(bin_id AS BIGINT) AS bin_id,
+         CAST(fill - tokens AS BIGINT) AS bin_offset,
+         CAST(least(tokens - 1,
+                    greatest(1, (tokens * ((doc_id % 5) + 3)) // 10))
+              AS BIGINT) AS prompt_len
+  FROM walk
+)
+SELECT shard, bin_id, doc_id, 'prompt' AS part,
+       bin_offset AS span_offset, prompt_len AS span_len,
+       FALSE AS loss_mask
+FROM packed
+UNION ALL
+SELECT shard, bin_id, doc_id, 'completion' AS part,
+       bin_offset + prompt_len AS span_offset,
+       tokens - prompt_len AS span_len,
+       TRUE AS loss_mask
+FROM packed
+"""
+
+
 # --- epoch-annealed mixture schedule --------------------------------
 #
 # Real pretraining runs anneal the data mixture across epochs (start
@@ -827,9 +902,11 @@ QUERIES = {
     "shuffle_quality_audit": shuffle_quality_audit,
     "packing_efficiency_report": packing_efficiency_report,
     "sequence_packing_nosplit": sequence_packing_nosplit,
+    "sft_pack_loss_mask": sft_pack_loss_mask,
 }
 
 ORACLES = {
+    "sft_pack_loss_mask": _sft_mask_oracle(),
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),

@@ -628,6 +628,72 @@ FROM s GROUP BY media_id, n, rate
 """
 
 
+# Registry resample target: normalizes the corpus' three rates
+# (8000/12000/16000 Hz → 2:1 up, 4:3 up, identity); at production
+# scale this is the usual 16 kHz ASR/fingerprint normalization.
+RESAMPLE_TARGET_RATE = 16000
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESAMPLE to a target rate, the audio twin of
+    multimodal_resize (round-10): real pipelines normalize sample
+    rates before fingerprinting/featurizing, and the WAV corpus
+    carries three. Parse each real RIFF payload, nearest-resample to
+    RESAMPLE_TARGET_RATE (operators/multimodal.py:resample_nearest —
+    output sample j takes source sample (j*src_rate) div target_rate,
+    pure integer index math), and emit exact integer statistics of
+    the RESAMPLED signal. The oracle recomputes every output sample
+    straight from the logical source rule through the same index
+    arithmetic — a resampler that misrounds one index
+    hash-mismatches.
+
+    Scale: decode + resample fuse into one narrow Arrow stage;
+    samples never shuffle; 10 ints per clip out."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        resample_wav_stats,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return resample_wav_stats(
+        attach_wav_payload(docs), RESAMPLE_TARGET_RATE
+    )
+
+
+def _audio_resample_oracle() -> str:
+    r = RESAMPLE_TARGET_RATE
+    return f"""
+WITH m AS (SELECT doc_id AS media_id,
+                  50 + doc_id % 101 AS n,
+                  8000 + 4000 * (doc_id % 3) AS rate
+           FROM documents),
+d AS (SELECT media_id, n, rate, (n * {r}) // rate AS n_out FROM m),
+j AS (SELECT media_id, n, rate, n_out, unnest(range(n_out)) AS j FROM d),
+s AS (SELECT media_id, n, rate, n_out, j,
+        ((media_id * 31 + ((j * rate) // {r}) * 17) % 65536) - 32768 AS s,
+        ((media_id * 31 + (((j - 1) * rate) // {r}) * 17) % 65536) - 32768
+          AS sp
+      FROM j)
+SELECT media_id,
+       CAST(rate AS BIGINT) AS src_rate,
+       CAST({r} AS BIGINT) AS target_rate,
+       CAST(n AS BIGINT) AS n_in,
+       CAST(n_out AS BIGINT) AS n_out,
+       CAST(sum(s) AS BIGINT) AS r_sum,
+       CAST(min(s) AS BIGINT) AS r_min,
+       CAST(max(s) AS BIGINT) AS r_max,
+       CAST(sum(s * s) AS BIGINT) AS r_energy,
+       CAST(sum(CASE WHEN j > 0 AND ((s >= 0) <> (sp >= 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS r_zero_cross
+FROM s GROUP BY media_id, n, rate, n_out
+"""
+
+
 VAD_FRAME_LEN = 32  # samples per analysis frame
 
 
@@ -4344,6 +4410,130 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multilingual language ID (round 10) — the scale path
+    for the marker-vote heuristic (langid_heuristic), which was the
+    one quality signal without a trained sibling: multi-class
+    multinomial NB over hashed unigrams
+    (operators/text.py:nb_langid_classifier), labels from the corpus'
+    lang column, deterministic hash split, fixed-point margins.
+    Output is the held-out doc-grain eval: label, argmax prediction
+    (ties → class name ascending), winner-minus-runner-up confidence
+    margin, correctness.
+
+    Scale: one token pass into the (doc, bucket) rollup; the model is
+    a 5·NB_BUCKETS-row broadcast table; the argmax is a doc-keyed
+    window over 5 rows per doc."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        nb_langid_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_langid_classifier(docs.select("doc_id", "text", "lang"))
+
+
+def corpus_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over corpus_langid_model's held-out docs —
+    the rollup a langid deployment signs off on (which languages leak
+    into which): exact cell counts plus the summed confidence margin
+    per cell (misrouted-with-high-confidence cells are the actionable
+    ones)."""
+    scored = corpus_langid_model(spark, sf_dir)
+    return scored.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("margin_fp").cast("long").alias("sum_margin_fp"),
+    )
+
+
+def _langid_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        NB_BUCKETS,
+        NB_LANGID_CLASSES,
+        NB_LOG_SCALE,
+    )
+
+    k, s = NB_BUCKETS, NB_LOG_SCALE
+    cls = NB_LANGID_CLASSES
+    n_cls = len(cls)
+    cls_list = ", ".join(f"'{c}'" for c in cls)
+    cn_cols = ", ".join(
+        f"sum(cnt * CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS c_{c}"
+        for c in cls
+    )
+    dense_cols = ", ".join(f"coalesce(c_{c}, 0) AS c_{c}" for c in cls)
+    tot_cols = ", ".join(
+        f"CAST(sum(c_{c}) AS BIGINT) AS t_{c}" for c in cls
+    )
+    wl_parts = "\n  UNION ALL\n".join(
+        f"""  SELECT '{c}' AS cl, b,
+         CAST(round({s} * ln((CAST(c_{c} AS DOUBLE) + 1.0)
+              / CAST((SELECT t_{c} FROM tot) + {k} AS DOUBLE))) AS BIGINT)
+           AS w
+  FROM dense"""
+        for c in cls
+    )
+    return f"""
+WITH lab AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 80
+                THEN 'train'
+              WHEN {md5_int_sql("cast(doc_id as varchar)")} % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents WHERE lang IN ({cls_list})),
+tk AS (SELECT doc_id, lang, split, unnest(string_split(text, ' ')) AS w
+       FROM lab),
+fe AS (SELECT doc_id, {md5_int_sql("w")} % {k} AS b,
+              CAST(count(*) AS BIGINT) AS cnt,
+              min(lang) AS lang, min(split) AS split
+       FROM tk GROUP BY doc_id, b),
+cn AS (SELECT b, {cn_cols}
+       FROM fe WHERE split = 'train' GROUP BY b),
+dense AS (SELECT r.range AS b, {dense_cols}
+          FROM range({k}) r LEFT JOIN cn ON r.range = cn.b),
+tot AS (SELECT {tot_cols} FROM dense),
+pr AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS n
+       FROM lab WHERE split = 'train' GROUP BY lang),
+ntr AS (SELECT CAST(sum(n) AS BIGINT) AS n_train FROM pr),
+classes AS (SELECT unnest([{cls_list}]) AS cl),
+pfp AS (SELECT c.cl,
+               CAST(round({s} * ln((coalesce(pr.n, 0) + 1.0)
+                    / ((SELECT n_train FROM ntr) + {n_cls}.0))) AS BIGINT)
+                 AS prior_fp
+        FROM classes c LEFT JOIN pr ON pr.cl = c.cl),
+wl AS (
+{wl_parts}
+),
+sc AS (SELECT fe.doc_id, min(fe.split) AS split, min(fe.lang) AS lang,
+              wl.cl, CAST(sum(wl.w * fe.cnt) AS BIGINT) AS su
+       FROM fe JOIN wl USING (b)
+       WHERE fe.split <> 'train'
+       GROUP BY fe.doc_id, wl.cl),
+sc2 AS (SELECT sc.doc_id, sc.split, sc.lang, sc.cl,
+               sc.su + pfp.prior_fp AS score_fp
+        FROM sc JOIN pfp ON pfp.cl = sc.cl),
+rk AS (SELECT doc_id, split, lang, cl, score_fp,
+              row_number() OVER w AS rn,
+              lead(score_fp) OVER w AS s2
+       FROM sc2
+       WINDOW w AS (PARTITION BY doc_id ORDER BY score_fp DESC, cl ASC))
+SELECT doc_id, split, lang AS labeled_lang, cl AS pred_lang,
+       CAST(score_fp - s2 AS BIGINT) AS margin_fp,
+       cl = lang AS correct
+FROM rk WHERE rn = 1
+"""
+
+
+def _langid_eval_oracle() -> str:
+    return f"""
+WITH docgrain AS ({_langid_oracle()})
+SELECT labeled_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(margin_fp) AS BIGINT) AS sum_margin_fp
+FROM docgrain GROUP BY labeled_lang, pred_lang
+"""
+
+
 def _quality_classifier_oracle() -> str:
     from firefox_public_data_report_etl_spark.operators.text import (
         NB_BUCKETS,
@@ -4816,6 +5006,7 @@ QUERIES = {
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_audio_resample": multimodal_audio_resample,
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_image_neardup": multimodal_image_neardup,
     "multimodal_audio_neardup": multimodal_audio_neardup,
@@ -4849,6 +5040,8 @@ QUERIES = {
     "tokenizer_fertility_ab": tokenizer_fertility_ab,
     "gopher_quality_filter": gopher_quality_filter,
     "corpus_quality_classifier": corpus_quality_classifier,
+    "corpus_langid_model": corpus_langid_model,
+    "corpus_langid_eval": corpus_langid_eval,
     "quality_classifier_eval": quality_classifier_eval,
     "doc_embedding_hashproj": doc_embedding_hashproj,
     "retrieval_hashproj_topk": retrieval_hashproj_topk,
@@ -4881,6 +5074,7 @@ ORACLES = {
     "multimodal_scene_cuts": _scene_cuts_oracle(),
     "multimodal_ppm_decode": _ppm_decode_oracle(),
     "multimodal_wav_decode": _wav_decode_oracle(),
+    "multimodal_audio_resample": _audio_resample_oracle(),
     "multimodal_audio_vad": _audio_vad_oracle(),
     "multimodal_image_neardup": _image_neardup_oracle(),
     "multimodal_audio_neardup": _audio_neardup_oracle(),
@@ -4914,6 +5108,8 @@ ORACLES = {
     "tokenizer_fertility_ab": _tokenizer_fertility_ab_oracle(),
     "gopher_quality_filter": _gopher_oracle(),
     "corpus_quality_classifier": _quality_classifier_oracle(),
+    "corpus_langid_model": _langid_oracle(),
+    "corpus_langid_eval": _langid_eval_oracle(),
     "quality_classifier_eval": _quality_classifier_eval_oracle(),
     "doc_embedding_hashproj": _hashproj_oracle(),
     "retrieval_hashproj_topk": _retrieval_hashproj_oracle(),

@@ -1084,42 +1084,22 @@ def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, the same per-user-cardinality assumption as every
     sessionization here. Output: purchases per (state-at-purchase,
     week) with exact cents.
-    """
+
+    ONE code path with the streaming gate (round-9 advice): the
+    per-row enrichment — dim rebuild AND the interval-join predicate —
+    is `streaming.pitenrich.pit_enrich_rows`, the exact projection
+    every micro-batch runs; this batch query only aggregates it, so
+    stream and batch can never tile validity or match intervals
+    differently."""
+    from firefox_public_data_report_etl_spark.streaming.pitenrich import (
+        pit_enrich_rows,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        "event_id",
-        "event_type",
-        week_start(F.col("ts")).alias("wk"),
-        "value",
-    )
-    dim = _scd2_runs(
-        ev.filter(F.col("event_type") != "purchase").select(
-            "user_id", "us", "event_id", "event_type"
-        )
-    ).select(
-        F.col("user_id").alias("d_user"),
-        "state",
-        "valid_from_us",
-        "valid_to_us",
-        "is_current",
-    )
-    probes = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "us", "wk", cents(F.col("value")).alias("rev_c")
-    )
-    j = probes.join(
-        dim,
-        (probes.user_id == dim.d_user)
-        & (dim.valid_from_us <= probes.us)
-        & ((probes.us < dim.valid_to_us) | dim.is_current),
-        "left",
+        "event_id", "user_id", "ts", "event_type", "value"
     )
     return (
-        j.select(
-            F.coalesce(F.col("state"), F.lit("unknown")).alias("state"),
-            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
-            "rev_c",
-        )
+        pit_enrich_rows(ev, ev)
         .groupBy("state", "week_start")
         .agg(
             F.count("*").alias("n_purchases"),

@@ -41,27 +41,34 @@ def cobucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def write_partitioned(
-    df: DataFrame,
-    path: str,
-    partition_cols: list[str],
-    mode: str = "overwrite",
-) -> None:
-    """Hive-style directory partitioning — the OTHER layout lever
-    besides bucketing. A filter on a partition column prunes at
-    LISTING time (static pruning), and a join against a filtered dim
-    prunes at RUN time via Spark's dynamic partition pruning (DPP):
-    the dim side executes first as a subquery and the fact scan reads
-    only the matched partition directories.
+# Hive-style directory partitioning — the OTHER layout lever besides
+# bucketing. A filter on a partition column prunes at LISTING time
+# (static pruning), and a join against a filtered dim prunes at RUN
+# time via Spark's dynamic partition pruning (DPP): the dim side
+# executes first as a subquery and the fact scan reads only the
+# matched partition directories.
+#
+# DPP caveat the tests pin (tests/test_dpp.py): it only matters when
+# the dim filter is on a NON-key attribute. A predicate expressible in
+# the join key itself (e.g. ``dayofmonth(week) <= 7``) is propagated
+# to the fact side as a STATIC partition filter by constraint
+# propagation — measured: such a join reads the same files with DPP
+# disabled. The week→attribute lookup shape (annotations, release
+# dims) is the one that needs DPP.
+#
+# One implementation only (sources/tables.py) — re-exported here so
+# layout callers find both levers in one module without two same-named
+# functions drifting apart.
+from firefox_public_data_report_etl_spark.sources.tables import (  # noqa: E402
+    write_partitioned,
+)
 
-    DPP caveat the tests pin (tests/test_dpp.py): it only matters when
-    the dim filter is on a NON-key attribute. A predicate expressible
-    in the join key itself (e.g. ``dayofmonth(week) <= 7``) is
-    propagated to the fact side as a STATIC partition filter by
-    constraint propagation — measured: such a join reads the same
-    files with DPP disabled. The week→attribute lookup shape
-    (annotations, release dims) is the one that needs DPP."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+__all__ = [
+    "write_bucketed",
+    "cobucketed_join",
+    "write_partitioned",
+    "scan_file_stats",
+]
 
 
 def scan_file_stats(df: DataFrame) -> list[tuple[int, int | None]]:

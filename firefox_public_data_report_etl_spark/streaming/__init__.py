@@ -1,3 +1,8 @@
+from firefox_public_data_report_etl_spark.streaming.budgetgate import (
+    budget_gate_batch,
+    read_accepted,
+    stream_budget_gate,
+)
 from firefox_public_data_report_etl_spark.streaming.dedupe import (
     stream_dedup_events,
 )
@@ -42,6 +47,9 @@ from firefox_public_data_report_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "budget_gate_batch",
+    "read_accepted",
+    "stream_budget_gate",
     "click_purchase_attribution",
     "embed_gate_batch",
     "stream_embed_gate",

@@ -55,10 +55,16 @@ def _within_batch_pairs(
     centroids: DataFrame,
     threshold: float,
     id_col: str,
+    nprobe: int = 2,
 ) -> DataFrame:
-    """(da, db) near-dup pairs INSIDE the batch, paired only within
-    shared coarse cells of the stored codebook (the IVF blocking —
-    same recall class as the index probe itself, never all-pairs).
+    """(da, db) near-dup pairs INSIDE the batch, paired when the two
+    vectors share ANY of their ``nprobe`` nearest coarse cells of the
+    stored codebook (the IVF blocking — never all-pairs). With
+    nprobe=2 on BOTH sides this is at least the 2×1 cell overlap the
+    cross-index probe gets, so a near-dup pair straddling a Voronoi
+    boundary inside one batch is still blocked together (round-9
+    advice: nprobe=1 here could keep two representatives of one
+    burst).
 
     Deliberately NO per-query top-k truncation (review fix: ranking
     before the da < db cut silently dropped edges whenever a vector
@@ -66,7 +72,7 @@ def _within_batch_pairs(
     vectors then kept several representatives instead of one; every
     above-threshold within-cell pair must edge-connect so the CC
     keeps exactly one)."""
-    cells = ivf_assign(batch, centroids, id_col)
+    cells = ivf_assign(batch, centroids, id_col, nprobe=nprobe)
     with_cell = batch.join(cells, id_col)
     a = with_cell.select(
         F.col(id_col).alias("da"),
@@ -135,7 +141,9 @@ def embed_gate_batch(
     cross = probe.filter(F.col("cos") >= threshold).select(
         F.col("n_id").alias("base_id"), F.col("q_id").alias("batch_id")
     )
-    within = _within_batch_pairs(batch, centroids, threshold, id_col)
+    within = _within_batch_pairs(
+        batch, centroids, threshold, id_col, nprobe=nprobe
+    )
     decisions = (
         incremental_decisions(
             batch.select(F.col(id_col).alias("doc_id")), cross, within

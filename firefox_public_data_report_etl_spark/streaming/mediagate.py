@@ -53,11 +53,11 @@ def media_gate_batch(
     id_col, sig_col = m["id_col"], m["sig_col"]
     batch = batch_sigs.select(id_col, sig_col).cache()
     probe = probe_hamming_index(spark, index_path, batch, exclude_label=label)
-    cross = probe.select("base_id", "batch_id")
+    cross = probe.pairs.select("base_id", "batch_id")
     # within-batch pairs reuse the probe's CACHED band rows instead
     # of re-exploding the batch (review fix); the empty-batch probe
     # returns no handle — there is nothing to pair then either
-    bands = getattr(probe, "batch_band_rows", None)
+    bands = probe.band_rows
     if bands is not None:
         within = hamming_pairs_from_band_rows(
             bands,
@@ -96,8 +96,7 @@ def media_gate_batch(
     )
     decisions.unpersist()
     batch.unpersist()
-    for cached in getattr(probe, "_probe_persisted", []):
-        cached.unpersist()
+    probe.close()
 
 
 def stream_media_gate(

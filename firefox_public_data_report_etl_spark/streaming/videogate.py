@@ -51,14 +51,14 @@ def video_gate_batch(
     votes = video_neardup_against_index(
         spark, index_path, batch, exclude_label=label
     )
-    cross = votes.select(
+    cross = votes.pairs.select(
         F.col("base_video").alias("base_id"),
         F.col("batch_video").alias("batch_id"),
     )
     # within-batch frame pairs reuse the probe's CACHED band rows
     # (review fix: re-banding re-paid the explode per trigger), then
     # the same alignment + vote the cross side applies
-    bands = getattr(votes, "batch_band_rows", None)
+    bands = votes.band_rows
     if bands is not None:
         m = spark.read.parquet(f"{index_path}/meta").head()
         fp = hamming_pairs_from_band_rows(
@@ -113,8 +113,7 @@ def video_gate_batch(
     append_to_hamming_index(spark, index_path, kept_fids, label)
     decisions.unpersist()
     batch.unpersist()
-    for cached in getattr(votes, "_probe_persisted", []):
-        cached.unpersist()
+    votes.close()
 
 
 def stream_video_gate(

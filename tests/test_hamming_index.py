@@ -68,14 +68,14 @@ def test_probe_equals_in_memory_twin(spark, sf_dir, tmp_path):
     probe = probe_hamming_index(spark, path, batch)
     got = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe.collect()
+        for r in probe.pairs.collect()
     }
     assert got == _cross_twin(base, batch)
     assert got  # the planted v2 siblings guarantee cross pairs exist
     # the touched-bucket cut must reach the scan as PARTITION filters
     import re
 
-    plan = probe._jdf.queryExecution().executedPlan().toString()
+    plan = probe.pairs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     # match the column TOKENS — a bare "b" substring is vacuous
@@ -96,7 +96,7 @@ def test_append_then_probe_sees_appended_content(spark, sf_dir, tmp_path):
     append_to_hamming_index(spark, path, b1, 1)
     got = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     assert got == _cross_twin(base.unionByName(b1), batch)
     # exclusion masks the appended label back out
@@ -104,7 +104,7 @@ def test_append_then_probe_sees_appended_content(spark, sf_dir, tmp_path):
         (r["base_id"], r["batch_id"], r["hamming"])
         for r in probe_hamming_index(
             spark, path, batch, exclude_label=1
-        ).collect()
+        ).pairs.collect()
     }
     assert masked == _cross_twin(base, batch)
     sigs.unpersist()
@@ -157,7 +157,7 @@ def test_compaction_preserves_probe_and_newest_label(
     batch = sigs.filter(F.col("media_id") % 8 == 2)
     before = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     n_files_before = sum(len(fs) for _, _, fs in os.walk(f"{path}/bands"))
     compact_hamming_index(spark, path)
@@ -169,7 +169,7 @@ def test_compaction_preserves_probe_and_newest_label(
     assert labels == {0, 3}
     after = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     assert after == before
     assert sum(
@@ -199,14 +199,14 @@ def test_compaction_recovers_interrupted_swap(spark, sf_dir, tmp_path):
     batch = sigs.filter(F.col("media_id") % 4 == 2)
     before = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     # simulate the mid-swap crash: live table moved aside, no stage
     shutil.move(f"{path}/bands", f"{path}/bands__old")
     compact_hamming_index(spark, path)  # must self-heal, then compact
     after = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     assert after == before
     sigs.unpersist()
@@ -236,7 +236,7 @@ def test_index_is_modality_agnostic_audio(spark, sf_dir, tmp_path):
     )
     got = {
         (r["base_id"], r["batch_id"], r["hamming"])
-        for r in probe_hamming_index(spark, path, batch).collect()
+        for r in probe_hamming_index(spark, path, batch).pairs.collect()
     }
     all_sigs = base.unionByName(batch)
     pairs = hamming_band_pairs(
@@ -289,7 +289,7 @@ def test_video_vote_against_persisted_index(spark, sf_dir, tmp_path):
     batch = fh.filter(F.col("video_id") % 4 != 0)
     votes = {
         (r["base_video"], r["batch_video"]): r["n_matched"]
-        for r in video_neardup_against_index(spark, path, batch).collect()
+        for r in video_neardup_against_index(spark, path, batch).pairs.collect()
     }
     n_groups = 100 // 4
     assert len(votes) == 2 * n_groups  # v1 and v2 per group, no v3

@@ -494,6 +494,53 @@ def test_shuffle_audit_counts_match_python(spark, sf_dir):
     assert got == want
 
 
+def test_sft_loss_mask_invariants(spark, sf_dir):
+    """Span-union property (r9 verdict #2): for every packed doc the
+    prompt span ∪ completion span is exactly its token interval —
+    contiguous, non-overlapping, conserving tokens; the loss mask
+    covers completion tokens only; windows stay within capacity."""
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        sft_pack_loss_mask,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+    )
+
+    rows = sft_pack_loss_mask(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, dict] = {}
+    bins: dict[tuple, int] = {}
+    for r in rows:
+        d = by_doc.setdefault(r["doc_id"], {})
+        assert r["part"] not in d  # one span per part per doc
+        d[r["part"]] = r
+        bins[(r["shard"], r["bin_id"])] = max(
+            bins.get((r["shard"], r["bin_id"]), 0),
+            r["span_offset"] + r["span_len"],
+        )
+    docs = {
+        r["doc_id"]: r["t"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", (F.length("text") / 4).cast("long").alias("t"))
+        .collect()
+    }
+    for doc_id, d in by_doc.items():
+        p, c = d["prompt"], d["completion"]
+        assert not p["loss_mask"] and c["loss_mask"]
+        assert p["span_len"] >= 1 and c["span_len"] >= 1
+        # completion starts exactly where the prompt ends (union is
+        # the doc's whole contiguous token interval)
+        assert c["span_offset"] == p["span_offset"] + p["span_len"]
+        assert p["span_len"] + c["span_len"] == docs[doc_id]
+        assert (p["shard"], p["bin_id"]) == (c["shard"], c["bin_id"])
+    # exactly the eligible docs (2 <= tokens <= capacity), whole
+    assert set(by_doc) == {
+        d for d, t in docs.items() if 2 <= t <= PACK_CAPACITY
+    }
+    for fill in bins.values():
+        assert fill <= PACK_CAPACITY
+
+
 def test_nosplit_packing_invariants(spark, sf_dir):
     from firefox_public_data_report_etl_spark.plans.loader import (
         sequence_packing_nosplit,

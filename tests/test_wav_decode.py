@@ -96,3 +96,71 @@ def test_unsupported_variants_raise() -> None:
         decode_wav16(b"OggS" + bytes(40))
     with pytest.raises(ValueError):  # RIFF but no data chunk
         decode_wav16(_riff(_fmt_chunk()))
+
+
+# --- nearest-neighbor rate conversion (round 10) --------------------
+
+
+def test_resample_identity() -> None:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resample_nearest,
+    )
+
+    s = np.arange(-5, 95, dtype=np.int16)
+    out = resample_nearest(s, 16000, 16000)
+    assert out.tolist() == s.tolist()
+
+
+def test_resample_2to1_downsample_takes_even_samples() -> None:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resample_nearest,
+    )
+
+    s = np.arange(100, dtype=np.int16)
+    out = resample_nearest(s, 16000, 8000)
+    assert out.tolist() == s[::2].tolist()
+
+
+def test_resample_1to2_upsample_repeats_each_sample() -> None:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resample_nearest,
+    )
+
+    s = np.array([3, -7, 11], dtype=np.int16)
+    out = resample_nearest(s, 8000, 16000)
+    assert out.tolist() == [3, 3, -7, -7, 11, 11]
+
+
+def test_resample_3to2_ratio() -> None:
+    """12000 -> 8000 Hz (3:2 down): out[j] = s[(3*j) div 2], so the
+    index walk is 0, 1, 3, 4, 6, 7, ... (every third sample merged
+    away)."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        resample_nearest,
+    )
+
+    s = np.arange(9, dtype=np.int16)
+    out = resample_nearest(s, 12000, 8000)
+    assert out.tolist() == [0, 1, 3, 4, 6, 7]
+
+
+def test_fingerprint_invariant_under_integer_upsample() -> None:
+    """An exact-integer nearest upsample repeats each sample r times;
+    with the frame length scaled by r, every frame energy scales by
+    exactly r, so energy-delta SIGNS — hence the onset frame and the
+    whole fingerprint — are unchanged. This is the property that
+    makes rate normalization safe to run before fingerprinting."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        NDAUD_FRAME_LEN,
+        _ndaud_rule,
+        audio_fingerprint,
+        resample_nearest,
+    )
+
+    for mid in (0, 1, 2, 5, 41, 1002):
+        s = _ndaud_rule(mid)
+        base = audio_fingerprint(s)
+        for r in (2, 3):
+            up = resample_nearest(s, 8000, 8000 * r)
+            got = audio_fingerprint(up, frame_len=NDAUD_FRAME_LEN * r)
+            assert got == base, (mid, r)

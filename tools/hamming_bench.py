@@ -100,9 +100,9 @@ def main() -> None:
                 sigs, f"{SCRATCH}/re", id_col="media_id",
                 sig_col="dhash", **geom,
             )
-            probe_hamming_index(
-                spark, f"{SCRATCH}/re", batch
-            ).write.mode("overwrite").format("noop").save()
+            pr = probe_hamming_index(spark, f"{SCRATCH}/re", batch)
+            pr.pairs.write.mode("overwrite").format("noop").save()
+            pr.close()
             timings.setdefault("rebuild", []).append(time.monotonic() - t)
 
             build_hamming_index(
@@ -111,15 +111,15 @@ def main() -> None:
             )
             t = time.monotonic()
             append_to_hamming_index(spark, f"{SCRATCH}/ap", batch, 1)
-            probe_hamming_index(
-                spark, f"{SCRATCH}/ap", batch
-            ).write.mode("overwrite").format("noop").save()
+            pr = probe_hamming_index(spark, f"{SCRATCH}/ap", batch)
+            pr.pairs.write.mode("overwrite").format("noop").save()
+            pr.close()
             timings.setdefault("append", []).append(time.monotonic() - t)
 
             t = time.monotonic()
-            probe_hamming_index(
-                spark, f"{SCRATCH}/ap", batch
-            ).write.mode("overwrite").format("noop").save()
+            pr = probe_hamming_index(spark, f"{SCRATCH}/ap", batch)
+            pr.pairs.write.mode("overwrite").format("noop").save()
+            pr.close()
             timings.setdefault("probe", []).append(time.monotonic() - t)
         for k, v in timings.items():
             res[k] = round(min(v), 3)
