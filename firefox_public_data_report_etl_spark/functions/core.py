@@ -170,6 +170,29 @@ def md5_int_sql(expr: str, nibbles: int = 7) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def md5_sign_sql(expr: str, dm: str) -> str:
+    """DuckDB fragment: the ±1 projection sign for (token, dim) as bit
+    ``dm % 4`` of hex nibble ``dm // 4`` of md5(expr) — up to 128
+    signs from ONE md5 per token (vs one md5 per (token, dim) in the
+    original hashproj rule; at a 64-dim fan-out that is a 64× cut in
+    hash work on the embedding hot path)."""
+    nib = (
+        f"CAST(instr('{_HEX}', substr(md5({expr}),"
+        f" CAST(({dm}) // 4 AS INT) + 1, 1)) - 1 AS BIGINT)"
+    )
+    return f"(1 - 2 * ((({nib}) >> CAST(({dm}) % 4 AS INT)) % 2))"
+
+
+def md5_sign_spark_sql(expr: str, dm: str) -> str:
+    """Spark-dialect twin of `md5_sign_sql` (conv + shiftright);
+    identical values, pinned by tests."""
+    nib = (
+        f"CAST(conv(substr(md5({expr}),"
+        f" CAST(({dm}) DIV 4 AS INT) + 1, 1), 16, 10) AS BIGINT)"
+    )
+    return f"(1 - 2 * (shiftright({nib}, CAST(({dm}) % 4 AS INT)) % 2))"
+
+
 def md5_int_spark_sql(expr: str, nibbles: int = 7) -> str:
     """Spark-dialect fast form of `md5_int_sql`: one ``conv`` call
     instead of `nibbles` instr lookups. Produces the IDENTICAL value

@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     IntegerType,
@@ -1424,3 +1425,124 @@ def video_neardup_against_index(
     # without ad-hoc attribute re-propagation (round-9 advice)
     probe.pairs = out
     return probe
+
+
+# ---------------------------------------------------------------------------
+# Caption↔image alignment corpus (round-10 verdict #1). Every public
+# image-text training recipe (CLIP-style filtering, LAION) gates pairs
+# on a caption/image agreement score; the engine scored modalities
+# only separately until now. Deterministic joint space: the image side
+# quantizes a coarse gray grid of the REAL decoded pixels into
+# position-tagged "visual words"; captions are synthesized from the
+# SAME logical pixel rule (matched rows describe their own image,
+# planted mismatches describe a different source image), and both
+# token bags embed through one signed-hash linear map
+# (functions.core:md5_sign_sql — a fixed projection matrix that is a
+# hash function, never materialized). Alignment = fixed-point cosine
+# gate, recomputable bit-exactly in SQL from the logical rule.
+
+CAP_GRID = 5  # 5×5 gray cells -> 25 visual words per image
+CAP_CELLS = CAP_GRID * CAP_GRID
+CAP_Q = 24  # gray quantum (gray = r+g+b in 0..762 -> 32 buckets)
+CAP_DIM = 64  # joint-space dims (one md5 yields all 64 signs/token)
+CAP_MIS_MOD, CAP_MIS_RES = 5, 4  # media_id % 5 == 4 -> planted mismatch
+CAP_MIS_OFFSET = 7  # mismatched caption describes media_id + 7
+CAP_FILLER = ("a", "photo", "of")  # non-visual caption tokens
+CAP_SCORE_SCALE = 10000  # fixed-point cos² scale
+CAP_COS2_NUM, CAP_COS2_DEN = 5, 12  # aligned iff cos² >= 5/12 & dot>0
+
+
+def caption_gray_cells(rgb):
+    """Row-major CAP_CELLS exact channel-sum gray values of the
+    nearest-neighbor CAP_GRID×CAP_GRID downscale — integers, so the
+    oracle recomputes each cell straight from the pixel rule."""
+    import numpy as np
+
+    return (
+        resize_nearest(rgb, CAP_GRID, CAP_GRID)
+        .astype(np.int64)
+        .sum(axis=2)
+        .ravel()
+    )
+
+
+def visual_words(gray_cells) -> list:
+    """Position-tagged quantized-gray tokens: cell i with gray g
+    becomes ``v{i}b{g // CAP_Q}``. Matched caption/image pairs share
+    all CAP_CELLS tokens exactly (codec and downscale are bit-exact);
+    independent images collide per cell only when quantized grays
+    agree (~7% per cell), so the token-space cosine separates cleanly
+    before any projection noise."""
+    return [f"v{i}b{int(g) // CAP_Q}" for i, g in enumerate(gray_cells)]
+
+
+def caption_described_id(media_id: int) -> int:
+    """The id whose image this row's caption describes: itself, except
+    planted mismatches (media_id % CAP_MIS_MOD == CAP_MIS_RES) whose
+    caption describes media_id + CAP_MIS_OFFSET — a different source
+    image under the variant rule (offset > NEARDUP_VARIANTS)."""
+    if media_id % CAP_MIS_MOD == CAP_MIS_RES:
+        return media_id + CAP_MIS_OFFSET
+    return media_id
+
+
+def caption_text(media_id: int) -> str:
+    """Deterministic caption: filler words + the described image's
+    visual words (from the LOGICAL rule — the generator never sees
+    the bytes, so decode bugs cannot cancel out)."""
+    cells = caption_gray_cells(_ndimg_rule_rgb(caption_described_id(media_id)))
+    return " ".join(list(CAP_FILLER) + visual_words(cells))
+
+
+CAPTION_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+
+def attach_captions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the caption column per row (Arrow-batched fixture
+    generator, like ``attach_neardup_bmp_payload`` for the pixels)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), caption_text(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "caption"])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _gen, CAPTION_SCHEMA
+    )
+
+
+CAPGRID_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("gray", ArrayType(LongType())),
+    ]
+)
+
+
+def decode_caption_grid(media: DataFrame) -> DataFrame:
+    """Fused decode→feature stage for the alignment scorer: parse each
+    BMP payload, emit the CAP_CELLS coarse gray cells. Pixels never
+    leave the stage — CAP_CELLS BIGINTs per image cross the wire."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                _w, _h, rgb = decode_bmp24(bytes(payload))
+                rows.append(
+                    (int(mid), [int(g) for g in caption_gray_cells(rgb)])
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "gray"])
+
+    return media.mapInPandas(_decode, CAPGRID_SCHEMA)
