@@ -76,3 +76,183 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset version lineage (round-10 verdict #7). A dataset release
+# chain is auditable when every version carries an order-independent
+# content fingerprint AND the recorded diff to its parent composes:
+# child_fp == (parent_fp + delta_fp) mod M. The fingerprint is a
+# MODULAR SUM of per-doc hashes h(id, payload) — associative and
+# commutative, so it aggregates map-side in any grouping, merges
+# across partitions/shards without order, and the diff's delta is
+# exactly (sum of added+changed new hashes) − (sum of removed+changed
+# old hashes): a version is verifiable as parent ⊕ diff WITHOUT
+# rescanning the parent corpus.
+
+VL_MOD = (1 << 61) - 1  # Mersenne prime: modular-sum fingerprint field
+VL_FP_BUCKETS = 1024  # two-level mod-sum: partials stay far below 2^63
+
+
+def _doc_fp_expr(id_col: str, hash_col: str):
+    """Per-doc lineage hash h(id, payload-digest) — binds the id to
+    the content digest so moving a payload between ids changes the
+    fingerprint (a payload-only sum would not)."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    return F.expr(
+        md5_int_spark_sql(
+            f"concat(cast({id_col} as string), '#', {hash_col})"
+        )
+    )
+
+
+def _two_level_agg(df: DataFrame, partials: dict, finals: dict) -> DataFrame:
+    """Two-level aggregate: ``partials`` per execution-partition
+    bucket (each modular sum reduced mod VL_MOD so partials stay far
+    below int64 overflow at corpus scale), then ``finals`` over the
+    buckets — ONE row out, no singleton joins (literal-keyed
+    singleton equi-joins constant-fold to cartesians). Modular
+    addition is associative/commutative, so any bucketing yields the
+    same value and the oracle's single-level sum matches."""
+    part = df.groupBy(
+        (F.spark_partition_id() % VL_FP_BUCKETS).alias("_b")
+    ).agg(*[e.alias(n) for n, e in partials.items()])
+    return part.groupBy().agg(*[e.alias(n) for n, e in finals.items()])
+
+
+def corpus_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """One-row (n_docs, fp): the order-independent modular content
+    fingerprint of a corpus version. Doc-grain scan + two-level
+    mod-sum — no window, no sort, merges at any parallelism."""
+    payload = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in payload_cols]
+        )
+    )
+    h = df.select(
+        F.col(id_col).alias("_id"), payload.alias("_ph")
+    ).select(_doc_fp_expr("_id", "_ph").alias("_h"))
+    return _two_level_agg(
+        h,
+        partials={
+            "_n": F.count("*"),
+            "_p": F.sum("_h") % VL_MOD,
+        },
+        finals={
+            "n_docs": F.sum("_n").cast("long"),
+            "fp": F.sum("_p") % VL_MOD,
+        },
+    )
+
+
+def version_lineage_manifest(
+    frames: list,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """The release-chain manifest over an ordered list of corpus
+    versions: one row per version with (version, n_docs, fp,
+    parent_fp, n_added, n_removed, n_changed, n_unchanged, delta_fp,
+    chain_ok). delta_fp derives from ``snapshot_diff``'s digest
+    columns alone — the diff output is sufficient to roll the parent
+    fingerprint forward, which is what makes a stored (parent_fp,
+    delta_fp, fp) triple tamper-evident: recompute any version's fp
+    and the recorded chain must reproduce it exactly
+    (tests/test_version_lineage.py mutates a parent and watches the
+    chain break).
+
+    Scale: per-version fingerprints are doc-grain mod-sums; each
+    parent→child diff is snapshot_diff's digest-only full-outer join;
+    the manifest assembly joins VERSION-grain singletons. Nothing
+    rescans a parent corpus to verify a child."""
+    spark = frames[0].sparkSession
+    fps = None
+    for v, df in enumerate(frames):
+        row = corpus_fingerprint(df, id_col, payload_cols).select(
+            F.lit(v).cast("long").alias("version"), "n_docs", "fp"
+        )
+        fps = row if fps is None else fps.unionByName(row)
+    diffs = None
+    for v in range(1, len(frames)):
+        d = snapshot_diff(
+            frames[v - 1], frames[v], id_col, payload_cols
+        )
+        hold = _doc_fp_expr(id_col, "old_hash")
+        hnew = _doc_fp_expr(id_col, "new_hash")
+        scored = d.select(
+            F.lit(v).cast("long").alias("version"),
+            "status",
+            F.when(F.col("status").isin("added", "changed"), hnew)
+            .otherwise(F.lit(0))
+            .alias("_plus"),
+            F.when(F.col("status").isin("removed", "changed"), hold)
+            .otherwise(F.lit(0))
+            .alias("_minus"),
+        )
+        def n_of(st):
+            return F.sum(
+                F.when(F.col("status") == st, 1).otherwise(0)
+            )
+
+        delta = _two_level_agg(
+            scored,
+            partials={
+                "_a": n_of("added"),
+                "_r": n_of("removed"),
+                "_c": n_of("changed"),
+                "_u": n_of("unchanged"),
+                "_sp": F.sum("_plus") % VL_MOD,
+                "_sm": F.sum("_minus") % VL_MOD,
+            },
+            finals={
+                "n_added": F.sum("_a").cast("long"),
+                "n_removed": F.sum("_r").cast("long"),
+                "n_changed": F.sum("_c").cast("long"),
+                "n_unchanged": F.sum("_u").cast("long"),
+                "delta_fp": (
+                    (F.sum("_sp") - F.sum("_sm")) % VL_MOD + VL_MOD
+                )
+                % VL_MOD,
+            },
+        ).select(F.lit(v).cast("long").alias("version"), "*")
+        diffs = delta if diffs is None else diffs.unionByName(delta)
+    parent = fps.select(
+        (F.col("version") + 1).alias("version"),
+        F.col("fp").alias("parent_fp"),
+    )
+    out = fps.join(parent, "version", "left")
+    if diffs is not None:
+        out = out.join(diffs, "version", "left")
+    else:
+        for c in (
+            "n_added",
+            "n_removed",
+            "n_changed",
+            "n_unchanged",
+            "delta_fp",
+        ):
+            out = out.withColumn(c, F.lit(None).cast("long"))
+    return out.select(
+        "version",
+        "n_docs",
+        "fp",
+        "parent_fp",
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+        F.coalesce("n_unchanged", F.lit(0)).alias("n_unchanged"),
+        F.coalesce("delta_fp", F.lit(0)).alias("delta_fp"),
+        F.when(F.col("parent_fp").isNull(), F.lit(True))
+        .otherwise(
+            (F.col("parent_fp") + F.col("delta_fp")) % VL_MOD
+            == F.col("fp")
+        )
+        .alias("chain_ok"),
+    )

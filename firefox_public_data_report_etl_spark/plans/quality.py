@@ -323,6 +323,140 @@ FROM j
 """
 
 
+# 3-version release chain (round-10 verdict #7): deterministic
+# hash-bucket membership + edit rules per version, written as SQL
+# fragments valid in BOTH dialects (|| concat, CASE) so the Spark
+# frames (via F.expr) and the DuckDB oracle share one rule source.
+VL_RULES = [
+    ("bkt < 90", "text"),
+    (
+        "bkt >= 10",
+        "CASE WHEN bkt >= 40 AND bkt < 60"
+        " THEN text || ' [rev2]' ELSE text END",
+    ),
+    (
+        "(bkt >= 10 AND NOT (bkt >= 80 AND bkt < 90)) OR bkt < 5",
+        "CASE WHEN bkt >= 40 AND bkt < 60 THEN text || ' [rev2]'"
+        " WHEN bkt >= 20 AND bkt < 30 THEN text || ' [rev3]'"
+        " ELSE text END",
+    ),
+]
+
+
+def corpus_version_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version lineage chain (round-10 verdict #7): three
+    rule-defined corpus versions (drops, re-adds, and two edit waves)
+    roll through operators/maintenance.py:version_lineage_manifest —
+    per version an order-independent modular content fingerprint,
+    the parent's fingerprint, snapshot_diff's changelog counts, and
+    the diff-derived delta_fp with the audit verdict
+    chain_ok = (parent_fp + delta_fp) % M == fp. A stored manifest
+    row makes any version verifiable as parent ⊕ diff without
+    rescanning the parent; tampering with either side breaks the
+    equation (tests/test_version_lineage.py).
+
+    Scale: fingerprints are doc-grain two-level mod-sums (map-side
+    combined, no window/sort); diffs are digest-only full-outer
+    joins; the assembly joins version-grain singletons."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        version_lineage_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
+        ).alias("bkt"),
+    )
+    frames = [
+        docs.filter(F.expr(member)).select(
+            "doc_id", F.expr(rule).alias("text")
+        )
+        for member, rule in VL_RULES
+    ]
+    return version_lineage_manifest(frames)
+
+
+def _version_lineage_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        VL_MOD,
+    )
+
+    h_of = md5_int_sql("cast(doc_id as varchar) || '#' || ph")
+    parts = [
+        f"""b AS (SELECT doc_id, text,
+             {md5_int_sql("cast(doc_id as varchar)")} % 100 AS bkt
+           FROM documents)"""
+    ]
+    for v, (member, rule) in enumerate(VL_RULES):
+        parts.append(
+            f"v{v} AS (SELECT doc_id, md5({rule}) AS ph"
+            f" FROM b WHERE {member})"
+        )
+        parts.append(
+            f"""f{v} AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum({h_of}) % {VL_MOD} AS BIGINT) AS fp FROM v{v})"""
+        )
+    for v in range(1, len(VL_RULES)):
+        parts.append(
+            f"""d{v} AS (
+  SELECT CASE WHEN o.ph IS NULL THEN 'added'
+              WHEN n.ph IS NULL THEN 'removed'
+              WHEN o.ph <> n.ph THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN o.ph IS NULL OR o.ph <> n.ph
+              THEN {md5_int_sql("cast(coalesce(o.doc_id, n.doc_id) as varchar) || '#' || n.ph")}
+              ELSE 0 END AS plus,
+         CASE WHEN n.ph IS NULL OR o.ph <> n.ph
+              THEN {md5_int_sql("cast(coalesce(o.doc_id, n.doc_id) as varchar) || '#' || o.ph")}
+              ELSE 0 END AS minus
+  FROM v{v - 1} o FULL OUTER JOIN v{v} n ON o.doc_id = n.doc_id)"""
+        )
+        parts.append(
+            f"""s{v} AS (SELECT
+  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged,
+  CAST(((sum(plus) - sum(minus)) % {VL_MOD} + {VL_MOD}) % {VL_MOD}
+    AS BIGINT) AS delta_fp
+  FROM d{v})"""
+        )
+    selects = [
+        """SELECT CAST(0 AS BIGINT) AS version, f0.n_docs, f0.fp,
+       CAST(NULL AS BIGINT) AS parent_fp,
+       CAST(0 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+       CAST(0 AS BIGINT) AS n_changed, CAST(0 AS BIGINT) AS n_unchanged,
+       CAST(0 AS BIGINT) AS delta_fp, TRUE AS chain_ok
+FROM f0"""
+    ]
+    for v in range(1, len(VL_RULES)):
+        selects.append(
+            f"""SELECT CAST({v} AS BIGINT) AS version, f{v}.n_docs, f{v}.fp,
+       f{v - 1}.fp AS parent_fp,
+       s{v}.n_added, s{v}.n_removed, s{v}.n_changed, s{v}.n_unchanged,
+       s{v}.delta_fp,
+       (f{v - 1}.fp + s{v}.delta_fp) % {VL_MOD} = f{v}.fp AS chain_ok
+FROM f{v}, f{v - 1}, s{v}"""
+        )
+    return (
+        "\nWITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n"
+    )
+
+
 SKEW_AUDIT_TOP_K = 10
 
 
@@ -471,6 +605,7 @@ FROM cust GROUP BY c_nationkey, c_mktsegment, bal_band
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_version_lineage": corpus_version_lineage,
     "key_skew_audit_events": key_skew_audit_events,
     "adaptive_salted_distinct": adaptive_salted_distinct,
     "k_anonymity_audit": k_anonymity_audit,
@@ -479,6 +614,7 @@ QUERIES = {
 ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
+    "corpus_version_lineage": _version_lineage_oracle(),
     "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
     "adaptive_salted_distinct": ADAPTIVE_SALTED_ORACLE,
     "k_anonymity_audit": K_ANONYMITY_ORACLE,
