@@ -46,6 +46,14 @@ def main() -> None:
     ap.add_argument("--points", default="sf0.1,sf1,sf10")
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--batch-mod", type=int, default=100)
+    # Past-the-crossover mode (round-10 verdict #4): N synthetic
+    # 60-bit signatures generated directly (spark.range + xxhash64 —
+    # no decode, no parquet source), so the lifecycle can be measured
+    # at 10^7 items where rewriting N band rows dominates the fixed
+    # leaf cost. --bucket-parts applies the fan rule (raise with
+    # corpus size so per-leaf files stay near target size).
+    ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--bucket-parts", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -66,23 +74,38 @@ def main() -> None:
 
     spark = get_spark(app_name="hamming_bench")
     geom = {"bits": DHASH_BITS, "max_hamming": NDIMG_MAX_HAMMING}
+    if args.bucket_parts:
+        geom["bucket_parts"] = args.bucket_parts
+
+    def synth_sigs(n: int):
+        mask = (1 << DHASH_BITS) - 1
+        return spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.expr(f"xxhash64(id) & {mask}").alias("dhash"),
+        )
 
     def control() -> float:
         t = time.monotonic()
         load_table(spark, POINTS["sf0.1"], "documents").count()
         return time.monotonic() - t
 
-    for point in args.points.split(","):
-        sf_dir = POINTS[point]
-        if not os.path.isdir(sf_dir):
-            print(json.dumps({"point": point, "skipped": "no data"}))
-            continue
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        sigs = (
-            decode_dhash(attach_neardup_bmp_payload(docs))
-            .select("media_id", "dhash")
-            .cache()
-        )
+    points = (
+        [f"synth{args.synth}"] if args.synth else args.points.split(",")
+    )
+    for point in points:
+        if args.synth:
+            sigs = synth_sigs(args.synth).cache()
+        else:
+            sf_dir = POINTS[point]
+            if not os.path.isdir(sf_dir):
+                print(json.dumps({"point": point, "skipped": "no data"}))
+                continue
+            docs = load_table(spark, sf_dir, "documents").select("doc_id")
+            sigs = (
+                decode_dhash(attach_neardup_bmp_payload(docs))
+                .select("media_id", "dhash")
+                .cache()
+            )
         n = sigs.count()
         base = sigs.filter(F.col("media_id") % args.batch_mod != 0)
         batch = sigs.filter(F.col("media_id") % args.batch_mod == 0).cache()
@@ -90,7 +113,9 @@ def main() -> None:
 
         res = {
             "point": point, "n_sigs": n, "n_batch": n_batch,
-            "batch_mod": args.batch_mod, "ctl_before": round(control(), 3),
+            "batch_mod": args.batch_mod,
+            "bucket_parts": geom.get("bucket_parts", 32),
+            "ctl_before": round(control(), 3),
         }
         timings: dict[str, list[float]] = {}
         for _ in range(args.samples):
