@@ -2593,3 +2593,224 @@ def unigram_apply(
             "piece_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (round 10). The standard code-LM data
+# transform (Bavarian et al. 2022, "Efficient Training of Language
+# Models to Fill in the Middle"): split each training document into
+# (prefix, middle, suffix) at two random cut points and emit the
+# reordered stream prefix ⊕ suffix ⊕ middle with sentinel markers, so
+# an autoregressive model learns infilling. Deterministic engine
+# form: cut points and the FIM/AR coin come from md5 of the doc id,
+# so the whole transformed stream is a pure function of the corpus —
+# recomputable bit-for-bit in SQL. PSM ordering; whitespace token
+# grain (the repo's corpus token convention).
+
+FIM_RATE_MOD = 2  # doc hash % 2 == 0 -> transform (50% FIM rate)
+FIM_SENT_PRE, FIM_SENT_SUF, FIM_SENT_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def fim_transform(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, out_idx, tok, segment): the FIM-transformed token stream.
+    FIM docs emit ``<PRE> prefix <SUF> suffix <MID> middle`` (PSM —
+    the sentinel positions let the trainer splice the attention mask
+    without re-tokenizing); AR docs pass through as segment 'raw'.
+    Cut points c1 ≤ c2 are uniform over [0, n] via independent md5
+    draws; any of the three parts may be empty, as in the reference
+    recipe.
+
+    Scale shape: one token pass (scan-local posexplode) + a 3-row
+    per-doc sentinel attach — output positions are PURE ARITHMETIC
+    of (pos, c1, c2, n), so there is NO window, NO sort, NO shuffle
+    beyond the scan itself; the stream lands partition-local in
+    corpus order."""
+    doc_s = f"cast({id_col} as string)"
+    h = lambda tag: md5_int_spark_sql(f"concat({doc_s}, '#{tag}')")
+    d = (
+        docs.select(
+            id_col, F.split(F.col(text_col), " ").alias("t")
+        )
+        .withColumn("n", F.size("t").cast("long"))
+        .withColumn("is_fim", F.expr(f"{h('fim')} % {FIM_RATE_MOD} = 0"))
+        .withColumn("c1", F.expr(f"{h('f1')} % (n + 1)"))
+        .withColumn("c2", F.expr(f"c1 + {h('f2')} % (n - c1 + 1)"))
+    )
+    toks = d.select(
+        id_col,
+        "n",
+        "is_fim",
+        "c1",
+        "c2",
+        F.posexplode("t").alias("p0", "tok"),
+    ).withColumn("pos", (F.col("p0") + 1).cast("long"))
+    token_rows = toks.select(
+        id_col,
+        F.when(~F.col("is_fim") | (F.col("pos") <= F.col("c1")), F.col("pos"))
+        .when(
+            F.col("pos") > F.col("c2"),
+            F.col("c1") + 1 + F.col("pos") - F.col("c2"),
+        )
+        .otherwise(F.col("n") - F.col("c2") + 2 + F.col("pos"))
+        .alias("out_idx"),
+        "tok",
+        F.when(~F.col("is_fim"), "raw")
+        .when(F.col("pos") <= F.col("c1"), "prefix")
+        .when(F.col("pos") > F.col("c2"), "suffix")
+        .otherwise("middle")
+        .alias("segment"),
+    )
+    sent = (
+        d.filter("is_fim")
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).cast("long").alias("out_idx"),
+                        F.lit(FIM_SENT_PRE).alias("tok"),
+                    ),
+                    F.struct(
+                        (F.col("c1") + 1).alias("out_idx"),
+                        F.lit(FIM_SENT_SUF).alias("tok"),
+                    ),
+                    F.struct(
+                        (F.col("c1") + F.col("n") - F.col("c2") + 2).alias(
+                            "out_idx"
+                        ),
+                        F.lit(FIM_SENT_MID).alias("tok"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            id_col,
+            F.col("s.out_idx").alias("out_idx"),
+            F.col("s.tok").alias("tok"),
+            F.lit("sentinel").alias("segment"),
+        )
+    )
+    return token_rows.unionByName(sent)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (round 10). The T5 denoising objective's data prep
+# (Raffel et al. 2020): mask contiguous token spans with numbered
+# sentinels, emit the INPUT stream (unmasked tokens + sentinels in
+# place of each span) and the TARGET stream (each sentinel followed
+# by the tokens it hides). Deterministic engine form: spans live
+# inside fixed 8-token blocks with md5-drawn selection/length/offset,
+# so spans never cross blocks and the whole construction is exact
+# arithmetic — no sequential greedy suppression, fully parallel, and
+# recomputable bit-for-bit in SQL.
+
+SC_BLOCK = 8  # block width; spans are block-local
+SC_SEL_MOD = 5  # block hash % 5 == 0 -> corrupted (20% of blocks,
+#                 ~expected 20% x mean span 2.5/8 ≈ 6% token mass)
+SC_MAX_SPAN = 4
+
+
+def span_corruption_streams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, stream 'input'|'target', idx, tok): the denoising pair
+    per document. Sentinels are numbered per doc in block order
+    (<X0>, <X1>, …), matching the T5 convention.
+
+    Scale shape: token pass + block-grain span table (both
+    scan-local); the only shuffles are three DOC-partitioned
+    row_number windows (sentinel numbering and the two stream
+    position assignments) — bounded by document length, never
+    corpus-wide."""
+    from pyspark.sql import Window
+
+    doc_s = f"cast({id_col} as string)"
+    h = lambda tag: md5_int_spark_sql(
+        f"concat({doc_s}, '#{tag}', cast(b as string))"
+    )
+    d = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t").cast("long"))
+    toks = (
+        d.select(id_col, "n", F.posexplode("t").alias("p0", "tok"))
+        .withColumn("pos", (F.col("p0") + 1).cast("long"))
+        .withColumn("b", F.expr(f"(pos - 1) div {SC_BLOCK}"))
+        .drop("p0")
+    )
+    blocks = (
+        d.select(
+            id_col,
+            "n",
+            F.explode(
+                F.expr(f"sequence(0, (n + {SC_BLOCK - 1}) div {SC_BLOCK} - 1)")
+            ).alias("b"),
+        )
+        .withColumn("n_in", F.expr(f"least({SC_BLOCK}, n - b * {SC_BLOCK})"))
+        .filter(F.expr(f"{h('scb')} % {SC_SEL_MOD} = 0"))
+        .withColumn(
+            "sp_len",
+            F.expr(f"1 + {h('scl')} % least({SC_MAX_SPAN}, n_in)"),
+        )
+        .withColumn(
+            "lo",
+            F.expr(
+                f"b * {SC_BLOCK} + {h('scs')} % (n_in - sp_len + 1) + 1"
+            ),
+        )
+        .withColumn("hi", F.col("lo") + F.col("sp_len") - 1)
+    )
+    spans = blocks.withColumn(
+        "sid",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("b")
+        ).cast("long")
+        - 1,
+    ).select(id_col, "b", "lo", "hi", "sid")
+    sent_tok = F.concat(
+        F.lit("<X"), F.col("sid").cast("string"), F.lit(">")
+    )
+    kept = (
+        toks.join(spans, [id_col, "b"], "left")
+        .filter(
+            F.col("lo").isNull()
+            | (F.col("pos") < F.col("lo"))
+            | (F.col("pos") > F.col("hi"))
+        )
+        .select(id_col, (F.col("pos") * 2).alias("k"), "tok")
+    )
+    inp = kept.unionByName(
+        spans.select(
+            id_col, (F.col("lo") * 2 - 1).alias("k"), sent_tok.alias("tok")
+        )
+    )
+    tgt = spans.select(
+        id_col,
+        (F.col("b") * (SC_BLOCK + 1)).alias("k"),
+        sent_tok.alias("tok"),
+    ).unionByName(
+        toks.join(spans, [id_col, "b"])
+        .filter(F.col("pos").between(F.col("lo"), F.col("hi")))
+        .select(
+            id_col,
+            (
+                F.col("b") * (SC_BLOCK + 1)
+                + F.col("pos")
+                - F.col("lo")
+                + 1
+            ).alias("k"),
+            "tok",
+        )
+    )
+
+    def order(df: DataFrame, stream: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy("k")
+        return df.select(
+            id_col,
+            F.lit(stream).alias("stream"),
+            (F.row_number().over(w).cast("long") - 1).alias("idx"),
+            "tok",
+        )
+
+    return order(inp, "input").unionByName(order(tgt, "target"))

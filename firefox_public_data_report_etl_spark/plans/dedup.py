@@ -409,6 +409,162 @@ def dedup_keep_best_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair assembly from quality-divergent
+    near-duplicates — the data-side recipe for preference tuning
+    without human labels (public pattern: near-dup families often
+    contain a clean original and a degraded mirror; the pair
+    (best, worst) by an automatic quality score becomes a
+    (chosen, rejected) training example). Composes the oracle-pinned
+    MinHash-LSH cluster graph with the fixed-point LM scorer: per
+    component with ≥ 2 members, chosen = best lm_per_token (doc_id
+    tie-break), rejected = worst (reverse tie-break so a full tie
+    still yields distinct docs), and the pair ships only with a
+    STRICTLY positive exact margin — computed as the cross-multiplied
+    integer inequality chosen_score·rejected_tokens −
+    rejected_score·chosen_tokens > 0, so the gate never rides IEEE
+    rounding.
+
+    Scale: cluster + scoring are the measured LSH/CC/LM paths; the
+    pick is two row_numbers over the component partition (bounded by
+    cluster size); the pair join is component-keyed."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from firefox_public_data_report_etl_spark.operators.text import (
+        lm_unigram_scores,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        LM_REF_KEEP,
+        LM_REF_MOD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = gram_hash_arrays(docs)
+    pairs = minhash_lsh_pairs_arr(hs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs, "da", "db")
+    scored = lm_unigram_scores(
+        docs, F.col("doc_id") % LM_REF_MOD < LM_REF_KEEP
+    )
+    m = scored.join(comp, scored.doc_id == comp.node, "inner").select(
+        "doc_id",
+        "n_tokens",
+        "score_munats",
+        "lm_per_token",
+        F.col("comp").alias("component"),
+    )
+    wb = Window.partitionBy("component").orderBy(
+        F.desc("lm_per_token"), "doc_id"
+    )
+    ww = Window.partitionBy("component").orderBy(
+        "lm_per_token", F.desc("doc_id")
+    )
+    r = m.select(
+        "component",
+        "doc_id",
+        "n_tokens",
+        "score_munats",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("n_members"),
+    )
+    chosen = r.filter(F.col("rb") == 1).select(
+        "component",
+        "n_members",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("n_tokens").alias("chosen_n_tokens"),
+        F.col("score_munats").alias("chosen_score_munats"),
+    )
+    rejected = r.filter(F.col("rw") == 1).select(
+        "component",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("n_tokens").alias("rejected_n_tokens"),
+        F.col("score_munats").alias("rejected_score_munats"),
+    )
+    return (
+        chosen.join(rejected, "component")
+        .filter(F.col("n_members") >= 2)
+        .withColumn(
+            "margin_x",
+            F.col("chosen_score_munats") * F.col("rejected_n_tokens")
+            - F.col("rejected_score_munats") * F.col("chosen_n_tokens"),
+        )
+        .filter(F.col("margin_x") > 0)
+        .select(
+            "component",
+            "n_members",
+            "chosen_id",
+            "rejected_id",
+            "chosen_n_tokens",
+            "chosen_score_munats",
+            "rejected_n_tokens",
+            "rejected_score_munats",
+            "margin_x",
+        )
+    )
+
+
+def _preference_pairs_oracle() -> str:
+    from firefox_public_data_report_etl_spark.plans.text import (
+        _lm_quality_oracle,
+    )
+
+    minhash = _minhash_oracle().strip()
+    lm = _lm_quality_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({minhash}) mh),
+e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+lm AS (SELECT * FROM ({lm}) q),
+m AS (
+  SELECT lm.doc_id, lm.n_tokens, lm.score_munats, lm.lm_per_token,
+         c.comp AS component
+  FROM lm JOIN comp c ON lm.doc_id = c.node
+),
+r AS (
+  SELECT component, doc_id, n_tokens, score_munats,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY lm_per_token DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY lm_per_token, doc_id DESC) AS rw,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+           AS n_members
+  FROM m
+),
+ch AS (SELECT component, n_members, doc_id AS chosen_id,
+              n_tokens AS chosen_n_tokens,
+              score_munats AS chosen_score_munats
+       FROM r WHERE rb = 1),
+rj AS (SELECT component, doc_id AS rejected_id,
+              n_tokens AS rejected_n_tokens,
+              score_munats AS rejected_score_munats
+       FROM r WHERE rw = 1)
+SELECT ch.component, ch.n_members, ch.chosen_id, rj.rejected_id,
+       ch.chosen_n_tokens, ch.chosen_score_munats,
+       rj.rejected_n_tokens, rj.rejected_score_munats,
+       CAST(ch.chosen_score_munats * rj.rejected_n_tokens
+            - rj.rejected_score_munats * ch.chosen_n_tokens AS BIGINT)
+         AS margin_x
+FROM ch JOIN rj ON ch.component = rj.component
+WHERE ch.n_members >= 2
+  AND ch.chosen_score_munats * rj.rejected_n_tokens
+      - rj.rejected_score_munats * ch.chosen_n_tokens > 0
+"""
+
+
 def _keep_best_lm_oracle() -> str:
     from firefox_public_data_report_etl_spark.plans.text import (
         _lm_quality_oracle,
@@ -941,6 +1097,7 @@ QUERIES = {
     "dedup_clusters_scaled": dedup_clusters_scaled,
     "corpus_group_split": corpus_group_split,
     "dedup_keep_best_lm": dedup_keep_best_lm,
+    "preference_pairs": preference_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_decisions": dedup_decisions,
     "source_overlap_matrix": source_overlap_matrix,
@@ -964,6 +1121,7 @@ ORACLES = {
     "dedup_clusters_scaled": _clusters_oracle(),
     "corpus_group_split": _group_split_oracle(),
     "dedup_keep_best_lm": _keep_best_lm_oracle(),
+    "preference_pairs": _preference_pairs_oracle(),
     "dedup_embedding_cosine": EMBED_NEARDUP_ORACLE,
     "dedup_decisions": _decisions_oracle(),
     "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,

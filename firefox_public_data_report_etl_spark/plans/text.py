@@ -5399,6 +5399,168 @@ SELECT q_id, n_id, rank, cos FROM hp_r WHERE rank <= {HASHPROJ_TOP_K}
     )
 
 
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (operators/text.py:
+    fim_transform — Bavarian et al. 2022): half the corpus (doc-hash
+    coin) is re-emitted as ``<PRE> prefix <SUF> suffix <MID> middle``
+    with md5-drawn cut points, the rest passes through — the standard
+    infilling data prep for code models, as a deterministic
+    token-stream query. Oracle recomputes cuts, segment labels, and
+    every output position from the same hash arithmetic.
+
+    Scale: one scan-local token pass + a 3-row sentinel attach; all
+    output positions are pure arithmetic — no window, sort, or
+    shuffle (the plan-quality walk sees only the scan)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        fim_transform,
+    )
+
+    return fim_transform(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _fim_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        FIM_RATE_MOD,
+        FIM_SENT_MID,
+        FIM_SENT_PRE,
+        FIM_SENT_SUF,
+    )
+
+    def h(tag: str) -> str:
+        return md5_int_sql(f"cast(doc_id as varchar) || '#{tag}'")
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         {h('fim')} % {FIM_RATE_MOD} = 0 AS is_fim,
+         {h('f1')} AS h1, {h('f2')} AS h2
+  FROM documents),
+d AS (SELECT doc_id, t, n, is_fim,
+             h1 % (n + 1) AS c1,
+             h1 % (n + 1) + h2 % (n - h1 % (n + 1) + 1) AS c2
+      FROM d0),
+tokr AS (
+  SELECT doc_id, n, is_fim, c1, c2, CAST(i AS BIGINT) AS pos,
+         t[i] AS tok
+  FROM d, unnest(range(1, CAST(n AS INT) + 1)) u(i)),
+trows AS (
+  SELECT doc_id,
+         CASE WHEN NOT is_fim OR pos <= c1 THEN pos
+              WHEN pos > c2 THEN c1 + 1 + pos - c2
+              ELSE n - c2 + 2 + pos END AS out_idx,
+         tok,
+         CASE WHEN NOT is_fim THEN 'raw'
+              WHEN pos <= c1 THEN 'prefix'
+              WHEN pos > c2 THEN 'suffix'
+              ELSE 'middle' END AS segment
+  FROM tokr)
+SELECT doc_id, CAST(out_idx AS BIGINT) AS out_idx, tok, segment
+FROM trows
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), '{FIM_SENT_PRE}', 'sentinel'
+FROM d WHERE is_fim
+UNION ALL
+SELECT doc_id, CAST(c1 + 1 AS BIGINT), '{FIM_SENT_SUF}', 'sentinel'
+FROM d WHERE is_fim
+UNION ALL
+SELECT doc_id, CAST(c1 + n - c2 + 2 AS BIGINT), '{FIM_SENT_MID}',
+       'sentinel'
+FROM d WHERE is_fim
+"""
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair construction (operators/text.py:
+    span_corruption_streams — Raffel et al. 2020): per document, the
+    denoising INPUT stream (tokens with each masked span replaced by
+    a numbered sentinel) and TARGET stream (each sentinel followed by
+    the tokens it hides). Spans are block-local with md5-drawn
+    selection/length/offset, so the construction is exact arithmetic —
+    no sequential greedy walk — and the oracle recomputes both
+    streams position-for-position.
+
+    Scale: scan-local token + block tables; three doc-partitioned
+    windows (bounded by document length). The conservation law
+    (input-non-sentinel ∪ target-non-sentinel == original tokens) is
+    pinned by tests/test_fim_span_corruption.py."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        span_corruption_streams,
+    )
+
+    return span_corruption_streams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _span_corruption_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        SC_BLOCK,
+        SC_MAX_SPAN,
+        SC_SEL_MOD,
+    )
+
+    def h(tag: str) -> str:
+        return md5_int_sql(
+            f"cast(doc_id as varchar) || '#{tag}' || cast(b as varchar)"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+tokr AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok,
+         CAST((i - 1) // {SC_BLOCK} AS BIGINT) AS b
+  FROM d, unnest(range(1, CAST(n AS INT) + 1)) u(i)),
+blocks AS (
+  SELECT doc_id, n, CAST(i AS BIGINT) AS b,
+         least({SC_BLOCK}, n - i * {SC_BLOCK}) AS n_in
+  FROM d, unnest(range(0, CAST((n + {SC_BLOCK - 1}) // {SC_BLOCK} AS INT)))
+       u(i)),
+corr AS (
+  SELECT doc_id, b, n_in,
+         1 + {h('scl')} % least({SC_MAX_SPAN}, n_in) AS sp_len
+  FROM blocks WHERE {h('scb')} % {SC_SEL_MOD} = 0),
+spans AS (
+  SELECT doc_id, b,
+         b * {SC_BLOCK} + {h('scs')} % (n_in - sp_len + 1) + 1 AS lo,
+         b * {SC_BLOCK} + {h('scs')} % (n_in - sp_len + 1) + sp_len AS hi,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1
+           AS BIGINT) AS sid
+  FROM corr),
+inp AS (
+  SELECT t.doc_id, t.pos * 2 AS k, t.tok
+  FROM tokr t LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.b = s.b
+  WHERE s.lo IS NULL OR t.pos < s.lo OR t.pos > s.hi
+  UNION ALL
+  SELECT doc_id, lo * 2 - 1, '<X' || CAST(sid AS VARCHAR) || '>'
+  FROM spans),
+tgt AS (
+  SELECT doc_id, b * {SC_BLOCK + 1} AS k,
+         '<X' || CAST(sid AS VARCHAR) || '>' AS tok
+  FROM spans
+  UNION ALL
+  SELECT t.doc_id, s.b * {SC_BLOCK + 1} + t.pos - s.lo + 1, t.tok
+  FROM tokr t JOIN spans s ON t.doc_id = s.doc_id AND t.b = s.b
+  WHERE t.pos BETWEEN s.lo AND s.hi)
+SELECT doc_id, 'input' AS stream,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1
+         AS BIGINT) AS idx,
+       tok
+FROM inp
+UNION ALL
+SELECT doc_id, 'target',
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1
+         AS BIGINT),
+       tok
+FROM tgt
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
@@ -5450,6 +5612,8 @@ QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
     "sequence_packing_bpe": sequence_packing_bpe,
+    "corpus_fim_transform": corpus_fim_transform,
+    "corpus_span_corruption": corpus_span_corruption,
     "tokenizer_fertility": tokenizer_fertility,
     "unigram_vocab_table": unigram_vocab_table,
     "unigram_encode_corpus": unigram_encode_corpus,
@@ -5520,6 +5684,8 @@ ORACLES = {
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),
     "sequence_packing_bpe": _sequence_packing_bpe_oracle(),
+    "corpus_fim_transform": _fim_oracle(),
+    "corpus_span_corruption": _span_corruption_oracle(),
     "tokenizer_fertility": _tokenizer_fertility_oracle(),
     "unigram_vocab_table": _unigram_vocab_oracle(),
     "unigram_encode_corpus": _unigram_encode_oracle(),
