@@ -193,6 +193,7 @@ def main() -> None:
         "click_purchase_pairs_weekly",
         "sequence_packing",
         "train_eval_contamination",
+        "contamination_bloom_probe",
         "session_incident_overlap",
         "corpus_boilerplate",
         "pii_redaction",

@@ -2455,6 +2455,105 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the broadcast scale path of
+    `train_eval_contamination`. The exact audit shuffle-joins train
+    shingles against the DISTINCT held-out gram relation; at 100 TB
+    that "small" side is itself multi-GB and must reach every train
+    partition. Here the held-out grams are folded into a FIXED
+    2^20-bit bitset (`operators/membership.py:bloom_word_table` —
+    at most 16384 (word_idx, word) rows however large the eval corpus
+    grows), broadcast once, and probed map-side with k=3 portable-md5
+    bit tests (`bloom_probe` — k broadcast joins, zero shuffles on the
+    train side past the shingle scan).
+
+    The price is a one-sided, DETERMINISTIC false-positive rate, and
+    this query prices it honestly: `n_true_hits` recomputes exact
+    membership so every row carries its own bloom-vs-truth audit
+    (`n_false_pos = bloom hits that are not real`; false NEGATIVES are
+    impossible — pinned in `tests/test_membership.py`). The exact
+    column is the audit; a production decontamination pass ships the
+    bloom columns alone. The DuckDB oracle replays the same salted
+    positions against the held-out position set — bitset semantics,
+    false positives included, hash-pinned bit-for-bit."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        shingle_rows,
+    )
+    from firefox_public_data_report_etl_spark.operators.membership import (
+        bloom_probe,
+        bloom_word_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hash_split(shingle_rows(docs))
+    heldout = sh.filter(F.col("split") != "train").select("h").distinct()
+    words = bloom_word_table(heldout)
+    train = sh.filter(F.col("split") == "train").select("doc_id", "h")
+    probed = bloom_probe(train, "h", words)
+    j = probed.join(
+        heldout.withColumn("true_hit", F.lit(True)), "h", "left"
+    )
+    bloom = F.col("bloom_hit").cast("long")
+    true = F.coalesce(F.col("true_hit"), F.lit(False)).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(bloom).alias("n_bloom_hits"),
+        F.sum(true).alias("n_true_hits"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("true_hit").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_false_pos"),
+        (F.sum(bloom) == 0).alias("clean"),
+    )
+
+
+def _contamination_bloom_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        DUCK_SHINGLES,
+    )
+    from firefox_public_data_report_etl_spark.operators.membership import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_pos_duck_sql,
+    )
+
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    held_pos = "\nUNION ALL ".join(
+        f"SELECT {bloom_pos_duck_sql('h', i, BLOOM_M_BITS)} AS pos FROM held"
+        for i in range(BLOOM_K)
+    )
+    probes = " AND ".join(
+        f"{bloom_pos_duck_sql('h', i, BLOOM_M_BITS)}"
+        " IN (SELECT pos FROM hpos)"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h,
+              CASE WHEN {bucket} < 80 THEN 'train' ELSE 'held' END AS split
+       FROM raw),
+held AS (SELECT DISTINCT h FROM sh WHERE split = 'held'),
+hpos AS (SELECT DISTINCT pos FROM ({held_pos})),
+pr AS (SELECT doc_id, h,
+              ({probes}) AS bloom_hit,
+              h IN (SELECT h FROM held) AS true_hit
+       FROM sh WHERE split = 'train')
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_hits,
+       CAST(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       (sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) = 0) AS clean
+FROM pr
+GROUP BY doc_id
+"""
+
+
 def train_eval_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY decontamination — the near-duplicate complement of the
     exact-gram audit above: a train document is flagged when it is a
@@ -5608,6 +5707,7 @@ QUERIES = {
     "corpus_bm25_topk": corpus_bm25_topk,
     "sequence_packing": sequence_packing,
     "train_eval_contamination": train_eval_contamination,
+    "contamination_bloom_probe": contamination_bloom_probe,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
@@ -5680,6 +5780,7 @@ ORACLES = {
     "corpus_bm25_topk": CORPUS_BM25_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
     "train_eval_contamination": _contamination_oracle(),
+    "contamination_bloom_probe": _contamination_bloom_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),
