@@ -333,6 +333,7 @@ def main() -> None:
         "shuffle_quality_audit",
         "packing_efficiency_report",
         "sequence_packing_nosplit",
+        "chat_sft_assembly",
     ):
         if name not in QUERIES:
             continue

@@ -889,8 +889,130 @@ WITH epochs AS (
 )
 """
 
+# --- multi-turn chat assembly ----------------------------------------
+#
+# Chat-template constants, literal on both sides: synthetic
+# conversations of alternating user/assistant turns, a fixed per-turn
+# template overhead (role header + end-of-turn marker), and a context
+# cap that truncates WHOLE turns greedily from the front — the
+# standard chat-SFT assembly rule (a split turn would train on half a
+# message).
+CHAT_N_CONVS = 40
+CHAT_TURN_OVERHEAD = 4
+CHAT_CTX_CAP = 1024
+
+
+def chat_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn chat-SFT assembly — the conversation-grain
+    complement of `sft_pack_loss_mask` (which masks ONE
+    prompt/completion split per document): documents are grouped into
+    deterministic conversations (md5 bucket), ordered into turns,
+    role-alternated user/assistant, templated with a fixed per-turn
+    overhead, and truncated to the context cap by whole turns. Each
+    kept turn emits its token span and `loss_mask` = assistant turns
+    only — exactly the tensor a chat trainer builds from a rendered
+    template.
+
+    Scale: ONE window partitioned by conv_id (conversations are
+    bounded — corpus/N_CONVS rows each at the registry binding, and
+    per-conversation by construction in a real chat corpus), so the
+    assembly parallelizes across conversations with no global sort;
+    everything downstream of the scan is integer arithmetic the
+    DuckDB oracle replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"length(text) div {CHARS_PER_TOKEN_EST}")
+            .cast("long")
+            .alias("tokens"),
+            (
+                F.expr(md5_int_spark_sql("cast(doc_id as string)"))
+                % CHAT_N_CONVS
+            ).alias("conv_id"),
+        )
+        .filter(F.col("tokens") >= 1)
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    r = t.select(
+        "conv_id",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        (F.col("tokens") + CHAT_TURN_OVERHEAD).alias("span_len"),
+    )
+    ws = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = r.withColumn(
+        "span_offset",
+        F.coalesce(F.sum("span_len").over(ws), F.lit(0)).cast("long"),
+    )
+    return s.filter(
+        F.col("span_offset") + F.col("span_len") <= CHAT_CTX_CAP
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "doc_id",
+        F.when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "span_offset",
+        "span_len",
+        (F.col("turn_idx") % 2 == 0).alias("loss_mask"),
+    )
+
+
+def _chat_assembly_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+
+    conv = f"{md5_int_sql('cast(doc_id as string)')} % {CHAT_N_CONVS}"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens,
+         {conv} AS conv_id
+  FROM documents
+  WHERE length(text) // {CHARS_PER_TOKEN_EST} >= 1
+), r AS (
+  SELECT conv_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY doc_id)
+              AS BIGINT) AS turn_idx,
+         tokens + {CHAT_TURN_OVERHEAD} AS span_len
+  FROM t
+), s AS (
+  SELECT *,
+         CAST(COALESCE(SUM(span_len) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS span_offset
+  FROM r
+)
+SELECT conv_id, turn_idx, doc_id,
+       CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+       span_offset, span_len,
+       (turn_idx % 2 = 0) AS loss_mask
+FROM s
+WHERE span_offset + span_len <= {CHAT_CTX_CAP}
+"""
+
+
 QUERIES = {
     "documents_row_ids": documents_row_ids,
+    "chat_sft_assembly": chat_sft_assembly,
     "training_epoch_order": training_epoch_order,
     "loader_shard_manifest": loader_shard_manifest,
     "packing_window_spans": packing_window_spans,
@@ -907,6 +1029,7 @@ QUERIES = {
 
 ORACLES = {
     "sft_pack_loss_mask": _sft_mask_oracle(),
+    "chat_sft_assembly": _chat_assembly_oracle(),
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),
