@@ -334,6 +334,7 @@ def main() -> None:
         "packing_efficiency_report",
         "sequence_packing_nosplit",
         "chat_sft_assembly",
+        "corpus_drift_audit",
     ):
         if name not in QUERIES:
             continue

@@ -323,6 +323,162 @@ FROM j
 """
 
 
+# --- snapshot drift audit ---------------------------------------------
+#
+# Fixed literal bin edges over doc length + an integer-exact total
+# variation distance. TVD instead of PSI/KL deliberately: the
+# transcendental log puts the two engines' float summation order in
+# the hash, while TVD's numerator sum(|c_i*n_b - d_i*n_a|) and the
+# ppm quotient are pure int64 — drift is hash-pinnable bit-for-bit.
+DRIFT_BIN_EDGES = [100, 200, 300, 400, 500]
+DRIFT_PPM_THRESHOLD = 150_000  # 15% TVD → "drifted"
+
+
+def corpus_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift between two corpus releases —
+    the monitoring gate every production training pipeline runs
+    before promoting a snapshot: bin doc lengths with literal edges,
+    count per (source, bin, side), and score each source's shift as
+    integer-exact total variation distance in ppm (``tvd_ppm =
+    10^6 * 1/2 * Σ|p_i - q_i|`` computed as
+    ``(10^6 * Σ|c_i*n_b - d_i*n_a|) // (2*n_a*n_b)`` — no floats, no
+    log, so the DuckDB oracle matches bit-for-bit; an empty side
+    scores max drift). The releases are the `corpus_snapshot_diff`
+    pair, so the changelog and its drift verdict describe the same
+    promotion.
+
+    Scale: two column-pruned scans → map-side partial counts into a
+    (sources × bins × 2)-row aggregate; the TVD window runs on that
+    report-sized relation. 100 TB costs the two scans, nothing else.
+    (int64 bound: the ppm quotient needs 10^6·tvd_num < 2^63, i.e.
+    n_a·n_b < ~4.6e12 per source — beyond that a production caller
+    pre-buckets counts down by a power of ten before the quotient.)"""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
+        ).alias("bkt"),
+    )
+    old = docs.filter(F.col("bkt") < SNAP_OLD_MAX).select(
+        "source", F.length("text").alias("len"), F.lit("a").alias("side")
+    )
+    new = docs.filter(F.col("bkt") >= SNAP_NEW_MIN).select(
+        "source",
+        F.length(
+            F.when(
+                (F.col("bkt") >= SNAP_EDIT_LO)
+                & (F.col("bkt") < SNAP_EDIT_HI),
+                F.concat(F.col("text"), F.lit(SNAP_EDIT_SUFFIX)),
+            ).otherwise(F.col("text"))
+        ).alias("len"),
+        F.lit("b").alias("side"),
+    )
+    edges = DRIFT_BIN_EDGES
+    bin_expr = F.when(F.col("len") < edges[0], 0)
+    for i in range(1, len(edges)):
+        bin_expr = bin_expr.when(F.col("len") < edges[i], i)
+    bin_expr = bin_expr.otherwise(len(edges))
+    counted = (
+        old.unionByName(new)
+        .select("source", bin_expr.alias("bin"), "side")
+        .groupBy("source", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias(
+                "c_a"
+            ),
+            F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias(
+                "c_b"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    withn = counted.select(
+        "source",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w).alias("n_a"),
+        F.sum("c_b").over(w).alias("n_b"),
+    )
+    out = withn.groupBy("source").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum(
+            F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+        ).alias("tvd_num"),
+    )
+    tvd_ppm = F.when(
+        (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1_000_000)
+    ).otherwise(
+        F.expr("(1000000 * tvd_num) div (2 * n_a * n_b)")
+    )
+    return out.select(
+        "source",
+        "n_a",
+        "n_b",
+        "tvd_num",
+        tvd_ppm.cast("long").alias("tvd_ppm"),
+        (tvd_ppm >= DRIFT_PPM_THRESHOLD).alias("drifted"),
+    )
+
+
+def _drift_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    edges = DRIFT_BIN_EDGES
+    bin_sql = "CASE " + " ".join(
+        f"WHEN len < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH b AS (SELECT doc_id, source, text, {bucket} AS bkt FROM documents),
+sides AS (
+  SELECT source, length(text) AS len, 'a' AS side
+  FROM b WHERE bkt < {SNAP_OLD_MAX}
+  UNION ALL
+  SELECT source,
+         length(CASE WHEN bkt >= {SNAP_EDIT_LO} AND bkt < {SNAP_EDIT_HI}
+                     THEN text || '{SNAP_EDIT_SUFFIX}' ELSE text END),
+         'b'
+  FROM b WHERE bkt >= {SNAP_NEW_MIN}
+),
+counted AS (
+  SELECT source, {bin_sql} AS bin,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM sides GROUP BY source, {bin_sql}
+),
+withn AS (
+  SELECT source, c_a, c_b,
+         SUM(c_a) OVER (PARTITION BY source) AS n_a,
+         SUM(c_b) OVER (PARTITION BY source) AS n_b
+  FROM counted
+),
+agg AS (
+  SELECT source,
+         CAST(MIN(n_a) AS BIGINT) AS n_a,
+         CAST(MIN(n_b) AS BIGINT) AS n_b,
+         CAST(SUM(abs(c_a * n_b - c_b * n_a)) AS BIGINT) AS tvd_num
+  FROM withn GROUP BY source
+)
+SELECT source, n_a, n_b, tvd_num,
+       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 1000000
+                 ELSE (1000000 * tvd_num) // (2 * n_a * n_b) END
+            AS BIGINT) AS tvd_ppm,
+       (CASE WHEN n_a = 0 OR n_b = 0 THEN 1000000
+             ELSE (1000000 * tvd_num) // (2 * n_a * n_b) END)
+         >= {DRIFT_PPM_THRESHOLD} AS drifted
+FROM agg
+"""
+
+
 # 3-version release chain (round-10 verdict #7): deterministic
 # hash-bucket membership + edit rules per version, written as SQL
 # fragments valid in BOTH dialects (|| concat, CASE) so the Spark
@@ -605,6 +761,7 @@ FROM cust GROUP BY c_nationkey, c_mktsegment, bal_band
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_drift_audit": corpus_drift_audit,
     "corpus_version_lineage": corpus_version_lineage,
     "key_skew_audit_events": key_skew_audit_events,
     "adaptive_salted_distinct": adaptive_salted_distinct,
@@ -614,6 +771,7 @@ QUERIES = {
 ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
+    "corpus_drift_audit": _drift_oracle(),
     "corpus_version_lineage": _version_lineage_oracle(),
     "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
     "adaptive_salted_distinct": ADAPTIVE_SALTED_ORACLE,

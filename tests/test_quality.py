@@ -63,3 +63,82 @@ def test_data_quality_audit_all_green_on_testdata(spark, sf_dir):
     rows = data_quality_audit(spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r["ok"] for r in rows)
+
+
+def test_corpus_drift_audit_python_recompute(spark, sf_dir):
+    # recompute per-source TVD in plain Python from the same snapshot
+    # rule and pin the integer formula (incl. the ppm floor-division)
+    from collections import Counter
+
+    import pandas as pd  # noqa: F401 — via toPandas
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.plans.quality import (
+        DRIFT_BIN_EDGES,
+        DRIFT_PPM_THRESHOLD,
+        SNAP_EDIT_HI,
+        SNAP_EDIT_LO,
+        SNAP_EDIT_SUFFIX,
+        SNAP_NEW_MIN,
+        SNAP_OLD_MAX,
+        corpus_drift_audit,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "text",
+            (
+                F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
+            ).alias("bkt"),
+        )
+        .collect()
+    )
+
+    def binof(n):
+        for i, e in enumerate(DRIFT_BIN_EDGES):
+            if n < e:
+                return i
+        return len(DRIFT_BIN_EDGES)
+
+    ca, cb = Counter(), Counter()
+    for r in docs:
+        if r.bkt < SNAP_OLD_MAX:
+            ca[(r.source, binof(len(r.text)))] += 1
+        if r.bkt >= SNAP_NEW_MIN:
+            t = (
+                r.text + SNAP_EDIT_SUFFIX
+                if SNAP_EDIT_LO <= r.bkt < SNAP_EDIT_HI
+                else r.text
+            )
+            cb[(r.source, binof(len(t)))] += 1
+    out = {r.source: r for r in corpus_drift_audit(spark, sf_dir).collect()}
+    sources = {s for s, _ in ca} | {s for s, _ in cb}
+    assert set(out) == sources
+    for s in sources:
+        n_a = sum(v for (src, _), v in ca.items() if src == s)
+        n_b = sum(v for (src, _), v in cb.items() if src == s)
+        bins = {b for (src, b) in list(ca) + list(cb) if src == s}
+        tvd_num = sum(
+            abs(ca.get((s, b), 0) * n_b - cb.get((s, b), 0) * n_a)
+            for b in bins
+        )
+        ppm = (
+            1_000_000
+            if n_a == 0 or n_b == 0
+            else (1_000_000 * tvd_num) // (2 * n_a * n_b)
+        )
+        r = out[s]
+        assert (r.n_a, r.n_b, r.tvd_num, r.tvd_ppm) == (
+            n_a,
+            n_b,
+            tvd_num,
+            ppm,
+        )
+        assert r.drifted == (ppm >= DRIFT_PPM_THRESHOLD)
+        assert 0 <= r.tvd_ppm <= 1_000_000
