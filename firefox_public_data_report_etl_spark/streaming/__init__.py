@@ -6,6 +6,12 @@ from firefox_public_data_report_etl_spark.streaming.budgetgate import (
 from firefox_public_data_report_etl_spark.streaming.dedupe import (
     stream_dedup_events,
 )
+from firefox_public_data_report_etl_spark.streaming.driftgate import (
+    drift_gate_batch,
+    read_verdicts,
+    reference_histogram,
+    stream_drift_gate,
+)
 from firefox_public_data_report_etl_spark.streaming.joins import (
     click_purchase_attribution,
 )
@@ -51,6 +57,10 @@ __all__ = [
     "read_accepted",
     "stream_budget_gate",
     "click_purchase_attribution",
+    "drift_gate_batch",
+    "read_verdicts",
+    "reference_histogram",
+    "stream_drift_gate",
     "embed_gate_batch",
     "stream_embed_gate",
     "media_gate_batch",
