@@ -335,6 +335,8 @@ def main() -> None:
         "sequence_packing_nosplit",
         "chat_sft_assembly",
         "corpus_drift_audit",
+        "document_winnowing",
+        "dedup_winnowing_pairs",
     ):
         if name not in QUERIES:
             continue

@@ -132,6 +132,81 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+WINNOW_W = 8  # hashes per winnowing window; guarantee threshold
+# t = WINNOW_W + FINGERPRINT_GRAM - 1 = 12 chars: any common substring
+# of length >= t shares at least one SELECTED fingerprint
+_WINNOW_POS_CAP = 1 << 20  # max gram positions per doc in the packed
+# key (h < 2^28, so the cap can rise to 2^35 before h*CAP leaves
+# int64 — a layout constant, not an algorithmic limit)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = FINGERPRINT_GRAM,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints — the full Schleimer/Wilkerson/
+    Aiken (SIGMOD 2003) selection rule, not the min-only "winnowing
+    lite" of `fingerprint`: over every window of ``w`` consecutive
+    character-``k``-gram hashes, select the minimum hash, RIGHTMOST
+    occurrence on ties. Output is the distinct selected
+    ``(id, pos, h)`` set — the signature with the guarantee that any
+    shared substring of length >= w + k - 1 contributes at least one
+    shared selected fingerprint (what makes the pair join below
+    lossless for long overlaps).
+
+    The tie rule is implemented portably with ONE integer: each gram
+    packs into ``key = h * CAP + (CAP - 1 - pos)``, so a plain window
+    MIN picks the smallest hash and, among equal hashes, the largest
+    position — no struct ordering, no argmin tie ambiguity, and the
+    DuckDB oracle replays the identical arithmetic.
+
+    Scale: the window partitions by document (doc-sized tasks, same
+    class as every per-doc window here); selected density is ~2/(w+1)
+    of gram positions, so the emitted signature relation is ~25% of
+    the gram relation at w=8 and the downstream pair join runs on
+    fingerprints, never on text."""
+    d = docs.select(id_col, F.col(text_col).alias("x")).filter(
+        F.length("x") >= k + w - 1  # at least one full window
+    )
+    grams = d.select(
+        id_col,
+        (F.length("x") - (k - 1)).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(x) - {k - 1}),"
+                f" i -> substr(x, i, {k}))"
+            )
+        ).alias("pos0", "g"),
+    )
+    cap = _WINNOW_POS_CAP
+    keyed = grams.select(
+        id_col,
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.expr(md5_int_spark_sql("g")) * cap
+            + (cap - 1 - (F.col("pos0") + 1))
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = keyed.withColumn("sel_key", F.min("key").over(win)).filter(
+        F.col("pos") <= F.col("n_grams") - (w - 1)
+    )
+    return starts.select(
+        id_col,
+        "n_grams",
+        F.expr(f"sel_key div {cap}").alias("h"),
+        (cap - 1 - F.col("sel_key") % cap).cast("long").alias("sel_pos"),
+    ).distinct()
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

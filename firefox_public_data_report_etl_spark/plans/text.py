@@ -5660,6 +5660,140 @@ FROM tgt
 """
 
 
+# --- winnowing fingerprints -------------------------------------------
+WINNOW_MAX_DF = 20  # fingerprints in more docs are boilerplate: drop
+WINNOW_SHARED_MIN = 2  # pair verdict: >= this many shared selections
+
+
+def _winnow_sel_ctes() -> str:
+    """Shared oracle CTE chain ending in ``sel(doc_id, n_grams, h,
+    sel_pos)`` — the DuckDB replay of operators/text.py:
+    winnow_fingerprints (same k-grams, same packed-key window min)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        _WINNOW_POS_CAP,
+        WINNOW_W,
+    )
+
+    k, w, cap = FINGERPRINT_GRAM, WINNOW_W, _WINNOW_POS_CAP
+    return f"""
+fd AS (SELECT doc_id, text AS x,
+              CAST(length(text) - {k - 1} AS BIGINT) AS n_grams
+       FROM documents WHERE length(text) >= {k + w - 1}),
+fg AS (SELECT doc_id, n_grams, CAST(t.i AS BIGINT) AS pos,
+              substr(x, CAST(t.i AS INT), {k}) AS g
+       FROM fd, UNNEST(generate_series(1, n_grams)) AS t(i)),
+fk AS (SELECT doc_id, n_grams, pos,
+              {md5_int_sql('g')} * {cap} + ({cap} - 1 - pos) AS key
+       FROM fg),
+fw AS (SELECT doc_id, n_grams, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                             AND {w - 1} FOLLOWING) AS sel_key
+       FROM fk),
+sel AS (SELECT DISTINCT doc_id, n_grams,
+               sel_key // {cap} AS h,
+               CAST({cap} - 1 - (sel_key % {cap}) AS BIGINT) AS sel_pos
+        FROM fw WHERE pos <= n_grams - {w - 1})"""
+
+
+def document_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing signature rollup (operators/text.py:
+    winnow_fingerprints — the SIGMOD'03 rightmost-min rule via a
+    packed-integer window min): selected-fingerprint count, distinct
+    hash count, the signature min, and the selection density in ppm
+    of window starts (expected ~2/(w+1)). The signature this audits
+    is what `dedup_winnowing_pairs` joins on."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return sel.groupBy("doc_id").agg(
+        F.first("n_grams").alias("n_grams"),
+        (F.first("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
+        F.count("*").alias("n_selected"),
+        F.countDistinct("h").alias("n_distinct_h"),
+        F.min("h").alias("fp_min"),
+        F.expr(
+            f"(1000000 * count(*)) div (first(n_grams) - {WINNOW_W - 1})"
+        ).alias("density_ppm"),
+    )
+
+
+def _winnowing_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.text import (
+        WINNOW_W,
+    )
+
+    return f"""
+WITH {_winnow_sel_ctes()}
+SELECT doc_id,
+       CAST(min(n_grams) AS BIGINT) AS n_grams,
+       CAST(min(n_grams) - {WINNOW_W - 1} AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+       CAST(min(h) AS BIGINT) AS fp_min,
+       CAST((1000000 * count(*)) // (min(n_grams) - {WINNOW_W - 1})
+            AS BIGINT) AS density_ppm
+FROM sel
+GROUP BY doc_id
+"""
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap mining — candidate near-duplicate/plagiarism
+    pairs that share >= WINNOW_SHARED_MIN selected fingerprints, with
+    the SIGMOD'03 guarantee that any common substring of length >=
+    w + k - 1 = 12 chars contributes a shared selection (so long
+    verbatim overlaps CANNOT be missed — the lossless complement of
+    the MinHash similarity join, aimed at containment rather than
+    whole-doc Jaccard).
+
+    Scale: the join is bucketed by fingerprint hash, never all-pairs;
+    fingerprints selected in more than WINNOW_MAX_DF documents are
+    dropped first (boilerplate — same DF-cap rule as the inverted
+    index), which bounds every bucket's pair fan-out by a literal."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    sel = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "h").distinct()
+    df_ok = (
+        sel.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    kept = sel.join(df_ok, "h")
+    a = kept.select(F.col("doc_id").alias("da"), "h")
+    b = kept.select(F.col("doc_id").alias("db"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_SHARED_MIN)
+    )
+
+
+def _winnowing_pairs_oracle() -> str:
+    return f"""
+WITH {_winnow_sel_ctes()},
+sd AS (SELECT DISTINCT doc_id, h FROM sel),
+ok AS (SELECT h FROM sd GROUP BY h
+       HAVING count(DISTINCT doc_id) <= {WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, h FROM sd JOIN ok USING (h))
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_SHARED_MIN}
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
     "corpus_lm_quality": corpus_lm_quality,
@@ -5708,6 +5842,8 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "train_eval_contamination": train_eval_contamination,
     "contamination_bloom_probe": contamination_bloom_probe,
+    "document_winnowing": document_winnowing,
+    "dedup_winnowing_pairs": dedup_winnowing_pairs,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
@@ -5781,6 +5917,8 @@ ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
     "train_eval_contamination": _contamination_oracle(),
     "contamination_bloom_probe": _contamination_bloom_oracle(),
+    "document_winnowing": _winnowing_oracle(),
+    "dedup_winnowing_pairs": _winnowing_pairs_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),

@@ -1,0 +1,94 @@
+"""Winnowing fingerprints (operators/text.py:winnow_fingerprints):
+exact agreement with an independent plain-Python implementation of
+the Schleimer/Wilkerson/Aiken selection rule (min per window,
+rightmost on ties), and the paper's guarantee — two documents sharing
+a substring of length >= w + k - 1 always share a selected
+fingerprint."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from firefox_public_data_report_etl_spark.operators.text import (
+    FINGERPRINT_GRAM,
+    WINNOW_W,
+    winnow_fingerprints,
+)
+
+
+def _md5_int(s: str, nibbles: int = 7) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:nibbles], 16)
+
+
+def _py_winnow(text: str, k: int = FINGERPRINT_GRAM, w: int = WINNOW_W):
+    n = len(text) - k + 1
+    if n < w:
+        return set()
+    hs = [_md5_int(text[i : i + k]) for i in range(n)]
+    sel = set()
+    for s in range(n - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        p = s + max(i for i, h in enumerate(window) if h == m)
+        sel.add((p + 1, hs[p]))  # 1-based positions, like the operator
+    return sel
+
+
+def test_agrees_with_python_reference(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add((r.sel_pos, r.h))
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in texts.items():
+        want = _py_winnow(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_tie_rule_rightmost(spark):
+    # a periodic string repeats every k-gram, forcing hash ties inside
+    # every window — the selection must still be deterministic and
+    # agree with the rightmost-min reference
+    text = "abcab" * 10
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.sel_pos, r.h) for r in winnow_fingerprints(df).collect()
+    }
+    assert got == _py_winnow(text)
+    assert got  # ties selected something, not nothing
+
+
+def test_shared_substring_guarantee(spark):
+    t = WINNOW_W + FINGERPRINT_GRAM - 1
+    shared = "qwertyuiopasdfghjkl"[: t + 3]  # > t chars, distinctive
+    a = "AAAA" + shared + "BBBBBBBBBB"
+    b = "CCCCCCCCC" + shared + "DDDD"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    sel = winnow_fingerprints(df).collect()
+    h1 = {r.h for r in sel if r.doc_id == 1}
+    h2 = {r.h for r in sel if r.doc_id == 2}
+    assert h1 & h2, "guaranteed shared fingerprint missing"
+
+
+def test_density_near_expected(spark, sf_dir):
+    # selection density ~ 2/(w+1) of window starts (paper, §4);
+    # allow a wide band — the point is "a fraction", not "everything"
+    from firefox_public_data_report_etl_spark.plans.text import (
+        document_winnowing,
+    )
+
+    rows = document_winnowing(spark, sf_dir).collect()
+    assert rows
+    total_sel = sum(r.n_selected for r in rows)
+    total_win = sum(r.n_windows for r in rows)
+    frac = total_sel / total_win
+    assert 0.1 < frac < 0.5  # 2/(w+1) = 0.222 at w=8
