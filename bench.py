@@ -337,6 +337,7 @@ def main() -> None:
         "corpus_drift_audit",
         "document_winnowing",
         "dedup_winnowing_pairs",
+        "corpus_bootstrap_ci",
     ):
         if name not in QUERIES:
             continue

@@ -479,6 +479,130 @@ FROM agg
 """
 
 
+# --- Poisson bootstrap ------------------------------------------------
+#
+# The scalable bootstrap: classical resampling needs B shuffles of
+# the corpus; the Poisson bootstrap replaces each resample with an
+# independent Poisson(1) weight per (row, replicate) — one pass, no
+# resample materialization, B weights computed map-side. Weights are
+# drawn deterministically from the portable md5 fragment against the
+# Poisson(1) CDF as integer ppm literals, so the DuckDB oracle
+# replays every replicate bit-for-bit. (The md5 uniform is 28-bit
+# reduced mod 10^6 — a ~0.16% non-uniformity on low residues, shared
+# exactly by both engines and far below bootstrap noise.)
+BOOT_B = 32
+# cumulative Poisson(1) CDF in ppm: P(X <= k), k = 0..7; X capped at 8
+BOOT_CDF_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+
+def _poisson_weight_case(u_sql: str) -> str:
+    """CASE fragment (valid in both dialects): uniform-ppm → weight."""
+    whens = " ".join(
+        f"WHEN {u_sql} < {c} THEN {k}" for k, c in enumerate(BOOT_CDF_PPM)
+    )
+    return f"(CASE {whens} ELSE {len(BOOT_CDF_PPM)} END)"
+
+
+def corpus_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean document length with a 32-replicate Poisson
+    bootstrap confidence band — the uncertainty every corpus datasheet
+    should carry but almost none computes, because classical
+    bootstrap resampling is unaffordable at corpus scale. Emits the
+    full-sample point estimate (integer milli-chars) and the
+    [2nd, 31st] order statistics of the replicate means (~94% band),
+    rank ties broken by replicate id so the band is total-ordered and
+    hash-stable.
+
+    Scale: ONE corpus pass — the replicate explode is map-side
+    (B rows per doc feeding a partial agg), the shuffle carries
+    languages × B aggregate rows, and the order statistics run on
+    B-row partitions. No resample is ever materialized."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("len")
+    )
+    u = md5_int_spark_sql("concat('boot', cast(b as string), '|', cast(doc_id as string))")
+    rep = (
+        docs.select(
+            "lang",
+            "len",
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+            "doc_id",
+        )
+        .withColumn("w", F.expr(_poisson_weight_case(f"({u} % 1000000)")))
+    )
+    means = rep.groupBy("lang", "b").agg(
+        F.when(
+            F.sum("w") > 0,
+            F.expr("(1000 * sum(w * len)) div sum(w)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_milli")
+    )
+    w_rank = Window.partitionBy("lang").orderBy("mean_milli", "b")
+    ranked = means.withColumn("rk", F.row_number().over(w_rank))
+    band = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_milli"))).alias(
+            "ci_lo_milli"
+        ),
+        F.max(
+            F.when(F.col("rk") == BOOT_B - 1, F.col("mean_milli"))
+        ).alias("ci_hi_milli"),
+    )
+    point = docs.groupBy("lang").agg(
+        F.expr("(1000 * sum(len)) div count(*)").alias("point_milli"),
+        F.count("*").alias("n_docs"),
+    )
+    return point.join(band, "lang").select(
+        "lang", "n_docs", "point_milli", "ci_lo_milli", "ci_hi_milli"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    u = md5_int_sql(
+        "('boot' || CAST(b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))"
+    )
+    w = _poisson_weight_case(f"({u} % 1000000)")
+    return f"""
+WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+           FROM documents),
+rep AS (SELECT lang, len, CAST(t.b AS BIGINT) AS b,
+               CAST({w} AS BIGINT) AS w
+        FROM d, UNNEST(generate_series(0, {BOOT_B - 1})) AS t(b)),
+means AS (
+  SELECT lang, b,
+         CAST(CASE WHEN sum(w) > 0
+                   THEN (1000 * sum(w * len)) // sum(w)
+                   ELSE 0 END AS BIGINT) AS mean_milli
+  FROM rep GROUP BY lang, b),
+ranked AS (
+  SELECT lang, mean_milli,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY mean_milli, b) AS rk
+  FROM means),
+band AS (
+  SELECT lang,
+         MAX(CASE WHEN rk = 2 THEN mean_milli END) AS ci_lo_milli,
+         MAX(CASE WHEN rk = {BOOT_B - 1} THEN mean_milli END)
+           AS ci_hi_milli
+  FROM ranked GROUP BY lang),
+pt AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST((1000 * sum(len)) // count(*) AS BIGINT) AS point_milli
+  FROM d GROUP BY lang)
+SELECT pt.lang, n_docs, point_milli, ci_lo_milli, ci_hi_milli
+FROM pt JOIN band ON pt.lang = band.lang
+"""
+
+
 # 3-version release chain (round-10 verdict #7): deterministic
 # hash-bucket membership + edit rules per version, written as SQL
 # fragments valid in BOTH dialects (|| concat, CASE) so the Spark
@@ -762,6 +886,7 @@ QUERIES = {
     "data_quality_audit": data_quality_audit,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "corpus_drift_audit": corpus_drift_audit,
+    "corpus_bootstrap_ci": corpus_bootstrap_ci,
     "corpus_version_lineage": corpus_version_lineage,
     "key_skew_audit_events": key_skew_audit_events,
     "adaptive_salted_distinct": adaptive_salted_distinct,
@@ -772,6 +897,7 @@ ORACLES = {
     "data_quality_audit": _ORACLE_WRAP,
     "corpus_snapshot_diff": _snapshot_diff_oracle(),
     "corpus_drift_audit": _drift_oracle(),
+    "corpus_bootstrap_ci": _bootstrap_oracle(),
     "corpus_version_lineage": _version_lineage_oracle(),
     "key_skew_audit_events": KEY_SKEW_AUDIT_ORACLE,
     "adaptive_salted_distinct": ADAPTIVE_SALTED_ORACLE,

@@ -142,3 +142,47 @@ def test_corpus_drift_audit_python_recompute(spark, sf_dir):
         )
         assert r.drifted == (ppm >= DRIFT_PPM_THRESHOLD)
         assert 0 <= r.tvd_ppm <= 1_000_000
+
+
+def test_corpus_bootstrap_ci_properties(spark, sf_dir):
+    # band is ordered, brackets the point estimate, and the Poisson(1)
+    # weights average to ~1 (the property making the bootstrap
+    # unbiased); weight draws agree with a plain-Python replay
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.plans.quality import (
+        BOOT_B,
+        BOOT_CDF_PPM,
+        corpus_bootstrap_ci,
+    )
+
+    rows = corpus_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo_milli <= r.ci_hi_milli
+        # a 94% band from 32 replicates almost surely brackets the
+        # full-sample mean; allow slack of one ranked step
+        assert r.ci_lo_milli <= r.point_milli <= r.ci_hi_milli
+
+    def weight(doc_id: int, b: int) -> int:
+        h = int(
+            hashlib.md5(f"boot{b}|{doc_id}".encode()).hexdigest()[:7], 16
+        )
+        u = h % 1_000_000
+        for k, c in enumerate(BOOT_CDF_PPM):
+            if u < c:
+                return k
+        return len(BOOT_CDF_PPM)
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    ws = [weight(i, b) for i in ids for b in range(BOOT_B)]
+    mean_w = sum(ws) / len(ws)
+    assert 0.93 < mean_w < 1.07
+    assert any(w == 0 for w in ws) and any(w >= 2 for w in ws)
