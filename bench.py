@@ -338,6 +338,7 @@ def main() -> None:
         "document_winnowing",
         "dedup_winnowing_pairs",
         "corpus_bootstrap_ci",
+        "embedding_drift_audit",
     ):
         if name not in QUERIES:
             continue

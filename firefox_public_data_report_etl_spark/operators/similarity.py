@@ -247,3 +247,75 @@ def int8_quantize(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return with_q.select(
         id_col, "amax", "q", F.expr(err6).alias("err6_max")
     )
+
+
+EMB_DRIFT_PPM = 20_000  # centroid shift >= 2% of mean centroid mass
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-space drift between two snapshots — the
+    retrieval-index counterpart of the text drift audit: for each
+    label, the integer centroid of each side (per-dim floor-div
+    means of the quantized components) and the normalized squared
+    centroid shift in ppm, ``(10^6 * Σ(ma_d - mb_d)^2) div
+    (Σ ma_d^2 + Σ mb_d^2 + 1)``. Pure int64 end to end, so the
+    DuckDB oracle replays it exactly; the +1 denominator guard makes
+    an all-zero pair score 0, not divide-by-zero.
+
+    Inputs carry (label, q) with q the milli-quantized vector
+    (`QUANT`). Labels present on only one side are dropped (inner
+    join) — a label appearing/vanishing is `corpus_snapshot_diff`'s
+    job; this op scores the shift of what persists.
+
+    Scale: posexplode → (label, dim) partial sums, one shuffle of
+    labels × dims aggregate rows per side, then report-sized joins.
+    int64 bounds: |mean| <= max|q|, so dist2 <= 4·dim·max|q|^2 and
+    the ppm product stays in range for max|q| < ~3.7e5 at dim 64."""
+    def side_means(e: DataFrame) -> DataFrame:
+        x = e.select(label_col, F.posexplode("q").alias("pos", "v"))
+        # plain truncating integer division: Spark's div and DuckDB's
+        # // BOTH truncate toward zero (verified: -7 // 2 = -3 in
+        # DuckDB), so negative component sums stay in parity with no
+        # sign gymnastics
+        return x.groupBy(label_col, "pos").agg(
+            F.expr("sum(v) div count(*)").alias("m"),
+            F.count("*").alias("n"),
+        )
+
+    a = side_means(emb_a).select(
+        label_col,
+        "pos",
+        F.col("m").alias("ma"),
+        F.col("n").alias("n_a"),
+    )
+    b = side_means(emb_b).select(
+        label_col,
+        "pos",
+        F.col("m").alias("mb"),
+        F.col("n").alias("n_b"),
+    )
+    j = a.join(b, [label_col, "pos"])
+    per_label = j.groupBy(label_col).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("dist2"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+    )
+    ppm = F.expr("(1000000 * dist2) div (na2 + nb2 + 1)")
+    return per_label.select(
+        label_col,
+        "n_a",
+        "n_b",
+        "dist2",
+        "na2",
+        "nb2",
+        ppm.cast("long").alias("drift_ppm"),
+        (ppm >= EMB_DRIFT_PPM).alias("drifted"),
+    )

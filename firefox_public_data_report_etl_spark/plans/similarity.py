@@ -1682,7 +1682,77 @@ ORDER BY d2 DESC, a_id LIMIT {OUTLIER_TOP_N}
 """
 
 
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two deterministic halves of the
+    corpus (operators/similarity.py:centroid_drift): per label, the
+    integer centroid of each half and the normalized squared centroid
+    shift in ppm — the monitoring gate a retrieval/IVF index needs
+    before a re-embedded snapshot is promoted (a drifted label means
+    the coarse quantizer's cells no longer tile that region; at the
+    registry's tiny per-label counts the ppm is sampling noise, which
+    is exactly what the bit-exact oracle pins — the planted-shift
+    separation lives in tests/test_embedding_drift.py where n is
+    controlled).
+
+    Scale: posexplode → labels × dims partial sums per side, then
+    report-sized joins; the corpus is scanned once per side with the
+    quantization fused into the scan projection."""
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        QUANT,
+        centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(QUANT).alias("q")
+    )
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def _embedding_drift_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        EMB_DRIFT_PPM,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+x AS (SELECT vec_id, label, unnest(q) AS v,
+             unnest(range(0, len(q))) AS pos
+      FROM e),
+ma AS (SELECT label, pos,
+              CAST(sum(v) // count(*) AS BIGINT) AS m,
+              CAST(count(*) AS BIGINT) AS n
+       FROM x WHERE vec_id % 2 = 0 GROUP BY label, pos),
+mb AS (SELECT label, pos,
+              CAST(sum(v) // count(*) AS BIGINT) AS m,
+              CAST(count(*) AS BIGINT) AS n
+       FROM x WHERE vec_id % 2 = 1 GROUP BY label, pos),
+j AS (SELECT ma.label, ma.m AS va, mb.m AS vb, ma.n AS n_a, mb.n AS n_b
+      FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos),
+agg AS (
+  SELECT label,
+         MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+         CAST(SUM((va - vb) * (va - vb)) AS BIGINT) AS dist2,
+         CAST(SUM(va * va) AS BIGINT) AS na2,
+         CAST(SUM(vb * vb) AS BIGINT) AS nb2
+  FROM j GROUP BY label)
+SELECT label, n_a, n_b, dist2, na2, nb2,
+       CAST((1000000 * dist2) // (na2 + nb2 + 1) AS BIGINT) AS drift_ppm,
+       ((1000000 * dist2) // (na2 + nb2 + 1)) >= {EMB_DRIFT_PPM}
+         AS drifted
+FROM agg
+"""
+
+
 QUERIES = {
+    "embedding_drift_audit": embedding_drift_audit,
     "embedding_pca_project": embedding_pca_project,
     "embedding_outlier_knn": embedding_outlier_knn,
     "label_centroids": label_centroids,
@@ -1714,6 +1784,7 @@ QUERIES = {
 # at oracle scales they are bit-identical to the fixed forms — while
 # being the measured scale path at the 10x/100x stacks (SCALING.md).
 ORACLES = {
+    "embedding_drift_audit": _embedding_drift_oracle(),
     "embedding_pca_project": _pca_oracle(),
     "embedding_outlier_knn": EMBEDDING_OUTLIER_ORACLE,
     "label_centroids": LABEL_CENTROIDS_ORACLE,
