@@ -339,6 +339,7 @@ def main() -> None:
         "dedup_winnowing_pairs",
         "corpus_bootstrap_ci",
         "embedding_drift_audit",
+        "retrieval_eval_ann",
     ):
         if name not in QUERIES:
             continue

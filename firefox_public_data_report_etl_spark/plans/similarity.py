@@ -1751,8 +1751,82 @@ FROM agg
 """
 
 
+def retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — the recall@k / MRR scorer
+    every ANN deployment runs before trusting an index: the IVF path
+    (`ann_ivf`'s exact plan) scored per query against brute-force
+    ground truth (`embedding_cosine_topk`'s plan). Emits per-query
+    integer metrics: truth size, hits, recall in ppm, and the
+    reciprocal rank (milli) of the TRUE nearest neighbor inside the
+    approximate list (0 when missed) — 1000 div rank so both engines
+    truncate identically.
+
+    Scale: both input rankings are existing registry plans; the eval
+    itself is a (q_id, n_id)-keyed left join of two k-row-per-query
+    relations plus one query-grain aggregate — negligible next to the
+    rankings it scores. Inherits ann_ivf's fixed_param guard (same
+    codebook)."""
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
+    _guard_fixed_param(
+        emb.count(), CENTROID_MOD, "retrieval_eval_ann",
+        "ann_ivf_multiprobe",
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    truth = cosine_topk(queries, emb, TOP_K).select(
+        "q_id", "n_id", F.col("rank").alias("t_rank")
+    )
+    approx = cosine_topk_ivf(emb, TOP_K, QUERY_MOD, CENTROID_MOD).select(
+        "q_id", "n_id", F.col("rank").alias("a_rank")
+    )
+    j = truth.join(approx, ["q_id", "n_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.count("*").alias("n_truth"),
+        F.count("a_rank").alias("n_hits"),
+        F.expr(
+            "(1000000 * count(a_rank)) div count(*)"
+        ).alias("recall_ppm"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("t_rank") == 1,
+                    F.coalesce(F.expr("1000 div a_rank"), F.lit(0)),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rr_milli"),
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    return f"""
+WITH t AS ({EMBEDDING_TOPK_ORACLE}),
+a AS ({ANN_IVF_ORACLE}),
+j AS (SELECT t.q_id, t.rank AS t_rank, a.rank AS a_rank
+      FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.n_id = a.n_id)
+SELECT q_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a_rank) AS BIGINT) AS n_hits,
+       CAST((1000000 * count(a_rank)) // count(*) AS BIGINT)
+         AS recall_ppm,
+       CAST(COALESCE(MAX(CASE WHEN t_rank = 1
+                              THEN COALESCE(1000 // a_rank, 0) END), 0)
+            AS BIGINT) AS rr_milli
+FROM j GROUP BY q_id
+"""
+
+
 QUERIES = {
     "embedding_drift_audit": embedding_drift_audit,
+    "retrieval_eval_ann": retrieval_eval_ann,
     "embedding_pca_project": embedding_pca_project,
     "embedding_outlier_knn": embedding_outlier_knn,
     "label_centroids": label_centroids,
@@ -1785,6 +1859,7 @@ QUERIES = {
 # being the measured scale path at the 10x/100x stacks (SCALING.md).
 ORACLES = {
     "embedding_drift_audit": _embedding_drift_oracle(),
+    "retrieval_eval_ann": _retrieval_eval_oracle(),
     "embedding_pca_project": _pca_oracle(),
     "embedding_outlier_knn": EMBEDDING_OUTLIER_ORACLE,
     "label_centroids": LABEL_CENTROIDS_ORACLE,
@@ -1829,6 +1904,7 @@ SCALE_CLASS = {
     "dedup_semantic": "fixed_param",
     "dedup_semantic_incremental": "fixed_param",
     "embedding_diversity_sample": "fixed_param",
+    "retrieval_eval_ann": "fixed_param",
 }
 # scale paths point at ann_ivf_multiprobe (round 6): sqrt-N codebook
 # AND nprobe=2 — the measured recall tables (tools/ann_recall.py) say
@@ -1848,4 +1924,5 @@ SCALE_PATH_FOR = {
     "dedup_semantic": "dedup_semantic_scaled",
     "dedup_semantic_incremental": "dedup_semantic_scaled",
     "embedding_diversity_sample": "embedding_diversity_sample_scaled",
+    "retrieval_eval_ann": "ann_ivf_multiprobe",
 }

@@ -137,3 +137,61 @@ def test_bm25_idf_is_table_grain(spark):
     out = bm25_topk(docs, query_mod=50, k=3).toPandas()
     scores = out[out.doc_id.isin([1, 2])].score_fp.unique()
     assert len(scores) == 1
+
+
+def test_retrieval_eval_ann_invariants(spark, sf_dir):
+    # metric ranges, hit consistency, and the perfect-retrieval bound:
+    # rr_milli = 1000 requires the true NN to be hit at approx rank 1
+    from firefox_public_data_report_etl_spark.plans.similarity import (
+        TOP_K,
+        retrieval_eval_ann,
+    )
+
+    rows = retrieval_eval_ann(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_truth <= TOP_K
+        assert 0 <= r.n_hits <= r.n_truth
+        assert r.recall_ppm == (1_000_000 * r.n_hits) // r.n_truth
+        assert r.rr_milli in (0,) or 1000 // TOP_K <= r.rr_milli <= 1000
+        if r.rr_milli == 1000:
+            assert r.n_hits >= 1
+        if r.n_hits == 0:
+            assert r.rr_milli == 0
+
+
+def test_retrieval_eval_ann_perfect_on_degenerate_codebook(spark):
+    # one coarse cell (every vector assigned to the single centroid)
+    # makes IVF == brute force, so the harness must report perfect
+    # recall and rr for every query — the self-consistency anchor
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_topk_ivf,
+    )
+
+    rows = [
+        (i, [((i * 13 + d * 7) % 19) + 1 for d in range(8)])
+        for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, q array<bigint>"
+    ).withColumn(
+        "norm",
+        F.expr("aggregate(transform(q, x -> x * x), 0L, (s, v) -> s + v)"),
+    )
+    k = 3
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    truth = cosine_topk(queries, emb, k).select(
+        "q_id", "n_id", F.col("rank").alias("t_rank")
+    )
+    # centroid_mod chosen so exactly one vector (vec_id=1) seeds a cell
+    approx = cosine_topk_ivf(emb, k, 10, 1_000_000).select(
+        "q_id", "n_id", F.col("rank").alias("a_rank")
+    )
+    j = truth.join(approx, ["q_id", "n_id"], "left").collect()
+    assert j
+    assert all(r.a_rank == r.t_rank for r in j)
