@@ -340,6 +340,7 @@ def main() -> None:
         "corpus_bootstrap_ci",
         "embedding_drift_audit",
         "retrieval_eval_ann",
+        "multimodal_caption_retrieval",
     ):
         if name not in QUERIES:
             continue

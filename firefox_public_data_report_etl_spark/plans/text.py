@@ -1268,6 +1268,58 @@ def _caption_align_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen_partitions,
     )
 
+    vi, vc = _caption_vectors(spark, sf_dir)
+    scores = vi.join(vc, "media_id").select(
+        "media_id",
+        F.aggregate(
+            F.zip_with("qi", "qc", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            "qi", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("na"),
+        F.aggregate(
+            "qc", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("nb"),
+    )
+    return scores.select(
+        "media_id",
+        "dot",
+        "na",
+        "nb",
+        F.expr(
+            f"CASE WHEN na * nb = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (dot * dot * {CAP_SCORE_SCALE}) DIV (na * nb) END"
+        ).alias("cos2_fp"),
+        (
+            (F.col("dot") > 0)
+            & (
+                CAP_COS2_DEN * F.col("dot") * F.col("dot")
+                >= CAP_COS2_NUM * F.col("na") * F.col("nb")
+            )
+        ).alias("aligned"),
+    )
+
+
+def _caption_vectors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(image vectors ``qi``, caption vectors ``qc``) at media grain —
+    the shared joint-space embedding both caption queries and the
+    retrieval eval consume. Same plan as before the round-10
+    refactor; only the pairing differs per caller."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        CAP_DIM,
+        CAP_Q,
+        attach_captions,
+        attach_neardup_bmp_payload,
+        decode_caption_grid,
+    )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
     docs = widen_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
@@ -1309,8 +1361,56 @@ def _caption_align_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vi = embed(img_tok).withColumnRenamed("v", "qi")
     vc = embed(cap_tok).withColumnRenamed("v", "qc")
-    scores = vi.join(vc, "media_id").select(
-        "media_id",
+    return vi, vc
+
+
+# caption-retrieval eval set: all planted mismatches plus every
+# CAP_EVAL_MOD-th matched caption
+CAP_EVAL_MOD = 10
+
+
+def multimodal_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval eval — the recall harness of the caption
+    family: rank EVERY image against each eval caption by the signed
+    fixed-point cos² of the shared joint space and report where the
+    DESCRIBED image landed (for planted mismatches the described
+    image is media_id + CAP_MIS_OFFSET, so a correct retrieval stack
+    must surface a DIFFERENT image than the caption's own row — the
+    property the alignment gate alone cannot check). Per caption:
+    the truth image, its rank (0 when the truth row does not exist or
+    is missed), top-1 image, and whether top-1 is the truth.
+
+    SCALE_CLASS baseline: deliberate brute |eval|×|images| broadcast
+    theta-join (eval captions are broadcast; same waived shape as
+    embedding_cosine_topk); the scale path for this family is the
+    IVF-bucketed joint-space probe (retrieval_hashproj_ivf's shape)."""
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        CAP_MIS_MOD,
+        CAP_MIS_OFFSET,
+        CAP_MIS_RES,
+        CAP_SCORE_SCALE,
+    )
+    from pyspark.sql import Window
+
+    vi, vc = _caption_vectors(spark, sf_dir)
+    caps = vc.filter(
+        (F.col("media_id") % CAP_MIS_MOD == CAP_MIS_RES)
+        | (F.col("media_id") % CAP_EVAL_MOD == 0)
+    ).select(
+        F.col("media_id").alias("cap_id"),
+        F.when(
+            F.col("media_id") % CAP_MIS_MOD == CAP_MIS_RES,
+            F.col("media_id") + CAP_MIS_OFFSET,
+        )
+        .otherwise(F.col("media_id"))
+        .alias("truth_media"),
+        "qc",
+    )
+    imgs = vi.select(F.col("media_id").alias("img_media"), "qi")
+    scored = imgs.crossJoin(F.broadcast(caps)).select(
+        "cap_id",
+        "truth_media",
+        "img_media",
         F.aggregate(
             F.zip_with("qi", "qc", lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -1323,23 +1423,98 @@ def _caption_align_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qc", F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("nb"),
     )
-    return scores.select(
-        "media_id",
-        "dot",
-        "na",
-        "nb",
+    sfp = scored.withColumn(
+        "score_fp",
         F.expr(
             f"CASE WHEN na * nb = 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE (dot * dot * {CAP_SCORE_SCALE}) DIV (na * nb) END"
-        ).alias("cos2_fp"),
-        (
-            (F.col("dot") > 0)
-            & (
-                CAP_COS2_DEN * F.col("dot") * F.col("dot")
-                >= CAP_COS2_NUM * F.col("na") * F.col("nb")
-            )
-        ).alias("aligned"),
+            f" WHEN dot >= 0"
+            f" THEN (dot * dot * {CAP_SCORE_SCALE}) DIV (na * nb)"
+            f" ELSE -((dot * dot * {CAP_SCORE_SCALE}) DIV (na * nb)) END"
+        ),
     )
+    w = Window.partitionBy("cap_id").orderBy(
+        F.desc("score_fp"), F.asc("img_media")
+    )
+    ranked = sfp.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("cap_id").agg(
+        F.first("truth_media").alias("truth_media"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("img_media") == F.col("truth_media"),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("truth_rank"),
+        F.max(
+            F.when(F.col("rank") == 1, F.col("img_media"))
+        ).alias("top1_media"),
+        F.max(
+            F.when(
+                F.col("rank") == 1,
+                F.col("img_media") == F.col("truth_media"),
+            )
+        ).alias("top1_is_truth"),
+    )
+
+
+def _caption_retrieval_oracle() -> str:
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        CAP_MIS_MOD,
+        CAP_MIS_OFFSET,
+        CAP_MIS_RES,
+        CAP_SCORE_SCALE,
+    )
+
+    return f"""
+WITH {_caption_align_ctes()},
+ev AS (SELECT media_id AS cap_id,
+              CASE WHEN media_id % {CAP_MIS_MOD} = {CAP_MIS_RES}
+                   THEN media_id + {CAP_MIS_OFFSET}
+                   ELSE media_id END AS truth_media
+       FROM cap_ids
+       WHERE media_id % {CAP_MIS_MOD} = {CAP_MIS_RES}
+          OR media_id % {CAP_EVAL_MOD} = 0),
+cn AS (SELECT media_id, CAST(sum(val * val) AS BIGINT) AS nb
+       FROM cc_e GROUP BY media_id),
+inrm AS (SELECT media_id, CAST(sum(val * val) AS BIGINT) AS na
+         FROM ci_e GROUP BY media_id),
+dots AS (
+  SELECT c.media_id AS cap_id, i.media_id AS img_media,
+         CAST(sum(c.val * i.val) AS BIGINT) AS dot
+  FROM cc_e c JOIN ev ON c.media_id = ev.cap_id
+  JOIN ci_e i ON c.dm = i.dm
+  GROUP BY c.media_id, i.media_id),
+sfp AS (
+  SELECT d.cap_id, ev.truth_media, d.img_media,
+         CASE WHEN na * nb = 0 THEN CAST(0 AS BIGINT)
+              WHEN dot >= 0
+                THEN (dot * dot * {CAP_SCORE_SCALE}) // (na * nb)
+              ELSE -((dot * dot * {CAP_SCORE_SCALE}) // (na * nb)) END
+           AS score_fp
+  FROM dots d
+  JOIN ev ON d.cap_id = ev.cap_id
+  JOIN inrm ON d.img_media = inrm.media_id
+  JOIN cn ON d.cap_id = cn.media_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY cap_id
+              ORDER BY score_fp DESC, img_media) AS BIGINT) AS rank
+  FROM sfp)
+SELECT cap_id,
+       MIN(truth_media) AS truth_media,
+       CAST(COALESCE(MAX(CASE WHEN img_media = truth_media
+                              THEN rank END), 0) AS BIGINT)
+         AS truth_rank,
+       MAX(CASE WHEN rank = 1 THEN img_media END) AS top1_media,
+       CAST(MAX(CASE WHEN rank = 1
+                     THEN img_media = truth_media END) AS BOOLEAN)
+         AS top1_is_truth
+FROM ranked GROUP BY cap_id
+"""
 
 
 def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5844,6 +6019,7 @@ QUERIES = {
     "contamination_bloom_probe": contamination_bloom_probe,
     "document_winnowing": document_winnowing,
     "dedup_winnowing_pairs": dedup_winnowing_pairs,
+    "multimodal_caption_retrieval": multimodal_caption_retrieval,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
@@ -5919,6 +6095,7 @@ ORACLES = {
     "contamination_bloom_probe": _contamination_bloom_oracle(),
     "document_winnowing": _winnowing_oracle(),
     "dedup_winnowing_pairs": _winnowing_pairs_oracle(),
+    "multimodal_caption_retrieval": _caption_retrieval_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),
@@ -5950,6 +6127,10 @@ ORACLES = {
 # CCNET_EXACT_MAX_DOCS (r7 verdict #1 — the last unlabeled
 # single-task window); the twin is the 100 TB path.
 SCALE_CLASS = {
+    # deliberate brute |eval captions| x |images| broadcast theta-join
+    # (waived in test_plan_quality); joint-space IVF bucketing is the
+    # scale path for the family
+    "multimodal_caption_retrieval": "baseline",
     "corpus_ccnet_buckets": "baseline",
     # |Q| = N/mod grows with the corpus, so the brute matmul is
     # O(N^2/mod) — a correctness baseline exactly like
@@ -5962,6 +6143,7 @@ SCALE_CLASS = {
     "retrieval_hashproj_ivf": "fixed_param",
 }
 SCALE_PATH_FOR = {
+    "multimodal_caption_retrieval": "retrieval_hashproj_ivf_scaled",
     "corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled",
     "retrieval_hashproj_topk": "retrieval_hashproj_ivf_scaled",
     "retrieval_rag_chunks": "retrieval_hashproj_ivf_scaled",

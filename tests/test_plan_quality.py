@@ -28,6 +28,10 @@ BNLJ_ALLOWED = {
     # brute-force band-scan baseline (SCALE_CLASS=baseline): shares
     # cosine_topk's broadcast theta-join shape
     "contrastive_hard_negatives": "Inner",
+    # brute-force cross-modal eval baseline (SCALE_CLASS=baseline):
+    # |eval captions| broadcast against all image vectors — the same
+    # waived shape as embedding_cosine_topk, spelled as crossJoin
+    "multimodal_caption_retrieval": "Cross",
     "date_spine_weeks": "Cross",            # 1-row bounds crossJoin to spine
     # 1-row doc-count crossJoin attaching the corpus-relative
     # boilerplate cut (round 6) — the canonical broadcast-scalar shape

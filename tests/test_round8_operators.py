@@ -454,3 +454,34 @@ def test_substring_scrub_second_pass_is_clean(spark, sf_dir):
         .count()
     )
     assert cross_doc == 0
+
+
+def test_multimodal_caption_retrieval_truth(spark, sf_dir):
+    # matched captions must retrieve their OWN image at rank 1;
+    # planted-mismatch captions must retrieve the image they actually
+    # DESCRIBE (media_id + CAP_MIS_OFFSET) at rank 1 whenever that
+    # image exists — truth_rank 0 is legal only at the corpus edge
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        CAP_MIS_MOD,
+        CAP_MIS_RES,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        multimodal_caption_retrieval,
+    )
+
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    rows = multimodal_caption_retrieval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.cap_id % CAP_MIS_MOD != CAP_MIS_RES:
+            assert r.truth_media == r.cap_id
+            assert r.truth_rank == 1 and r.top1_is_truth
+        elif r.truth_media in ids:
+            assert r.truth_rank == 1, (r.cap_id, r.truth_rank)
+        else:
+            assert r.truth_rank == 0
