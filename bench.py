@@ -341,6 +341,7 @@ def main() -> None:
         "embedding_drift_audit",
         "retrieval_eval_ann",
         "multimodal_caption_retrieval",
+        "tokenizer_tail_audit",
     ):
         if name not in QUERIES:
             continue

@@ -5835,6 +5835,67 @@ FROM tgt
 """
 
 
+def tokenizer_tail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency head/tail curve of the LEARNED BPE tokenizer
+    over its own corpus — the vocab-health audit a tokenizer swap is
+    judged by: per distinct token, its corpus count, frequency rank
+    (count desc, token asc — total order), running cumulative count,
+    cumulative coverage in ppm, and the hapax flag. The head rows
+    answer "how much of the stream do the top-K tokens carry"; the
+    hapax/tail mass answers "how much vocab is wasted".
+
+    Shares the session-memoized encode (`_bpe_tokens`) with the rest
+    of the tokenizer audit family — the corpus is tokenized once per
+    session. The ranking window is deliberately GLOBAL: it runs on
+    the vocab-grain relation (chars + BPE_MERGES rows, report-sized
+    by construction), not on the token stream, so the single-task
+    window holds ~vocab rows at any corpus scale."""
+    from pyspark.sql import Window
+
+    tok = _bpe_tokens(spark, sf_dir)
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (
+        freq.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(wcum).cast("long"))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            "rnk",
+            "cum_cnt",
+            F.expr("(1000000 * cum_cnt) div total").alias("cum_ppm"),
+            (F.col("cnt") == 1).alias("hapax"),
+        )
+    )
+
+
+def _tail_audit_oracle() -> str:
+    return _materialize_ctes(
+        "WITH "
+        + ",\n".join(_bpe_apply_parts())
+        + """,
+enc AS (SELECT t.token FROM dw d JOIN tok t USING (w)),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM enc GROUP BY token),
+ranked AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS rnk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM freq)
+SELECT token, cnt, rnk, cum_cnt,
+       CAST((1000000 * cum_cnt) // total AS BIGINT) AS cum_ppm,
+       (cnt = 1) AS hapax
+FROM ranked"""
+    )
+
+
 # --- winnowing fingerprints -------------------------------------------
 WINNOW_MAX_DF = 20  # fingerprints in more docs are boilerplate: drop
 WINNOW_SHARED_MIN = 2  # pair verdict: >= this many shared selections
@@ -6020,6 +6081,7 @@ QUERIES = {
     "document_winnowing": document_winnowing,
     "dedup_winnowing_pairs": dedup_winnowing_pairs,
     "multimodal_caption_retrieval": multimodal_caption_retrieval,
+    "tokenizer_tail_audit": tokenizer_tail_audit,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
     "bpe_merge_table": bpe_merge_table,
     "bpe_encode_corpus": bpe_encode_corpus,
@@ -6096,6 +6158,7 @@ ORACLES = {
     "document_winnowing": _winnowing_oracle(),
     "dedup_winnowing_pairs": _winnowing_pairs_oracle(),
     "multimodal_caption_retrieval": _caption_retrieval_oracle(),
+    "tokenizer_tail_audit": _tail_audit_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
     "bpe_merge_table": _bpe_oracle(),
     "bpe_encode_corpus": _bpe_encode_oracle(),
