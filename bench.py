@@ -342,6 +342,7 @@ def main() -> None:
         "retrieval_eval_ann",
         "multimodal_caption_retrieval",
         "tokenizer_tail_audit",
+        "lsh_parameter_planner",
     ):
         if name not in QUERIES:
             continue

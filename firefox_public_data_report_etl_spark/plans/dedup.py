@@ -1083,7 +1083,102 @@ FROM d LEFT JOIN drops USING (doc_id) LEFT JOIN kept USING (doc_id)
 """
 
 
+# --- LSH parameter planner --------------------------------------------
+#
+# The S-curve table every MinHash deployment derives before picking
+# (bands, rows_per_band): catch probability p(s) = 1 - (1 - s^r)^b.
+# Computed in fixed-point ppm with TRUNCATING integer multiply-divide
+# steps — one step per exponent unit, identically sequenced in both
+# engines (Spark: aggregate over sequence with 10^6 init; DuckDB:
+# list_reduce over the same list with the init prepended) — so the
+# planner's numbers are hash-pinned, not float-approximate.
+LSH_PLAN_BANDS = [2, 4, 8, 16]
+LSH_PLAN_ROWS = [2, 4, 8]
+LSH_PLAN_S_STEP = 5  # similarity grid: 5%..95%
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding design table for the MinHash family: for every
+    (bands, rows_per_band) candidate and similarity grid point, the
+    probability (ppm) that a pair at that Jaccard similarity shares
+    at least one band bucket. This is how `dedup_minhash_lsh`'s
+    (4, 4) and the hi-recall twin's banding were chosen; emitting it
+    as a registry query makes the trade-off auditable next to the
+    measured recall tables (tools/minhash_recall.py).
+
+    Corpus-free by design (the ``sf_dir`` input is unused): the
+    relation is the literal design grid, so the plan is a few
+    hundred generated rows of integer arithmetic — the point is the
+    cross-engine-pinned fixed-point S-curve, not a scan."""
+    grid = [
+        (b, r, s)
+        for b in LSH_PLAN_BANDS
+        for r in LSH_PLAN_ROWS
+        for s in range(LSH_PLAN_S_STEP, 100, LSH_PLAN_S_STEP)
+    ]
+    df = spark.createDataFrame(
+        grid, "bands long, rows_per_band long, s_pct long"
+    )
+    powr = (
+        "aggregate(sequence(1, {n}), 1000000L,"
+        " (acc, i) -> (acc * {x}) div 1000000)"
+    )
+    return (
+        df.withColumn("s_ppm", F.col("s_pct") * 10000)
+        .withColumn(
+            "s_r_ppm",
+            F.expr(powr.format(n="rows_per_band", x="s_ppm")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "p_catch_ppm",
+            (
+                1_000_000
+                - F.expr(
+                    powr.format(n="bands", x="(1000000 - s_r_ppm)")
+                )
+            ).cast("long"),
+        )
+        .select(
+            "bands", "rows_per_band", "s_pct", "s_r_ppm", "p_catch_ppm"
+        )
+    )
+
+
+def _lsh_planner_oracle() -> str:
+    bands = ", ".join(str(b) for b in LSH_PLAN_BANDS)
+    rows = ", ".join(str(r) for r in LSH_PLAN_ROWS)
+    pts = ", ".join(
+        str(s) for s in range(LSH_PLAN_S_STEP, 100, LSH_PLAN_S_STEP)
+    )
+    reduce = (
+        "list_reduce(list_prepend(CAST(1000000 AS BIGINT),"
+        " list_transform(range(CAST({n} AS INT)),"
+        " i -> CAST({x} AS BIGINT))),"
+        " (a, b) -> (a * b) // 1000000)"
+    )
+    return f"""
+WITH grid AS (
+  SELECT CAST(b.x AS BIGINT) AS bands,
+         CAST(r.x AS BIGINT) AS rows_per_band,
+         CAST(s.x AS BIGINT) AS s_pct
+  FROM UNNEST([{bands}]) b(x), UNNEST([{rows}]) r(x),
+       UNNEST([{pts}]) s(x)),
+sr AS (
+  SELECT bands, rows_per_band, s_pct, s_pct * 10000 AS s_ppm,
+         CAST({reduce.format(n='rows_per_band', x='s_pct * 10000')}
+              AS BIGINT) AS s_r_ppm
+  FROM grid)
+SELECT bands, rows_per_band, s_pct, s_r_ppm,
+       CAST(1000000 - {reduce.format(n='bands', x='1000000 - s_r_ppm')}
+            AS BIGINT) AS p_catch_ppm
+FROM sr
+"""
+
+
 QUERIES = {
+    "lsh_parameter_planner": lsh_parameter_planner,
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_lines_c4": dedup_lines_c4,
@@ -1106,6 +1201,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lsh_parameter_planner": _lsh_planner_oracle(),
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_incremental": _incremental_oracle(),
     "dedup_lines_c4": DEDUP_LINES_C4_ORACLE,

@@ -517,3 +517,27 @@ def test_pricing_decimal_agrees_with_int64_form(spark, sf_dir):
         assert a["sum_base_cents"] == round(b["sum_base_price"] * 100)
         for col in ("sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"):
             assert math.isclose(a[col], b[col], rel_tol=1e-12), (k, col)
+
+
+def test_lsh_parameter_planner_properties(spark, sf_dir):
+    # monotone in s for fixed (b, r); monotone in bands for fixed
+    # (r, s); fixed-point curve within 1% of the float S-curve
+    from firefox_public_data_report_etl_spark.plans.dedup import (
+        lsh_parameter_planner,
+    )
+
+    rows = lsh_parameter_planner(spark, sf_dir).collect()
+    assert rows
+    by_key = {(r.bands, r.rows_per_band, r.s_pct): r for r in rows}
+    for r in rows:
+        s = r.s_pct / 100
+        p_float = 1 - (1 - s ** r.rows_per_band) ** r.bands
+        assert abs(r.p_catch_ppm / 1e6 - p_float) < 0.01, r
+        nxt = by_key.get((r.bands, r.rows_per_band, r.s_pct + 5))
+        if nxt is not None:
+            assert nxt.p_catch_ppm >= r.p_catch_ppm
+        more = by_key.get((r.bands * 2, r.rows_per_band, r.s_pct))
+        if more is not None:
+            assert more.p_catch_ppm >= r.p_catch_ppm
+    # the registry banding's design point: (4, 4) at s=80 catches ~88%
+    assert abs(by_key[(4, 4, 80)].p_catch_ppm - 876_000) < 15_000
