@@ -343,6 +343,7 @@ def main() -> None:
         "multimodal_caption_retrieval",
         "tokenizer_tail_audit",
         "lsh_parameter_planner",
+        "dedup_winnowing_incremental",
     ):
         if name not in QUERIES:
             continue

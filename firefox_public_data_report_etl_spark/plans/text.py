@@ -1369,6 +1369,57 @@ def _caption_vectors(
 CAP_EVAL_MOD = 10
 
 
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing overlap probe — this week's batch
+    (doc_id % 4 == 0, the established incremental split) mined for
+    long-substring overlaps against the already-indexed base WITHOUT
+    re-winnowing the base (operators/winnow_index.py — the fourth
+    persisted index lifecycle). The registry form runs the identical
+    shared join (`cross_winnow_pairs`) on in-memory selected rows;
+    the parquet round-trip + partition-pruned probe is pinned equal
+    in tests/test_winnow_index.py, the same pinning pattern as the
+    MinHash incremental query.
+
+    df-cap consistency: document frequency is computed over
+    base ∪ batch, so the incremental verdicts match what a
+    from-scratch `dedup_winnowing_pairs` over the full corpus would
+    emit for base×batch pairs (test-pinned)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from firefox_public_data_report_etl_spark.operators.winnow_index import (
+        cross_winnow_pairs,
+    )
+    from firefox_public_data_report_etl_spark.plans.dedup import BATCH_MOD
+
+    sel = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "h").distinct()
+    base = sel.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = sel.filter(F.col("doc_id") % BATCH_MOD == 0)
+    return cross_winnow_pairs(
+        base, batch, WINNOW_MAX_DF, WINNOW_SHARED_MIN
+    )
+
+
+def _winnowing_incremental_oracle() -> str:
+    from firefox_public_data_report_etl_spark.plans.dedup import BATCH_MOD
+
+    return f"""
+WITH {_winnow_sel_ctes()},
+sd AS (SELECT DISTINCT doc_id, h FROM sel),
+ok AS (SELECT h FROM sd GROUP BY h
+       HAVING count(*) <= {WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, h FROM sd JOIN ok USING (h))
+SELECT a.doc_id AS base_id, b.doc_id AS batch_id,
+       CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.h = b.h
+WHERE a.doc_id % {BATCH_MOD} <> 0 AND b.doc_id % {BATCH_MOD} = 0
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_SHARED_MIN}
+"""
+
+
 def multimodal_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval eval — the recall harness of the caption
     family: rank EVERY image against each eval caption by the signed
@@ -6080,6 +6131,7 @@ QUERIES = {
     "contamination_bloom_probe": contamination_bloom_probe,
     "document_winnowing": document_winnowing,
     "dedup_winnowing_pairs": dedup_winnowing_pairs,
+    "dedup_winnowing_incremental": dedup_winnowing_incremental,
     "multimodal_caption_retrieval": multimodal_caption_retrieval,
     "tokenizer_tail_audit": tokenizer_tail_audit,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
@@ -6157,6 +6209,7 @@ ORACLES = {
     "contamination_bloom_probe": _contamination_bloom_oracle(),
     "document_winnowing": _winnowing_oracle(),
     "dedup_winnowing_pairs": _winnowing_pairs_oracle(),
+    "dedup_winnowing_incremental": _winnowing_incremental_oracle(),
     "multimodal_caption_retrieval": _caption_retrieval_oracle(),
     "tokenizer_tail_audit": _tail_audit_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),
