@@ -344,6 +344,7 @@ def main() -> None:
         "tokenizer_tail_audit",
         "lsh_parameter_planner",
         "dedup_winnowing_incremental",
+        "contamination_winnowing",
     ):
         if name not in QUERIES:
             continue

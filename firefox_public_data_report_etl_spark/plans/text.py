@@ -1420,6 +1420,69 @@ HAVING count(*) >= {WINNOW_SHARED_MIN}
 """
 
 
+def contamination_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing decontamination — the long-verbatim-span complement
+    of the gram-fraction (`train_eval_contamination`) and whole-doc
+    near-dup (`train_eval_contamination_fuzzy`) audits: a train
+    document is flagged when it shares >= WINNOW_SHARED_MIN selected
+    fingerprints with ANY held-out document, which by the winnowing
+    guarantee catches EVERY common substring of length >= w + k - 1 =
+    12 chars — the leaked-eval-passage case a diluted gram fraction
+    can miss in a long document. Train-doc grain: held-out partners,
+    max shared fingerprints, flagged.
+
+    Scale: same bucketed fingerprint join as the pair miner (df-capped,
+    never all-pairs); the held-out side would be served from the
+    persisted winnow index in production (operators/winnow_index.py —
+    the probe is the identical join, pinned equal in tests)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from firefox_public_data_report_etl_spark.operators.winnow_index import (
+        cross_winnow_pairs,
+    )
+
+    sel = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "h").distinct()
+    split = hash_split(sel)
+    held = split.filter(F.col("split") != "train").select("doc_id", "h")
+    train = split.filter(F.col("split") == "train").select("doc_id", "h")
+    pairs = cross_winnow_pairs(
+        held, train, WINNOW_MAX_DF, WINNOW_SHARED_MIN
+    )
+    return pairs.groupBy(F.col("batch_id").alias("doc_id")).agg(
+        F.count("*").alias("n_heldout_partners"),
+        F.max("shared").alias("max_shared"),
+        F.lit(True).alias("flagged"),
+    )
+
+
+def _contamination_winnowing_oracle() -> str:
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH {_winnow_sel_ctes()},
+sd AS (SELECT DISTINCT doc_id, h,
+              CASE WHEN {bucket} < 80 THEN 'train' ELSE 'held' END AS split
+       FROM sel),
+ok AS (SELECT h FROM sd GROUP BY h
+       HAVING count(*) <= {WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, h, split FROM sd JOIN ok USING (h)),
+pairs AS (
+  SELECT t.doc_id AS doc_id, e.doc_id AS held_id,
+         count(*) AS shared
+  FROM kept t JOIN kept e ON t.h = e.h
+  WHERE t.split = 'train' AND e.split = 'held'
+  GROUP BY t.doc_id, e.doc_id
+  HAVING count(*) >= {WINNOW_SHARED_MIN})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_heldout_partners,
+       CAST(max(shared) AS BIGINT) AS max_shared,
+       TRUE AS flagged
+FROM pairs GROUP BY doc_id
+"""
+
+
 def multimodal_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval eval — the recall harness of the caption
     family: rank EVERY image against each eval caption by the signed
@@ -6132,6 +6195,7 @@ QUERIES = {
     "document_winnowing": document_winnowing,
     "dedup_winnowing_pairs": dedup_winnowing_pairs,
     "dedup_winnowing_incremental": dedup_winnowing_incremental,
+    "contamination_winnowing": contamination_winnowing,
     "multimodal_caption_retrieval": multimodal_caption_retrieval,
     "tokenizer_tail_audit": tokenizer_tail_audit,
     "train_eval_contamination_fuzzy": train_eval_contamination_fuzzy,
@@ -6210,6 +6274,7 @@ ORACLES = {
     "document_winnowing": _winnowing_oracle(),
     "dedup_winnowing_pairs": _winnowing_pairs_oracle(),
     "dedup_winnowing_incremental": _winnowing_incremental_oracle(),
+    "contamination_winnowing": _contamination_winnowing_oracle(),
     "multimodal_caption_retrieval": _caption_retrieval_oracle(),
     "tokenizer_tail_audit": _tail_audit_oracle(),
     "train_eval_contamination_fuzzy": _contamination_fuzzy_oracle(),

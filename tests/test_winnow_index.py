@@ -105,3 +105,34 @@ def test_empty_batch_probe(spark, sf_dir, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     probe = probe_winnow_index(spark, path, empty)
     assert probe.pairs.count() == 0
+
+
+def test_contamination_winnowing_planted_span(spark):
+    # a train doc that copies a >= 12-char passage from a held-out doc
+    # must share a selected fingerprint (the guarantee) and be caught
+    # by the same cross_winnow_pairs join the registry query runs
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from firefox_public_data_report_etl_spark.operators.winnow_index import (
+        cross_winnow_pairs,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    held = spark.createDataFrame(
+        [(1, "held out eval passage " + leak + " end of eval")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "completely unrelated training material here x"),
+            (11, "sneaky training doc embedding " + leak + " verbatim"),
+        ],
+        "doc_id long, text string",
+    )
+    sel_h = winnow_fingerprints(held).select("doc_id", "h").distinct()
+    sel_t = winnow_fingerprints(train).select("doc_id", "h").distinct()
+    pairs = cross_winnow_pairs(sel_h, sel_t, max_df=100, shared_min=2)
+    got = {(r.base_id, r.batch_id) for r in pairs.collect()}
+    assert (1, 11) in got
+    assert all(b != 10 for _, b in got)
