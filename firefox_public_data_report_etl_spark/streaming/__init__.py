@@ -15,6 +15,11 @@ from firefox_public_data_report_etl_spark.streaming.driftgate import (
 from firefox_public_data_report_etl_spark.streaming.joins import (
     click_purchase_attribution,
 )
+from firefox_public_data_report_etl_spark.streaming.leakgate import (
+    leak_gate_batch,
+    read_decisions,
+    stream_leak_gate,
+)
 from firefox_public_data_report_etl_spark.streaming.tws import (
     running_user_totals_tws,
 )
@@ -58,6 +63,9 @@ __all__ = [
     "stream_budget_gate",
     "click_purchase_attribution",
     "drift_gate_batch",
+    "leak_gate_batch",
+    "read_decisions",
+    "stream_leak_gate",
     "read_verdicts",
     "reference_histogram",
     "stream_drift_gate",

@@ -38,10 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from firefox_public_data_report_etl_spark.operators.incremental import (
     _require_local_dir,
 )
-from firefox_public_data_report_etl_spark.plans.quality import (
-    DRIFT_BIN_EDGES,
-    DRIFT_PPM_THRESHOLD,
-)
 from firefox_public_data_report_etl_spark.sources.tables import (
     partition_overwrite_mode,
 )
@@ -49,11 +45,24 @@ from firefox_public_data_report_etl_spark.sources.tables import (
 META_SCHEMA = "bl long, n_rows long, tvd_ppm long, accepted boolean"
 
 
+def _drift_constants():
+    # deferred: plans.quality import at module level would re-enter
+    # the streaming package through plans/__init__ → registry →
+    # streamingq (circular import, caught by test collection)
+    from firefox_public_data_report_etl_spark.plans.quality import (
+        DRIFT_BIN_EDGES,
+        DRIFT_PPM_THRESHOLD,
+    )
+
+    return DRIFT_BIN_EDGES, DRIFT_PPM_THRESHOLD
+
+
 def _bin_expr(len_col: str):
-    e = F.when(F.length(len_col) < DRIFT_BIN_EDGES[0], 0)
-    for i in range(1, len(DRIFT_BIN_EDGES)):
-        e = e.when(F.length(len_col) < DRIFT_BIN_EDGES[i], i)
-    return e.otherwise(len(DRIFT_BIN_EDGES))
+    edges, _ = _drift_constants()
+    e = F.when(F.length(len_col) < edges[0], 0)
+    for i in range(1, len(edges)):
+        e = e.when(F.length(len_col) < edges[i], i)
+    return e.otherwise(len(edges))
 
 
 def reference_histogram(
@@ -93,10 +102,12 @@ def drift_gate_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold_ppm: int = DRIFT_PPM_THRESHOLD,
+    threshold_ppm: int | None = None,
 ) -> None:
     """One micro-batch of the circuit breaker: score, then admit the
     batch whole or trip and commit only the audit row."""
+    if threshold_ppm is None:
+        threshold_ppm = _drift_constants()[1]
     _require_local_dir(store)
     label = batch_id + 1
     counts = {
@@ -166,7 +177,7 @@ def stream_drift_gate(
     reference: dict[int, int],
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold_ppm: int = DRIFT_PPM_THRESHOLD,
+    threshold_ppm: int | None = None,
 ):
     """writeStream wiring; availableNow so backfills drain and stop."""
     return (
