@@ -345,6 +345,7 @@ def main() -> None:
         "lsh_parameter_planner",
         "dedup_winnowing_incremental",
         "contamination_winnowing",
+        "training_loader_capstone",
     ):
         if name not in QUERIES:
             continue

@@ -1010,9 +1010,102 @@ WHERE span_offset + span_len <= {CHAT_CTX_CAP}
 """
 
 
+def training_loader_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end loader capstone — the mixture→packing composition a
+    real run executes as one job: the token-budget mixture selects
+    this run's documents (greedy start-inside filler per stratum),
+    the survivors pack whole via the no-split NFD walk, and the
+    output is the per-(shard, window) layout report (docs, token
+    mass, fill ppm). Exercises that the stage CONTRACTS compose: the
+    budget's doc set is exactly what the packer sees, pinned by a
+    chained oracle (budget window CTE feeding the recursive walk
+    feeding the rollup) — the same capstone convention as the four
+    curation pipelines, for the loader side.
+
+    Scale: one stratum-partitioned window (mixture) + one
+    shard-partitioned applyInPandas walk (packing) + a map-side
+    rollup; the join between stages is on doc ids only."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        pack_no_split,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    taken = corpus_mixture_token_budget(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(taken, "doc_id")
+    packed = pack_no_split(
+        docs, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("tokens_filled"),
+        F.expr(
+            f"(1000000 * sum(tokens)) div {PACK_CAPACITY}"
+        ).alias("fill_ppm"),
+    )
+
+
+def _loader_capstone_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    cap = PACK_CAPACITY
+    langs = ", ".join(f"'{s}'" for s in sorted(TOKEN_BUDGETS))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH RECURSIVE tb AS (
+  SELECT doc_id, lang,
+         CAST(length(text) // {CHARS_PER_TOKEN_EST} AS BIGINT) AS tokens
+  FROM documents WHERE lang IN ({langs})
+), c AS (
+  SELECT doc_id, tokens,
+         CAST(sum(tokens) OVER (
+                PARTITION BY lang
+                ORDER BY {md5_int_sql("cast(doc_id as varchar)")}, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CASE lang {cases} ELSE 0 END AS budget
+  FROM tb
+), t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, tokens
+  FROM c WHERE cum_tokens - tokens < budget
+), r AS (
+  SELECT shard, doc_id, tokens,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY tokens DESC, doc_id) AS rn
+  FROM t WHERE tokens > 0 AND tokens <= {cap}
+), walk(shard, rn, doc_id, tokens, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.tokens,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.bin_id
+              ELSE w.bin_id + 1 END,
+         CASE WHEN w.fill + r.tokens <= {cap} THEN w.fill + r.tokens
+              ELSE r.tokens END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+)
+SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS tokens_filled,
+       CAST((1000000 * sum(tokens)) // {cap} AS BIGINT) AS fill_ppm
+FROM walk GROUP BY shard, bin_id
+"""
+
+
 QUERIES = {
     "documents_row_ids": documents_row_ids,
     "chat_sft_assembly": chat_sft_assembly,
+    "training_loader_capstone": training_loader_capstone,
     "training_epoch_order": training_epoch_order,
     "loader_shard_manifest": loader_shard_manifest,
     "packing_window_spans": packing_window_spans,
@@ -1030,6 +1123,7 @@ QUERIES = {
 ORACLES = {
     "sft_pack_loss_mask": _sft_mask_oracle(),
     "chat_sft_assembly": _chat_assembly_oracle(),
+    "training_loader_capstone": _loader_capstone_oracle(),
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),

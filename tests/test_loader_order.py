@@ -577,3 +577,46 @@ def test_nosplit_packing_invariants(spark, sf_dir):
         ).collect()
     }
     assert seen == eligible
+
+
+def test_loader_capstone_composition_contract(spark, sf_dir):
+    # the packed doc set is EXACTLY the budget mixture's survivors
+    # intersected with packing eligibility, and token mass conserves
+    from pyspark.sql import functions as F
+
+    from firefox_public_data_report_etl_spark.operators.text import (
+        CHARS_PER_TOKEN_EST,
+        pack_no_split,
+    )
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        corpus_mixture_token_budget,
+        training_loader_capstone,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    taken = corpus_mixture_token_budget(spark, sf_dir).select(
+        "doc_id", "tokens"
+    )
+    eligible = {
+        r.doc_id
+        for r in taken.collect()
+        if 0 < r.tokens <= PACK_CAPACITY
+    }
+    docs = load_table(spark, sf_dir, "documents").join(
+        taken.select("doc_id"), "doc_id"
+    )
+    packed = pack_no_split(
+        docs, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    ).collect()
+    assert {r.doc_id for r in packed} == eligible
+    windows = training_loader_capstone(spark, sf_dir).collect()
+    assert sum(w.tokens_filled for w in windows) == sum(
+        r.tokens for r in packed
+    )
+    for w in windows:
+        assert 0 < w.tokens_filled <= PACK_CAPACITY
+        assert w.fill_ppm == (1_000_000 * w.tokens_filled) // PACK_CAPACITY
