@@ -24,6 +24,10 @@ BNLJ_ALLOWED = {
     "user_activity_flagship": "LeftOuter",  # as-of latest-release (tiny right)
     "release_annotations": "LeftOuter",     # spine x weekly-max range join
     "embedding_cosine_topk": "Inner",       # brute-force baseline: q x cands
+    # recall/MRR eval harness: scores the IVF plan against the brute
+    # ground truth, so it contains cosine_topk's waived broadcast
+    # theta-join (SCALE_CLASS=fixed_param, scale path multiprobe)
+    "retrieval_eval_ann": "Inner",
     "dedup_embedding_cosine": "Inner",      # brute-force pair verify
     # brute-force band-scan baseline (SCALE_CLASS=baseline): shares
     # cosine_topk's broadcast theta-join shape
