@@ -100,6 +100,12 @@ REPORT_EDGE_WINDOWS: dict[str, str] = {
         "rank column computed over the ALREADY-LIMITED top-K rows; "
         "the global top-K itself is TakeOrderedAndProject"
     ),
+    "tokenizer_tail_audit": (
+        "rank/cumulative windows run on the VOCAB-grain frequency "
+        "rollup (chars + BPE_MERGES rows — a learned-tokenizer "
+        "constant), never on the token stream; the stream is reduced "
+        "by a keyed groupBy first"
+    ),
 }
 
 for _m in _MODULES:
