@@ -186,6 +186,27 @@ def main() -> None:
     if t is not None:
         extra["corpus_boilerplate_xxhash64"] = t
 
+    # Production-hash winnowing twin (same pattern: no oracle,
+    # measured as an extra next to the parity row).
+    from firefox_public_data_report_etl_spark.plans.text import (
+        dedup_winnowing_pairs_prod,
+    )
+
+    for _ in range(2):
+        try:
+            dedup_winnowing_pairs_prod(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        except Exception as e:  # noqa: BLE001
+            errors["dedup_winnowing_xxhash64"] = f"{type(e).__name__}: {e}"[:500]
+            break
+    t = best_of_safe(
+        "dedup_winnowing_xxhash64",
+        lambda: dedup_winnowing_pairs_prod(spark, sf_dir).collect(),
+    )
+    if t is not None:
+        extra["dedup_winnowing_xxhash64"] = t
+
     # Round-4 additions, reported as extras (NOT in the headline total,
     # which stays the fixed round-over-round comparison set).
     for name in (

@@ -146,6 +146,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = FINGERPRINT_GRAM,
     w: int = WINNOW_W,
+    hash_mode: str = "parity",
 ) -> DataFrame:
     """Winnowing document fingerprints — the full Schleimer/Wilkerson/
     Aiken (SIGMOD 2003) selection rule, not the min-only "winnowing
@@ -182,12 +183,23 @@ def winnow_fingerprints(
         ).alias("pos0", "g"),
     )
     cap = _WINNOW_POS_CAP
+    if hash_mode == "parity":
+        h_sql = md5_int_spark_sql("g")
+    elif hash_mode == "xxhash64":
+        # production hash: 28-bit-masked xxHash64 — same key packing,
+        # no md5 hex materialization on the gram-position hot path
+        # (the dedup family's gram_hash_arrays convention); no DuckDB
+        # oracle exists for this mode, so it lives outside the
+        # registry and is pinned by guarantee/density tests instead
+        h_sql = f"(xxhash64(g) & {(1 << 28) - 1})"
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     keyed = grams.select(
         id_col,
         "n_grams",
         (F.col("pos0") + 1).alias("pos"),
         (
-            F.expr(md5_int_spark_sql("g")) * cap
+            F.expr(h_sql) * cap
             + (cap - 1 - (F.col("pos0") + 1))
         ).alias("key"),
     )

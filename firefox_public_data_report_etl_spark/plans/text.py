@@ -1369,6 +1369,41 @@ def _caption_vectors(
 CAP_EVAL_MOD = 10
 
 
+def dedup_winnowing_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``dedup_winnowing_pairs``: identical
+    selection/pair pipeline with ``hash_mode="xxhash64"`` (28-bit-
+    masked xxHash64). Not in the query registry — DuckDB has no
+    xxHash64, so no oracle; the guarantee and density tests pin its
+    behavior (any >= w+k-1 shared substring still shares a selected
+    fingerprint under ANY hash — the theorem is hash-agnostic), and
+    bench.py reports its wall time as an extra row (the hash swap
+    removes the md5 hex materialization from the gram-position hot
+    path, the dominant map-side cost of the winnowing family)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    sel = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), hash_mode="xxhash64"
+    ).select("doc_id", "h").distinct()
+    df_ok = (
+        sel.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    kept = sel.join(df_ok, "h")
+    a = kept.select(F.col("doc_id").alias("da"), "h")
+    b = kept.select(F.col("doc_id").alias("db"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_SHARED_MIN)
+    )
+
+
 def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing overlap probe — this week's batch
     (doc_id % 4 == 0, the established incremental split) mined for
