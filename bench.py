@@ -367,6 +367,7 @@ def main() -> None:
         "dedup_winnowing_incremental",
         "contamination_winnowing",
         "training_loader_capstone",
+        "corpus_mixture_capacity_refill",
     ):
         if name not in QUERIES:
             continue

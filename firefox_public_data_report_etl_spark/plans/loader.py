@@ -1102,10 +1102,148 @@ FROM walk GROUP BY shard, bin_id
 """
 
 
+# --- capacity-aware quota refill --------------------------------------
+#
+# A mixture quota can exceed a stratum's post-dedup capacity (the
+# fr=120 vs 64-survivor case below arises naturally whenever a
+# recipe up-weights a small language). The standard operational rule
+# is to redistribute the shortfall to strata with spare capacity, in
+# a DETERMINISTIC order. The greedy in-order fill has a closed form —
+# refill_i = clamp(pool − Σ_{j<i} cap_j, 0, cap_i) — so no sequential
+# walk or recursion is needed: one cumsum window over the LANG-grain
+# rollup (report-sized) computes the whole redistribution.
+REFILL_QUOTAS = {"de": 60, "en": 80, "es": 60, "fr": 120, "zh": 60}
+
+
+def corpus_mixture_capacity_refill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixture draw with capacity-aware shortfall redistribution:
+    quotas are drawn over the EXACT-DEDUP survivor set (keep-min-id
+    per content hash — the dedup_exact rule, so a duplicated corpus
+    cannot double-count toward a quota), each stratum takes
+    ``min(quota, capacity)`` by the portable md5 rank, and the unmet
+    shortfall pool refills strata with spare capacity in lang order
+    via the closed-form cumsum rule (module comment). Emits the
+    doc-grain taken set with ``via_refill`` marking docs admitted by
+    redistribution rather than their own stratum's quota.
+
+    Scale: one content-hash aggregate (32-byte keys), one
+    lang-partitioned rank window, and the refill arithmetic on the
+    LANG-grain rollup — the partition-less windows there run over
+    #languages rows by construction (REPORT_EDGE_WINDOWS)."""
+    from pyspark.sql import Window
+
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    keep = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = docs.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang"
+    )
+    h = F.expr(md5_int_spark_sql("cast(doc_id as string)"))
+    wr = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    ranked = surv.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    )
+    quota = F.lit(0)
+    for s, q in sorted(REFILL_QUOTAS.items()):
+        quota = F.when(F.col("lang") == s, F.lit(q)).otherwise(quota)
+    rollup = (
+        surv.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("quota", quota.cast("long"))
+        .withColumn("base", F.least("quota", "n"))
+        .withColumn("cap", F.col("n") - F.col("base"))
+        .withColumn(
+            "shortfall", F.greatest(F.col("quota") - F.col("n"), F.lit(0))
+        )
+    )
+    wall = Window.partitionBy()
+    wcum = (
+        Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = (
+        rollup.withColumn("pool", F.sum("shortfall").over(wall))
+        .withColumn(
+            "cumcap",
+            F.coalesce(F.sum("cap").over(wcum), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "refill",
+            F.greatest(
+                F.least(
+                    F.col("cap"), F.col("pool") - F.col("cumcap")
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("lang", "base", "refill")
+    )
+    return (
+        ranked.join(F.broadcast(filled), "lang")
+        .filter(F.col("rnk") <= F.col("base") + F.col("refill"))
+        .select(
+            "doc_id",
+            "lang",
+            "rnk",
+            (F.col("rnk") > F.col("base")).alias("via_refill"),
+        )
+    )
+
+
+def _capacity_refill_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {q}" for s, q in sorted(REFILL_QUOTAS.items())
+    )
+    rank_h = md5_int_sql("cast(doc_id as varchar)")
+    return f"""
+WITH d AS (SELECT doc_id, lang, text FROM documents),
+k AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+s AS (SELECT d.doc_id, d.lang FROM d JOIN k USING (doc_id)),
+r AS (SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY {rank_h}, doc_id)
+                  AS BIGINT) AS rnk
+      FROM s),
+L AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(CASE lang {cases} ELSE 0 END AS BIGINT) AS quota
+      FROM s GROUP BY lang),
+L2 AS (SELECT lang, n, quota,
+              least(quota, n) AS base,
+              n - least(quota, n) AS cap,
+              greatest(quota - n, 0) AS shortfall
+       FROM L),
+L3 AS (SELECT lang, base, cap,
+              CAST(sum(shortfall) OVER () AS BIGINT) AS pool,
+              CAST(COALESCE(sum(cap) OVER (ORDER BY lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cumcap
+       FROM L2),
+L4 AS (SELECT lang, CAST(base AS BIGINT) AS base,
+              CAST(greatest(least(cap, pool - cumcap), 0) AS BIGINT)
+                AS refill
+       FROM L3)
+SELECT r.doc_id, r.lang, r.rnk, (r.rnk > base) AS via_refill
+FROM r JOIN L4 USING (lang)
+WHERE r.rnk <= base + refill
+"""
+
+
 QUERIES = {
     "documents_row_ids": documents_row_ids,
     "chat_sft_assembly": chat_sft_assembly,
     "training_loader_capstone": training_loader_capstone,
+    "corpus_mixture_capacity_refill": corpus_mixture_capacity_refill,
     "training_epoch_order": training_epoch_order,
     "loader_shard_manifest": loader_shard_manifest,
     "packing_window_spans": packing_window_spans,
@@ -1124,6 +1262,7 @@ ORACLES = {
     "sft_pack_loss_mask": _sft_mask_oracle(),
     "chat_sft_assembly": _chat_assembly_oracle(),
     "training_loader_capstone": _loader_capstone_oracle(),
+    "corpus_mixture_capacity_refill": _capacity_refill_oracle(),
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),

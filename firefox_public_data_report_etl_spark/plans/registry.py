@@ -106,6 +106,12 @@ REPORT_EDGE_WINDOWS: dict[str, str] = {
         "constant), never on the token stream; the stream is reduced "
         "by a keyed groupBy first"
     ),
+    "corpus_mixture_capacity_refill": (
+        "pool/cumsum windows run on the LANG-grain rollup "
+        "(#languages rows by construction); the doc-grain work is a "
+        "lang-partitioned rank and a broadcast join of the "
+        "report-sized refill table"
+    ),
 }
 
 for _m in _MODULES:

@@ -620,3 +620,45 @@ def test_loader_capstone_composition_contract(spark, sf_dir):
     for w in windows:
         assert 0 < w.tokens_filled <= PACK_CAPACITY
         assert w.fill_ppm == (1_000_000 * w.tokens_filled) // PACK_CAPACITY
+
+
+def test_capacity_refill_closed_form(spark, sf_dir):
+    # recompute the greedy in-order redistribution in plain Python
+    # from survivor counts and pin the closed-form cumsum rule
+    from collections import Counter
+
+    from firefox_public_data_report_etl_spark.plans.loader import (
+        REFILL_QUOTAS,
+        corpus_mixture_capacity_refill,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    seen = {}
+    for r in docs:
+        seen.setdefault(
+            __import__("hashlib").md5(r.text.encode()).hexdigest(), []
+        ).append(r)
+    surv = Counter()
+    for rows in seen.values():
+        keeper = min(rows, key=lambda r: r.doc_id)
+        surv[keeper.lang] += 1
+    langs = sorted(surv)
+    base = {s: min(REFILL_QUOTAS.get(s, 0), surv[s]) for s in langs}
+    cap = {s: surv[s] - base[s] for s in langs}
+    pool = sum(max(0, REFILL_QUOTAS.get(s, 0) - surv[s]) for s in langs)
+    refill, cum = {}, 0
+    for s in langs:
+        refill[s] = max(0, min(cap[s], pool - cum))
+        cum += cap[s]
+    out = corpus_mixture_capacity_refill(spark, sf_dir).collect()
+    taken = Counter(r.lang for r in out)
+    via = Counter(r.lang for r in out if r.via_refill)
+    for s in langs:
+        assert taken.get(s, 0) == base[s] + refill[s], s
+        assert via.get(s, 0) == refill[s], s
+    for r in out:
+        assert (r.rnk > base[r.lang]) == bool(r.via_refill)
+        assert 1 <= r.rnk <= surv[r.lang]
+    # the fr quota genuinely overflows its capacity at every SF, so
+    # the redistribution path is exercised, not vacuous
+    assert pool > 0 and sum(refill.values()) > 0
