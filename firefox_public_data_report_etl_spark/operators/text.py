@@ -194,14 +194,32 @@ def winnow_fingerprints(
         h_sql = f"(xxhash64(g) & {(1 << 28) - 1})"
     else:
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    # Fail LOUDLY on documents whose gram-position count overflows the
+    # packed-key layout (pos >= CAP would go negative and let distinct
+    # hashes collide): the guard rides the same projection, costs
+    # nothing on conforming rows, and raises task-side at execution —
+    # no driver-side count, no silent corruption.
+    packed = F.expr(h_sql) * cap + (cap - 1 - (F.col("pos0") + 1))
     keyed = grams.select(
         id_col,
         "n_grams",
         (F.col("pos0") + 1).alias("pos"),
-        (
-            F.expr(h_sql) * cap
-            + (cap - 1 - (F.col("pos0") + 1))
-        ).alias("key"),
+        F.when(F.col("n_grams") < cap, packed)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("winnow_fingerprints: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" has >= {cap} gram positions"
+                        " (text longer than CAP + k - 1 chars) —"
+                        " exceeds the _WINNOW_POS_CAP packed-key"
+                        " layout; chunk or truncate the document"
+                    ),
+                )
+            )
+        )
+        .alias("key"),
     )
     win = (
         Window.partitionBy(id_col)

@@ -70,14 +70,16 @@ def cross_winnow_pairs(
     b_sel: DataFrame,
     max_df: int,
     shared_min: int,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(base_id, batch_id, shared) — the ONE shared pair-mining join
     both the registry form and the index probe run: document
     frequency per fingerprint over a ∪ b, boilerplate cap, bucketed
     equi-join, shared-count threshold. Inputs carry distinct
-    (doc_id, h)."""
-    a = a_sel.select(F.col("doc_id").alias("base_id"), "h")
-    b = b_sel.select(F.col("doc_id").alias("batch_id"), "h")
+    (id_col, h); ``id_col`` follows the index meta so an index built
+    with a non-default id column probes correctly."""
+    a = a_sel.select(F.col(id_col).alias("base_id"), "h")
+    b = b_sel.select(F.col(id_col).alias("batch_id"), "h")
     df_h = (
         a.select("h").union(b.select("h"))
         .groupBy("h")
@@ -233,6 +235,7 @@ def probe_winnow_index(
         batch_sel.select(id_col, "h"),
         m["max_df"],
         m["shared_min"],
+        id_col=id_col,
     )
     return WinnowProbe(
         pairs=pairs, sel_rows=batch_sel, persisted=[batch_sel]

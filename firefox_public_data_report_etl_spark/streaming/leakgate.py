@@ -30,9 +30,11 @@ one label write. Eval history is never rescanned.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 from firefox_public_data_report_etl_spark.operators.incremental import (
     _require_local_dir,
@@ -45,6 +47,22 @@ from firefox_public_data_report_etl_spark.sources.tables import (
 )
 
 DECISION_SCHEMA = "doc_id long, leaked boolean, n_partners long, bl long"
+
+
+def _accepted_schema_path(store: str) -> Path:
+    return Path(store) / "accepted_schema.json"
+
+
+def _persist_accepted_schema(store: str, schema: StructType) -> None:
+    """Pin the accepted slice's schema as a tiny side file (the same
+    move as the winnow index's meta row): an all-rejected run leaves
+    accepted/ holding only _SUCCESS, and schema inference over that is
+    an AnalysisException — with the pinned schema it reads as EMPTY,
+    honoring the gate family's all-tripped-reads-as-empty contract.
+    Idempotent: replay rewrites the identical JSON."""
+    p = _accepted_schema_path(store)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(schema.jsonValue()))
 
 
 def leak_gate_batch(
@@ -79,6 +97,7 @@ def leak_gate_batch(
     clean = batch_docs.join(
         decisions.filter(~F.col("leaked")).select("doc_id"), "doc_id"
     ).withColumn("bl", F.lit(label).cast("long"))
+    _persist_accepted_schema(store, clean.schema)
     with partition_overwrite_mode(spark, "dynamic"):
         clean.write.partitionBy("bl").mode("overwrite").parquet(
             f"{store}/accepted"
@@ -93,8 +112,18 @@ def leak_gate_batch(
 
 def read_accepted(spark: SparkSession, store: str) -> DataFrame:
     """Accepted rows of COMMITTED batches (decision slice present) —
-    the crash-window contract shared with the other gates."""
-    acc = spark.read.parquet(f"{store}/accepted")
+    the crash-window contract shared with the other gates. A store
+    where every batch had all rows rejected (accepted/ exists but
+    holds no data files) reads as EMPTY via the pinned schema, not as
+    an inference error — same contract as driftgate.read_accepted."""
+    schema_path = _accepted_schema_path(store)
+    if schema_path.exists():
+        schema = StructType.fromJson(json.loads(schema_path.read_text()))
+        if not (Path(store) / "accepted").exists():
+            return spark.createDataFrame([], schema).drop("bl")
+        acc = spark.read.schema(schema).parquet(f"{store}/accepted")
+    else:
+        acc = spark.read.parquet(f"{store}/accepted")
     ok = (
         spark.read.schema(DECISION_SCHEMA)
         .parquet(f"{store}/decisions")

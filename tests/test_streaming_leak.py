@@ -150,3 +150,29 @@ def test_stream_wiring_three_triggers(spark, tmp_path):
     acc = {r.doc_id for r in read_accepted(spark, store).collect()}
     assert acc == {100, 101, 102}
     assert read_decisions(spark, store).filter("leaked").count() == 1
+
+
+def test_all_rejected_store_reads_as_empty(spark, tmp_path):
+    """The gate-family contract: a store where EVERY row of every
+    batch was rejected reads as empty, not as an inference error
+    (accepted/ holds only _SUCCESS — the pinned schema types it)."""
+    idx = str(tmp_path / "evalidx")
+    store = str(tmp_path / "store")
+    build_winnow_index(_eval_docs(spark), idx)
+    batch = _batch(
+        spark,
+        [(200, "verbatim leak " + LEAK + " again"),
+         (201, "second copy of " + LEAK + " too")],
+    )
+    leak_gate_batch(spark, batch, idx, store, batch_id=0)
+    acc = read_accepted(spark, store)
+    assert acc.count() == 0
+    assert dict(acc.dtypes) == {"doc_id": "bigint", "text": "string"}
+    dec = {r.doc_id: r.leaked for r in read_decisions(spark, store).collect()}
+    assert dec == {200: True, 201: True}
+    # a later clean batch heals the store back to non-empty
+    leak_gate_batch(
+        spark, _batch(spark, [(300, "totally clean fresh text")]),
+        idx, store, batch_id=1,
+    )
+    assert {r.doc_id for r in read_accepted(spark, store).collect()} == {300}

@@ -136,3 +136,23 @@ def test_contamination_winnowing_planted_span(spark):
     got = {(r.base_id, r.batch_id) for r in pairs.collect()}
     assert (1, 11) in got
     assert all(b != 10 for _, b in got)
+
+
+def test_custom_id_col_probe(spark, tmp_path):
+    """An index built with a non-default id column probes end-to-end:
+    cross_winnow_pairs follows the meta's id_col instead of assuming
+    'doc_id' (round-11 ADVICE fix)."""
+    base = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely unrelated base document text content here")],
+        "item_id long, body string",
+    )
+    batch = spark.createDataFrame(
+        [(90, "copies the quick brown fox jumps over the lazy dog"),
+         (91, "fresh novel content with zero shared substrings xyz")],
+        "item_id long, body string",
+    )
+    path = str(tmp_path / "ididx")
+    build_winnow_index(base, path, id_col="item_id", text_col="body")
+    got = _pairs(probe_winnow_index(spark, path, batch))
+    assert [(b, q) for b, q, _ in got] == [(10, 90)]

@@ -121,3 +121,26 @@ def test_production_hash_mode_keeps_guarantee_and_density(spark, sf_dir):
     total_sel = sum(r.n_sel for r in agg)
     total_win = sum(r.n_grams - (WINNOW_W - 1) for r in agg)
     assert 0.1 < total_sel / total_win < 0.5
+
+
+def test_pos_cap_overflow_fails_loudly(spark):
+    """A document with >= _WINNOW_POS_CAP gram positions must raise at
+    execution, not silently pack colliding keys (round-11 ADVICE fix).
+    Exercised with a tiny temporary cap via monkeypatched constant —
+    the guard reads the module constant at plan-build time."""
+    import pytest
+    from firefox_public_data_report_etl_spark.operators import text as T
+
+    doc = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijkl")],
+        "doc_id long, text string",
+    )
+    old = T._WINNOW_POS_CAP
+    T._WINNOW_POS_CAP = 16  # doc has 48 - 4ks... > 16 gram positions
+    try:
+        with pytest.raises(Exception, match="_WINNOW_POS_CAP"):
+            T.winnow_fingerprints(doc).collect()
+    finally:
+        T._WINNOW_POS_CAP = old
+    # conforming doc still selects fine at the real cap
+    assert T.winnow_fingerprints(doc).count() > 0
