@@ -7,8 +7,9 @@ COMPACT JSON line (<1 KB) as the LAST stdout line: {"metric", "value"
 (total sec), "unit", "queries" {headline name: sec}, "sf",
 "floor_sec", controls, error/extra counts}. The driver keeps only the
 last ~2 KB of stdout, so the compact line is the parseable artifact;
-the FULL payload (all ~150 extra rows + scale classification) is
-written to BENCHLINE_r10.json next to this script.
+the FULL payload (every non-headline registry query as an extra row,
+~215 rows, + scale classification + logged exclusions) is
+written to BENCHLINE_r11.json next to this script.
 
 Methodology: steady-state wall time — JVM/session startup excluded,
 plans JIT/codegen-warmed at sf0.001, then each query measured as the
@@ -207,170 +208,16 @@ def main() -> None:
     if t is not None:
         extra["dedup_winnowing_xxhash64"] = t
 
-    # Round-4 additions, reported as extras (NOT in the headline total,
-    # which stays the fixed round-over-round comparison set).
-    for name in (
-        "session_window_rollup",
-        "click_purchase_pairs_weekly",
-        "sequence_packing",
-        "train_eval_contamination",
-        "contamination_bloom_probe",
-        "session_incident_overlap",
-        "corpus_boilerplate",
-        "pii_redaction",
-        "corpus_curation_pipeline",
-        "kmeans_lloyd_refine",
-        # round-6 additions
-        "corpus_curation_pipeline_neardup",
-        "addon_users_blocklisted",
-        "pricing_summary_decimal",
-        "ann_ivf_multiprobe",
-        "dedup_semantic",
-        "dedup_simhash",
-        "approx_users_sketch",
-        "retention_theta_sketch",
-        "token_heavy_hitters",
-        "always_active_users_theta",
-        "variant_props_rollup",
-        "data_quality_audit",
-        "document_chunks",
-        # round-7 additions
-        "dedup_incremental",
-        "dedup_lines_c4",
-        "corpus_lm_quality",
-        "corpus_curation_pipeline_lm",
-        "corpus_lm_quality_bigram",
-        "multimodal_bmp_decode",
-        "corpus_ccnet_buckets",
-        "bpe_merge_table",
-        "train_eval_contamination_fuzzy",
-        "dedup_semantic_incremental",
-        "ann_ivf_pq",
-        "contrastive_hard_negatives",
-        "corpus_mixture_sample",
-        # round-8 additions
-        "corpus_ccnet_buckets_scaled",
-        "ann_ivf_pq_rerank",
-        "bpe_encode_corpus",
-        "sequence_packing_bpe",
-        "corpus_mixture_temperature",
-        "multimodal_ppm_decode",
-        "ann_ivf_pq_residual",
-        "corpus_dsir_sample",
-        "source_overlap_matrix",
-        "corpus_snapshot_diff",
-        "tokenizer_fertility",
-        "gopher_quality_filter",
-        "curriculum_shards",
-        "embedding_diversity_sample",
-        "embedding_cluster_purity",
-        "corpus_curation_pipeline_full",
-        "training_export_manifest",
-        "corpus_datasheet",
-        "corpus_bm25_topk",
-        "retrieval_hybrid_rrf",
-        "dedup_clusters_scaled",
-        "corpus_quality_classifier",
-        "doc_embedding_hashproj",
-        "retrieval_hashproj_topk",
-        "multimodal_wav_decode",
-        "multimodal_resize",
-        "key_skew_audit_events",
-        "retrieval_hashproj_ivf",
-        "quality_classifier_eval",
-        "adaptive_salted_distinct",
-        "retrieval_rag_chunks",
-        "dedup_repeated_substrings",
-        "dedup_substring_scrub",
-        # round-8 second-session additions
-        "user_state_scd2",
-        "funnel_conversion",
-        "cohort_retention",
-        "event_transition_matrix",
-        "weekly_rollup_ivm",
-        "customer_order_histogram",
-        "doc_pagerank",
-        "part_entity_resolution",
-        "token_lift_pairs",
-        "corpus_moore_lewis",
-        "corpus_group_split",
-        "multimodal_scene_cuts",
-        "hopping_event_counts",
-        "cumulative_unique_users",
-        "part_name_fuzzy_matches",
-        "dedup_keep_best_lm",
-        "graph_triangle_count",
-        "part_entity_resolution_scaled",
-        "nation_trade_matrix",
-        "customer_rfm_quartiles",
-        # round-8 third-session additions
-        "order_priority_counts",
-        "returned_item_top_customers",
-        "top_revenue_supplier",
-        "disjunctive_promo_revenue",
-        "important_parts_share",
-        "idle_customers_by_code",
-        "min_cost_supplier",
-        "waiting_suppliers",
-        "graph_kcore",
-        "weekly_event_anomalies",
-        "embedding_pca_project",
-        "last_touch_attribution",
-        "k_anonymity_audit",
-        "multimodal_audio_vad",
-        "ab_experiment_readout",
-        "events_pit_enrich",
-        "embedding_outlier_knn",
-        "discounted_revenue",
-        "part_token_profit",
-        "dominant_part_suppliers",
-        "graph_lpa_communities",
-        "first_touch_attribution",
-        "user_trailing_hour_stats",
-        # round-9 additions
-        "multimodal_image_neardup",
-        "multimodal_audio_neardup",
-        "multimodal_image_dedup",
-        "multimodal_dedup_incremental",
-        "multimodal_video_neardup",
-        "multimodal_image_quality_filter",
-        "multimodal_audio_quality_filter",
-        "dedup_multimodal_joint",
-        "multimodal_curation_pipeline",
-        "multimodal_export_manifest",
-        "multimodal_audio_curation",
-        "unigram_vocab_table",
-        "unigram_encode_corpus",
-        "tokenizer_fertility_ab",
-        "documents_row_ids",
-        "training_epoch_order",
-        "loader_shard_manifest",
-        "packing_window_spans",
-        "mixture_schedule_anneal",
-        "training_export_decontaminated",
-        "corpus_mixture_upsample",
-        "length_grouped_batches",
-        "corpus_mixture_token_budget",
-        "shuffle_quality_audit",
-        "packing_efficiency_report",
-        "sequence_packing_nosplit",
-        "chat_sft_assembly",
-        "corpus_drift_audit",
-        "document_winnowing",
-        "dedup_winnowing_pairs",
-        "corpus_bootstrap_ci",
-        "embedding_drift_audit",
-        "retrieval_eval_ann",
-        "multimodal_caption_retrieval",
-        "tokenizer_tail_audit",
-        "lsh_parameter_planner",
-        "dedup_winnowing_incremental",
-        "contamination_winnowing",
-        "training_loader_capstone",
-        "corpus_mixture_capacity_refill",
-    ):
-        if name not in QUERIES:
-            continue
+    # Registry-derived extras (round-11 verdict #3): EVERY registry
+    # query that is not a headline is measured — no silent coverage
+    # cap. Anything dropped must be listed here WITH a reason, and the
+    # exclusions are logged in the payload so a missing row reads as a
+    # decision, not an oversight.
+    EXCLUDED_EXTRAS: dict[str, str] = {}
+    extra_names = sorted(
+        set(QUERIES) - set(HEADLINE) - set(EXCLUDED_EXTRAS)
+    )
+    for name in extra_names:
         for _ in range(2):
             try:
                 QUERIES[name](spark, "/root/testdata/sf0.001").collect()
@@ -410,12 +257,13 @@ def main() -> None:
         "duck_control_post_sec": duck_control_post_sec,
         "scale_class": scale_class,
         "errors": errors,
+        "excluded_extras": EXCLUDED_EXTRAS,
     }
     # Full payload -> file (the judge reads it); compact line -> stdout
     # (the driver parses the LAST line out of a 2 KB tail, so it must
     # stay well under that even as the extras list grows).
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCHLINE_r10.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCHLINE_r11.json"
     )
     try:
         with open(full_path, "w") as f:

@@ -163,6 +163,178 @@ def cosine_topk_matmul_f32(
     )
 
 
+def pair_dots_matmul(
+    queries,
+    candidates,
+    q_id: str = "q_id",
+    q_vec: str = "qv",
+    c_id: str = "c_id",
+    c_vec: str = "cv",
+):
+    """ALL-PAIRS exact int64 dot products as one numpy matmul per
+    Arrow batch (round-11 verdict #1): the (small by contract) query
+    matrix rides in the task closure while candidates stream through
+    ``mapInPandas`` — candidates never shuffle, and the per-pair
+    interpreted ``F.aggregate(F.zip_with(...))`` HOF that made the
+    caption-retrieval eval 7× slower than the same-shape
+    ``cosine_topk_matmul`` is replaced by ``c_mat @ q_mat.T``.
+
+    Unlike ``cosine_topk_matmul`` this emits EVERY (query, candidate)
+    pair — callers that need exact global ranks (retrieval evals
+    reporting where the truth row landed) can't pre-prune — plus each
+    candidate's self-norm ``c_norm`` so the caller doesn't pay an
+    interpreted per-row 64-element norm aggregate either. All values
+    are exact int64, so any downstream fixed-point scoring stays
+    bit-identical to the expression form and the DuckDB oracle."""
+    qrows = queries.select(q_id, q_vec).collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    q_mat = (
+        np.asarray([r[1] for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+
+    def _dots(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            c_mat = np.stack(
+                pdf[c_vec].map(lambda v: np.asarray(v, dtype=np.int64))
+            )
+            dots = c_mat @ q_mat.T  # (batch, nq) exact int64
+            c_norms = np.einsum("ij,ij->i", c_mat, c_mat)
+            c_ids = pdf[c_id].to_numpy(dtype=np.int64)
+            nq = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids[None, :], len(pdf), axis=0).ravel(),
+                    "c_id": np.repeat(c_ids, nq),
+                    "dot": dots.ravel(),
+                    "c_norm": np.repeat(c_norms, nq),
+                }
+            )
+
+    return candidates.mapInPandas(
+        _dots, "q_id long, c_id long, dot long, c_norm long"
+    )
+
+
+def retrieval_rank_eval_matmul(queries, candidates, scale: int):
+    """Exact retrieval-rank eval WITHOUT materializing the |Q|×|C|
+    pair relation (round-11 verdict #1): for each query (with a
+    designated truth candidate) report the truth row's exact global
+    rank under (signed fixed-point cos² DESC, candidate id ASC) and
+    the global top-1 — the same outputs as scoring every pair and
+    window-ranking it, but each Arrow batch of candidates reduces to
+    ONE row per query (rank = 1 + Σ batch counts beating the truth
+    score; top-1 = max over batch winners), so nothing pair-sized is
+    ever emitted, shuffled, or sorted.
+
+    Arithmetic is exact int64 end-to-end and replays the Catalyst/
+    DuckDB fixed-point rule bit-identically:
+    ``sfp = 0 if na*nb == 0 else sign(dot) * ((dot*dot*scale) DIV
+    (na*nb))`` — all operands non-negative at the division, so
+    numpy floor-div == Spark DIV == DuckDB //. Tests pin this equal
+    to the window-over-`pair_dots_matmul` form.
+
+    Inputs: ``queries`` (q_id, qv, truth_id) — small by contract,
+    collected into the task closure; ``candidates`` (c_id, cv) —
+    PERSISTED here because the truth vectors are collected from the
+    same relation before the streaming pass (one compute of an
+    expensive upstream, e.g. the image decode).
+    Output: (q_id, truth_id, truth_rank, top1_id, top1_is_truth);
+    truth_rank = 0 when the truth candidate does not exist."""
+    qrows = queries.select("q_id", "qv", "truth_id").collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            "q_id long, truth_id long, truth_rank long,"
+            " top1_id long, top1_is_truth boolean",
+        )
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in qrows], dtype=np.int64)
+    truth_ids = np.asarray([r[2] for r in qrows], dtype=np.int64)
+    q_norm = np.einsum("ij,ij->i", q_mat, q_mat)
+
+    cands = candidates.persist()
+    t_rows = {
+        r[0]: np.asarray(r[1], dtype=np.int64)
+        for r in cands.filter(
+            F.col("c_id").isin([int(t) for t in set(truth_ids.tolist())])
+        ).collect()
+    }
+    has_truth = np.asarray([t in t_rows for t in truth_ids.tolist()])
+    t_sfp = np.zeros(len(q_ids), dtype=np.int64)
+    for j, t in enumerate(truth_ids.tolist()):
+        if t in t_rows:
+            dot = int(t_rows[t] @ q_mat[j])
+            den = int(t_rows[t] @ t_rows[t]) * int(q_norm[j])
+            if den != 0:
+                mag = (dot * dot * scale) // den
+                t_sfp[j] = mag if dot >= 0 else -mag
+    id_max = np.iinfo(np.int64).max
+
+    def _reduce(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.stack(
+                pdf["cv"].map(lambda v: np.asarray(v, dtype=np.int64))
+            )
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            dots = c_mat @ q_mat.T  # (b, nq) exact int64
+            na = np.einsum("ij,ij->i", c_mat, c_mat)
+            den = na[:, None] * q_norm[None, :]
+            mag = (dots * dots * scale) // np.where(den == 0, 1, den)
+            sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
+            beats = (sfp > t_sfp[None, :]) | (
+                (sfp == t_sfp[None, :]) & (c_ids[:, None] < truth_ids[None, :])
+            )
+            cnt = np.where(has_truth, beats.sum(axis=0), 0)
+            top_sfp = sfp.max(axis=0)
+            top_img = np.where(
+                sfp == top_sfp[None, :], c_ids[:, None], id_max
+            ).min(axis=0)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids,
+                    "cnt": cnt.astype(np.int64),
+                    "top1_sfp": top_sfp,
+                    "top1_id": top_img,
+                }
+            )
+
+    partial = cands.mapInPandas(
+        _reduce, "q_id long, cnt long, top1_sfp long, top1_id long"
+    )
+    meta = queries.sparkSession.createDataFrame(
+        [
+            (int(q), int(t), bool(p))
+            for q, t, p in zip(q_ids.tolist(), truth_ids.tolist(), has_truth.tolist())
+        ],
+        "q_id long, truth_id long, has_truth boolean",
+    )
+    agg = partial.groupBy("q_id").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max(
+            F.struct(F.col("top1_sfp"), (-F.col("top1_id")).alias("neg_id"))
+        ).alias("t1"),
+    )
+    return (
+        agg.join(F.broadcast(meta), "q_id")
+        .select(
+            "q_id",
+            "truth_id",
+            F.when(F.col("has_truth"), F.col("cnt") + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("truth_rank"),
+            (-F.col("t1.neg_id")).alias("top1_id"),
+            (-F.col("t1.neg_id") == F.col("truth_id")).alias("top1_is_truth"),
+        )
+    )
+
+
 def ivf_assign(vectors, centroids, id_col: str = "vec_id", nprobe: int = 1):
     """IVF coarse quantizer: assign every vector to its ``nprobe``
     nearest centroids by exact quantized cosine (ties → lowest

@@ -331,3 +331,78 @@ def test_power_iteration_zero_matrix_degenerate():
 
     v = power_iteration_fixed([], 4, n_iter=3, scale=10)
     assert v == [10, 10, 10, 10]
+
+
+def test_rank_eval_matmul_matches_window_form(spark):
+    """retrieval_rank_eval_matmul (per-batch rank reduction, round-11
+    verdict #1) is pinned EQUAL to scoring every pair through
+    pair_dots_matmul and window-ranking it — exact truth rank, top-1
+    and tie rules included, plus the missing-truth -> rank 0 case."""
+    import random
+
+    from pyspark.sql import Window
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        pair_dots_matmul,
+        retrieval_rank_eval_matmul,
+    )
+
+    rnd = random.Random(7)
+    dim, scale = 8, 10000
+    cands = [
+        (i, [rnd.randint(-5, 5) for _ in range(dim)]) for i in range(60)
+    ]
+    # duplicate vectors to force score ties; a zero vector for na=0
+    cands[10] = (10, list(cands[3][1]))
+    cands[11] = (11, [0] * dim)
+    queries = [
+        (100 + j, [rnd.randint(-5, 5) for _ in range(dim)],
+         j if j < 6 else 9999)  # q with truth_id 9999 -> missing
+        for j in range(12)
+    ]
+    cdf = spark.createDataFrame(cands, "c_id long, cv array<long>")
+    qdf = spark.createDataFrame(
+        queries, "q_id long, qv array<long>, truth_id long"
+    )
+    got = {
+        r.q_id: (r.truth_id, r.truth_rank, r.top1_id, r.top1_is_truth)
+        for r in retrieval_rank_eval_matmul(qdf, cdf, scale).collect()
+    }
+    pairs = pair_dots_matmul(
+        qdf.select("q_id", "qv"), cdf, q_vec="qv"
+    )
+    qn = qdf.select(
+        "q_id",
+        "truth_id",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("nb"),
+    )
+    sfp = pairs.join(qn, "q_id").withColumn(
+        "score_fp",
+        F.expr(
+            f"CASE WHEN c_norm * nb = 0 THEN CAST(0 AS BIGINT)"
+            f" WHEN dot >= 0 THEN (dot * dot * {scale}) DIV (c_norm * nb)"
+            f" ELSE -((dot * dot * {scale}) DIV (c_norm * nb)) END"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_fp"), F.asc("c_id"))
+    ranked = sfp.withColumn("rank", F.row_number().over(w).cast("long"))
+    want = {
+        r.q_id: (r.truth_id, r.truth_rank, r.top1_id, r.top1_is_truth)
+        for r in ranked.groupBy("q_id")
+        .agg(
+            F.first("truth_id").alias("truth_id"),
+            F.coalesce(
+                F.max(F.when(F.col("c_id") == F.col("truth_id"), F.col("rank"))),
+                F.lit(0),
+            ).cast("long").alias("truth_rank"),
+            F.max(F.when(F.col("rank") == 1, F.col("c_id"))).alias("top1_id"),
+            F.max(
+                F.when(F.col("rank") == 1, F.col("c_id") == F.col("truth_id"))
+            ).alias("top1_is_truth"),
+        )
+        .collect()
+    }
+    assert got == want
+    missing = [q for q in got if got[q][1] == 0]
+    assert missing, "at least one missing-truth query must exercise rank 0"
