@@ -186,8 +186,18 @@ def md5_sign_sql(expr: str, dm: str) -> str:
 def md5_sign_spark_sql(expr: str, dm: str) -> str:
     """Spark-dialect twin of `md5_sign_sql` (conv + shiftright);
     identical values, pinned by tests."""
+    return md5_sign_from_hash_spark_sql(f"md5({expr})", dm)
+
+
+def md5_sign_from_hash_spark_sql(hash_expr: str, dm: str) -> str:
+    """`md5_sign_spark_sql` split at the hash: callers that project
+    all CAP_DIM signs of ONE token inside a `transform` lambda hoist
+    ``md5(token)`` to a per-row column and pass it here — Catalyst
+    evaluates lambda bodies per element, so the unhoisted form pays
+    dims× md5 calls per token row (measured ~3.5 s of the caption
+    embed at sf0.1). Values are identical by construction."""
     nib = (
-        f"CAST(conv(substr(md5({expr}),"
+        f"CAST(conv(substr({hash_expr},"
         f" CAST(({dm}) DIV 4 AS INT) + 1, 1), 16, 10) AS BIGINT)"
     )
     return f"(1 - 2 * (shiftright({nib}, CAST(({dm}) % 4 AS INT)) % 2))"

@@ -1546,3 +1546,96 @@ def decode_caption_grid(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "gray"])
 
     return media.mapInPandas(_decode, CAPGRID_SCHEMA)
+
+
+# per-worker memo of each token's CAP_DIM sign row: the joint-space
+# vocabulary is tiny (CAP_CELLS positions × ~32 gray buckets + the
+# filler words ≈ 800 tokens), so the md5 count collapses from
+# tokens×docs to the vocab size
+_CAP_SIGN_CACHE: dict = {}
+
+
+def _md5_sign_row(token: str):
+    """CAP_DIM signs of one token — the PYTHON dialect of
+    functions.core.md5_sign_sql / md5_sign_spark_sql: one md5 of the
+    UTF-8 token, hex nibble ``dm DIV 4``, bit ``dm % 4``, sign
+    ``1 - 2*bit``. Pinned against the Spark/DuckDB dialects in
+    tests/test_caption_align.py::test_sign_dialect_parity."""
+    import hashlib
+
+    import numpy as np
+
+    v = _CAP_SIGN_CACHE.get(token)
+    if v is None:
+        h = hashlib.md5(token.encode("utf-8")).hexdigest()
+        v = np.asarray(
+            [
+                1 - 2 * ((int(h[dm >> 2], 16) >> (dm & 3)) & 1)
+                for dm in range(CAP_DIM)
+            ],
+            dtype=np.int64,
+        )
+        _CAP_SIGN_CACHE[token] = v
+    return v
+
+
+def _embed_token_bag(tokens):
+    """Exact int64 joint-space vector of a token bag: Σ tf · sign(w).
+    Order-independent, so identical to the Catalyst groupBy+sum form
+    and the DuckDB oracle bit-for-bit."""
+    from collections import Counter
+
+    import numpy as np
+
+    v = np.zeros(CAP_DIM, dtype=np.int64)
+    for tok, tf in Counter(tokens).items():
+        v += tf * _md5_sign_row(tok)
+    return v
+
+
+def caption_image_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, v) image vectors of the caption joint space as ONE
+    fused Arrow stage: payload synthesis → REAL BMP decode → gray
+    cells → position-tagged visual words → signed md5 projection —
+    nothing gram-grain ever crosses the wire or shuffles (the
+    unfused form exploded 25 tokens/image, shuffled them to a
+    (media, word) aggregate, and re-aggregated 64 sums: three
+    Catalyst stages whose compile+shuffle overhead dominated the
+    caption family's bench rows). Values are pinned bit-identical to
+    the byte-free DuckDB recompute by every caption-family oracle."""
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                _w, _h, rgb = decode_bmp24(
+                    encode_bmp24(_ndimg_rule_rgb(mid))
+                )
+                toks = visual_words(caption_gray_cells(rgb))
+                rows.append((mid, _embed_token_bag(toks).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "v"])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _emb, "media_id long, v array<long>"
+    )
+
+
+def caption_text_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, v) caption vectors of the joint space, same fused
+    Arrow shape as ``caption_image_vectors`` (captions come from the
+    LOGICAL pixel rule of the described image — the generator never
+    sees bytes, so decode bugs cannot cancel out)."""
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                toks = caption_text(mid).split(" ")
+                rows.append((mid, _embed_token_bag(toks).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "v"])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _emb, "media_id long, v array<long>"
+    )

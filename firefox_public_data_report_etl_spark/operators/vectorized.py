@@ -219,6 +219,60 @@ def pair_dots_matmul(
     )
 
 
+def fixedpoint_topk_superset(queries, candidates, k: int, scale: int):
+    """Per-Arrow-batch top-k SUPERSET under the signed fixed-point
+    cos² metric — the `cosine_topk_matmul` pre-selection argument
+    applied to the caption family's integer score: any row in the
+    GLOBAL top-k for query j is necessarily within the top-k of its
+    own batch (k rows beating it in its batch would beat it
+    globally), so keeping each batch's k best rows per query (ties at
+    the boundary INCLUDED — a superset, never a tiebreak decision)
+    provably preserves the exact global top-k that the caller's
+    Catalyst window computes. Emits (q_id, c_id, dot, c_norm) —
+    ~k·|Q| rows per batch instead of |batch|·|Q| — with all values
+    exact int64 so downstream scoring is bit-identical."""
+    qrows = queries.select("q_id", "qv").collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    q_mat = (
+        np.asarray([r[1] for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    q_norm = np.einsum("ij,ij->i", q_mat, q_mat)
+
+    def _select(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            c_mat = np.stack(
+                pdf["cv"].map(lambda v: np.asarray(v, dtype=np.int64))
+            )
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            dots = c_mat @ q_mat.T
+            na = np.einsum("ij,ij->i", c_mat, c_mat)
+            den = na[:, None] * q_norm[None, :]
+            mag = (dots * dots * scale) // np.where(den == 0, 1, den)
+            sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
+            if len(pdf) > k:
+                kth = np.partition(sfp, len(pdf) - k, axis=0)[len(pdf) - k]
+                keep = sfp >= kth[None, :]
+            else:
+                keep = np.ones_like(sfp, dtype=bool)
+            ci, qj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qj],
+                    "c_id": c_ids[ci],
+                    "dot": dots[ci, qj],
+                    "c_norm": na[ci],
+                }
+            )
+
+    return candidates.mapInPandas(
+        _select, "q_id long, c_id long, dot long, c_norm long"
+    )
+
+
 def retrieval_rank_eval_matmul(queries, candidates, scale: int):
     """Exact retrieval-rank eval WITHOUT materializing the |Q|×|C|
     pair relation (round-11 verdict #1): for each query (with a
@@ -244,8 +298,10 @@ def retrieval_rank_eval_matmul(queries, candidates, scale: int):
     expensive upstream, e.g. the image decode).
     Output: (q_id, truth_id, truth_rank, top1_id, top1_is_truth);
     truth_rank = 0 when the truth candidate does not exist."""
+    cands = candidates.persist()
     qrows = queries.select("q_id", "qv", "truth_id").collect()
     if not qrows:
+        cands.unpersist()
         return queries.sparkSession.createDataFrame(
             [],
             "q_id long, truth_id long, truth_rank long,"
@@ -256,7 +312,6 @@ def retrieval_rank_eval_matmul(queries, candidates, scale: int):
     truth_ids = np.asarray([r[2] for r in qrows], dtype=np.int64)
     q_norm = np.einsum("ij,ij->i", q_mat, q_mat)
 
-    cands = candidates.persist()
     t_rows = {
         r[0]: np.asarray(r[1], dtype=np.int64)
         for r in cands.filter(

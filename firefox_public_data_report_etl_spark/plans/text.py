@@ -1303,18 +1303,29 @@ def _caption_align_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _caption_vectors(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cap_pred=None
 ) -> tuple[DataFrame, DataFrame]:
     """(image vectors ``qi``, caption vectors ``qc``) at media grain —
     the shared joint-space embedding both caption queries and the
-    retrieval eval consume. Same plan as before the round-10
-    refactor; only the pairing differs per caller."""
+    retrieval eval consume. Each side is ONE fused Arrow stage
+    (operators/multimodal.py:caption_image_vectors /
+    caption_text_vectors): synth → real decode → tokens → signed md5
+    projection, nothing gram-grain crossing the wire — the unfused
+    Catalyst chain (posexplode → word aggregate → 64-sum aggregate)
+    paid two shuffles plus its compile time on every caption-family
+    bench row. Values are bit-identical (every caption oracle pins
+    the byte-free DuckDB recompute; the Python sign dialect is pinned
+    in test_sign_dialect_parity).
+
+    ``cap_pred`` (a Column predicate over ``doc_id``) restricts the
+    CAPTION side before the generator stage: caption synthesis is a
+    mapInPandas, so a later media_id filter cannot push through it —
+    the retrieval evals, which only embed the eval captions, pass
+    their eval predicate here and skip ~70% of the caption-side work
+    (the image side is always full: every image is a candidate)."""
     from firefox_public_data_report_etl_spark.operators.multimodal import (
-        CAP_DIM,
-        CAP_Q,
-        attach_captions,
-        attach_neardup_bmp_payload,
-        decode_caption_grid,
+        caption_image_vectors,
+        caption_text_vectors,
     )
     from firefox_public_data_report_etl_spark.operators.parallelism import (
         widen_partitions,
@@ -1323,44 +1334,9 @@ def _caption_vectors(
     docs = widen_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
-
-    def embed(tok: DataFrame) -> DataFrame:
-        sarr = F.expr(
-            f"transform(sequence(0, {CAP_DIM - 1}),"
-            f" dm -> tf * {md5_sign_spark_sql('w', 'dm')})"
-        )
-        return (
-            tok.groupBy("media_id", "w")
-            .agg(F.count("*").cast("long").alias("tf"))
-            .select("media_id", sarr.alias("s"))
-            .groupBy("media_id")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.element_at("s", i + 1)).cast("long")
-                        for i in range(CAP_DIM)
-                    ]
-                ).alias("v")
-            )
-        )
-
-    grid = decode_caption_grid(attach_neardup_bmp_payload(docs))
-    img_tok = grid.select(
-        "media_id", F.posexplode("gray").alias("i", "g")
-    ).select(
-        "media_id",
-        F.concat(
-            F.lit("v"),
-            F.col("i").cast("string"),
-            F.lit("b"),
-            F.expr(f"CAST(g DIV {CAP_Q} AS STRING)"),
-        ).alias("w"),
-    )
-    cap_tok = attach_captions(docs).select(
-        "media_id", F.explode(F.split("caption", " ")).alias("w")
-    )
-    vi = embed(img_tok).withColumnRenamed("v", "qi")
-    vc = embed(cap_tok).withColumnRenamed("v", "qc")
+    cap_docs = docs if cap_pred is None else docs.filter(cap_pred)
+    vi = caption_image_vectors(docs).withColumnRenamed("v", "qi")
+    vc = caption_text_vectors(cap_docs).withColumnRenamed("v", "qc")
     return vi, vc
 
 
@@ -1554,7 +1530,12 @@ def multimodal_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval_rank_eval_matmul,
     )
 
-    vi, vc = _caption_vectors(spark, sf_dir)
+    vi, vc = _caption_vectors(
+        spark,
+        sf_dir,
+        cap_pred=(F.col("doc_id") % CAP_MIS_MOD == CAP_MIS_RES)
+        | (F.col("doc_id") % CAP_EVAL_MOD == 0),
+    )
     caps = vc.filter(
         (F.col("media_id") % CAP_MIS_MOD == CAP_MIS_RES)
         | (F.col("media_id") % CAP_EVAL_MOD == 0)
@@ -1677,12 +1658,17 @@ def multimodal_caption_retrieval_scaled(
         CAP_SCORE_SCALE,
     )
     from firefox_public_data_report_etl_spark.operators.vectorized import (
+        fixedpoint_topk_superset,
         ivf_assign,
-        pair_dots_matmul,
     )
     from pyspark.sql import Window
 
-    vi, vc = _caption_vectors(spark, sf_dir)
+    vi, vc = _caption_vectors(
+        spark,
+        sf_dir,
+        cap_pred=(F.col("doc_id") % CAP_MIS_MOD == CAP_MIS_RES)
+        | (F.col("doc_id") % CAP_EVAL_MOD == 0),
+    )
     n_imgs = load_table(spark, sf_dir, "documents").count()
     cmod = max(CAP_CENT_MOD, int(n_imgs**0.5))
 
@@ -1750,10 +1736,14 @@ def multimodal_caption_retrieval_scaled(
         .select("cap_id", "img_media", "a_rank")
     )
 
-    # brute truth side: the Arrow integer matmul kernel
-    pairs = pair_dots_matmul(
+    # brute truth side: per-batch top-K superset through the Arrow
+    # integer kernel (k·|eval| rows per batch, never |batch|·|eval|);
+    # the Catalyst window below recovers the exact global top-K
+    pairs = fixedpoint_topk_superset(
         caps.select(F.col("cap_id").alias("q_id"), F.col("q").alias("qv")),
         imgs.select(F.col("media_id").alias("c_id"), F.col("q").alias("cv")),
+        k=CAP_RET_K,
+        scale=CAP_SCORE_SCALE,
     )
     truth = (
         pairs.select(

@@ -171,3 +171,26 @@ def test_sign_dialect_parity(spark):
     ref = {w: _signs(w) for w in words}
     for w, dm, s in duck:
         assert int(s) == int(ref[w][dm])
+
+
+def test_sign_dialect_parity_python(spark):
+    """The fused Arrow embed's Python sign dialect
+    (operators/multimodal._md5_sign_row) matches the Spark SQL
+    dialect for every (token, dim) — the pin that lets the fused
+    caption vectors replace the Catalyst embed chain bit-for-bit."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_sign_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.multimodal import (
+        _md5_sign_row,
+    )
+
+    words = ["v0b12", "a", "photo", "of", "v24b31", "zz", "v9b0"]
+    arr = ", ".join(f"'{w}'" for w in words)
+    sp = spark.sql(
+        f"SELECT w, dm, {md5_sign_spark_sql('w', 'dm')} AS s"
+        f" FROM (SELECT explode(array({arr})) AS w)"
+        f" LATERAL VIEW explode(sequence(0, {CAP_DIM - 1})) AS dm"
+    ).collect()
+    for r in sp:
+        assert int(r.s) == int(_md5_sign_row(r.w)[r.dm]), (r.w, r.dm)
