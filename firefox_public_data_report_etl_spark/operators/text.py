@@ -138,6 +138,9 @@ WINNOW_W = 8  # hashes per winnowing window; guarantee threshold
 _WINNOW_POS_CAP = 1 << 20  # max gram positions per doc in the packed
 # key (h < 2^28, so the cap can rise to 2^35 before h*CAP leaves
 # int64 — a layout constant, not an algorithmic limit)
+_WINNOW_CHUNK = 1 << 16  # gram positions per window chunk: bounds any
+# one task's window state at CHUNK + w - 1 rows independent of
+# document length (see the chunked-window note in winnow_fingerprints)
 
 
 def winnow_fingerprints(
@@ -221,13 +224,48 @@ def winnow_fingerprints(
         )
         .alias("key"),
     )
+    # Position-chunked window (round-11 verdict #4): the window only
+    # ever looks w-1 positions ahead, so splitting each document's
+    # gram stream into fixed _WINNOW_CHUNK-position ranges — with the
+    # FIRST w-1 grams of each chunk duplicated into the previous
+    # chunk as its lookahead pad — selects the identical set by
+    # construction, while bounding any one task's window state at
+    # CHUNK + w - 1 rows regardless of document length (the sf10
+    # gram-grain run previously held whole documents' gram streams in
+    # single window partitions and hit the one-JVM memory ceiling;
+    # SCALING.md). Extra shuffle volume is (w-1)/CHUNK ≈ 0.01%, and
+    # the (id, chunk) key also spreads a single huge document over
+    # many tasks instead of one.
+    chunk = _WINNOW_CHUNK
+    own = F.expr(f"(pos - 1) DIV {chunk}")
+    chunked = keyed.select(
+        id_col,
+        "n_grams",
+        "pos",
+        "key",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    own.cast("long"),
+                    F.when(
+                        ((F.col("pos") - 1) % chunk < w - 1) & (own > 0),
+                        (own - 1).cast("long"),
+                    ),
+                )
+            )
+        ).alias("ck"),
+    )
     win = (
-        Window.partitionBy(id_col)
+        Window.partitionBy(id_col, "ck")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    starts = keyed.withColumn("sel_key", F.min("key").over(win)).filter(
-        F.col("pos") <= F.col("n_grams") - (w - 1)
+    starts = chunked.withColumn("sel_key", F.min("key").over(win)).filter(
+        # emit only rows whose window START belongs to this chunk
+        # (pad rows re-emit in their own chunk) and that have a full
+        # w-window inside the document
+        (F.expr(f"(pos - 1) DIV {chunk}") == F.col("ck"))
+        & (F.col("pos") <= F.col("n_grams") - (w - 1))
     )
     return starts.select(
         id_col,

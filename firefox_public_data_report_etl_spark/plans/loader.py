@@ -821,6 +821,112 @@ def training_export_decontaminated(
     return training_manifest(clean)
 
 
+def training_export_decontaminated_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The export gate a release should ACTUALLY ship (round-11
+    verdict #6): train split minus the UNION of both contamination
+    verdicts — the diluted-fraction audit
+    (n_contaminated * 100 > n_grams * DECON_MAX_PCT) AND the
+    winnowing verdict (>= WINNOW_SHARED_MIN selected fingerprints
+    shared with any held-out document). The fraction rule alone has a
+    hole the union closes: a long document can carry a VERBATIM
+    >= w + k - 1 = 12-char eval passage while its shingle fraction
+    stays under DECON_MAX_PCT — diluted below the gram gate but
+    guaranteed caught by winnowing (test-pinned with a planted
+    diluted leak the fraction-only form misses).
+
+    Scale: both verdicts are existing keyed plans (broadcast-probe
+    shingle audit; df-capped bucketed fingerprint join); the union is
+    doc-id grain; the manifest aggregate is shard-grain."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        hash_split,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        contamination_winnowing,
+        train_eval_contamination,
+    )
+    from firefox_public_data_report_etl_spark.sources.export import (
+        training_manifest,
+    )
+
+    cont = train_eval_contamination(spark, sf_dir)
+    flagged_frac = cont.filter(
+        F.col("n_contaminated") * 100
+        > F.col("n_grams") * F.lit(DECON_MAX_PCT)
+    ).select("doc_id")
+    flagged_win = contamination_winnowing(spark, sf_dir).select("doc_id")
+    flagged = flagged_frac.union(flagged_win).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    train_docs = hash_split(docs).filter(F.col("split") == "train")
+    clean = train_docs.join(flagged, "doc_id", "left_anti")
+    return training_manifest(clean)
+
+
+def _decon_export_composed_oracle() -> str:
+    from firefox_public_data_report_etl_spark.functions import md5_int_sql
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        DUCK_SHINGLES,
+    )
+    from firefox_public_data_report_etl_spark.plans.text import (
+        WINNOW_MAX_DF,
+        WINNOW_SHARED_MIN,
+        _winnow_sel_ctes,
+    )
+    from firefox_public_data_report_etl_spark.sources.export import (
+        TRAINING_SHARDS,
+    )
+
+    bucket = f"{md5_int_sql('cast(doc_id as string)')} % 100"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+raw AS (SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS g FROM dd),
+sh AS (SELECT DISTINCT doc_id, {md5_int_sql('g')} AS h,
+              CASE WHEN {bucket} < 80 THEN 'train'
+                   WHEN {bucket} < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM raw),
+held AS (SELECT DISTINCT h FROM sh WHERE split <> 'train'),
+cont AS (SELECT s.doc_id, count(*) AS n_grams,
+                sum(CASE WHEN held.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS n_contaminated
+         FROM sh s LEFT JOIN held ON s.h = held.h
+         WHERE s.split = 'train'
+         GROUP BY s.doc_id),
+flaggedf AS (SELECT doc_id FROM cont
+             WHERE n_contaminated * 100 > n_grams * {DECON_MAX_PCT}),
+{_winnow_sel_ctes().strip()},
+wsd AS (SELECT DISTINCT doc_id, h,
+               CASE WHEN {bucket} < 80 THEN 'train' ELSE 'held' END
+                 AS split
+        FROM sel),
+wok AS (SELECT h FROM wsd GROUP BY h
+        HAVING count(*) <= {WINNOW_MAX_DF}),
+wkept AS (SELECT doc_id, h, split FROM wsd JOIN wok USING (h)),
+flaggedw AS (
+  SELECT DISTINCT t.doc_id
+  FROM wkept t JOIN wkept e ON t.h = e.h
+  WHERE t.split = 'train' AND e.split = 'held'
+  GROUP BY t.doc_id, e.doc_id
+  HAVING count(*) >= {WINNOW_SHARED_MIN}),
+flagged AS (SELECT doc_id FROM flaggedf
+            UNION SELECT doc_id FROM flaggedw),
+clean AS (SELECT doc_id, text FROM documents
+          WHERE {bucket} < 80
+            AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+m AS (SELECT {md5_int_sql("cast(doc_id as varchar)")} % {TRAINING_SHARDS}
+        AS shard,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      {md5_int_sql("text")} AS fp
+      FROM clean)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(fp) AS BIGINT) AS content_fp
+FROM m GROUP BY shard
+"""
+
+
 def _decon_export_oracle() -> str:
     from firefox_public_data_report_etl_spark.functions import md5_int_sql
     from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -1249,6 +1355,7 @@ QUERIES = {
     "packing_window_spans": packing_window_spans,
     "mixture_schedule_anneal": mixture_schedule_anneal,
     "training_export_decontaminated": training_export_decontaminated,
+    "training_export_decontaminated_composed": training_export_decontaminated_composed,
     "corpus_mixture_upsample": corpus_mixture_upsample,
     "length_grouped_batches": length_grouped_batches,
     "corpus_mixture_token_budget": corpus_mixture_token_budget,
@@ -1266,6 +1373,7 @@ ORACLES = {
     "packing_window_spans": _packing_spans_oracle(),
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),
+    "training_export_decontaminated_composed": _decon_export_composed_oracle(),
     "corpus_mixture_upsample": _upsample_oracle(),
     "length_grouped_batches": _length_batches_oracle(),
     "corpus_mixture_token_budget": _token_budget_oracle(),

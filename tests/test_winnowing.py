@@ -144,3 +144,40 @@ def test_pos_cap_overflow_fails_loudly(spark):
         T._WINNOW_POS_CAP = old
     # conforming doc still selects fine at the real cap
     assert T.winnow_fingerprints(doc).count() > 0
+
+
+def test_chunked_window_identical_across_boundaries(spark):
+    """The position-chunked window (round-11 verdict #4) selects the
+    IDENTICAL set as an unchunked window: exercised with a tiny
+    temporary chunk size so documents span many chunks and every
+    boundary case (start in chunk, lookahead crossing into the pad,
+    doc ending mid-chunk) occurs."""
+    import random
+
+    from firefox_public_data_report_etl_spark.operators import text as T
+
+    rnd = random.Random(42)
+    docs = spark.createDataFrame(
+        [
+            (i, "".join(rnd.choice("abcd") for _ in range(n)))
+            for i, n in enumerate([12, 30, 31, 32, 33, 64, 97, 200])
+        ],
+        "doc_id long, text string",
+    )
+    old = T._WINNOW_CHUNK
+    try:
+        T._WINNOW_CHUNK = 1 << 30  # effectively unchunked
+        want = sorted(
+            (r.doc_id, r.h, r.sel_pos)
+            for r in T.winnow_fingerprints(docs).collect()
+        )
+        for c in (8, 16, 64):
+            T._WINNOW_CHUNK = c
+            got = sorted(
+                (r.doc_id, r.h, r.sel_pos)
+                for r in T.winnow_fingerprints(docs).collect()
+            )
+            assert got == want, f"chunk={c}"
+    finally:
+        T._WINNOW_CHUNK = old
+    assert want, "fixture must select at least one fingerprint"
