@@ -821,6 +821,68 @@ def training_export_decontaminated(
     return training_manifest(clean)
 
 
+RESUME_PCT = 40  # the simulated mid-epoch crash point of the cursor
+# query: cursor = 40% of each (epoch, shard)'s rows consumed
+
+
+def loader_resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable-loader cursor audit (round-11 verdict #7): for a
+    mid-epoch checkpoint at cursor = (n_rows * RESUME_PCT) DIV 100
+    per (epoch, shard), emit the order-sensitive checksum of the
+    CONSUMED prefix (what write_loader_checkpoint persists), the
+    checksum and row count of the unseen suffix (what resume_suffix
+    yields), and the shard's total — prefix and suffix recombine to
+    the loader_shard_manifest checksum mod 2^31-1, so a resumed run
+    can verify both what it skipped and what it is about to read
+    against the same manifest a cold run would produce.
+
+    Scale: the same shard-partitioned window as the epoch order plus
+    one shard-grain aggregate; the checkpoint relation is
+    shards-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    order = epoch_training_order(
+        docs, "doc_id", n_epochs=N_EPOCHS, n_shards=N_SHARDS
+    )
+    w = Window.partitionBy("epoch", "shard_id")
+    term = (
+        (F.col("doc_id") % F.lit(_MOD))
+        * ((F.col("pos") + F.lit(1)) % F.lit(_MOD))
+        % F.lit(_MOD)
+    )
+    ann = order.withColumn(
+        "n_rows", F.count("*").over(w)
+    ).withColumn("cursor", F.expr(f"(n_rows * {RESUME_PCT}) DIV 100"))
+    return ann.groupBy("epoch", "shard_id").agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("cursor").cast("long").alias("cursor"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("pos") < F.col("cursor"), term)),
+                F.lit(0),
+            )
+            % F.lit(_MOD)
+        )
+        .cast("long")
+        .alias("prefix_checksum"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("pos") >= F.col("cursor"), term)),
+                F.lit(0),
+            )
+            % F.lit(_MOD)
+        )
+        .cast("long")
+        .alias("suffix_checksum"),
+        F.sum(
+            F.when(F.col("pos") >= F.col("cursor"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("resume_n_rows"),
+    )
+
+
 def training_export_decontaminated_composed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -994,6 +1056,32 @@ WITH epochs AS (
   FROM keyed
 )
 """
+
+
+_RESUME_ORACLE = (
+    _ORDER_CTE
+    + f"""
+, stats AS (SELECT epoch, shard_id, COUNT(*) AS n
+            FROM ordered GROUP BY epoch, shard_id),
+ann AS (SELECT o.epoch, o.shard_id, o.doc_id, o.pos, s.n,
+               (s.n * {RESUME_PCT}) // 100 AS cursor
+        FROM ordered o JOIN stats s USING (epoch, shard_id))
+SELECT epoch, shard_id,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(cursor) AS BIGINT) AS cursor,
+       CAST(COALESCE(SUM(CASE WHEN pos < cursor
+              THEN (doc_id % {_MOD}) * ((pos + 1) % {_MOD}) % {_MOD}
+            END), 0) % {_MOD} AS BIGINT) AS prefix_checksum,
+       CAST(COALESCE(SUM(CASE WHEN pos >= cursor
+              THEN (doc_id % {_MOD}) * ((pos + 1) % {_MOD}) % {_MOD}
+            END), 0) % {_MOD} AS BIGINT) AS suffix_checksum,
+       CAST(SUM(CASE WHEN pos >= cursor THEN 1 ELSE 0 END) AS BIGINT)
+         AS resume_n_rows
+FROM ann GROUP BY epoch, shard_id
+"""
+)
+
+
 
 # --- multi-turn chat assembly ----------------------------------------
 #
@@ -1356,6 +1444,7 @@ QUERIES = {
     "mixture_schedule_anneal": mixture_schedule_anneal,
     "training_export_decontaminated": training_export_decontaminated,
     "training_export_decontaminated_composed": training_export_decontaminated_composed,
+    "loader_resume_cursor": loader_resume_cursor,
     "corpus_mixture_upsample": corpus_mixture_upsample,
     "length_grouped_batches": length_grouped_batches,
     "corpus_mixture_token_budget": corpus_mixture_token_budget,
@@ -1374,6 +1463,7 @@ ORACLES = {
     "mixture_schedule_anneal": _anneal_oracle(),
     "training_export_decontaminated": _decon_export_oracle(),
     "training_export_decontaminated_composed": _decon_export_composed_oracle(),
+    "loader_resume_cursor": _RESUME_ORACLE,
     "corpus_mixture_upsample": _upsample_oracle(),
     "length_grouped_batches": _length_batches_oracle(),
     "corpus_mixture_token_budget": _token_budget_oracle(),
