@@ -1621,6 +1621,40 @@ def caption_image_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def caption_pair_vectors(media: DataFrame) -> DataFrame:
+    """(media_id, qi, qc) from REAL payload bytes + caption strings —
+    the ingestion shape of the fused joint-space embed: unlike
+    ``caption_image_vectors``/``caption_text_vectors`` (which
+    synthesize from the id rule for the batch fixtures), this stage
+    scores whatever (payload, caption) pair actually arrived, so an
+    ingestion gate cannot be fooled by a row whose id claims one
+    image while its bytes carry another. One Arrow stage; pixels and
+    tokens never leave it."""
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype, cap in zip(
+                pdf["media_id"],
+                pdf["payload"],
+                pdf["media_type"],
+                pdf["caption"],
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                _w, _h, rgb = decode_bmp24(bytes(payload))
+                qi = _embed_token_bag(
+                    visual_words(caption_gray_cells(rgb))
+                )
+                qc = _embed_token_bag(str(cap).split(" "))
+                rows.append((int(mid), qi.tolist(), qc.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "qi", "qc"])
+
+    return media.select(
+        "media_id", "payload", "media_type", "caption"
+    ).mapInPandas(_emb, "media_id long, qi array<long>, qc array<long>")
+
+
 def caption_text_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, v) caption vectors of the joint space, same fused
     Arrow shape as ``caption_image_vectors`` (captions come from the
