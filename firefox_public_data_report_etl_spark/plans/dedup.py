@@ -631,31 +631,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: exact quantized cosine over all
     id-ordered pairs, thresholded. This is the correctness baseline;
     the 100 TB path prefilters with banded random-hyperplane buckets
-    (see operators.similarity.sign_bucket) before the exact verify."""
+    (see operators.similarity.sign_bucket) before the exact verify.
+
+    The pair dots run through the Arrow integer-matmul stage
+    (round 11: `cosine_threshold_pairs_matmul` — same scale-killer
+    fix as the caption retrieval scorer; 20.8 s → ~1 s at sf0.1,
+    values and oracle bit-unchanged)."""
     from firefox_public_data_report_etl_spark.operators.similarity import quantized
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_threshold_pairs_matmul,
+    )
 
     emb = quantized(load_table(spark, sf_dir, "embeddings")).cache()
-    a = emb.select(
-        F.col("vec_id").alias("da"), F.col("q").alias("qa"), F.col("norm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("db"), F.col("q").alias("qb"), F.col("norm").alias("nb")
-    )
-    scored = (
-        a.join(b, F.col("da") < F.col("db"))
-        .withColumn(
-            "dot",
-            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
-        )
-        .withColumn(
-            "cos",
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
-        )
-    )
-    return scored.filter(F.col("cos") >= EMBED_NEARDUP_THRESHOLD).select(
-        "da", "db", "cos"
-    )
+    return cosine_threshold_pairs_matmul(emb, EMBED_NEARDUP_THRESHOLD)
 
 
 EMBED_NEARDUP_ORACLE = f"""

@@ -28,14 +28,13 @@ BNLJ_ALLOWED = {
     # ground truth, so it contains cosine_topk's waived broadcast
     # theta-join (SCALE_CLASS=fixed_param, scale path multiprobe)
     "retrieval_eval_ann": "Inner",
-    "dedup_embedding_cosine": "Inner",      # brute-force pair verify
+    # (dedup_embedding_cosine lost its waiver in round 11: the pair
+    # dots now run in the Arrow matmul stage — no join in the plan)
     # brute-force band-scan baseline (SCALE_CLASS=baseline): shares
     # cosine_topk's broadcast theta-join shape
     "contrastive_hard_negatives": "Inner",
-    # brute-force cross-modal eval baseline (SCALE_CLASS=baseline):
-    # |eval captions| broadcast against all image vectors — the same
-    # waived shape as embedding_cosine_topk, spelled as crossJoin
-    "multimodal_caption_retrieval": "Cross",
+    # (multimodal_caption_retrieval lost its waiver in round 11: the
+    # brute sweep runs in the Arrow rank-eval kernel — no crossJoin)
     "date_spine_weeks": "Cross",            # 1-row bounds crossJoin to spine
     # 1-row doc-count crossJoin attaching the corpus-relative
     # boilerplate cut (round 6) — the canonical broadcast-scalar shape
