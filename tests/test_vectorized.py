@@ -406,3 +406,62 @@ def test_rank_eval_matmul_matches_window_form(spark):
     assert got == want
     missing = [q for q in got if got[q][1] == 0]
     assert missing, "at least one missing-truth query must exercise rank 0"
+
+
+def test_threshold_pairs_matmul_matches_expression_form(spark):
+    """cosine_threshold_pairs_matmul (round-11 Arrow rewrite of the
+    brute near-dup baseline) pinned EQUAL to the original expression
+    form — id-ordered pair set AND exact cosine values, including
+    pairs sitting exactly on the threshold boundary."""
+    import random
+
+    from firefox_public_data_report_etl_spark.operators.vectorized import (
+        cosine_threshold_pairs_matmul,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.randint(-8, 8) for _ in range(16)], ) for i in range(80)
+    ]
+    # identical vectors -> cos exactly 1.0; a scaled copy too
+    rows[5] = (5, list(rows[3][1]))
+    rows[6] = (6, [2 * x for x in rows[3][1]])
+    emb = spark.createDataFrame(
+        [(i, v, sum(x * x for x in v)) for i, v in rows],
+        "vec_id long, q array<long>, norm long",
+    )
+    thr = 0.45
+    got = {
+        (r.da, r.db): r.cos
+        for r in cosine_threshold_pairs_matmul(emb, thr).collect()
+    }
+    a = emb.select(
+        F.col("vec_id").alias("da"), F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("db"), F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    want = {
+        (r.da, r.db): r.cos
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " 0L, (s, v) -> s + v)"
+            ),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .filter(F.col("cos") >= thr)
+        .select("da", "db", "cos")
+        .collect()
+    }
+    assert got == want
+    assert (3, 5) in got and got[(3, 5)] == 1.0
+    assert (3, 6) in got and got[(3, 6)] == 1.0
