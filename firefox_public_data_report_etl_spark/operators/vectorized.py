@@ -219,6 +219,13 @@ def pair_dots_matmul(
     )
 
 
+# brute-baseline closure bound: 200k vectors × 64 int64 ≈ 100 MB in
+# the task closure — past this the labeled quadratic baseline must
+# refuse loudly and point at its banded scale path (the same refusal
+# convention as _guard_fixed_param)
+_BRUTE_CLOSURE_MAX = 200_000
+
+
 def cosine_threshold_pairs_matmul(
     quantized_emb, threshold: float, id_col: str = "vec_id"
 ):
@@ -238,6 +245,14 @@ def cosine_threshold_pairs_matmul(
     filter run after, so emitted values and the DuckDB oracle are
     bit-unchanged."""
     rows = quantized_emb.select(id_col, "q", "norm").collect()
+    if len(rows) > _BRUTE_CLOSURE_MAX:
+        raise ValueError(
+            f"cosine_threshold_pairs_matmul: corpus has {len(rows)}"
+            f" vectors, past the brute-baseline closure bound"
+            f" {_BRUTE_CLOSURE_MAX} — this is the labeled quadratic"
+            " baseline; run the banded scale path (ann_lsh /"
+            " operators.similarity.sign_bucket prefilter) instead."
+        )
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     mat = (
         np.asarray([r[1] for r in rows], dtype=np.int64)

@@ -465,3 +465,27 @@ def test_threshold_pairs_matmul_matches_expression_form(spark):
     assert got == want
     assert (3, 5) in got and got[(3, 5)] == 1.0
     assert (3, 6) in got and got[(3, 6)] == 1.0
+
+
+def test_threshold_pairs_closure_guard_fires(spark):
+    """The brute baseline refuses corpora past the closure bound and
+    names the banded scale path (the _guard_fixed_param refusal
+    convention)."""
+    import pytest
+
+    from firefox_public_data_report_etl_spark.operators import (
+        vectorized as V,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1, 2], 5) for i in range(8)],
+        "vec_id long, q array<long>, norm long",
+    )
+    old = V._BRUTE_CLOSURE_MAX
+    V._BRUTE_CLOSURE_MAX = 4
+    try:
+        with pytest.raises(ValueError, match="ann_lsh"):
+            V.cosine_threshold_pairs_matmul(emb, 0.45)
+    finally:
+        V._BRUTE_CLOSURE_MAX = old
+    assert V.cosine_threshold_pairs_matmul(emb, 0.45).count() > 0
