@@ -21,6 +21,44 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 
+def _int_matmul_exact(a, b_t):
+    """a @ b_t.T with exact int64 results, BLAS-fast where provably
+    safe: numpy's int64 matmul has NO BLAS kernel (it runs a generic
+    loop ~20-50× slower than dgemm), but float64 dgemm over integer
+    inputs is EXACT whenever every product and every partial sum is
+    an integer below 2^53 — each partial sum is then itself an
+    exactly-representable integer, so accumulation never rounds. All
+    of this engine's quantized vectors (|component| ≤ ~1000, dims ≤
+    64 → |dot| ≤ 6.4e7) sit far below the bound; the guard checks the
+    actual inputs and falls back to the generic int64 loop if a
+    caller ever exceeds it, so exactness is structural, not assumed.
+    Measured: the 48-Gop sf1 caption truth sweep 75 s → ~2 s."""
+    k = a.shape[1] if a.ndim == 2 else len(a)
+    ma = int(np.abs(a).max(initial=0))
+    mb = int(np.abs(b_t).max(initial=0))
+    if ma * mb * max(k, 1) < (1 << 53):
+        return np.rint(
+            a.astype(np.float64) @ b_t.T.astype(np.float64)
+        ).astype(np.int64)
+    return a @ b_t.T
+
+
+_MM_CHUNK_ELEMS = 1 << 22  # ≈32 MB of int64 per (batch × query-slice)
+# temporary: the score kernels below materialize several b×|Q| arrays
+# (dots, den, mag, sfp, keep) per Arrow batch — with an eval-sized |Q|
+# (15k at the sf1 stack) that is ~1.3 GB of temporaries PER WORKER,
+# and 32 concurrent workers turned the scan into allocation churn
+# (measured 90 s for a 3 s compute). Slicing the query dimension caps
+# every temporary at ~32 MB; results are per-column independent, so
+# the outputs are bit-identical.
+
+
+def _q_slices(n_rows: int, n_q: int):
+    step = max(1, _MM_CHUNK_ELEMS // max(1, n_rows))
+    for j0 in range(0, n_q, step):
+        yield j0, min(n_q, j0 + step)
+
+
 def cosine_topk_matmul(
     queries, candidates, k: int, id_col: str = "vec_id"
 ):
@@ -46,7 +84,7 @@ def cosine_topk_matmul(
     def _score(batches):
         for pdf in batches:
             c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
-            dots = c_mat @ q_mat.T  # (batch, nq) exact int64
+            dots = _int_matmul_exact(c_mat, q_mat)  # (batch, nq) exact int64
             n_ids = pdf[id_col].to_numpy(dtype=np.int64)
             n_norms = pdf["norm"].to_numpy(dtype=np.int64)
             # Per-batch SUPERSET pre-selection (the emit-everything
@@ -201,18 +239,21 @@ def pair_dots_matmul(
             c_mat = np.stack(
                 pdf[c_vec].map(lambda v: np.asarray(v, dtype=np.int64))
             )
-            dots = c_mat @ q_mat.T  # (batch, nq) exact int64
             c_norms = np.einsum("ij,ij->i", c_mat, c_mat)
             c_ids = pdf[c_id].to_numpy(dtype=np.int64)
-            nq = len(q_ids)
-            yield pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids[None, :], len(pdf), axis=0).ravel(),
-                    "c_id": np.repeat(c_ids, nq),
-                    "dot": dots.ravel(),
-                    "c_norm": np.repeat(c_norms, nq),
-                }
-            )
+            for j0, j1 in _q_slices(len(pdf), len(q_ids)):
+                dots = _int_matmul_exact(c_mat, q_mat[j0:j1])
+                nq = j1 - j0
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(
+                            q_ids[None, j0:j1], len(pdf), axis=0
+                        ).ravel(),
+                        "c_id": np.repeat(c_ids, nq),
+                        "dot": dots.ravel(),
+                        "c_norm": np.repeat(c_norms, nq),
+                    }
+                )
 
     return candidates.mapInPandas(
         _dots, "q_id long, c_id long, dot long, c_norm long"
@@ -270,24 +311,25 @@ def cosine_threshold_pairs_matmul(
             )
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_norms = pdf["norm"].to_numpy(dtype=np.int64)
-            dots = c_mat @ mat.T
-            cos = dots / np.sqrt(
-                c_norms[:, None].astype(np.float64)
-                * norms[None, :].astype(np.float64)
-            )
-            keep = (cos >= threshold - 1e-12) & (
-                c_ids[:, None] < ids[None, :]
-            )
-            ci, qj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "da": c_ids[ci],
-                    "db": ids[qj],
-                    "dot": dots[ci, qj],
-                    "na": c_norms[ci],
-                    "nb": norms[qj],
-                }
-            )
+            for j0, j1 in _q_slices(len(pdf), len(ids)):
+                dots = _int_matmul_exact(c_mat, mat[j0:j1])
+                cos = dots / np.sqrt(
+                    c_norms[:, None].astype(np.float64)
+                    * norms[None, j0:j1].astype(np.float64)
+                )
+                keep = (cos >= threshold - 1e-12) & (
+                    c_ids[:, None] < ids[None, j0:j1]
+                )
+                ci, qj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "da": c_ids[ci],
+                        "db": ids[j0 + qj],
+                        "dot": dots[ci, qj],
+                        "na": c_norms[ci],
+                        "nb": norms[j0 + qj],
+                    }
+                )
 
     scored = quantized_emb.mapInPandas(
         _pairs, "da long, db long, dot long, na long, nb long"
@@ -305,6 +347,72 @@ def cosine_threshold_pairs_matmul(
     )
 
 
+def cell_pair_dots_matmul(q_cells, c_cells):
+    """(q_id, c_id, dot, c_norm) for every (query, candidate) pair
+    SHARING A CELL — the IVF probe's within-cell scorer as one numpy
+    int64 matmul per (Arrow batch × cell) instead of a per-pair
+    interpreted `aggregate(zip_with(...))` HOF on the cell join
+    (measured 80 s → seconds at the sf1 stack for the caption probe;
+    the third instance of the same scale-killer class this round).
+
+    ``q_cells`` (q_id, qv, cell) is the probing side — eval-sized ×
+    nprobe by contract, collected and grouped by cell in the task
+    closure; ``c_cells`` (c_id, cv, cell) streams. Pair volume is
+    unchanged (that is IVF's own guarantee: Σ probed-cell sizes, not
+    |Q|·N); only the per-pair arithmetic moves to the matmul. Exact
+    int64 dots + candidate self-norms, so downstream fixed-point
+    scoring in Catalyst is bit-identical to the join form (pinned by
+    test)."""
+    qrows = q_cells.select("q_id", "qv", "cell").collect()
+    by_cell: dict = {}
+    for r in qrows:
+        by_cell.setdefault(int(r[2]), []).append(r)
+    closure = {
+        cell: (
+            np.asarray([r[0] for r in rows], dtype=np.int64),
+            np.asarray([r[1] for r in rows], dtype=np.int64),
+        )
+        for cell, rows in by_cell.items()
+    }
+
+    def _dots(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not closure:
+                continue
+            out = []
+            for cell, idx in pdf.groupby("cell").indices.items():
+                qc = closure.get(int(cell))
+                if qc is None:
+                    continue
+                q_ids, q_mat = qc
+                sub = pdf.iloc[idx]
+                c_mat = np.stack(
+                    sub["cv"].map(lambda v: np.asarray(v, dtype=np.int64))
+                )
+                c_ids = sub["c_id"].to_numpy(dtype=np.int64)
+                dots = _int_matmul_exact(c_mat, q_mat)
+                c_norms = np.einsum("ij,ij->i", c_mat, c_mat)
+                nq = len(q_ids)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.repeat(
+                                q_ids[None, :], len(sub), axis=0
+                            ).ravel(),
+                            "c_id": np.repeat(c_ids, nq),
+                            "dot": dots.ravel(),
+                            "c_norm": np.repeat(c_norms, nq),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return c_cells.mapInPandas(
+        _dots, "q_id long, c_id long, dot long, c_norm long"
+    )
+
+
 def fixedpoint_topk_superset(queries, candidates, k: int, scale: int):
     """Per-Arrow-batch top-k SUPERSET under the signed fixed-point
     cos² metric — the `cosine_topk_matmul` pre-selection argument
@@ -314,9 +422,14 @@ def fixedpoint_topk_superset(queries, candidates, k: int, scale: int):
     globally), so keeping each batch's k best rows per query (ties at
     the boundary INCLUDED — a superset, never a tiebreak decision)
     provably preserves the exact global top-k that the caller's
-    Catalyst window computes. Emits (q_id, c_id, dot, c_norm) —
-    ~k·|Q| rows per batch instead of |batch|·|Q| — with all values
-    exact int64 so downstream scoring is bit-identical."""
+    Catalyst window computes. Per-batch supersets are reduced ONCE
+    MORE to a per-PARTITION superset before emitting: with an
+    eval-sized |Q| the per-batch emission is k·|Q| PER ARROW BATCH
+    regardless of batch size, so many small batches exploded the
+    emitted relation n_batches× (measured at the sf1 caption harness);
+    the partition reduce caps it at ~k·|Q| (+ boundary ties) per
+    partition. All values exact int64 so downstream scoring is
+    bit-identical."""
     qrows = queries.select("q_id", "qv").collect()
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     q_mat = (
@@ -327,6 +440,7 @@ def fixedpoint_topk_superset(queries, candidates, k: int, scale: int):
     q_norm = np.einsum("ij,ij->i", q_mat, q_mat)
 
     def _select(batches):
+        acc: list = []
         for pdf in batches:
             if len(pdf) == 0 or len(q_ids) == 0:
                 continue
@@ -334,25 +448,55 @@ def fixedpoint_topk_superset(queries, candidates, k: int, scale: int):
                 pdf["cv"].map(lambda v: np.asarray(v, dtype=np.int64))
             )
             c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
-            dots = c_mat @ q_mat.T
             na = np.einsum("ij,ij->i", c_mat, c_mat)
-            den = na[:, None] * q_norm[None, :]
-            mag = (dots * dots * scale) // np.where(den == 0, 1, den)
-            sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
-            if len(pdf) > k:
-                kth = np.partition(sfp, len(pdf) - k, axis=0)[len(pdf) - k]
-                keep = sfp >= kth[None, :]
-            else:
-                keep = np.ones_like(sfp, dtype=bool)
-            ci, qj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "q_id": q_ids[qj],
-                    "c_id": c_ids[ci],
-                    "dot": dots[ci, qj],
-                    "c_norm": na[ci],
-                }
-            )
+            for j0, j1 in _q_slices(len(pdf), len(q_ids)):
+                dots = _int_matmul_exact(c_mat, q_mat[j0:j1])
+                den = na[:, None] * q_norm[None, j0:j1]
+                mag = (dots * dots * scale) // np.where(den == 0, 1, den)
+                sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
+                if len(pdf) > k:
+                    kth = np.partition(sfp, len(pdf) - k, axis=0)[
+                        len(pdf) - k
+                    ]
+                    keep = sfp >= kth[None, :]
+                else:
+                    keep = np.ones_like(sfp, dtype=bool)
+                ci, qj = np.nonzero(keep)
+                acc.append(
+                    (
+                        qj.astype(np.int64) + j0,
+                        c_ids[ci],
+                        dots[ci, qj],
+                        na[ci],
+                        sfp[ci, qj],
+                    )
+                )
+        if not acc:
+            return
+        qj = np.concatenate([a[0] for a in acc])
+        c_id = np.concatenate([a[1] for a in acc])
+        dot = np.concatenate([a[2] for a in acc])
+        c_norm = np.concatenate([a[3] for a in acc])
+        sfp = np.concatenate([a[4] for a in acc])
+        # per-query partition-level top-k, kth-value ties INCLUDED —
+        # still a superset of the global top-k, decided by the exact
+        # integer score only (never a tie-break)
+        order = np.lexsort((-sfp, qj))
+        qs, ss = qj[order], sfp[order]
+        starts = np.r_[0, 1 + np.nonzero(np.diff(qs))[0]]
+        sizes = np.diff(np.r_[starts, len(qs)])
+        group_of = np.repeat(np.arange(len(starts)), sizes)
+        pos = np.arange(len(qs)) - starts[group_of]
+        kth_val = ss[starts + np.minimum(k, sizes) - 1][group_of]
+        sel = order[(pos < k) | (ss >= kth_val)]
+        yield pd.DataFrame(
+            {
+                "q_id": q_ids[qj[sel]],
+                "c_id": c_id[sel],
+                "dot": dot[sel],
+                "c_norm": c_norm[sel],
+            }
+        )
 
     return candidates.mapInPandas(
         _select, "q_id long, c_id long, dot long, c_norm long"
@@ -423,23 +567,30 @@ def retrieval_rank_eval_matmul(queries, candidates, scale: int):
                 pdf["cv"].map(lambda v: np.asarray(v, dtype=np.int64))
             )
             c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
-            dots = c_mat @ q_mat.T  # (b, nq) exact int64
             na = np.einsum("ij,ij->i", c_mat, c_mat)
-            den = na[:, None] * q_norm[None, :]
-            mag = (dots * dots * scale) // np.where(den == 0, 1, den)
-            sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
-            beats = (sfp > t_sfp[None, :]) | (
-                (sfp == t_sfp[None, :]) & (c_ids[:, None] < truth_ids[None, :])
-            )
-            cnt = np.where(has_truth, beats.sum(axis=0), 0)
-            top_sfp = sfp.max(axis=0)
-            top_img = np.where(
-                sfp == top_sfp[None, :], c_ids[:, None], id_max
-            ).min(axis=0)
+            cnt = np.empty(len(q_ids), dtype=np.int64)
+            top_sfp = np.empty(len(q_ids), dtype=np.int64)
+            top_img = np.empty(len(q_ids), dtype=np.int64)
+            for j0, j1 in _q_slices(len(pdf), len(q_ids)):
+                dots = _int_matmul_exact(c_mat, q_mat[j0:j1])
+                den = na[:, None] * q_norm[None, j0:j1]
+                mag = (dots * dots * scale) // np.where(den == 0, 1, den)
+                sfp = np.where(den == 0, 0, np.where(dots >= 0, mag, -mag))
+                beats = (sfp > t_sfp[None, j0:j1]) | (
+                    (sfp == t_sfp[None, j0:j1])
+                    & (c_ids[:, None] < truth_ids[None, j0:j1])
+                )
+                cnt[j0:j1] = np.where(
+                    has_truth[j0:j1], beats.sum(axis=0), 0
+                )
+                top_sfp[j0:j1] = sfp.max(axis=0)
+                top_img[j0:j1] = np.where(
+                    sfp == top_sfp[None, j0:j1], c_ids[:, None], id_max
+                ).min(axis=0)
             yield pd.DataFrame(
                 {
                     "q_id": q_ids,
-                    "cnt": cnt.astype(np.int64),
+                    "cnt": cnt,
                     "top1_sfp": top_sfp,
                     "top1_id": top_img,
                 }
@@ -505,7 +656,9 @@ def ivf_assign(vectors, centroids, id_col: str = "vec_id", nprobe: int = 1):
         for pdf in batches:
             v_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
             v_norm = pdf["norm"].to_numpy(dtype=np.float64)
-            cos = (v_mat @ c_mat.T) / np.sqrt(v_norm[:, None] * c_norm[None, :])
+            cos = _int_matmul_exact(v_mat, c_mat) / np.sqrt(
+                v_norm[:, None] * c_norm[None, :]
+            )
             nearest = np.argsort(-cos, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
@@ -773,7 +926,7 @@ def l2_assign(vecs, cent_rows, id_col: str = "vec_id"):
             # exact; np.argmin returns the FIRST minimum, i.e. the
             # lowest centroid id on ties (c_ids sorted) — O(k), no
             # full-row sort needed for top-1
-            scores = -2 * (v @ _mat.T) + _sq[None, :]
+            scores = -2 * _int_matmul_exact(v, _mat) + _sq[None, :]
             nearest = np.argmin(scores, axis=1)
             yield pd.DataFrame(
                 {
@@ -1205,7 +1358,7 @@ def knn_kth_d2_matmul(embq, k: int, id_col: str = "vec_id"):
             A = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
             na = pdf["norm"].to_numpy(dtype=np.int64)
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            D2 = na[:, None] + norms[None, :] - 2 * (A @ M.T)
+            D2 = na[:, None] + norms[None, :] - 2 * _int_matmul_exact(A, M)
             # exclude self-distance: push own column past any real d2
             self_mask = a_ids[:, None] == ids[None, :]
             D2[self_mask] = np.iinfo(np.int64).max
