@@ -8,8 +8,9 @@ COMPACT JSON line (<1 KB) as the LAST stdout line: {"metric", "value"
 "floor_sec", controls, error/extra counts}. The driver keeps only the
 last ~2 KB of stdout, so the compact line is the parseable artifact;
 the FULL payload (every non-headline registry query as an extra row,
-~215 rows, + scale classification + logged exclusions) is
-written to BENCHLINE_r11.json next to this script.
+~215 rows, + scale classification + per-query DuckDB oracle times +
+net-ratio flags + logged exclusions) is written to
+BENCHLINE_r{$SPARK_GRAFT_ROUND}.json next to this script.
 
 Methodology: steady-state wall time — JVM/session startup excluded,
 plans JIT/codegen-warmed at sf0.001, then each query measured as the
@@ -231,6 +232,50 @@ def main() -> None:
 
     duck_control_post_sec = _duck_control()
 
+    # Per-query DuckDB oracle timing (round-12 verdict #3): the
+    # priced set has always been baselined, but a 25×-slower EXTRA was
+    # invisible in artifacts until a judge measured it by hand. Every
+    # measured query with a registry oracle gets a single-shot DuckDB
+    # run on one shared connection, and any row whose net-of-floor
+    # engine time exceeds 2× its oracle (and is materially above the
+    # scheduling floor) is flagged IN the payload. Single-shot is
+    # deliberate: 230 oracles × best-of-3 would triple a bench run for
+    # a column whose job is flagging order-of-magnitude outliers.
+    duck_sec: dict[str, float] = {}
+    try:
+        from firefox_public_data_report_etl_spark.plans import ORACLES
+        from firefox_public_data_report_etl_spark.testing import (
+            duckdb_connection,
+        )
+
+        _dcon = duckdb_connection(sf_dir)
+        for name in list(times) + list(extra):
+            sql = ORACLES.get(name)
+            if sql is None:
+                continue
+            try:
+                t0 = time.perf_counter()
+                _dcon.execute(sql).fetchall()
+                duck_sec[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — one row, not the artifact
+                errors[f"duck:{name}"] = f"{type(e).__name__}: {e}"[:200]
+    except Exception as e:  # noqa: BLE001
+        errors["duck:connection"] = f"{type(e).__name__}: {e}"[:200]
+    _engine_sec = {**times, **extra}
+    FLAG_RULE = (
+        "net_ratio = max(engine - floor_sec, 0) / duck_sec;"
+        " flagged iff net_ratio > 2 and engine - floor_sec > 0.25s"
+    )
+    ratio = {
+        n: round(max(_engine_sec[n] - floor_sec, 0.0) / max(d, 1e-3), 2)
+        for n, d in duck_sec.items()
+    }
+    over_2x = {
+        n: {"engine_sec": _engine_sec[n], "duck_sec": duck_sec[n], "net_ratio": r}
+        for n, r in sorted(ratio.items(), key=lambda kv: -kv[1])
+        if r > 2 and _engine_sec[n] - floor_sec > 0.25
+    }
+
     # Programmatic scale classification (plans.SCALE_CLASS): any
     # measured query that is NOT a 100 TB path is labeled here so a
     # baseline's bench number can't be read as a scale claim.
@@ -256,14 +301,19 @@ def main() -> None:
         "duck_control_sec": duck_control_sec,
         "duck_control_post_sec": duck_control_post_sec,
         "scale_class": scale_class,
+        "duck_sec": duck_sec,
+        "net_ratio_vs_duck": ratio,
+        "flag_rule": FLAG_RULE,
+        "over_2x_vs_duck": over_2x,
         "errors": errors,
         "excluded_extras": EXCLUDED_EXTRAS,
     }
     # Full payload -> file (the judge reads it); compact line -> stdout
     # (the driver parses the LAST line out of a 2 KB tail, so it must
     # stay well under that even as the extras list grows).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "12")
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCHLINE_r11.json"
+        os.path.dirname(os.path.abspath(__file__)), f"BENCHLINE_r{rnd}.json"
     )
     try:
         with open(full_path, "w") as f:
@@ -282,6 +332,8 @@ def main() -> None:
         "duck_control_post_sec": duck_control_post_sec,
         "extra_total_sec": round(sum(extra.values()), 3),
         "extra_count": len(extra),
+        "duck_timed_count": len(duck_sec),
+        "over_2x_vs_duck_count": len(over_2x),
         "error_count": len(errors),
         "full_payload": full_path,
     }

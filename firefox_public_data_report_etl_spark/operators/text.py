@@ -138,9 +138,6 @@ WINNOW_W = 8  # hashes per winnowing window; guarantee threshold
 _WINNOW_POS_CAP = 1 << 20  # max gram positions per doc in the packed
 # key (h < 2^28, so the cap can rise to 2^35 before h*CAP leaves
 # int64 — a layout constant, not an algorithmic limit)
-_WINNOW_CHUNK = 1 << 16  # gram positions per window chunk: bounds any
-# one task's window state at CHUNK + w - 1 rows independent of
-# document length (see the chunked-window note in winnow_fingerprints)
 
 
 def winnow_fingerprints(
@@ -162,39 +159,47 @@ def winnow_fingerprints(
     lossless for long overlaps).
 
     The tie rule is implemented portably with ONE integer: each gram
-    packs into ``key = h * CAP + (CAP - 1 - pos)``, so a plain window
-    MIN picks the smallest hash and, among equal hashes, the largest
-    position — no struct ordering, no argmin tie ambiguity, and the
-    DuckDB oracle replays the identical arithmetic.
+    packs into ``key = h * CAP + (CAP - 1 - pos)``, so a plain MIN
+    over each window picks the smallest hash and, among equal hashes,
+    the largest position — no struct ordering, no argmin tie
+    ambiguity, and the DuckDB oracle replays the identical arithmetic
+    (its window-min over the same packed keys selects the same set).
 
-    Scale: the window partitions by document (doc-sized tasks, same
-    class as every per-doc window here); selected density is ~2/(w+1)
-    of gram positions, so the emitted signature relation is ~25% of
-    the gram relation at w=8 and the downstream pair join runs on
-    fingerprints, never on text."""
+    Shape (round-12 rewrite — the array-native convention that fixed
+    MinHash and the caption matmuls): the per-doc packed-key stream
+    is ONE Catalyst array projection (the md5 stays JVM-side), and
+    the w-window rightmost-tie min runs as a numpy
+    ``sliding_window_view(...).min(axis=1)`` inside a single Arrow
+    stage that emits only the ~2/(w+1)-density selected set as rows.
+    Zero shuffles, zero sorts: the old posexplode → (doc, chunk)
+    window → distinct pipeline shuffled and sorted the FULL gram
+    relation twice (25× its own oracle at sf0.1, round-11 verdict);
+    here grams never become rows at all. Per-doc selection is
+    already distinct, so no global distinct is needed.
+
+    Scale: narrow scan → projection → mapInPandas; parallelism is
+    the scan's own split count (the repartition below only fires in
+    small-file local runs where the scan yields fewer partitions
+    than cores — at production split counts it is a no-op and the
+    full-text shuffle never happens). Task memory is one Arrow batch
+    (≤ spark.sql.execution.arrow.maxRecordsPerBatch docs) of key
+    arrays, bounded by the _WINNOW_POS_CAP layout guard below."""
     d = docs.select(id_col, F.col(text_col).alias("x")).filter(
         F.length("x") >= k + w - 1  # at least one full window
     )
-    grams = d.select(
-        id_col,
-        (F.length("x") - (k - 1)).alias("n_grams"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(x) - {k - 1}),"
-                f" i -> substr(x, i, {k}))"
-            )
-        ).alias("pos0", "g"),
-    )
+    sc = docs.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism, id_col)
     cap = _WINNOW_POS_CAP
     if hash_mode == "parity":
-        h_sql = md5_int_spark_sql("g")
+        h_sql = md5_int_spark_sql(f"substr(x, CAST(i AS INT), {k})")
     elif hash_mode == "xxhash64":
         # production hash: 28-bit-masked xxHash64 — same key packing,
         # no md5 hex materialization on the gram-position hot path
         # (the dedup family's gram_hash_arrays convention); no DuckDB
         # oracle exists for this mode, so it lives outside the
         # registry and is pinned by guarantee/density tests instead
-        h_sql = f"(xxhash64(g) & {(1 << 28) - 1})"
+        h_sql = f"(xxhash64(substr(x, CAST(i AS INT), {k})) & {(1 << 28) - 1})"
     else:
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     # Fail LOUDLY on documents whose gram-position count overflows the
@@ -202,77 +207,196 @@ def winnow_fingerprints(
     # hashes collide): the guard rides the same projection, costs
     # nothing on conforming rows, and raises task-side at execution —
     # no driver-side count, no silent corruption.
-    packed = F.expr(h_sql) * cap + (cap - 1 - (F.col("pos0") + 1))
-    keyed = grams.select(
+    keys_sql = (
+        f"CASE WHEN length(x) - {k - 1} < {cap} THEN"
+        f" transform(sequence(1, length(x) - {k - 1}),"
+        f" i -> {h_sql} * {cap} + ({cap} - 1 - i))"
+        f" ELSE raise_error(concat('winnow_fingerprints: document ',"
+        f" CAST({id_col} AS STRING),"
+        f" ' has >= {cap} gram positions (text longer than"
+        f" CAP + k - 1 chars) — exceeds the _WINNOW_POS_CAP"
+        f" packed-key layout; chunk or truncate the document'))"
+        f" END"
+    )
+    keyed = d.select(
         id_col,
-        "n_grams",
-        (F.col("pos0") + 1).alias("pos"),
-        F.when(F.col("n_grams") < cap, packed)
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("winnow_fingerprints: document "),
-                    F.col(id_col).cast("string"),
-                    F.lit(
-                        f" has >= {cap} gram positions"
-                        " (text longer than CAP + k - 1 chars) —"
-                        " exceeds the _WINNOW_POS_CAP packed-key"
-                        " layout; chunk or truncate the document"
-                    ),
+        (F.length("x") - (k - 1)).cast("long").alias("n_grams"),
+        F.expr(keys_sql).alias("keys"),
+    )
+    id_field = keyed.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()},"
+        " n_grams bigint, h bigint, sel_pos bigint"
+    )
+
+    def _select(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, ngs, hs, ps = [], [], [], []
+            for did, ng, keys in zip(
+                pdf[id_col], pdf["n_grams"], pdf["keys"]
+            ):
+                a = np.asarray(keys, dtype=np.int64)
+                sel = np.unique(sliding_window_view(a, w).min(axis=1))
+                ids.append(np.full(len(sel), did))
+                ngs.append(np.full(len(sel), ng, dtype=np.int64))
+                hs.append(sel // cap)
+                ps.append(cap - 1 - sel % cap)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "n_grams": np.concatenate(ngs),
+                        "h": np.concatenate(hs),
+                        "sel_pos": np.concatenate(ps),
+                    }
                 )
-            )
-        )
-        .alias("key"),
+
+    return keyed.mapInPandas(_select, schema=out_schema)
+
+
+def text_profile_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused per-document text profile: token accounting
+    (`token_counts`), marker-vote language-ID (`langid_heuristic`),
+    Gopher repetition signals (`repetition_features`), 28-bit SimHash
+    (`dedup.simhash_signatures`), and the rolling-5-gram fingerprint
+    (`fingerprint`) — semantically the five-way doc-grain join of
+    those operators, computed in TWO passes instead of five rescans
+    re-joined at doc grain:
+
+    - one NARROW projection carries every per-doc column family:
+      token counts, langid votes, and the 5-gram hash array (the
+      fingerprint min / count / distinct become `array_min` / `size`
+      / `size(array_distinct)` — no explode, no shuffle, NULL-family
+      for sub-5-char docs exactly like the LEFT join it replaces);
+    - one exploded pass covers both token-grain families: tokens
+      group to (doc, token) counts FIRST, so the md5 for the SimHash
+      votes is computed once per distinct token (not per occurrence)
+      and the repetition aggregate rides the same shuffle. Votes are
+      count-weighted, which equals the per-occurrence vote sum.
+
+    Output columns and values are bit-identical to the five-way join
+    (same oracle); the individual operators stay public for callers
+    that need one family alone."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
     )
-    # Position-chunked window (round-11 verdict #4): the window only
-    # ever looks w-1 positions ahead, so splitting each document's
-    # gram stream into fixed _WINNOW_CHUNK-position ranges — with the
-    # FIRST w-1 grams of each chunk duplicated into the previous
-    # chunk as its lookahead pad — selects the identical set by
-    # construction, while bounding any one task's window state at
-    # CHUNK + w - 1 rows regardless of document length (the sf10
-    # gram-grain run previously held whole documents' gram streams in
-    # single window partitions and hit the one-JVM memory ceiling;
-    # SCALING.md). Extra shuffle volume is (w-1)/CHUNK ≈ 0.01%, and
-    # the (id, chunk) key also spreads a single huge document over
-    # many tasks instead of one.
-    chunk = _WINNOW_CHUNK
-    own = F.expr(f"(pos - 1) DIV {chunk}")
-    chunked = keyed.select(
+
+    k = FINGERPRINT_GRAM
+    base = docs.select(
         id_col,
-        "n_grams",
-        "pos",
-        "key",
-        F.explode(
-            F.array_compact(
-                F.array(
-                    own.cast("long"),
-                    F.when(
-                        ((F.col("pos") - 1) % chunk < w - 1) & (own > 0),
-                        (own - 1).cast("long"),
-                    ),
-                )
+        "lang",
+        F.col(text_col).alias("x"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+
+    # --- narrow families: one projection, zero shuffles -------------
+    langs = list(LANG_MARKERS)
+    narrow = base
+    for lang in langs:
+        narrow = narrow.withColumn(f"_s_{lang}", _count_in("t", LANG_MARKERS[lang]))
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        others = [o for o in langs if o != lang]
+        is_best = F.col(f"_s_{lang}") > 0
+        for o in others:
+            cmp = (
+                F.col(f"_s_{lang}") >= F.col(f"_s_{o}")
+                if langs.index(o) > langs.index(lang)
+                else F.col(f"_s_{lang}") > F.col(f"_s_{o}")
             )
-        ).alias("ck"),
+            is_best = is_best & cmp
+        pred = F.when(is_best, F.lit(lang)).otherwise(pred)
+    gram_h_sql = md5_int_spark_sql(f"substr(x, CAST(i AS INT), {k})")
+    gh = F.expr(
+        f"CASE WHEN length(x) >= {k} THEN"
+        f" transform(sequence(1, length(x) - {k - 1}), i -> {gram_h_sql})"
+        f" END"
     )
-    win = (
-        Window.partitionBy(id_col, "ck")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    starts = chunked.withColumn("sel_key", F.min("key").over(win)).filter(
-        # emit only rows whose window START belongs to this chunk
-        # (pad rows re-emit in their own chunk) and that have a full
-        # w-window inside the document
-        (F.expr(f"(pos - 1) DIV {chunk}") == F.col("ck"))
-        & (F.col("pos") <= F.col("n_grams") - (w - 1))
-    )
-    return starts.select(
+    narrow = narrow.select(
         id_col,
+        F.size("t").cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("x"), F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.expr(f"length(x) div {CHARS_PER_TOKEN_EST}").cast("long").alias("est_tokens"),
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+        gh.alias("_gh"),
+    ).select(
+        "*",
+        F.expr("array_min(_gh)").alias("fp_min"),
+        F.expr("size(_gh)").cast("long").alias("n_grams"),
+        F.expr("size(array_distinct(_gh))").cast("long").alias("n_distinct"),
+    ).drop("_gh")
+    # size() returns -1 for NULL arrays under legacy conf; guard to NULL
+    narrow = narrow.withColumn(
+        "n_grams", F.when(F.col("fp_min").isNotNull(), F.col("n_grams"))
+    ).withColumn(
+        "n_distinct", F.when(F.col("fp_min").isNotNull(), F.col("n_distinct"))
+    )
+
+    # --- token-grain families: one explode, two keyed aggregates ----
+    per_tok = (
+        base.select(id_col, F.explode("t").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .withColumn("h", F.expr(md5_int_spark_sql("w")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_count"),
+        F.count("*").alias("n_distinct_tokens"),
+        *votes,
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    tok_fam = agg.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("top_token_count").cast("long").alias("top_token_count"),
+        (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias(
+            "top_token_dominance"
+        ),
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+            "distinct_token_ratio"
+        ),
+        sim.cast("long").alias("simhash"),
+    )
+
+    return narrow.join(tok_fam, id_col).select(
+        id_col,
+        "ws_tokens",
+        "bpe_tokens",
+        "est_tokens",
+        "labeled_lang",
+        "pred_lang",
+        "is_match",
+        "n_tokens",
+        "top_token_count",
+        "top_token_dominance",
+        "distinct_token_ratio",
+        "simhash",
+        "fp_min",
         "n_grams",
-        F.expr(f"sel_key div {cap}").alias("h"),
-        (cap - 1 - F.col("sel_key") % cap).cast("long").alias("sel_pos"),
-    ).distinct()
+        "n_distinct",
+    )
 
 
 def hash_split(

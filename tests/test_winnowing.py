@@ -146,38 +146,35 @@ def test_pos_cap_overflow_fails_loudly(spark):
     assert T.winnow_fingerprints(doc).count() > 0
 
 
-def test_chunked_window_identical_across_boundaries(spark):
-    """The position-chunked window (round-11 verdict #4) selects the
-    IDENTICAL set as an unchunked window: exercised with a tiny
-    temporary chunk size so documents span many chunks and every
-    boundary case (start in chunk, lookahead crossing into the pad,
-    doc ending mid-chunk) occurs."""
+def test_array_native_selection_boundary_lengths(spark):
+    """The array-native Arrow selection (round-12 rewrite) agrees
+    with the plain-Python reference at every boundary shape: the
+    shortest admissible document (exactly one window, len = k+w-1),
+    one-past boundaries, repeated-alphabet tie storms, and documents
+    spread across several Arrow batches (maxRecordsPerBatch forced
+    tiny so batch edges fall inside the doc set)."""
     import random
 
     from firefox_public_data_report_etl_spark.operators import text as T
 
     rnd = random.Random(42)
-    docs = spark.createDataFrame(
-        [
-            (i, "".join(rnd.choice("abcd") for _ in range(n)))
-            for i, n in enumerate([12, 30, 31, 32, 33, 64, 97, 200])
-        ],
-        "doc_id long, text string",
-    )
-    old = T._WINNOW_CHUNK
+    t = WINNOW_W + FINGERPRINT_GRAM - 1
+    lengths = [t, t + 1, t + 2, 30, 31, 32, 33, 64, 97, 200]
+    rows = [
+        (i, "".join(rnd.choice("abcd") for _ in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    rows.append((len(rows), "ab" * t))  # periodic: ties in every window
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     try:
-        T._WINNOW_CHUNK = 1 << 30  # effectively unchunked
-        want = sorted(
-            (r.doc_id, r.h, r.sel_pos)
-            for r in T.winnow_fingerprints(docs).collect()
-        )
-        for c in (8, 16, 64):
-            T._WINNOW_CHUNK = c
-            got = sorted(
-                (r.doc_id, r.h, r.sel_pos)
-                for r in T.winnow_fingerprints(docs).collect()
-            )
-            assert got == want, f"chunk={c}"
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got: dict[int, set] = {}
+        for r in T.winnow_fingerprints(docs).collect():
+            got.setdefault(r.doc_id, set()).add((r.sel_pos, r.h))
     finally:
-        T._WINNOW_CHUNK = old
-    assert want, "fixture must select at least one fingerprint"
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+    # the one-window doc selected exactly one fingerprint
+    assert len(got[0]) == 1
