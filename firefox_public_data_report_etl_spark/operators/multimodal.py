@@ -1655,6 +1655,50 @@ def caption_pair_vectors(media: DataFrame) -> DataFrame:
     ).mapInPandas(_emb, "media_id long, qi array<long>, qc array<long>")
 
 
+def caption_pair_scores(media: DataFrame) -> DataFrame:
+    """(media_id, dot, na, nb) from REAL (payload, caption) pairs —
+    ``caption_pair_vectors`` with the three inner products emitted
+    straight from the SAME Arrow stage (numpy int64 dots on the
+    embeds it just built), so the per-row interpreted
+    ``aggregate(zip_with(...))`` HOF the gate used to run over the
+    returned arrays is gone entirely (round-11 verdict #6 — the HOF
+    class every other pair-scoring path already retired). Verdict
+    arithmetic (fixed-point cos², threshold) stays in Catalyst at the
+    caller."""
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype, cap in zip(
+                pdf["media_id"],
+                pdf["payload"],
+                pdf["media_type"],
+                pdf["caption"],
+            ):
+                if mtype != "image/bmp":
+                    raise NotImplementedError(f"no decoder for {mtype}")
+                _w, _h, rgb = decode_bmp24(bytes(payload))
+                qi = _embed_token_bag(
+                    visual_words(caption_gray_cells(rgb))
+                )
+                qc = _embed_token_bag(str(cap).split(" "))
+                rows.append(
+                    (
+                        int(mid),
+                        int(qi @ qc),
+                        int(qi @ qi),
+                        int(qc @ qc),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dot", "na", "nb"]
+            )
+
+    return media.select(
+        "media_id", "payload", "media_type", "caption"
+    ).mapInPandas(_emb, "media_id long, dot long, na long, nb long")
+
+
 def caption_text_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, v) caption vectors of the joint space, same fused
     Arrow shape as ``caption_image_vectors`` (captions come from the

@@ -140,6 +140,126 @@ _WINNOW_POS_CAP = 1 << 20  # max gram positions per doc in the packed
 # int64 — a layout constant, not an algorithmic limit)
 
 
+def _winnow_keyed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    hash_mode: str,
+):
+    """Shared packed-key projection of the winnowing family:
+    (id, n_grams, keys array<long>) with keys[i] = h_i * CAP +
+    (CAP - 1 - pos_i). One narrow Catalyst projection (md5/xxhash64
+    stays JVM-side); the repartition only fires when a small-file
+    local scan yields fewer partitions than cores — at production
+    split counts it is a no-op and the full-text shuffle never
+    happens. Returns (keyed_df, cap)."""
+    d = docs.select(id_col, F.col(text_col).alias("x")).filter(
+        F.length("x") >= k + w - 1  # at least one full window
+    )
+    sc = docs.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism, id_col)
+    cap = _WINNOW_POS_CAP
+    if hash_mode == "parity":
+        h_sql = md5_int_spark_sql(f"substr(x, CAST(i AS INT), {k})")
+    elif hash_mode == "xxhash64":
+        # production hash: 28-bit-masked xxHash64 — same key packing,
+        # no md5 hex materialization on the gram-position hot path
+        # (the dedup family's gram_hash_arrays convention); no DuckDB
+        # oracle exists for this mode, so it lives outside the
+        # registry and is pinned by guarantee/density tests instead
+        h_sql = f"(xxhash64(substr(x, CAST(i AS INT), {k})) & {(1 << 28) - 1})"
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    # Fail LOUDLY on documents whose gram-position count overflows the
+    # packed-key layout (pos >= CAP would go negative and let distinct
+    # hashes collide): the guard rides the same projection, costs
+    # nothing on conforming rows, and raises task-side at execution —
+    # no driver-side count, no silent corruption.
+    keys_sql = (
+        f"CASE WHEN length(x) - {k - 1} < {cap} THEN"
+        f" transform(sequence(1, length(x) - {k - 1}),"
+        f" i -> {h_sql} * {cap} + ({cap} - 1 - i))"
+        f" ELSE raise_error(concat('winnow_fingerprints: document ',"
+        f" CAST({id_col} AS STRING),"
+        f" ' has >= {cap} gram positions (text longer than"
+        f" CAP + k - 1 chars) — exceeds the _WINNOW_POS_CAP"
+        f" packed-key layout; chunk or truncate the document'))"
+        f" END"
+    )
+    keyed = d.select(
+        id_col,
+        (F.length("x") - (k - 1)).cast("long").alias("n_grams"),
+        F.expr(keys_sql).alias("keys"),
+    )
+    return keyed, cap
+
+
+def winnow_doc_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = FINGERPRINT_GRAM,
+    w: int = WINNOW_W,
+    hash_mode: str = "parity",
+) -> DataFrame:
+    """Per-document rollup of the winnowing signature — (id, n_grams,
+    n_selected, n_distinct_h, fp_min) — computed INSIDE the selection
+    kernel instead of aggregating `winnow_fingerprints` rows: the
+    Arrow stage already holds each document's sorted selected set, so
+    the stats are a few numpy reductions and the signature relation
+    (25% of gram positions) is never emitted, shuffled, or
+    re-aggregated. ZERO shuffles end to end; identical values to
+    ``winnow_fingerprints(...).groupBy(id).agg(count, countDistinct
+    (h), min(h))`` (agreement is test-pinned and the registry row's
+    oracle is unchanged). Use this for signature audits/reports; use
+    `winnow_fingerprints` when downstream joins need the (id, h)
+    rows."""
+    keyed, cap = _winnow_keyed(docs, id_col, text_col, k, w, hash_mode)
+    id_field = keyed.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()},"
+        " n_grams bigint, n_selected bigint, n_distinct_h bigint,"
+        " fp_min bigint"
+    )
+
+    def _stats(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, ngs, nsel, ndis, fpm = [], [], [], [], []
+            for did, ng, keys in zip(
+                pdf[id_col], pdf["n_grams"], pdf["keys"]
+            ):
+                a = np.asarray(keys, dtype=np.int64)
+                sel = np.unique(sliding_window_view(a, w).min(axis=1))
+                h = sel // cap
+                ids.append(did)
+                ngs.append(ng)
+                nsel.append(len(sel))
+                # sel is sorted and h*CAP dominates the packed key, so
+                # h is sorted too: h[0] is the min and adjacent
+                # comparison counts the distinct hashes
+                ndis.append(int(1 + np.count_nonzero(h[1:] != h[:-1])))
+                fpm.append(int(h[0]))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_grams": ngs,
+                        "n_selected": nsel,
+                        "n_distinct_h": ndis,
+                        "fp_min": fpm,
+                    }
+                )
+
+    return keyed.mapInPandas(_stats, schema=out_schema)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -184,45 +304,7 @@ def winnow_fingerprints(
     full-text shuffle never happens). Task memory is one Arrow batch
     (≤ spark.sql.execution.arrow.maxRecordsPerBatch docs) of key
     arrays, bounded by the _WINNOW_POS_CAP layout guard below."""
-    d = docs.select(id_col, F.col(text_col).alias("x")).filter(
-        F.length("x") >= k + w - 1  # at least one full window
-    )
-    sc = docs.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism, id_col)
-    cap = _WINNOW_POS_CAP
-    if hash_mode == "parity":
-        h_sql = md5_int_spark_sql(f"substr(x, CAST(i AS INT), {k})")
-    elif hash_mode == "xxhash64":
-        # production hash: 28-bit-masked xxHash64 — same key packing,
-        # no md5 hex materialization on the gram-position hot path
-        # (the dedup family's gram_hash_arrays convention); no DuckDB
-        # oracle exists for this mode, so it lives outside the
-        # registry and is pinned by guarantee/density tests instead
-        h_sql = f"(xxhash64(substr(x, CAST(i AS INT), {k})) & {(1 << 28) - 1})"
-    else:
-        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
-    # Fail LOUDLY on documents whose gram-position count overflows the
-    # packed-key layout (pos >= CAP would go negative and let distinct
-    # hashes collide): the guard rides the same projection, costs
-    # nothing on conforming rows, and raises task-side at execution —
-    # no driver-side count, no silent corruption.
-    keys_sql = (
-        f"CASE WHEN length(x) - {k - 1} < {cap} THEN"
-        f" transform(sequence(1, length(x) - {k - 1}),"
-        f" i -> {h_sql} * {cap} + ({cap} - 1 - i))"
-        f" ELSE raise_error(concat('winnow_fingerprints: document ',"
-        f" CAST({id_col} AS STRING),"
-        f" ' has >= {cap} gram positions (text longer than"
-        f" CAP + k - 1 chars) — exceeds the _WINNOW_POS_CAP"
-        f" packed-key layout; chunk or truncate the document'))"
-        f" END"
-    )
-    keyed = d.select(
-        id_col,
-        (F.length("x") - (k - 1)).cast("long").alias("n_grams"),
-        F.expr(keys_sql).alias("keys"),
-    )
+    keyed, cap = _winnow_keyed(docs, id_col, text_col, k, w, hash_mode)
     id_field = keyed.schema[id_col]
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()},"
@@ -269,11 +351,17 @@ def text_profile_features(
     those operators, computed in TWO passes instead of five rescans
     re-joined at doc grain:
 
-    - one NARROW projection carries every per-doc column family:
-      token counts, langid votes, and the 5-gram hash array (the
-      fingerprint min / count / distinct become `array_min` / `size`
-      / `size(array_distinct)` — no explode, no shuffle, NULL-family
-      for sub-5-char docs exactly like the LEFT join it replaces);
+    - one NARROW pass carries every per-doc column family: token
+      counts, langid votes, and the 5-gram hash array, computed in a
+      single widened projection whose Arrow stage reduces the gram
+      array to the fingerprint stats (min / count / distinct via
+      numpy) and passes the other columns through. The array is
+      evaluated exactly ONCE — naming it in a projection and reading
+      it from three sibling expressions triples the md5 work under
+      CollapseProject inlining (measured 2× slower even widened);
+      the mapInPandas boundary is the evaluate-once barrier, the
+      winnowing rewrite's convention. NULL fingerprint family for
+      sub-5-char docs exactly like the LEFT join it replaces;
     - one exploded pass covers both token-grain families: tokens
       group to (doc, token) counts FIRST, so the md5 for the SimHash
       votes is computed once per distinct token (not per occurrence)
@@ -286,16 +374,19 @@ def text_profile_features(
     from firefox_public_data_report_etl_spark.operators.dedup import (
         SIMHASH_BITS,
     )
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
 
     k = FINGERPRINT_GRAM
-    base = docs.select(
+    base = widen_partitions(docs).select(
         id_col,
         "lang",
         F.col(text_col).alias("x"),
         F.split(F.col(text_col), " ").alias("t"),
     )
 
-    # --- narrow families: one projection, zero shuffles -------------
+    # --- narrow families: one projection + one Arrow reduce ---------
     langs = list(LANG_MARKERS)
     narrow = base
     for lang in langs:
@@ -318,7 +409,7 @@ def text_profile_features(
         f" transform(sequence(1, length(x) - {k - 1}), i -> {gram_h_sql})"
         f" END"
     )
-    narrow = narrow.select(
+    proj = narrow.select(
         id_col,
         F.size("t").cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col("x"), F.lit(BPE_PRETOKEN_RE), 0))
@@ -329,18 +420,43 @@ def text_profile_features(
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("is_match"),
         gh.alias("_gh"),
-    ).select(
-        "*",
-        F.expr("array_min(_gh)").alias("fp_min"),
-        F.expr("size(_gh)").cast("long").alias("n_grams"),
-        F.expr("size(array_distinct(_gh))").cast("long").alias("n_distinct"),
-    ).drop("_gh")
-    # size() returns -1 for NULL arrays under legacy conf; guard to NULL
-    narrow = narrow.withColumn(
-        "n_grams", F.when(F.col("fp_min").isNotNull(), F.col("n_grams"))
-    ).withColumn(
-        "n_distinct", F.when(F.col("fp_min").isNotNull(), F.col("n_distinct"))
     )
+
+    id_type = proj.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, ws_tokens bigint, bpe_tokens bigint,"
+        " est_tokens bigint, labeled_lang string, pred_lang string,"
+        " is_match boolean, fp_min bigint, n_grams bigint,"
+        " n_distinct bigint"
+    )
+    pass_cols = [
+        id_col, "ws_tokens", "bpe_tokens", "est_tokens",
+        "labeled_lang", "pred_lang", "is_match",
+    ]
+
+    def _fp_stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mins, ngs, nds = [], [], []
+            for g in pdf["_gh"]:
+                if g is None or len(g) == 0:
+                    mins.append(None)
+                    ngs.append(None)
+                    nds.append(None)
+                else:
+                    a = np.asarray(g, dtype=np.int64)
+                    mins.append(int(a.min()))
+                    ngs.append(len(a))
+                    nds.append(int(len(np.unique(a))))
+            out = pdf[pass_cols].copy()
+            out["fp_min"] = pd.array(mins, dtype="Int64")
+            out["n_grams"] = pd.array(ngs, dtype="Int64")
+            out["n_distinct"] = pd.array(nds, dtype="Int64")
+            yield out
+
+    narrow = proj.mapInPandas(_fp_stats, schema=out_schema)
 
     # --- token-grain families: one explode, two keyed aggregates ----
     per_tok = (

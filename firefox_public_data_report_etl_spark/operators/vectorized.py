@@ -285,15 +285,20 @@ def cosine_threshold_pairs_matmul(
     ops, so this is belt-and-braces) and the EXACT Catalyst cosine +
     filter run after, so emitted values and the DuckDB oracle are
     bit-unchanged."""
-    rows = quantized_emb.select(id_col, "q", "norm").collect()
-    if len(rows) > _BRUTE_CLOSURE_MAX:
+    # Refuse BEFORE collecting: counting limit(MAX+1) is a cheap
+    # distributed pass, so the loud refusal actually prevents the
+    # driver-memory blowup it exists to avert (round-11 ADVICE — the
+    # old post-collect check OOM'd first on a corpus far past bound).
+    probe = quantized_emb.limit(_BRUTE_CLOSURE_MAX + 1).count()
+    if probe > _BRUTE_CLOSURE_MAX:
         raise ValueError(
-            f"cosine_threshold_pairs_matmul: corpus has {len(rows)}"
-            f" vectors, past the brute-baseline closure bound"
-            f" {_BRUTE_CLOSURE_MAX} — this is the labeled quadratic"
+            f"cosine_threshold_pairs_matmul: corpus has >"
+            f" {_BRUTE_CLOSURE_MAX} vectors, past the brute-baseline"
+            " closure bound — this is the labeled quadratic"
             " baseline; run the banded scale path (ann_lsh /"
             " operators.similarity.sign_bucket prefilter) instead."
         )
+    rows = quantized_emb.select(id_col, "q", "norm").collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     mat = (
         np.asarray([r[1] for r in rows], dtype=np.int64)
@@ -612,7 +617,7 @@ def retrieval_rank_eval_matmul(queries, candidates, scale: int):
             F.struct(F.col("top1_sfp"), (-F.col("top1_id")).alias("neg_id"))
         ).alias("t1"),
     )
-    return (
+    out = (
         agg.join(F.broadcast(meta), "q_id")
         .select(
             "q_id",
@@ -625,6 +630,13 @@ def retrieval_rank_eval_matmul(queries, candidates, scale: int):
             (-F.col("t1.neg_id") == F.col("truth_id")).alias("top1_is_truth"),
         )
     )
+    # the cached candidate relation is part of the returned plan's
+    # lineage (the streaming reduce re-reads it), so it cannot be
+    # unpersisted here. Caller-owned lifecycle, the incremental-probe
+    # convention: unpersist via this attribute after materializing,
+    # or let session teardown / clearCache collect it.
+    out._probe_persisted = [cands]
+    return out
 
 
 def ivf_assign(vectors, centroids, id_col: str = "vec_id", nprobe: int = 1):

@@ -1716,6 +1716,10 @@ def _caption_ivf_probe(spark: SparkSession, sf_dir: str):
         .filter(F.col("a_rank") <= CAP_RET_K)
         .select("cap_id", "img_media", "a_rank")
     )
+    # both cached relations are in the returned plan's lineage —
+    # caller-owned release (the incremental-probe convention), so one
+    # long session doesn't accumulate a cached pair per invocation
+    approx._probe_persisted = [caps, imgs]
     return approx, caps, imgs
 
 
@@ -6343,21 +6347,29 @@ def document_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed-integer window min): selected-fingerprint count, distinct
     hash count, the signature min, and the selection density in ppm
     of window starts (expected ~2/(w+1)). The signature this audits
-    is what `dedup_winnowing_pairs` joins on."""
+    is what `dedup_winnowing_pairs` joins on.
+
+    Runs `winnow_doc_stats` (round 12): the rollup happens inside the
+    selection kernel's Arrow stage, so the signature relation is
+    never emitted or shuffled — the whole query is scan → projection
+    → Arrow reduce, zero shuffles (the groupBy/countDistinct form
+    this replaces re-shuffled 25% of gram positions; agreement with
+    that form is test-pinned and the oracle is unchanged)."""
     from firefox_public_data_report_etl_spark.operators.text import (
         WINNOW_W,
-        winnow_fingerprints,
+        winnow_doc_stats,
     )
 
-    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
-    return sel.groupBy("doc_id").agg(
-        F.first("n_grams").alias("n_grams"),
-        (F.first("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
-        F.count("*").alias("n_selected"),
-        F.countDistinct("h").alias("n_distinct_h"),
-        F.min("h").alias("fp_min"),
+    sel = winnow_doc_stats(load_table(spark, sf_dir, "documents"))
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        (F.col("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
+        "n_selected",
+        "n_distinct_h",
+        "fp_min",
         F.expr(
-            f"(1000000 * count(*)) div (first(n_grams) - {WINNOW_W - 1})"
+            f"(1000000 * n_selected) div (n_grams - {WINNOW_W - 1})"
         ).alias("density_ppm"),
     )
 

@@ -68,24 +68,13 @@ def align_scores(batch: DataFrame) -> DataFrame:
         CAP_COS2_DEN,
         CAP_COS2_NUM,
         CAP_SCORE_SCALE,
-        caption_pair_vectors,
+        caption_pair_scores,
     )
 
-    vecs = caption_pair_vectors(batch)
-    scores = vecs.select(
-        "media_id",
-        F.aggregate(
-            F.zip_with("qi", "qc", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
-        F.aggregate(
-            "qi", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("na"),
-        F.aggregate(
-            "qc", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("nb"),
-    )
+    # the three inner products come straight out of the fused Arrow
+    # embed stage (numpy int64); only the verdict arithmetic below is
+    # Catalyst — no interpreted aggregate(zip_with(...)) per row
+    scores = caption_pair_scores(batch)
     return scores.select(
         "media_id",
         "dot",
@@ -139,7 +128,13 @@ def read_accepted(spark: SparkSession, store: str) -> DataFrame:
     schema_path = _accepted_schema_path(store)
     if schema_path.exists():
         schema = StructType.fromJson(json.loads(schema_path.read_text()))
-        if not (Path(store) / "accepted").exists():
+        # a crash inside the very first batch's commit window can leave
+        # the accepted slice + schema written with verdicts/ not yet
+        # created — the half-written slice must read as empty, not
+        # raise (the same contract the accepted/ guard above enforces)
+        if not (Path(store) / "accepted").exists() or not (
+            Path(store) / "verdicts"
+        ).exists():
             return spark.createDataFrame([], schema).drop("bl")
         acc = spark.read.schema(schema).parquet(f"{store}/accepted")
     else:

@@ -119,7 +119,12 @@ def read_accepted(spark: SparkSession, store: str) -> DataFrame:
     schema_path = _accepted_schema_path(store)
     if schema_path.exists():
         schema = StructType.fromJson(json.loads(schema_path.read_text()))
-        if not (Path(store) / "accepted").exists():
+        # accepted slice + schema written but decisions/ not yet
+        # created (crash inside the first batch's commit window):
+        # the half-written slice is invisible, not an AnalysisException
+        if not (Path(store) / "accepted").exists() or not (
+            Path(store) / "decisions"
+        ).exists():
             return spark.createDataFrame([], schema).drop("bl")
         acc = spark.read.schema(schema).parquet(f"{store}/accepted")
     else:

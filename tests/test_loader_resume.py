@@ -104,3 +104,130 @@ def test_checkpoint_commit_marker_and_crash_window(spark, sf_dir, tmp_path):
     }
     assert got == want
     order.unpersist()
+
+
+def test_streaming_ingestion_crash_resume_end_to_end(spark, sf_dir, tmp_path):
+    """Round-12 verdict #5: a STREAMING ingestion of the epoch order is
+    killed mid-epoch and resumed COLD (fresh stream, fresh streaming
+    checkpoint — only the loader checkpoint store survives, as for a
+    restarted trainer). The resumed run must skip exactly the
+    delivered prefix (verified against the checkpoint's prefix
+    checksum) and deliver exactly the unseen suffix: crash+resume
+    delivery == the deterministic order, no duplicates, no gaps."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "cp")
+    out = str(tmp_path / "delivered")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    order = epoch_training_order(
+        docs, "doc_id", n_epochs=1, n_shards=4
+    ).cache()
+    keys = sorted(
+        {(r.epoch, r.shard_id) for r in order.select("epoch", "shard_id").distinct().collect()}
+    )
+    assert len(keys) == 4
+    # one file per (epoch, shard) slice = one micro-batch per trigger
+    for i, (e, s) in enumerate(keys):
+        order.filter(
+            (F.col("epoch") == e) & (F.col("shard_id") == s)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{i:03d}")
+
+    term = (
+        (F.col("doc_id") % F.lit(_MOD))
+        * ((F.col("pos") + F.lit(1)) % F.lit(_MOD))
+        % F.lit(_MOD)
+    )
+
+    def _deliver(b, _bid, crash_after):
+        # a restarted trainer knows only the loader store: label =
+        # newest committed label + 1, never the stream's batch id
+        cp = read_loader_checkpoint(spark, store)
+        old = {
+            (r.epoch, r.shard_id): (r.cursor, r.prefix_checksum)
+            for r in cp.collect()
+        }
+        label = 1 + max([0] + [
+            r.bl for r in spark.read.parquet(f"{store}/meta").collect()
+        ]) if (tmp_path / "cp" / "meta").exists() else 1
+        todo = resume_suffix(b, cp).cache()
+        rows = todo.collect()
+        if rows:
+            todo.write.mode("append").parquet(out)
+        # cumulative cursors: batch shards advance, others carry over
+        upd = {
+            (r.epoch, r.shard_id): (r.c, r.ck)
+            for r in todo.groupBy("epoch", "shard_id").agg(
+                (F.max("pos") + 1).cast("long").alias("c"),
+                (F.sum(term) % F.lit(_MOD)).cast("long").alias("ck"),
+            ).collect()
+        }
+        merged = dict(old)
+        for k, (c, ck) in upd.items():
+            oc, ock = merged.get(k, (0, 0))
+            merged[k] = (max(oc, c), (ock + ck) % _MOD)
+        cur = spark.createDataFrame(
+            [(e, s, c, ck) for (e, s), (c, ck) in sorted(merged.items())],
+            "epoch long, shard_id long, cursor long, prefix_checksum long",
+        )
+        write_loader_checkpoint(spark, store, label, cur)
+        todo.unpersist()
+        if crash_after is not None and label >= crash_after:
+            raise RuntimeError("simulated trainer crash")
+
+    def _run(ck_dir, crash_after):
+        stream = (
+            spark.readStream.schema(
+                "epoch long, shard_id long, doc_id long, pos long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream.writeStream.foreachBatch(
+            lambda b, bid: _deliver(b, bid, crash_after)
+        ).option(
+            "checkpointLocation", str(tmp_path / ck_dir)
+        ).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass  # the simulated crash surfaces here
+        finally:
+            if q.isActive:
+                q.stop()
+
+    _run("ck1", crash_after=2)  # die after the 2nd committed batch
+    cp = read_loader_checkpoint(spark, store)
+    n_cp = cp.count()
+    assert 0 < n_cp < len(keys), "crash must land mid-epoch"
+    # the checkpoint's prefix checksums match the DELIVERED rows
+    delivered1 = spark.read.parquet(out)
+    got_ck = {
+        (r.epoch, r.shard_id): r.prefix_checksum
+        for r in delivered1.groupBy("epoch", "shard_id").agg(
+            (F.sum(term) % F.lit(_MOD)).cast("long").alias("prefix_checksum")
+        ).collect()
+    }
+    want_ck = {
+        (r.epoch, r.shard_id): r.prefix_checksum for r in cp.collect()
+    }
+    assert got_ck == want_ck
+    n1 = delivered1.count()
+
+    shutil.rmtree(str(tmp_path / "ck1"))  # cold restart: no stream state
+    _run("ck2", crash_after=None)
+    delivered = spark.read.parquet(out)
+    # exactly-once end to end: crash + resume == the full order
+    assert delivered.count() == order.count(), "no duplicate deliveries"
+    full = {(r.epoch, r.shard_id, r.doc_id, r.pos) for r in order.collect()}
+    got = {
+        (r.epoch, r.shard_id, r.doc_id, r.pos) for r in delivered.collect()
+    }
+    assert got == full, "no gaps"
+    assert n1 < len(full), "resume actually had work to do"
+    order.unpersist()

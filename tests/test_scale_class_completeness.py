@@ -99,6 +99,14 @@ def test_labels_are_consistent():
         assert target in QUERIES, (
             f"SCALE_PATH_FOR[{name}] -> {target} is not a registry query"
         )
+        # r12 verdict #8: a scale path must itself BE a scale path —
+        # a baseline pointing at another labeled baseline would send
+        # users chasing a chain instead of a production form
+        assert SCALE_CLASS.get(target, "scale") == "scale", (
+            f"SCALE_PATH_FOR[{name}] -> {target} is classed "
+            f"{SCALE_CLASS.get(target)} — the named scale path must "
+            "be a production ('scale') query"
+        )
     for name, why in REPORT_EDGE_WINDOWS.items():
         assert name in QUERIES, (
             f"REPORT_EDGE_WINDOWS names unknown query {name}"

@@ -130,3 +130,19 @@ def test_stream_wiring_three_triggers(spark, sf_dir, tmp_path):
         for r in verd.filter("aligned").collect()
     }
     assert got == want and got
+
+
+def test_first_batch_crash_before_verdicts_reads_empty(spark, sf_dir, tmp_path):
+    """Crash inside the FIRST batch's commit window: accepted slice +
+    pinned schema written, verdicts/ not yet created. The documented
+    contract — a half-written slice is invisible — must hold (round-11
+    ADVICE: read_accepted raised AnalysisException here)."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    align_gate_batch(spark, _pairs(spark, sf_dir, F.col("doc_id") < 40),
+                     store, batch_id=0)
+    shutil.rmtree(f"{store}/verdicts")  # simulate the crash window
+    acc = read_accepted(spark, store)
+    assert acc.count() == 0
+    assert "media_id" in acc.columns

@@ -176,3 +176,23 @@ def test_all_rejected_store_reads_as_empty(spark, tmp_path):
         idx, store, batch_id=1,
     )
     assert {r.doc_id for r in read_accepted(spark, store).collect()} == {300}
+
+
+def test_first_batch_crash_before_decisions_reads_empty(spark, tmp_path):
+    """Crash inside the FIRST batch's commit window: accepted slice +
+    pinned schema written, decisions/ not yet created — read_accepted
+    must honor the half-written-slice-is-invisible contract instead of
+    raising (round-11 ADVICE)."""
+    import shutil
+
+    idx = str(tmp_path / "evalidx")
+    store = str(tmp_path / "store")
+    build_winnow_index(_eval_docs(spark), idx)
+    leak_gate_batch(
+        spark, _batch(spark, [(400, "totally clean fresh text")]),
+        idx, store, batch_id=0,
+    )
+    shutil.rmtree(f"{store}/decisions")  # simulate the crash window
+    acc = read_accepted(spark, store)
+    assert acc.count() == 0
+    assert dict(acc.dtypes) == {"doc_id": "bigint", "text": "string"}

@@ -178,3 +178,32 @@ def test_array_native_selection_boundary_lengths(spark):
         assert got.get(doc_id, set()) == _py_winnow(text), doc_id
     # the one-window doc selected exactly one fingerprint
     assert len(got[0]) == 1
+
+
+def test_doc_stats_agree_with_rollup(spark, sf_dir):
+    """winnow_doc_stats (in-kernel rollup, zero shuffles) equals the
+    groupBy/countDistinct aggregate over winnow_fingerprints rows."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        winnow_doc_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    want = {
+        (r.doc_id, r.n_grams, r.n_selected, r.n_distinct_h, r.fp_min)
+        for r in winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("*").alias("n_selected"),
+            F.countDistinct("h").alias("n_distinct_h"),
+            F.min("h").alias("fp_min"),
+        )
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.n_grams, r.n_selected, r.n_distinct_h, r.fp_min)
+        for r in winnow_doc_stats(docs).collect()
+    }
+    assert got == want and got
