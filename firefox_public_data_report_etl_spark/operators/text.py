@@ -2064,6 +2064,15 @@ def bm25_topk(
     per query, each over its own candidate list.
     """
     terms = doc_bigram_terms(docs, id_col, text_col)
+    # The postings table is consumed three times (df/idf rollup, the
+    # query-term slice, the candidate join); Spark shares no subplans
+    # across a DAG, so the bigram explode + rollup runs three times —
+    # measured FASTER than persisting it at bench SF (the three
+    # consumers execute as concurrent stages on idle cores while the
+    # cache write serializes the hot path). A 100 TB deployment
+    # materializes the postings ONCE as a real index instead of
+    # recomputing per query — that is bm25_index/bm25_score_against_
+    # index territory, not an in-query cache.
     tf = terms.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf"),
         F.first("dl").alias("dl"),
@@ -2295,6 +2304,11 @@ def nb_quality_classifier(
     )
 
     labeled = hash_split(docs.select(id_col, text_col, hq_cond.cast("long").alias("hq")))
+    # feats is consumed by the model-fit driver actions AND the
+    # returned scoring plan; persisting it was MEASURED SLOWER than
+    # recomputing (cache serialization + losing whole-stage-codegen
+    # fusion of the explode into the scoring join cost more than the
+    # second token pass saves at bench SF) — recompute deliberately.
     feats = _nb_bucket_feats(labeled, id_col, text_col, n_buckets)
     w, prior_fp = _nb_model(labeled, feats, n_buckets, scale)
     heldout = feats.filter(F.col("split") != "train")
@@ -2547,13 +2561,20 @@ def hashproj_embeddings(
     TF-IDF embeddings, dim-ordered, with the exact squared norm —
     drop-in for operators.similarity.quantized output.
 
-    Scale shape: one token pass → (doc, term) tf rollup; the df/idf
-    table is VOCABULARY-grain (shuffle join on term — too big to
-    broadcast at corpus scale, AQE handles stopword skew); the dim
-    fan-out multiplies the (doc, term) stream by ``dim`` (16×) but
-    rows are 4 ints wide; final rollup is doc-grain. No window, no
-    global sort, no driver state — N (corpus count) is the single
-    scalar action.
+    Scale shape (round-12 rewrite): one token pass → (doc, term) tf
+    rollup; the df/idf table is VOCABULARY-grain (shuffle join on
+    term — too big to broadcast at corpus scale, AQE handles stopword
+    skew) and now ALSO carries each term's ``dim`` projection signs
+    as an array, so the md5 sign hash runs dim × |vocab| times
+    instead of dim × |doc-term-pairs| (the old form re-hashed every
+    term once per document containing it); the doc rollup is ONE
+    groupBy with ``dim`` sum aggregates over ``element_at(signs, .)``
+    — the old dim× posexplode fan-out of the (doc, term) stream and
+    the second (doc, dm)-grain shuffle + collect_list/array_sort
+    reassembly are gone entirely. Identical integer arithmetic
+    (Σ tf·idf·sign per dim, sums commute), oracle unchanged. No
+    window, no global sort, no driver state — N (corpus count) is
+    the single scalar action.
 
     Pass a FROZEN ``idf`` table (hashproj_idf_table of the indexed
     corpus) to embed query batches into the corpus's vector space;
@@ -2568,39 +2589,34 @@ def hashproj_embeddings(
     )
     if idf is None:
         idf = hashproj_idf_table(docs, id_col, text_col, scale)
-    sign = 1 - 2 * (
+    sign_sql = (
+        "1 - 2 * ("
+        + md5_int_spark_sql("concat(w, '#', cast(dm as string))")
+        + " % 2)"
+    )
+    idf_signed = idf.select(
+        "w",
+        "idf_fp",
         F.expr(
-            md5_int_spark_sql(f"concat(w, '#', cast(dm as string))")
-        )
-        % 2
+            f"transform(sequence(0, {dim - 1}),"
+            f" dm -> CAST({sign_sql} AS BIGINT))"
+        ).alias("signs"),
     )
-    comp = (
-        tf.join(idf, "w")
-        .select(
-            id_col,
-            (F.col("tf") * F.col("idf_fp")).alias("m"),
-            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dm"),
-            "w",
-        )
-        .groupBy(id_col, "dm")
-        .agg(F.sum(F.col("m") * sign).alias("val"))
-    )
-    return (
-        comp.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("dm", "val"))
-                ),
-                lambda s: s["val"],
-            ).alias("q")
-        )
-        .withColumn(
-            "norm",
-            F.aggregate(
-                "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-            ),
-        )
+    sums = [
+        F.sum(
+            F.col("tf") * F.col("idf_fp") * F.element_at("signs", d + 1)
+        ).alias(f"_v{d}")
+        for d in range(dim)
+    ]
+    comp = tf.join(idf_signed, "w").groupBy(id_col).agg(*sums)
+    norm = None
+    for d in range(dim):
+        sq = F.col(f"_v{d}") * F.col(f"_v{d}")
+        norm = sq if norm is None else norm + sq
+    return comp.select(
+        id_col,
+        F.array(*[F.col(f"_v{d}") for d in range(dim)]).alias("q"),
+        norm.cast("long").alias("norm"),
     )
 
 
