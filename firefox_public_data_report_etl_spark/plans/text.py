@@ -4061,19 +4061,27 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
         F.md5("text").alias("h"),
     )
-    tot = base.agg(
-        F.count("*").alias("n"),
-        F.sum("ntok").alias("tk"),
-        F.countDistinct("lang").alias("nl"),
-        F.countDistinct("source").alias("ns"),
-        F.countDistinct("h").alias("nh"),
-    ).head()
-    n = tot["n"]
-    kept = (
-        gopher_rules(docs)
-        .agg(F.sum(F.col("keep").cast("long")).alias("k"))
-        .head()["k"]
+    # ONE driver action for every corpus scalar: the gopher keep
+    # verdicts join the doc-grain base so the keep-rate sum rides the
+    # same aggregate as the size/cardinality scalars (two sequential
+    # full-pass actions fused; the per-language shares below are the
+    # plan's only other job)
+    tot = (
+        base.join(
+            gopher_rules(docs).select("doc_id", "keep"), "doc_id"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ntok").alias("tk"),
+            F.countDistinct("lang").alias("nl"),
+            F.countDistinct("source").alias("ns"),
+            F.countDistinct("h").alias("nh"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+        .head()
     )
+    n = tot["n"]
+    kept = tot["k"]
 
     def row(name: str, val):
         return spark.createDataFrame(
