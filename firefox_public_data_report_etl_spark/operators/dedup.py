@@ -390,7 +390,18 @@ def prefix_filter_pairs(
     t = 0.5 (the registry form: measured ~13x the banded path at
     sf0.1, slopes in SCALING.md), ~10% at t = 0.9 where PPJoin-family
     joins are typically run. Pick MinHash-LSH for throughput at loose
-    thresholds; pick this for exactness or tight thresholds."""
+    thresholds; pick this for exactness or tight thresholds.
+
+    The hashed shingle table is persisted for the duration of the
+    query (round 12): the df count, the prefix re-join and the
+    verify's two sides all consume ``sh``, and without the persist
+    each consumer re-runs the explode + hash + per-doc distinct —
+    the dominant cost at every threshold. Exposed for release via
+    the caller-owned ``_probe_persisted`` convention; bench/gate
+    runs clear the cache between queries. Set sizes for the verify
+    ride the prefix rows (every doc emits ≥ 1 prefix row and carries
+    ``n``), so the separate size aggregation over ``sh`` is gone."""
+    sh = sh.persist()
     prefix = _rarest_first_prefix(sh, threshold, id_col)
     pa = prefix.select(
         F.col(id_col).alias("da"), "h", F.col("n").alias("na")
@@ -413,9 +424,12 @@ def prefix_filter_pairs(
         .select("da", "db")
         .distinct()
     )
-    return jaccard_for_pairs(cand, sh, id_col=id_col).filter(
+    sizes = prefix.select(id_col, "n").dropDuplicates([id_col])
+    out = jaccard_for_pairs(cand, sh, id_col=id_col, sizes=sizes).filter(
         F.col("jaccard") >= threshold
     )
+    out._probe_persisted = [sh]
+    return out
 
 
 def containment_pairs(
@@ -451,6 +465,13 @@ def containment_pairs(
     # near-uniform doc sizes. The prefix join (where n rides the
     # prefix rows for free) keeps its filter; see
     # prefix_filter_pairs.
+    #
+    # ``sh`` is persisted for the query's duration (round 12, same
+    # rationale as prefix_filter_pairs — here SIX consumers otherwise
+    # re-run the explode + hash + per-doc distinct); |A| for the
+    # verify comes from the prefix rows (da docs all emit prefixes),
+    # not a separate aggregation over ``sh``.
+    sh = sh.persist()
     prefix = _rarest_first_prefix(sh, threshold, id_col)
     pa = prefix.select(F.col(id_col).alias("da"), "h")
     full = sh.select(F.col(id_col).alias("db"), "h")
@@ -461,7 +482,7 @@ def containment_pairs(
         .distinct()
     )
     cand, bc = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("na"))
+    sizes = prefix.select(id_col, "n").dropDuplicates([id_col])
     sa = sh.select(F.col(id_col).alias("da"), "h")
     sb = sh.select(F.col(id_col).alias("db"), "h")
     p = F.broadcast(cand) if bc else cand
@@ -471,9 +492,9 @@ def containment_pairs(
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("da"), F.col("na").alias("na"))
+    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
     left = F.broadcast(inter) if bc else inter
-    return (
+    out = (
         left.join(na, "da")
         .select(
             "da",
@@ -484,6 +505,8 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    out._probe_persisted = [sh, cand]
+    return out
 
 
 SIMHASH_BITS = 28

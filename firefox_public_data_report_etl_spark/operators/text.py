@@ -2160,44 +2160,69 @@ NB_BUCKETS = 128
 NB_LOG_SCALE = 10**6
 
 
-def _nb_bucket_feats(
-    labeled: DataFrame, id_col: str, text_col: str, n_buckets: int
+def _nb_tokens(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    *carry: str,
 ) -> DataFrame:
-    """ONE token pass → the (doc, bucket) count rollup both NB stages
-    (training and scoring) share, hq/split carried alongside."""
-    return (
-        labeled.select(
-            id_col,
-            "hq",
-            "split",
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        )
-        .select(
-            id_col,
-            "hq",
-            "split",
-            (F.expr(md5_int_spark_sql("w")) % n_buckets).alias("b"),
-        )
-        .groupBy(id_col, "b")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.first("hq").alias("hq"),
-            F.first("split").alias("split"),
-        )
+    """(carry..., b): the hashed-unigram token stream of ``labeled``
+    — one row per token, bucketed. Callers filter the split BEFORE
+    calling so the explode only ever touches the slice it needs (the
+    round-12 rewrite: the old shared (doc, bucket) rollup exploded the
+    FULL corpus once for training and once for scoring)."""
+    return labeled.select(
+        *carry,
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        *carry,
+        (F.expr(md5_int_spark_sql("tok")) % n_buckets).alias("b"),
     )
 
 
 def _nb_model(
-    labeled: DataFrame, feats: DataFrame, n_buckets: int, scale: int
+    labeled: DataFrame, id_col: str, text_col: str, n_buckets: int, scale: int
 ):
-    """Fit multinomial NB on the TRAIN slice of the shared rollup:
-    returns (weights DataFrame (b, w) — n_buckets rows, broadcastable
-    — and the integer prior margin)."""
-    train = feats.filter(F.col("split") == "train")
-    counts = train.groupBy("b").agg(
-        F.sum(F.col("cnt") * F.col("hq")).alias("c_hq"),
-        F.sum(F.col("cnt") * (1 - F.col("hq"))).alias("c_lq"),
+    """Fit multinomial NB on the TRAIN slice: returns (weights
+    DataFrame (b, w) — n_buckets rows, broadcastable — and the integer
+    prior margin).
+
+    ONE driver action: class priors AND per-class token totals come
+    from a single doc-grain aggregate (t_* = Σ size(split(text)) over
+    the class' train docs — exactly the bucket-table column sums,
+    since split() never yields NULL elements and a NULL text
+    contributes 0 docs to both forms). The bucket weight table itself
+    stays an unexecuted train-slice-only plan the caller broadcasts,
+    so the token pass runs once, inside the final query."""
+    train = labeled.filter(F.col("split") == "train")
+    ntok = F.size(F.split(F.col(text_col), " "))
+    stats = train.agg(
+        F.sum("hq").alias("n_hq"),
+        F.sum(1 - F.col("hq")).alias("n_lq"),
+        F.sum(F.when(F.col("hq") == 1, ntok).otherwise(0)).alias("t_hq"),
+        F.sum(F.when(F.col("hq") == 0, ntok).otherwise(0)).alias("t_lq"),
+    ).head()
+    if not stats["n_hq"] or not stats["n_lq"]:
+        raise ValueError(
+            "nb_quality_classifier: the train split has a single class "
+            f"(n_hq={stats['n_hq']}, n_lq={stats['n_lq']}) — a two-class "
+            "classifier cannot fit; check hq_cond against the corpus"
+        )
+    import math
+
+    n_train = stats["n_hq"] + stats["n_lq"]
+    prior_fp = int(
+        round(scale * math.log((stats["n_hq"] + 1) / (n_train + 2)))
+    ) - int(round(scale * math.log((stats["n_lq"] + 1) / (n_train + 2))))
+    counts = _nb_tokens(train, id_col, text_col, n_buckets, "hq").groupBy(
+        "b"
+    ).agg(
+        F.sum("hq").alias("c_hq"),
+        F.sum(1 - F.col("hq")).alias("c_lq"),
     )
+    denom_hq = float(stats["t_hq"] + n_buckets)
+    denom_lq = float(stats["t_lq"] + n_buckets)
     dense = (
         labeled.sparkSession.range(n_buckets)
         .withColumnRenamed("id", "b")
@@ -2207,33 +2232,7 @@ def _nb_model(
             F.coalesce("c_hq", F.lit(0)).alias("c_hq"),
             F.coalesce("c_lq", F.lit(0)).alias("c_lq"),
         )
-        .cache()
     )
-    tot = dense.agg(
-        F.sum("c_hq").alias("t_hq"), F.sum("c_lq").alias("t_lq")
-    ).head()
-    prior = (
-        labeled.filter(F.col("split") == "train")
-        .agg(
-            F.sum("hq").alias("n_hq"),
-            F.sum(1 - F.col("hq")).alias("n_lq"),
-        )
-        .head()
-    )
-    if not prior["n_hq"] or not prior["n_lq"]:
-        raise ValueError(
-            "nb_quality_classifier: the train split has a single class "
-            f"(n_hq={prior['n_hq']}, n_lq={prior['n_lq']}) — a two-class "
-            "classifier cannot fit; check hq_cond against the corpus"
-        )
-    import math
-
-    n_train = prior["n_hq"] + prior["n_lq"]
-    prior_fp = int(
-        round(scale * math.log((prior["n_hq"] + 1) / (n_train + 2)))
-    ) - int(round(scale * math.log((prior["n_lq"] + 1) / (n_train + 2))))
-    denom_hq = float(tot["t_hq"] + n_buckets)
-    denom_lq = float(tot["t_lq"] + n_buckets)
     w = dense.select(
         "b",
         (
@@ -2270,8 +2269,7 @@ def nb_train_frozen(
     labeled = hash_split(
         docs.select(id_col, text_col, hq_cond.cast("long").alias("hq"))
     )
-    feats = _nb_bucket_feats(labeled, id_col, text_col, n_buckets)
-    w, prior_fp = _nb_model(labeled, feats, n_buckets, scale)
+    w, prior_fp = _nb_model(labeled, id_col, text_col, n_buckets, scale)
     return [(r["b"], r["w"]) for r in w.collect()], prior_fp
 
 
@@ -2293,10 +2291,10 @@ def nb_quality_classifier(
     prediction against the doc's actual label, so the result set IS
     the held-out evaluation every classifier-filter recipe reports.
 
-    Scale shape: ONE pass over the token stream into a (doc, bucket)
-    rollup (≤ token stream by construction); the weight table is
-    n_buckets rows broadcast; train/score are disjoint slices of the
-    SAME rollup so the corpus is read once. No window, no global
+    Scale shape: ONE corpus token pass total — the train slice is
+    exploded only inside the broadcast weight build, the held-out
+    slice only in the returned doc-grain scoring aggregate; the
+    weight table is n_buckets rows broadcast. No window, no global
     sort, no driver model state beyond the K-row table.
     """
     from firefox_public_data_report_etl_spark.operators.text import (
@@ -2304,22 +2302,33 @@ def nb_quality_classifier(
     )
 
     labeled = hash_split(docs.select(id_col, text_col, hq_cond.cast("long").alias("hq")))
-    # feats is consumed by the model-fit driver actions AND the
-    # returned scoring plan; persisting it was MEASURED SLOWER than
-    # recomputing (cache serialization + losing whole-stage-codegen
-    # fusion of the explode into the scoring join cost more than the
-    # second token pass saves at bench SF) — recompute deliberately.
-    feats = _nb_bucket_feats(labeled, id_col, text_col, n_buckets)
-    w, prior_fp = _nb_model(labeled, feats, n_buckets, scale)
-    heldout = feats.filter(F.col("split") != "train")
+    # Round-12 restructure (guide §2.3/§2.4): the old shared (doc,
+    # bucket) rollup exploded the FULL corpus once for the model-fit
+    # action and once for the returned scoring plan, each paying a
+    # (doc, b)-grain shuffle. Now the model fit is one doc-grain
+    # driver action plus a train-slice-only bucket aggregate inside
+    # the broadcast build, and scoring explodes only the held-out
+    # slice straight into a doc-grain aggregate — exactly one corpus
+    # token pass total, one doc-keyed shuffle, same integer sums
+    # (Σ_b w_b·cnt_db ≡ Σ_tokens w_b(tok)).
+    w, prior_fp = _nb_model(labeled, id_col, text_col, n_buckets, scale)
+    heldout = _nb_tokens(
+        labeled.filter(F.col("split") != "train"),
+        id_col,
+        text_col,
+        n_buckets,
+        id_col,
+        "hq",
+        "split",
+    )
     return (
         heldout.join(F.broadcast(w), "b")
         .groupBy(id_col)
         .agg(
             F.first("split").alias("split"),
             (F.first("hq") == 1).alias("is_hq"),
-            F.sum("cnt").cast("long").alias("n_feats"),
-            (F.lit(prior_fp) + F.sum(F.col("w") * F.col("cnt")))
+            F.count("*").cast("long").alias("n_feats"),
+            (F.lit(prior_fp) + F.sum("w"))
             .cast("long")
             .alias("margin_fp"),
         )
@@ -2364,67 +2373,42 @@ def nb_langid_classifier(
     class name ascending; ``margin_fp`` is winner minus runner-up
     (the per-doc confidence every langid filter thresholds on).
 
-    Scale shape: ONE token pass into the (doc, bucket) rollup; the
-    model is L·K rows broadcast in long form; the argmax is a
-    doc-keyed window over L rows per doc. No global sort, no driver
-    model state beyond the L·K-row table."""
+    Scale shape: ONE corpus token pass total (train slice inside the
+    broadcast weight build, held-out slice into one doc-grain
+    aggregate); the model is K rows broadcast in wide (b, w_c...)
+    form; the argmax/margin is an in-row sort of L structs. No
+    window, no global sort, no driver model state beyond the K-row
+    table."""
     labeled = hash_split(
         docs.select(id_col, text_col, lang_col).filter(
             F.col(lang_col).isin(*classes)
         ),
         id_col=id_col,
     )
-    feats = (
-        labeled.select(
-            id_col,
-            lang_col,
-            "split",
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        )
-        .select(
-            id_col,
-            lang_col,
-            "split",
-            (F.expr(md5_int_spark_sql("w")) % n_buckets).alias("b"),
-        )
-        .groupBy(id_col, "b")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.first(lang_col).alias(lang_col),
-            F.first("split").alias("split"),
-        )
-    )
-    train = feats.filter(F.col("split") == "train")
-    counts = train.groupBy("b").agg(
+    # Round-12 restructure, same shape as nb_quality_classifier: one
+    # doc-grain driver action for priors + per-class token totals, a
+    # train-slice-only bucket aggregate inside the broadcast build (a
+    # WIDE (b, w_c...) table — no L-way union, no ×L join fan-out),
+    # held-out tokens scored straight into ONE doc-grain aggregate,
+    # and the argmax/margin computed by sorting the L (neg-score,
+    # class) structs in-row — the (doc, cl)-grain shuffle and the
+    # doc-keyed window are gone. Same integer sums; the (score DESC,
+    # class ASC) tie-break is the array_sort order on (-score, class).
+    train = labeled.filter(F.col("split") == "train")
+    ntok = F.size(F.split(F.col(text_col), " "))
+    stats = train.agg(
         *[
-            F.sum(
-                F.when(F.col(lang_col) == c, F.col("cnt")).otherwise(0)
-            ).alias(f"c_{c}")
+            F.count(F.when(F.col(lang_col) == c, True)).alias(f"n_{c}")
             for c in classes
-        ]
-    )
-    dense = (
-        docs.sparkSession.range(n_buckets)
-        .withColumnRenamed("id", "b")
-        .join(counts, "b", "left")
-        .select(
-            "b",
-            *[
-                F.coalesce(f"c_{c}", F.lit(0)).alias(f"c_{c}")
-                for c in classes
-            ],
-        )
-        .cache()
-    )
-    tot = dense.agg(
-        *[F.sum(f"c_{c}").alias(f"t_{c}") for c in classes]
+        ],
+        *[
+            F.sum(F.when(F.col(lang_col) == c, ntok).otherwise(0)).alias(
+                f"t_{c}"
+            )
+            for c in classes
+        ],
     ).head()
-    prior = (
-        labeled.filter(F.col("split") == "train")
-        .groupBy(lang_col)
-        .agg(F.count("*").alias("n"))
-    )
-    n_by_class = {r[lang_col]: r["n"] for r in prior.collect()}
+    n_by_class = {c: stats[f"n_{c}"] for c in classes if stats[f"n_{c}"]}
     import math
 
     n_train = sum(n_by_class.values())
@@ -2444,61 +2428,90 @@ def nb_langid_classifier(
         )
         for c in classes
     }
-    # long-form weight table (cl, b, w): L*K rows, broadcastable
-    wl = None
-    for c in classes:
-        denom = float(tot[f"t_{c}"] + n_buckets)
-        part = dense.select(
-            F.lit(c).alias("cl"),
+    counts = _nb_tokens(train, id_col, text_col, n_buckets, lang_col).groupBy(
+        "b"
+    ).agg(
+        *[
+            F.sum(F.when(F.col(lang_col) == c, 1).otherwise(0)).alias(
+                f"c_{c}"
+            )
+            for c in classes
+        ]
+    )
+    dense = (
+        docs.sparkSession.range(n_buckets)
+        .withColumnRenamed("id", "b")
+        .join(counts, "b", "left")
+        .select(
             "b",
+            *[
+                F.coalesce(f"c_{c}", F.lit(0)).alias(f"c_{c}")
+                for c in classes
+            ],
+        )
+    )
+    # wide weight table (b, w_c per class): n_buckets rows, broadcast
+    wt = dense.select(
+        "b",
+        *[
             F.round(
                 F.lit(scale)
-                * F.log((F.col(f"c_{c}").cast("double") + 1.0) / F.lit(denom))
+                * F.log(
+                    (F.col(f"c_{c}").cast("double") + 1.0)
+                    / F.lit(float((stats[f"t_{c}"] or 0) + n_buckets))
+                )
             )
             .cast("long")
-            .alias("w"),
-        )
-        wl = part if wl is None else wl.unionByName(part)
-    priors = docs.sparkSession.createDataFrame(
-        [(c, prior_fp[c]) for c in classes], "cl string, prior_fp long"
+            .alias(f"w_{c}")
+            for c in classes
+        ],
     )
-    heldout = feats.filter(F.col("split") != "train")
-    scores = (
-        heldout.join(F.broadcast(wl), "b")
-        .groupBy(id_col, "cl")
+    heldout = _nb_tokens(
+        labeled.filter(F.col("split") != "train"),
+        id_col,
+        text_col,
+        n_buckets,
+        id_col,
+        lang_col,
+        "split",
+    )
+    scored = (
+        heldout.join(F.broadcast(wt), "b")
+        .groupBy(id_col)
         .agg(
             F.first("split").alias("split"),
             F.first(lang_col).alias(lang_col),
-            F.sum(F.col("w") * F.col("cnt")).cast("long").alias("s"),
-        )
-        .join(F.broadcast(priors), "cl")
-        .select(
-            id_col,
-            "split",
-            lang_col,
-            "cl",
-            (F.col("s") + F.col("prior_fp")).alias("score_fp"),
+            *[
+                F.sum(f"w_{c}").cast("long").alias(f"s_{c}")
+                for c in classes
+            ],
         )
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.desc("score_fp"), F.asc("cl")
+    # (-score, class) ascending == (score DESC, class ASC): winner at
+    # [1], runner-up at [2]; margin = s1 - s2 = ns2 - ns1, exactly the
+    # old window's row_number()/lead() pair.
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-(F.col(f"s_{c}") + F.lit(prior_fp[c])))
+                    .cast("long")
+                    .alias("ns"),
+                    F.lit(c).alias("cl"),
+                )
+                for c in classes
+            ]
+        )
     )
-    ranked = scores.select(
-        id_col,
-        "split",
-        lang_col,
-        "cl",
-        "score_fp",
-        F.row_number().over(win).alias("rn"),
-        F.lead("score_fp").over(win).alias("s2"),
-    ).filter(F.col("rn") == 1)
-    return ranked.select(
+    return scored.select(
         id_col,
         "split",
         F.col(lang_col).alias("labeled_lang"),
-        F.col("cl").alias("pred_lang"),
-        (F.col("score_fp") - F.col("s2")).cast("long").alias("margin_fp"),
-        (F.col("cl") == F.col(lang_col)).alias("correct"),
+        F.element_at(ranked, 1)["cl"].alias("pred_lang"),
+        (F.element_at(ranked, 2)["ns"] - F.element_at(ranked, 1)["ns"])
+        .cast("long")
+        .alias("margin_fp"),
+        (F.element_at(ranked, 1)["cl"] == F.col(lang_col)).alias("correct"),
     )
 
 
