@@ -324,32 +324,46 @@ def all_pairs_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _rarest_first_prefix(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    hs: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, h): each set's first ``n - ceil(t*n) + 1`` tokens under the
-    global rarest-first total order (document frequency asc, h asc) —
-    the shared candidate-generation core of ``prefix_filter_pairs``
-    and ``containment_pairs``. One shuffle for the df count + re-join
-    on ``h``, one per-doc window (rank and size share the
-    partitioning)."""
-    from pyspark.sql import Window
+    """(id, n, pre): each set's first ``n - ceil(t*n) + 1`` tokens
+    under the global rarest-first total order (document frequency
+    asc, h asc) as a per-doc ARRAY — the shared candidate-generation
+    core of ``prefix_filter_pairs`` and ``containment_pairs``, over
+    ``gram_hash_arrays`` output.
 
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "h")
-    ranked = sh.join(freq, "h").select(
-        id_col,
-        "h",
-        F.row_number().over(w).alias("pos"),
-        F.count("*").over(Window.partitionBy(id_col)).alias("n"),
+    Round-12 form (guide §2.3/§2.4): df comes from one explode +
+    vocabulary-grain aggregate; the per-doc rank-and-cut is an
+    in-row ``array_sort`` over (df, h) structs after the df join is
+    re-grouped to doc grain — the sort each WindowExec task did over
+    its (doc, chunk) slice now happens inside the row, and only the
+    prefix SLICE survives. Same (df asc, h asc) total order, same
+    ``n - ceil(t*n) + 1`` cut, so the selected token set is
+    byte-identical to the old row-window form."""
+    ex = hs.select(id_col, "n", F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    k = (
+        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).cast("int")
+    return (
+        ex.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.first("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("_o"),
+        )
+        .select(
+            id_col,
+            "n",
+            F.transform(
+                F.slice("_o", F.lit(1), k), lambda s: s["h"]
+            ).alias("pre"),
+        )
     )
-    return ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select(id_col, "h", "n")
 
 
 def prefix_filter_pairs(
-    sh: DataFrame,
+    hs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -392,21 +406,28 @@ def prefix_filter_pairs(
     joins are typically run. Pick MinHash-LSH for throughput at loose
     thresholds; pick this for exactness or tight thresholds.
 
-    The hashed shingle table is persisted for the duration of the
-    query (round 12): the df count, the prefix re-join and the
-    verify's two sides all consume ``sh``, and without the persist
-    each consumer re-runs the explode + hash + per-doc distinct —
-    the dominant cost at every threshold. Exposed for release via
-    the caller-owned ``_probe_persisted`` convention; bench/gate
-    runs clear the cache between queries. Set sizes for the verify
-    ride the prefix rows (every doc emits ≥ 1 prefix row and carries
-    ``n``), so the separate size aggregation over ``sh`` is gone."""
-    sh = sh.persist()
-    prefix = _rarest_first_prefix(sh, threshold, id_col)
-    pa = prefix.select(
+    ARRAY-NATIVE since round 12 (the minhash_lsh_pairs_arr
+    convention, guide §2.3/§2.4): input is ``gram_hash_arrays``
+    output (id, hs, n) — persisted for the query's duration (three
+    consumers: prefix build + both verify sides; released via the
+    caller-owned ``_probe_persisted`` convention). Candidates come
+    from exploding only the prefix SLICE; the verify is a per-row
+    ``array_intersect`` on the size-gated candidate pairs — the old
+    double posting-list join + pair groupBy (a candidate×set-size
+    row explosion: ~16M intermediate rows at sf0.1/t=0.5 for 310k
+    candidates) and the separate size join are gone. Jaccard is the
+    same distinct-hash intersect / union, so results are
+    byte-identical (test_prefix_filter_equals_brute_force pins it
+    against the all-pairs baseline at two thresholds)."""
+    hs = hs.persist()
+    prefix = _rarest_first_prefix(hs, threshold, id_col)
+    pr = prefix.select(
+        id_col, "n", F.explode("pre").alias("h")
+    )
+    pa = pr.select(
         F.col(id_col).alias("da"), "h", F.col("n").alias("na")
     )
-    pb = prefix.select(
+    pb = pr.select(
         F.col(id_col).alias("db"), "h", F.col("n").alias("nb")
     )
     # PPJoin LENGTH filter: J ≥ t forces t·max(na,nb) ≤ |A∩B| ≤
@@ -424,16 +445,37 @@ def prefix_filter_pairs(
         .select("da", "db")
         .distinct()
     )
-    sizes = prefix.select(id_col, "n").dropDuplicates([id_col])
-    out = jaccard_for_pairs(cand, sh, id_col=id_col, sizes=sizes).filter(
-        F.col("jaccard") >= threshold
+    cand, bc = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
+    p = F.broadcast(cand) if bc else cand
+    ja = hs.select(
+        F.col(id_col).alias("da"), F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
     )
-    out._probe_persisted = [sh]
+    jb = hs.select(
+        F.col(id_col).alias("db"), F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
+    out = (
+        p.join(ja, "da")
+        .join(jb, "db")
+        .withColumn("inter", inter)
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out._probe_persisted = [hs, cand]
     return out
 
 
 def containment_pairs(
-    sh: DataFrame,
+    hs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -466,15 +508,21 @@ def containment_pairs(
     # prefix rows for free) keeps its filter; see
     # prefix_filter_pairs.
     #
-    # ``sh`` is persisted for the query's duration (round 12, same
-    # rationale as prefix_filter_pairs — here SIX consumers otherwise
-    # re-run the explode + hash + per-doc distinct); |A| for the
-    # verify comes from the prefix rows (da docs all emit prefixes),
-    # not a separate aggregation over ``sh``.
-    sh = sh.persist()
-    prefix = _rarest_first_prefix(sh, threshold, id_col)
-    pa = prefix.select(F.col(id_col).alias("da"), "h")
-    full = sh.select(F.col(id_col).alias("db"), "h")
+    # ARRAY-NATIVE since round 12, same shape as prefix_filter_pairs:
+    # ``gram_hash_arrays`` input persisted for the query's duration
+    # (prefix build + container-side explode + both verify sides),
+    # candidates from the prefix-slice × full-token-row join, verify
+    # a per-row array_intersect over the size-gated candidate set —
+    # the old double posting join + pair groupBy and the separate
+    # |A| aggregation are gone (|A| rides the da-side array row).
+    hs = hs.persist()
+    prefix = _rarest_first_prefix(hs, threshold, id_col)
+    pa = prefix.select(
+        F.col(id_col).alias("da"), F.explode("pre").alias("h")
+    )
+    full = hs.select(
+        F.col(id_col).alias("db"), F.explode("hs").alias("h")
+    )
     cand = (
         pa.join(full, "h")
         .filter(F.col("da") != F.col("db"))
@@ -482,20 +530,17 @@ def containment_pairs(
         .distinct()
     )
     cand, bc = _decide_broadcast_pairs(cand, None, MAX_BROADCAST_PAIRS)
-    sizes = prefix.select(id_col, "n").dropDuplicates([id_col])
-    sa = sh.select(F.col(id_col).alias("da"), "h")
-    sb = sh.select(F.col(id_col).alias("db"), "h")
     p = F.broadcast(cand) if bc else cand
-    inter = (
-        p.join(sa, "da")
-        .join(sb, ["db", "h"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
+    ja = hs.select(
+        F.col(id_col).alias("da"), F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
     )
-    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
-    left = F.broadcast(inter) if bc else inter
+    jb = hs.select(F.col(id_col).alias("db"), F.col("hs").alias("hb"))
+    inter = F.expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)")
     out = (
-        left.join(na, "da")
+        p.join(ja, "da")
+        .join(jb, "db")
+        .withColumn("inter", inter)
         .select(
             "da",
             "db",
@@ -505,7 +550,7 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    out._probe_persisted = [sh, cand]
+    out._probe_persisted = [hs, cand]
     return out
 
 

@@ -256,3 +256,124 @@ def version_lineage_manifest(
         )
         .alias("chain_ok"),
     )
+
+
+def version_lineage_manifest_aligned(
+    docs: DataFrame,
+    versions: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``version_lineage_manifest`` for the ROW-ALIGNED case: every
+    version is a (membership predicate, payload expression) pair over
+    ONE base relation, so version v's frame is
+    ``docs.filter(member_v).select(id, payload_v)``. The generic
+    manifest treats the frames as opaque — V fingerprint scans plus
+    V−1 digest full-outer self-joins, each rescanning the base. But a
+    full outer join of two row-aligned slices on the shared id is a
+    per-ROW comparison: (in_{v-1}, ph_{v-1}) vs (in_v, ph_v) decides
+    added/removed/changed/unchanged and the delta hashes without any
+    join. So the whole manifest — every version's (n_docs, fp) AND
+    every consecutive diff's counts + delta_fp — collapses to ONE
+    scan computing per-row membership flags and payload digests for
+    all versions, ONE two-level modular aggregate (same
+    ``VL_FP_BUCKETS`` partials as the generic form, so the sums are
+    identical), and a V-row literal reshape of the single result row.
+
+    ``versions`` is a list of (member_sql, payload_sql) pairs —
+    SQL fragments over ``docs``'s columns (the VL_RULES convention).
+    Output is row-for-row identical to
+    ``version_lineage_manifest([docs.filter(m).select(id, F.expr(p)
+    .alias('text')) for m, p in versions])`` — pinned by
+    tests/test_version_lineage.py::test_aligned_matches_generic."""
+    nv = len(versions)
+    row = docs.select(
+        F.col(id_col).alias("_id"),
+        *[
+            F.expr(member).alias(f"_in{v}")
+            for v, (member, _) in enumerate(versions)
+        ],
+        *[
+            F.md5(F.expr(payload)).alias(f"_ph{v}")
+            for v, (_, payload) in enumerate(versions)
+        ],
+    )
+    # per-version fingerprint terms + per-pair diff terms, all from
+    # the one row
+    partials: dict = {}
+    finals: dict = {}
+    for v in range(nv):
+        inv = F.col(f"_in{v}")
+        hv = _doc_fp_expr("_id", f"_ph{v}")
+        partials[f"_n{v}"] = F.sum(inv.cast("long"))
+        partials[f"_p{v}"] = (
+            F.sum(F.when(inv, hv).otherwise(F.lit(0))) % VL_MOD
+        )
+        finals[f"n{v}"] = F.sum(f"_n{v}").cast("long")
+        finals[f"fp{v}"] = F.sum(f"_p{v}") % VL_MOD
+    for v in range(1, nv):
+        po, pn = F.col(f"_in{v-1}"), F.col(f"_in{v}")
+        ho = _doc_fp_expr("_id", f"_ph{v-1}")
+        hn = _doc_fp_expr("_id", f"_ph{v}")
+        changed = po & pn & (F.col(f"_ph{v-1}") != F.col(f"_ph{v}"))
+        added = ~po & pn
+        removed = po & ~pn
+        unchanged = po & pn & (F.col(f"_ph{v-1}") == F.col(f"_ph{v}"))
+        partials[f"_a{v}"] = F.sum(added.cast("long"))
+        partials[f"_r{v}"] = F.sum(removed.cast("long"))
+        partials[f"_c{v}"] = F.sum(changed.cast("long"))
+        partials[f"_u{v}"] = F.sum(unchanged.cast("long"))
+        partials[f"_sp{v}"] = (
+            F.sum(F.when(added | changed, hn).otherwise(F.lit(0)))
+            % VL_MOD
+        )
+        partials[f"_sm{v}"] = (
+            F.sum(F.when(removed | changed, ho).otherwise(F.lit(0)))
+            % VL_MOD
+        )
+        for c in ("a", "r", "c", "u"):
+            finals[f"{c}{v}"] = F.sum(f"_{c}{v}").cast("long")
+        finals[f"d{v}"] = (
+            (F.sum(f"_sp{v}") - F.sum(f"_sm{v}")) % VL_MOD + VL_MOD
+        ) % VL_MOD
+    one = _two_level_agg(row, partials, finals)
+    # V-row reshape of the single aggregate row — version grain, the
+    # same manifest columns/verdict as the generic assembly
+    manifest_rows = F.array(
+        *[
+            F.struct(
+                F.lit(v).cast("long").alias("version"),
+                F.col(f"n{v}").alias("n_docs"),
+                F.col(f"fp{v}").alias("fp"),
+                (
+                    F.col(f"fp{v-1}")
+                    if v > 0
+                    else F.lit(None).cast("long")
+                ).alias("parent_fp"),
+                (
+                    F.col(f"a{v}") if v > 0 else F.lit(0).cast("long")
+                ).alias("n_added"),
+                (
+                    F.col(f"r{v}") if v > 0 else F.lit(0).cast("long")
+                ).alias("n_removed"),
+                (
+                    F.col(f"c{v}") if v > 0 else F.lit(0).cast("long")
+                ).alias("n_changed"),
+                (
+                    F.col(f"u{v}") if v > 0 else F.lit(0).cast("long")
+                ).alias("n_unchanged"),
+                (
+                    F.col(f"d{v}") if v > 0 else F.lit(0).cast("long")
+                ).alias("delta_fp"),
+                (
+                    ((F.col(f"fp{v-1}") + F.col(f"d{v}")) % VL_MOD
+                     == F.col(f"fp{v}"))
+                    if v > 0
+                    else F.lit(True)
+                ).alias("chain_ok"),
+            )
+            for v in range(nv)
+        ]
+    )
+    return one.select(
+        F.explode(manifest_rows).alias("_m")
+    ).select("_m.*")

@@ -200,10 +200,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost; this trades a bounded rare-token candidate join for
     exactness — the right tool when a missed duplicate is a contract
     violation (eval-set contamination scrubs, takedown compliance)."""
-    sh = shingle_rows(
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents"))
     )
-    return prefix_filter_pairs(sh, JACCARD_THRESHOLD)
+    return prefix_filter_pairs(hs, JACCARD_THRESHOLD)
 
 
 CONTAINMENT_THRESHOLD = 0.8
@@ -216,10 +216,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard can't see. Exact via the one-sided prefix
     filter; the oracle is the brute-force directed form, so the
     filter's losslessness is hash-pinned every gate run."""
-    sh = shingle_rows(
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents"))
     )
-    return containment_pairs(sh, CONTAINMENT_THRESHOLD)
+    return containment_pairs(hs, CONTAINMENT_THRESHOLD)
 
 
 DEDUP_CONTAINMENT_ORACLE = f"""
@@ -251,10 +251,10 @@ def dedup_prefix_filter_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~half, candidates near-duplicate-only. Oracle is the same brute
     ngram-Jaccard form re-thresholded — exactness is hash-pinned at
     both ends of the threshold range."""
-    sh = shingle_rows(
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents"))
     )
-    return prefix_filter_pairs(sh, PROD_SIM_THRESHOLD)
+    return prefix_filter_pairs(hs, PROD_SIM_THRESHOLD)
 
 
 DEDUP_NGRAM_T90_ORACLE = f"""
@@ -276,10 +276,10 @@ def dedup_containment_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quotes, truncated mirrors, licensing takedowns): one-sided
     prefix is ~10% of the contained side's shingles, candidate
     volume a fraction of the loose-threshold row's."""
-    sh = shingle_rows(
+    hs = gram_hash_arrays(
         widen_partitions(load_table(spark, sf_dir, "documents"))
     )
-    return containment_pairs(sh, PROD_SIM_THRESHOLD)
+    return containment_pairs(hs, PROD_SIM_THRESHOLD)
 
 
 DEDUP_CONTAINMENT_T90_ORACLE = f"""

@@ -293,16 +293,30 @@ def part_entity_resolution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     The cell key is min(partkey) per cell, so the component minimum
     equals the record-grain minimum and entity ids agree exactly.
 
-    Scale: one linear aggregate to cells, domain-bounded pair join +
-    star CC (constant work at ANY catalog size), one broadcast join
-    back, one survivorship groupBy — the only N-proportional stages
-    are the two linear passes. This exact-key-collapse-first
-    decomposition is the standard production answer when fuzzy rules
-    act on low-cardinality attributes."""
+    Scale: one linear aggregate to cells, then the match graph's
+    components fall out of the RULE's structure (round 12, guide §8
+    — use what the optimizer cannot know): within a (name, type)
+    block, cells are connected iff their sizes differ by ≤ tol, and
+    since EVERY within-tolerance pair is an edge, connectivity along
+    the size-sorted order is all the connectivity there is — a gap
+    > tol cannot be bridged by any pair spanning it. So components
+    are maximal runs of sorted sizes with consecutive gaps ≤ tol:
+    two windows over the domain-bounded cell table (run-break flag +
+    running sum; min cell_key per run) replace the pair self-join
+    and the iterative star CC (≈ 6 scheduled contraction rounds on
+    this graph — measured, the dominant cost). The run minimum is
+    min-over-component of min-partkey-per-cell, exactly the CC
+    label, so entity ids agree bit-for-bit — the shared oracle and
+    tests/test_linkage equality pin it. One broadcast join back, one
+    survivorship groupBy; the only N-proportional stages are the two
+    linear passes. This exact-key-collapse-first decomposition is
+    the standard production answer when fuzzy rules act on
+    low-cardinality attributes; the record-grain registry form keeps
+    the general pair-join + any-topology-CC shape for rules that DO
+    vary within a cell."""
+    from pyspark.sql import Window
+
     from firefox_public_data_report_etl_spark.functions import cents
-    from firefox_public_data_report_etl_spark.operators.graph import (
-        connected_components_star,
-    )
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -315,30 +329,25 @@ def part_entity_resolution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     cells = p.groupBy("p_name", "p_type", "p_size").agg(
         F.min("p_partkey").alias("cell_key")
     )
-    a = cells.select(
-        "p_name", "p_type",
-        F.col("p_size").alias("sa"), F.col("cell_key").alias("ka"),
-    )
-    b = cells.select(
-        "p_name", "p_type",
-        F.col("p_size").alias("sb"), F.col("cell_key").alias("kb"),
-    )
-    pairs = (
-        a.join(b, ["p_name", "p_type"])
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("sa") - F.col("sb")) <= ER_SIZE_TOL)
+    w_ord = Window.partitionBy("p_name", "p_type").orderBy("p_size")
+    run_break = F.when(
+        F.col("p_size") - F.lag("p_size").over(w_ord) > ER_SIZE_TOL, 1
+    ).otherwise(0)
+    cellmap = (
+        cells.withColumn("_brk", run_break)
+        .withColumn(
+            "grp",
+            F.sum("_brk").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
         )
-        .select("ka", "kb")
-    )
-    comp = connected_components_star(pairs, "ka", "kb")
-    cellmap = cells.join(
-        comp, cells.cell_key == comp.node, "left"
-    ).select(
-        "p_name",
-        "p_type",
-        "p_size",
-        F.coalesce("comp", "cell_key").alias("entity_id"),
+        .withColumn(
+            "entity_id",
+            F.min("cell_key").over(
+                Window.partitionBy("p_name", "p_type", "grp")
+            ),
+        )
+        .select("p_name", "p_type", "p_size", "entity_id")
     )
     members = p.join(
         F.broadcast(cellmap), ["p_name", "p_type", "p_size"]

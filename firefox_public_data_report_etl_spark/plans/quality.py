@@ -642,7 +642,7 @@ def corpus_version_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_int_spark_sql,
     )
     from firefox_public_data_report_etl_spark.operators.maintenance import (
-        version_lineage_manifest,
+        version_lineage_manifest_aligned,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -652,13 +652,13 @@ def corpus_version_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
         ).alias("bkt"),
     )
-    frames = [
-        docs.filter(F.expr(member)).select(
-            "doc_id", F.expr(rule).alias("text")
-        )
-        for member, rule in VL_RULES
-    ]
-    return version_lineage_manifest(frames)
+    # Round 12 (guide §2.4): the three versions are row-aligned
+    # derivations of ONE documents scan, so the generic manifest's
+    # 3 fingerprint scans + 2 digest full-outer self-joins collapse
+    # to one scan + one two-level aggregate (identical mod-sums,
+    # identical output — tests/test_version_lineage.py pins aligned
+    # == generic on these rules).
+    return version_lineage_manifest_aligned(docs, VL_RULES)
 
 
 def _version_lineage_oracle() -> str:

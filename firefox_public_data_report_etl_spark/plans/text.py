@@ -4061,16 +4061,19 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
         F.md5("text").alias("h"),
     )
-    # ONE driver action for every corpus scalar: the gopher keep
-    # verdicts join the doc-grain base so the keep-rate sum rides the
-    # same aggregate as the size/cardinality scalars (two sequential
-    # full-pass actions fused; the per-language shares below are the
-    # plan's only other job)
-    tot = (
-        base.join(
-            gopher_rules(docs).select("doc_id", "keep"), "doc_id"
-        )
+    # ONE job for the whole datasheet (round 12, guide §2.4): the
+    # corpus scalars and the per-language counts are the () and
+    # (lang) grains of a single GROUPING SETS aggregate over the
+    # gopher-joined base, so the documents scan runs once (was: one
+    # scalar action + a second full scan for the shares) and the
+    # report assembles from the collected 1+L rows in one local
+    # frame (was: a 7-deep union of single-row frames — 7 more plan
+    # legs). Report-edge collect: 1 + |langs| rows.
+    gs = (
+        base.join(gopher_rules(docs).select("doc_id", "keep"), "doc_id")
+        .groupingSets([[], [F.col("lang")]], F.col("lang"))
         .agg(
+            F.grouping("lang").alias("_g"),
             F.count("*").alias("n"),
             F.sum("ntok").alias("tk"),
             F.countDistinct("lang").alias("nl"),
@@ -4078,30 +4081,24 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("h").alias("nh"),
             F.sum(F.col("keep").cast("long")).alias("k"),
         )
-        .head()
+        .collect()
     )
+    tot = next(r for r in gs if r["_g"] == 1)
     n = tot["n"]
-    kept = tot["k"]
-
-    def row(name: str, val):
-        return spark.createDataFrame(
-            [(name, float(val))], "metric string, value double"
-        )
-
-    scalars = (
-        row("n_docs", n)
-        .union(row("n_tokens", tot["tk"]))
-        .union(row("n_langs", tot["nl"]))
-        .union(row("n_sources", tot["ns"]))
-        .union(row("exact_dup_rate", (n - tot["nh"]) / n))
-        .union(row("mean_doc_tokens", tot["tk"] / n))
-        .union(row("gopher_keep_rate", kept / n))
-    )
-    shares = base.groupBy("lang").agg(F.count("*").alias("c")).select(
-        F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
-        (F.col("c").cast("double") / F.lit(n).cast("double")).alias("value"),
-    )
-    return scalars.union(shares)
+    rows = [
+        ("n_docs", float(n)),
+        ("n_tokens", float(tot["tk"])),
+        ("n_langs", float(tot["nl"])),
+        ("n_sources", float(tot["ns"])),
+        ("exact_dup_rate", (n - tot["nh"]) / n),
+        ("mean_doc_tokens", tot["tk"] / n),
+        ("gopher_keep_rate", tot["k"] / n),
+    ] + [
+        (f"lang_share:{r['lang']}", r["n"] / n)
+        for r in gs
+        if r["_g"] == 0
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
 
 
 def _datasheet_oracle() -> str:

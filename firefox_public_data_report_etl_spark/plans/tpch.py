@@ -987,23 +987,38 @@ def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one orders scan to customer grain (one shuffle), a 3x
     melt of the customer-grain table, one aggregate for cutoffs and
-    one for the rank positions — scalar state between passes."""
+    one for the rank positions — scalar state between passes.
+
+    Round 12 (guide §2.4/§5): the reference date now derives from the
+    CUSTOMER-grain table (max of per-customer last-order dates ==
+    max order date), so the orders relation is scanned once instead
+    of twice, and the customer-grain table is persisted for the
+    query's duration — its two consumers (the cutoff aggregate and
+    the rank-position aggregate) each re-ran the fact scan + shuffle
+    otherwise. Same values bit-for-bit; released after the final
+    aggregate materializes (caller-owned _probe_persisted)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderdate",
         cents(F.col("o_totalprice")).alias("c"),
     )
-    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
-    per_cust = (
-        o.crossJoin(F.broadcast(ref))
-        .groupBy("o_custkey")
+    base = (
+        o.groupBy("o_custkey")
         .agg(
-            F.datediff(F.first("ref_date"), F.max("o_orderdate"))
-            .cast("long")
-            .alias("recency"),
+            F.max("o_orderdate").alias("last_o"),
             F.count("*").alias("frequency"),
             F.sum("c").alias("monetary"),
         )
+        .persist()
+    )
+    ref = base.agg(F.max("last_o").alias("ref_date"))
+    per_cust = base.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_o"))
+        .cast("long")
+        .alias("recency"),
+        "frequency",
+        "monetary",
     )
     melt = per_cust.select(
         F.explode(
@@ -1052,7 +1067,9 @@ def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col(f"_lt{k}") / n <= p + RFM_EPS)
             ).alias(f"q{k}_within_tol")
         )
-    return ranked.select(*out_cols)
+    out = ranked.select(*out_cols)
+    out._probe_persisted = [base]
+    return out
 
 
 CUSTOMER_RFM_ORACLE = """

@@ -539,29 +539,47 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retention ratio against the cohort size — the canonical
     triangle chart behind every growth dashboard.
 
-    Scale: one shuffle to find each user's first week, one fact-side
-    join on user_id (user-grain dim, AQE picks the strategy), one
-    (cohort, offset) distinct-count aggregate. The matrix itself is
-    weeks² rows — a report edge.
+    Scale (round-12 rewrite, guide §2.3/§2.4): ONE user-grain
+    aggregate computes each user's first week AND distinct active
+    weeks together (collect_set — bounded by the calendar, a report
+    dimension, not the fact volume), so the fact table is scanned
+    once and shuffled once; exploding the per-user week set gives
+    rows that are already (user, week)-distinct, so the per-cell
+    distinct count is a plain count — no second fact-side shuffle,
+    no user-grain self-join. Cohort sizes fall out of the matrix
+    itself (every user is active at offset 0 of their own cohort by
+    definition of min), read back with one window over the
+    weeks²-row report edge. Was: two fact scans + user-grain join +
+    two-phase distinct + size join — 5 shuffles, now 3 (one
+    fact-grain, two report-grain).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", week_start(F.col("ts")).alias("wk")
-    )
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    cohort_sizes = first.groupBy("cohort_wk").agg(
-        F.count("*").alias("cohort_users")
+    from pyspark.sql import Window
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", week_start(F.col("ts")).alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_wk"),
+            F.collect_set("wk").alias("wks"),
+        )
     )
     cells = (
-        ev.join(first, "user_id")
+        per_user.select(
+            "cohort_wk", F.explode("wks").alias("wk")
+        )
         .groupBy(
             "cohort_wk",
             (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
             .cast("long")
             .alias("offset_weeks"),
         )
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(F.count("*").alias("active_users"))
     )
-    return cells.join(cohort_sizes, "cohort_wk").select(
+    cohort_users = F.max(
+        F.when(F.col("offset_weeks") == 0, F.col("active_users"))
+    ).over(Window.partitionBy("cohort_wk"))
+    return cells.withColumn("cohort_users", cohort_users).select(
         F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
         "active_users",

@@ -216,7 +216,13 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
     )
     from firefox_public_data_report_etl_spark.sources import load_table
 
-    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).cache()
+    hs = gram_hash_arrays(docs)
     for t in (0.5, 0.3):
         brute = {
             (r.da, r.db, round(r.jaccard, 9))
@@ -226,7 +232,7 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
         }
         pf = {
             (r.da, r.db, round(r.jaccard, 9))
-            for r in prefix_filter_pairs(sh, t).collect()
+            for r in prefix_filter_pairs(hs, t).collect()
         }
         assert pf == brute and brute
 
@@ -246,10 +252,13 @@ def test_containment_detects_excerpts_jaccard_misses(spark):
     docs = spark.createDataFrame(
         [(1, base), (2, excerpt), (3, other)], ["doc_id", "text"]
     )
-    sh = shingle_rows(docs)
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+    )
+
     got = {
         (r.da, r.db, round(r.containment, 9))
-        for r in containment_pairs(sh, 0.8).collect()
+        for r in containment_pairs(gram_hash_arrays(docs), 0.8).collect()
     }
     assert got == {(2, 1, 1.0)}
 
@@ -262,7 +271,12 @@ def test_containment_equals_brute_force(spark, sf_dir):
     )
     from firefox_public_data_report_etl_spark.sources import load_table
 
-    sh = shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        gram_hash_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("na"))
     sa = sh.select(F.col("doc_id").alias("da"), "h")
     sb = sh.select(F.col("doc_id").alias("db"), "h")
@@ -285,7 +299,7 @@ def test_containment_equals_brute_force(spark, sf_dir):
     }
     got = {
         (r.da, r.db, round(r.containment, 9))
-        for r in containment_pairs(sh, 0.6).collect()
+        for r in containment_pairs(gram_hash_arrays(docs), 0.6).collect()
     }
     assert got == brute and brute
 

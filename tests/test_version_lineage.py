@@ -116,3 +116,36 @@ def test_fingerprint_binds_id_to_payload(spark, sf_dir):
         corpus_fingerprint(swapped).first()["fp"]
         != corpus_fingerprint(v0).first()["fp"]
     )
+
+
+def test_aligned_matches_generic(spark, sf_dir):
+    """The fused one-scan aligned manifest (round 12) is row-for-row
+    identical to the generic frame-list manifest on the registry's
+    rule chain — the equivalence corpus_version_lineage's rewrite
+    rests on."""
+    from firefox_public_data_report_etl_spark.functions import (
+        md5_int_spark_sql,
+    )
+    from firefox_public_data_report_etl_spark.operators.maintenance import (
+        version_lineage_manifest_aligned,
+    )
+    from firefox_public_data_report_etl_spark.plans.quality import VL_RULES
+    from firefox_public_data_report_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.expr(md5_int_spark_sql("cast(doc_id as string)")) % 100
+        ).alias("bkt"),
+    )
+    generic = sorted(
+        map(tuple, version_lineage_manifest(_frames(spark, sf_dir)).collect())
+    )
+    aligned = sorted(
+        map(
+            tuple,
+            version_lineage_manifest_aligned(docs, VL_RULES).collect(),
+        )
+    )
+    assert aligned == generic
