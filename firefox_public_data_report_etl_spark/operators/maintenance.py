@@ -293,7 +293,11 @@ def version_lineage_manifest_aligned(
             for v, (member, _) in enumerate(versions)
         ],
         *[
-            F.md5(F.expr(payload)).alias(f"_ph{v}")
+            # exactly the generic manifest's payload digest
+            # (concat_ws skips NULLs, so a NULL payload hashes as
+            # md5('') there — match it bit-for-bit)
+            F.md5(F.concat_ws("\x1f", F.expr(payload).cast("string")))
+            .alias(f"_ph{v}")
             for v, (_, payload) in enumerate(versions)
         ],
     )

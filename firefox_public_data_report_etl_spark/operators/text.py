@@ -2063,17 +2063,36 @@ def bm25_topk(
     Final per-query top-k is a window partitioned by q_id — one task
     per query, each over its own candidate list.
     """
-    terms = doc_bigram_terms(docs, id_col, text_col)
-    # The postings table is consumed three times (df/idf rollup, the
-    # query-term slice, the candidate join); Spark shares no subplans
-    # across a DAG, so the bigram explode + rollup runs three times —
-    # measured FASTER than persisting it at bench SF (the three
-    # consumers execute as concurrent stages on idle cores while the
-    # cache write serializes the hot path). A 100 TB deployment
-    # materializes the postings ONCE as a real index instead of
-    # recomputing per query — that is bm25_index/bm25_score_against_
-    # index territory, not an in-query cache.
+    # Round-12 shape (guide §3.2 broadcast semi-join pre-filter +
+    # §2.4 fewer passes): the old form evaluated the full-corpus
+    # explode + (doc, term) rollup THREE times (df/idf, the query
+    # slice, the candidate join — Spark shares no subplans across a
+    # DAG, and persisting the rollup re-measured a WASH this round:
+    # the cache write costs what a recompute does). Now (1) the
+    # query-term slice comes from a TINY explode of the query docs
+    # only; (2) its distinct terms — the same bounded vocabulary the
+    # contribution join already broadcasts — semi-filter both
+    # remaining full passes, since a term outside every query doc
+    # can contribute nothing to idf-as-read, the slice, or the
+    # candidate join; (3) df comes from a countDistinct(doc) per
+    # term over the filtered RAW stream (map-side partial distinct),
+    # so the (doc, term) rollup shuffle happens ONCE, on the
+    # candidate side. df stays GLOBAL per term — the filter is
+    # term-level, never doc-level. A 100 TB deployment materializes
+    # the postings ONCE as a real index instead —
+    # bm25_index/bm25_score_against_index territory.
+    qbig = doc_bigram_terms(
+        docs.filter(F.col(id_col) % query_mod == 0), id_col, text_col
+    )
+    qset = qbig.select("term").distinct()
+    terms = doc_bigram_terms(docs, id_col, text_col).join(
+        F.broadcast(qset), "term"
+    )
     tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    tf_q = qbig.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf"),
         F.first("dl").alias("dl"),
     )
@@ -2086,8 +2105,8 @@ def bm25_topk(
     )
     n_docs, s_dl = int(tot["n"]), int(tot["s"])
     idf = (
-        tf.groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
+        terms.groupBy("term")
+        .agg(F.countDistinct(id_col).cast("long").alias("df"))
         .select(
             "term",
             "df",
@@ -2104,7 +2123,7 @@ def bm25_topk(
         )
     )
     qterms = (
-        tf.filter(F.col(id_col) % query_mod == 0)
+        tf_q
         .join(
             F.broadcast(
                 idf.filter(
