@@ -1847,6 +1847,14 @@ def dsir_weights(
         .agg(
             F.count("*").alias("cnt"), F.first("tgt").alias("tgt")
         )
+        # Round 12 (guide §2.4): the rollup feeds BOTH the bucket
+        # totals (a driver action — tr/tt become plan literals) and
+        # the returned scoring join; Spark shares no subplans across
+        # actions, so without this persist the full-corpus explode +
+        # md5 + (doc,b) shuffle ran twice. The rollup is ≤ docs×K
+        # rows; query-duration cache only (bench/gate clearCache
+        # between queries; caller-owned via _probe_persisted).
+        .persist()
     )
 
     counts = feats.groupBy("b").agg(
@@ -1862,12 +1870,12 @@ def dsir_weights(
             F.coalesce("c_all", F.lit(0)).alias("c_all"),
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
         )
-        .cache()
     )
     tot = dense.agg(
         F.sum("c_all").alias("tr"), F.sum("c_tgt").alias("tt")
     ).head()
     if not tot["tt"]:
+        feats.unpersist()
         raise ValueError(
             "dsir_weights: the target predicate matched no documents — "
             "an importance sampler cannot fit a target distribution on "
@@ -1888,7 +1896,7 @@ def dsir_weights(
             ).cast("long")
         ).alias("lw"),
     )
-    return (
+    out = (
         feats.join(F.broadcast(lw), "b")
         .groupBy(id_col)
         .agg(
@@ -1907,6 +1915,8 @@ def dsir_weights(
             ).alias("selected"),
         )
     )
+    out._probe_persisted = [feats]
+    return out
 
 
 # ---------------------------------------------------------------------------

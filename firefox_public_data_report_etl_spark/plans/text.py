@@ -2927,9 +2927,11 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = dsir_weights(docs, F.col("lang") == DSIR_TARGET_LANG)
-    return w.join(docs.select("doc_id", "lang"), "doc_id").select(
+    out = w.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "n_feats", "logw_mu", "lw_per_feat", "selected"
     )
+    out._probe_persisted = getattr(w, "_probe_persisted", [])
+    return out
 
 
 def _dsir_oracle() -> str:
