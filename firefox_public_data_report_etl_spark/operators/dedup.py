@@ -421,19 +421,37 @@ def prefix_filter_pairs(
     against the all-pairs baseline at two thresholds)."""
     hs = hs.persist()
     prefix = _rarest_first_prefix(hs, threshold, id_col)
+    # posexplode: ``i`` is the token's 0-based rank in the doc's FULL
+    # rarest-first order (the prefix IS the first k of that order), so
+    # the positional filter below reads it straight off the row.
     pr = prefix.select(
-        id_col, "n", F.explode("pre").alias("h")
+        id_col, "n", F.posexplode("pre").alias("i", "h")
     )
     pa = pr.select(
-        F.col(id_col).alias("da"), "h", F.col("n").alias("na")
+        F.col(id_col).alias("da"), "h", F.col("n").alias("na"),
+        F.col("i").alias("ia"),
     )
     pb = pr.select(
-        F.col(id_col).alias("db"), "h", F.col("n").alias("nb")
+        F.col(id_col).alias("db"), "h", F.col("n").alias("nb"),
+        F.col("i").alias("ib"),
     )
     # PPJoin LENGTH filter: J ≥ t forces t·max(na,nb) ≤ |A∩B| ≤
     # min(na,nb), so size-incompatible pairs are pruned INSIDE the
     # token join, before the distinct and the verify — lossless by
     # the same inequality the verify would apply anyway.
+    #
+    # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): for a TRUE
+    # pair, its order-smallest common token c_min sits in both
+    # prefixes (the prefix theorem above), and every common token is
+    # ≥ c_min in both sorted orders, so |A∩B| ≤ min(na−ia, nb−ib) at
+    # c_min's positions. J ≥ t needs |A∩B| ≥ t(na+nb)/(1+t); a row
+    # failing that bound cannot be a pair's first common token, and a
+    # true pair always survives on its c_min row — lossless before
+    # the distinct. The 1e-9 slack makes the float comparison
+    # conservative (a borderline row is KEPT; the exact verify
+    # decides). Measured sf0.1 (interleaved A/B, identical outputs):
+    # distinct-input join rows 329k → 132k at t=0.5, 10.1k → 3.4k at
+    # t=0.9; wall ~25% off the t=0.5 query, flat at t=0.9.
     t = float(threshold)
     cand = (
         pa.join(pb, "h")
@@ -441,6 +459,13 @@ def prefix_filter_pairs(
             (F.col("da") < F.col("db"))
             & (F.lit(t) * F.col("na") <= F.col("nb"))
             & (F.lit(t) * F.col("nb") <= F.col("na"))
+            & (
+                F.lit(1.0 + t)
+                * F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= F.lit(t) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+            )
         )
         .select("da", "db")
         .distinct()

@@ -223,7 +223,7 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(docs).cache()
     hs = gram_hash_arrays(docs)
-    for t in (0.5, 0.3):
+    for t in (0.5, 0.3, 0.9):
         brute = {
             (r.da, r.db, round(r.jaccard, 9))
             for r in all_pairs_jaccard(sh)
@@ -235,6 +235,30 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
             for r in prefix_filter_pairs(hs, t).collect()
         }
         assert pf == brute and brute
+
+
+def test_positional_filter_keeps_exact_threshold_pair(spark):
+    """The PPJoin positional filter's overlap upper bound holds with
+    EQUALITY for a pair at exactly J = t: here |A∩B| = 2 and the bound
+    min(na−ia, nb−ib) at the first common prefix token is also 2, so a
+    float comparison without the conservative slack could prune a true
+    boundary pair. Constructed on raw (id, hs, n) rows: A={10,11,12},
+    B={10,11,13} → J = 2/4 = 0.5 at t = 0.5; rarest-first order puts
+    the unique token first and the shared tokens at positions 1–2 of
+    each prefix."""
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    hs = spark.createDataFrame(
+        [(1, [10, 11, 12], 3), (2, [10, 11, 13], 3)],
+        "doc_id INT, hs ARRAY<BIGINT>, n INT",
+    )
+    got = {
+        (r.da, r.db, round(r.jaccard, 9))
+        for r in prefix_filter_pairs(hs, 0.5, "doc_id").collect()
+    }
+    assert got == {(1, 2, 0.5)}
 
 
 def test_containment_detects_excerpts_jaccard_misses(spark):
