@@ -18,6 +18,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Partition-local contraction (round 12): each task runs an
+    in-memory min-label union over ONLY its partition's edges and
+    emits that partition's star forest — one (child, component-min)
+    row per non-root node it saw. Connectivity is preserved exactly
+    (a star forest spans the same components as the edges it came
+    from), so the alternating rounds downstream compute the identical
+    min-id labeling; they just start from a graph whose within-task
+    structure is already collapsed. On one partition the output IS
+    the final star forest (one round verifies the fixpoint); across
+    partitions each round now shuffles at most one row per node
+    instead of the raw edge relation. Task state is the partition's
+    edge list — the same bound any in-task sort already has; the
+    label array itself is integer indices, so node ids of any
+    orderable type work (component min = min index because
+    ``np.unique`` sorts ascending).
+
+    Input/output contract: canonical a > b rows, distinct.
+    """
+
+    def gen(it):
+        import numpy as np
+
+        aas, bbs = [], []
+        for pdf in it:
+            aas.append(pdf["a"].to_numpy())
+            bbs.append(pdf["b"].to_numpy())
+        if not aas:
+            return
+        a = np.concatenate(aas)
+        b = np.concatenate(bbs)
+        if len(a) == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        u, v = inv[: len(a)], inv[len(a):]
+        p = np.arange(len(nodes))
+        while True:
+            old = p
+            p = p.copy()
+            np.minimum.at(p, u, p[v])
+            np.minimum.at(p, v, p[u])
+            p = np.minimum(p, p[p])  # pointer jumping: O(log) passes
+            if np.array_equal(p, old):
+                break
+        mask = p != np.arange(len(nodes))
+        import pandas as pd
+
+        yield pd.DataFrame({"a": nodes[mask], "b": nodes[p[mask]]})
+
+    return e.mapInPandas(gen, schema=e.schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "da",
@@ -177,8 +229,12 @@ def connected_components_star(
             F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
         .distinct()
-        .localCheckpoint()
     )
+    # Round-12: partition-local contraction rides the same job as the
+    # eager checkpoint — a narrow map after the distinct shuffle, so
+    # the rounds below start from per-task star forests (≤ 1 row per
+    # node) instead of the raw pair relation. See _local_contract.
+    e = _local_contract(e).localCheckpoint()
 
     # Round-12 note (measured, kept honest): replacing each star's
     # groupBy-min + join-back with a single window-min was TRIED and
