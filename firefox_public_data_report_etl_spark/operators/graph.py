@@ -273,7 +273,18 @@ def connected_components_star(
 
     n_prev = e.count()
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # Round-12 second pass (guide §5 — fewer driver actions per
+        # iteration): TWO large/small alternations ride each
+        # checkpoint + convergence count, halving the per-round
+        # action/materialization overhead for the same star work. The
+        # double-step fixpoint test is sound: the alternation
+        # provably CONVERGES (Kiveris et al.), so an orbit where
+        # f(f(e)) = e but f(e) != e would cycle forever and cannot
+        # exist — set equality after the double step implies the
+        # single-step fixpoint. Worst case one extra (cheap)
+        # alternation pair past convergence.
+        e2 = _small_star(_large_star(e))
+        e2 = _small_star(_large_star(e2)).localCheckpoint(eager=False)
         # set equality on distinct sets: same cardinality + empty
         # difference (left_anti) ⇒ fixpoint. The previous round's
         # cardinality is carried forward (round 12) instead of

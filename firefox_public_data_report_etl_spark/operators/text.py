@@ -1501,6 +1501,22 @@ def lm_bigram_scores(
 
 BPE_SEP = "\x1f"  # unit separator — cannot occur in corpus tokens
 BPE_MERGES = 5
+# bpe_train: merges learned since the last checkpoint ride the round's
+# argmax job as a chained replace over the cached symbol base; the
+# chain is materialized (localCheckpoint) at this depth so expression
+# size stays bounded for large n_merges.
+_BPE_CKPT_EVERY = 16
+# Fused single-stage trainers (round 12): the merge/EM loop runs in
+# ONE Arrow task over the distinct-word COUNT table — the standard
+# tokenizer-training shape (word-type cardinality grows sub-linearly
+# with the corpus, Heaps' law), collapsing K driver actions × the
+# per-job scheduling floor into one job. A corpus whose word-type
+# count exceeds this cap fails LOUDLY inside the task (the
+# _WINNOW_POS_CAP convention) instead of silently building an
+# oversized task; callers there pass fused=False — the K-round
+# distributed loop, identical artifacts by construction (pinned by
+# tests/test_tokenizer_fused.py).
+_FUSED_VOCAB_CAP = 4_000_000
 
 
 def _bpe_sym_expr(word_col: str):
@@ -1521,6 +1537,8 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
+    fused: bool = True,
+    emit_alphabet: bool = False,
 ) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016, the
     public subword-tokenizer algorithm): start from characters, and
@@ -1554,6 +1572,20 @@ def bpe_train(
     scalar-subquery argmax. Per round: one vocab-sized aggregate +
     a 1-row argmax collect (the iterative-algorithm driver edge,
     like k-means centroids).
+
+    ``fused=True`` (default): the identical loop runs in ONE Arrow
+    task over the word-count table (the standard tokenizer-training
+    shape; capped at ``_FUSED_VOCAB_CAP`` word types with a loud
+    task-side raise) — one job instead of K driver round-trips.
+    ``fused=False`` keeps the distributed K-round loop for corpora
+    past the cap; both paths produce the identical merge table
+    (tests/test_tokenizer_fused.py).
+
+    ``emit_alphabet=True`` (fused only) additionally emits one row
+    per distinct corpus character as ``step = -1`` rows riding the
+    same single task — the id-map alphabet ``bpe_apply`` would
+    otherwise recompute with its own corpus pass + driver action
+    (round 12, guide §5). The default output is unchanged.
     """
     spark = docs.sparkSession
     vocab = (
@@ -1564,11 +1596,89 @@ def bpe_train(
         .agg(F.count("*").alias("c"))
     )
     sep2 = BPE_SEP + BPE_SEP
+    if emit_alphabet and not fused:
+        raise ValueError("emit_alphabet requires fused=True")
+    if fused:
+        # Single-stage trainer (round 12, guide §5 — collapse K driver
+        # round-trips): the identical greedy loop runs once inside an
+        # Arrow task over the word-count table. Python str.replace has
+        # the same left-to-right non-overlapping scan as F.replace
+        # (the "aaaa" property above is unit-pinned for BOTH paths),
+        # and Python tuple/str comparison is the same binary order the
+        # distributed argmax sorts by, so merge choices, tie-breaks
+        # and weighted counts are bit-equal by construction.
+        cap = _FUSED_VOCAB_CAP
+
+        def _train(batches):
+            import pandas as pd
+
+            words: list[str] = []
+            counts: list[int] = []
+            for pdf in batches:
+                words.extend(pdf["w"])
+                counts.extend(int(c) for c in pdf["c"])
+                if len(words) > cap:
+                    raise ValueError(
+                        "bpe_train(fused=True): word-type count "
+                        f"exceeds _FUSED_VOCAB_CAP={cap}; rerun with "
+                        "fused=False (K-round distributed loop)"
+                    )
+            syms = [
+                sep2 + sep2.join(w) + sep2 for w in words
+            ]  # _bpe_sym_expr layout
+            merges = []
+            for step in range(n_merges):
+                cnt: dict[tuple, int] = {}
+                for s, c in zip(syms, counts):
+                    inner = s.split(sep2)[1:-1]
+                    for l, r in zip(inner, inner[1:]):
+                        k = (l, r)
+                        cnt[k] = cnt.get(k, 0) + c
+                if not cnt:
+                    break
+                (left, right), n = min(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                merges.append((step, left, right, n))
+                pat = BPE_SEP + left + sep2 + right + BPE_SEP
+                rep = BPE_SEP + left + right + BPE_SEP
+                syms = [s.replace(pat, rep) for s in syms]
+            if emit_alphabet:
+                alphabet = sorted({ch for w in words for ch in w})
+                merges = [
+                    (-1, ch, "", 0) for ch in alphabet
+                ] + merges
+            yield pd.DataFrame(
+                merges,
+                columns=["step", "left_sym", "right_sym", "pair_count"],
+            )
+
+        return vocab.repartition(1).mapInPandas(
+            _train,
+            "step int, left_sym string, right_sym string, pair_count long",
+        )
+
     sym = vocab.select(_bpe_sym_expr("w").alias("s"), "c").cache()
 
+    # Round structure (round-12 optimization, guide §2.4/§5): one
+    # driver action per round — the argmax job re-applies the merges
+    # learned so far as a CHAINED replace expression over the cached
+    # vocab-grain base instead of eagerly localCheckpoint()ing the
+    # replaced table every round (which doubled the per-round job
+    # count for a table that is vocabulary-sized anyway). The chain is
+    # cut back to a checkpoint every _BPE_CKPT_EVERY rounds so a
+    # large-K caller never builds an unbounded expression tree.
     merges = []
-    cur = sym
+    base = sym
+    chain: list[tuple[str, str]] = []
+
+    def _chained(col):
+        for pat, rep in chain:
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        return col
+
     for step in range(n_merges):
+        cur = base.select(_chained(F.col("s")).alias("s"), "c")
         arr = F.split(F.col("s"), sep2)
         inner = F.slice(arr, 2, F.size(arr) - 2)
         pairs = cur.select(
@@ -1592,9 +1702,13 @@ def bpe_train(
         merges.append((step, b["l"], b["r"], int(b["cnt"])))
         pat = BPE_SEP + b["l"] + sep2 + b["r"] + BPE_SEP
         rep = BPE_SEP + b["l"] + b["r"] + BPE_SEP
-        cur = cur.select(
-            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "c"
-        ).localCheckpoint()
+        chain.append((pat, rep))
+        if len(chain) >= _BPE_CKPT_EVERY:
+            base = base.select(
+                _chained(F.col("s")).alias("s"), "c"
+            ).localCheckpoint()
+            chain = []
+    sym.unpersist()
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count long"
     )
@@ -1605,6 +1719,7 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    alphabet: list[str] | None = None,
 ) -> DataFrame:
     """Encode the corpus with a LEARNED merge table (r7 verdict #3 —
     the missing half of the tokenizer: ``bpe_train`` produces the
@@ -1656,18 +1771,25 @@ def bpe_apply(
             "sub_pos", "token"
         ),
     )
-    chars = sorted(
-        r["ch"]
-        for r in vocab.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w)),"
-                    " i -> substring(w, i, 1))"
-                )
-            ).alias("ch")
+    # Alphabet for the id map: callers that already hold it (e.g. the
+    # fused trainer's emit_alphabet rows) pass it in, skipping a
+    # second corpus pass + driver action (round 12, guide §5).
+    chars = (
+        sorted(alphabet)
+        if alphabet is not None
+        else sorted(
+            r["ch"]
+            for r in vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w)),"
+                        " i -> substring(w, i, 1))"
+                    )
+                ).alias("ch")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
     )
     idmap: dict[str, int] = {ch: i for i, ch in enumerate(chars)}
     for k, (left, right) in enumerate(merges):
@@ -2059,10 +2181,11 @@ def bm25_topk(
     Per-(query,doc) scores are then INTEGER sums — associative and
     partition-order-independent.
 
-    Shape at scale: (doc,term) tf aggregate [shuffle 1, carries dl via
-    first()], term-grain df/idf table [shuffle 2, vocabulary-bounded →
-    broadcast], query-term table = tf slice of the query docs joined
-    to idf (Q·terms rows → broadcast). Candidate generation is the
+    Shape at scale: ONE (doc,term) tf aggregate [shuffle 1, carries dl
+    via first()], df/idf as a count(*) window over the term-keyed tf
+    relation [shuffle 2 — the already-reduced posting grain, never the
+    raw token stream], query-term pairs from the query docs' own tiny
+    explode (→ broadcast). Candidate generation is the
     posting-list intersection tf ⋈ query_terms on term — bounded by
     Σ_t df(t) over query terms, NOT N·Q, because ``df_cap_num/den``
     drops head terms from queries (df ≤ cap·N): stop-term pruning,
@@ -2073,36 +2196,34 @@ def bm25_topk(
     Final per-query top-k is a window partitioned by q_id — one task
     per query, each over its own candidate list.
     """
-    # Round-12 shape (guide §3.2 broadcast semi-join pre-filter +
-    # §2.4 fewer passes): the old form evaluated the full-corpus
-    # explode + (doc, term) rollup THREE times (df/idf, the query
-    # slice, the candidate join — Spark shares no subplans across a
-    # DAG, and persisting the rollup re-measured a WASH this round:
-    # the cache write costs what a recompute does). Now (1) the
-    # query-term slice comes from a TINY explode of the query docs
-    # only; (2) its distinct terms — the same bounded vocabulary the
-    # contribution join already broadcasts — semi-filter both
-    # remaining full passes, since a term outside every query doc
-    # can contribute nothing to idf-as-read, the slice, or the
-    # candidate join; (3) df comes from a countDistinct(doc) per
-    # term over the filtered RAW stream (map-side partial distinct),
-    # so the (doc, term) rollup shuffle happens ONCE, on the
-    # candidate side. df stays GLOBAL per term — the filter is
-    # term-level, never doc-level. A 100 TB deployment materializes
-    # the postings ONCE as a real index instead —
-    # bm25_index/bm25_score_against_index territory.
+    # Round-12 shape, second pass (guide §3.2 broadcast semi-join
+    # pre-filter + §2.4 fewer passes + §5 fewer driver actions): ONE
+    # linear subtree. (1) The query docs' distinct terms — a bounded
+    # vocabulary — semi-filter the single full-corpus explode (a term
+    # outside every query doc can contribute nothing); (2) the
+    # (doc, term) tf rollup happens ONCE, and df/idf ride it as a
+    # count(*) window over the term partitioning (tf grain is distinct
+    # (doc, term), so the partition count IS df — global per term, the
+    # filter is term-level, never doc-level). The earlier form
+    # evaluated the corpus explode twice (tf + a countDistinct df
+    # pass) because Spark shares no subplans across a DAG and
+    # persisting the rollup re-measured a WASH (the cache write costs
+    # what a recompute does). (3) Corpus totals (n, s) attach as a
+    # 1-row broadcast scalar instead of a driver head() action, so the
+    # whole query is a single job. The candidate join broadcasts only
+    # the (q_id, term) pairs; idf now rides the candidate side —
+    # identical per-term value, same pairs, same integer sums. A
+    # 100 TB deployment materializes the postings ONCE as a real
+    # index instead — bm25_index/bm25_score_against_index territory.
     qbig = doc_bigram_terms(
         docs.filter(F.col(id_col) % query_mod == 0), id_col, text_col
     )
     qset = qbig.select("term").distinct()
+    qdist = qbig.select(F.col(id_col).alias("q_id"), "term").distinct()
     terms = doc_bigram_terms(docs, id_col, text_col).join(
         F.broadcast(qset), "term"
     )
     tf = terms.groupBy(id_col, "term").agg(
-        F.count("*").cast("long").alias("tf"),
-        F.first("dl").alias("dl"),
-    )
-    tf_q = qbig.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf"),
         F.first("dl").alias("dl"),
     )
@@ -2111,50 +2232,41 @@ def bm25_topk(
         docs.filter(F.size(t) >= 2)
         .select((F.size(t) - 1).cast("long").alias("dl"))
         .agg(F.count("*").cast("long").alias("n"), F.sum("dl").alias("s"))
-        .head()
     )
-    n_docs, s_dl = int(tot["n"]), int(tot["s"])
-    idf = (
-        terms.groupBy("term")
-        .agg(F.countDistinct(id_col).cast("long").alias("df"))
-        .select(
-            "term",
+    from pyspark.sql import Window
+
+    tfw = (
+        tf.crossJoin(F.broadcast(tot))
+        .withColumn(
             "df",
+            F.count("*").over(Window.partitionBy("term")).cast("long"),
+        )
+        .filter(
+            F.col("df") * df_cap_den <= F.col("n") * df_cap_num
+        )
+        .withColumn(
+            "idf_fp",
             F.round(
                 F.lit(BM25_IDF_SCALE)
                 * F.log(
-                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    (F.col("n").cast("double") - F.col("df") + 0.5)
                     / (F.col("df") + 0.5)
                     + 1.0
                 )
-            )
-            .cast("long")
-            .alias("idf_fp"),
+            ).cast("long"),
         )
     )
-    qterms = (
-        tf_q
-        .join(
-            F.broadcast(
-                idf.filter(
-                    F.col("df") * df_cap_den <= F.lit(n_docs * df_cap_num)
-                )
-            ),
-            "term",
-        )
-        .select(F.col(id_col).alias("q_id"), "term", "idf_fp")
-    )
-    num = F.lit(22 * s_dl) * F.col("tf")
+    num = F.lit(22) * F.col("s") * F.col("tf")
     den = (
-        F.lit(10 * s_dl) * F.col("tf")
-        + F.lit(3 * s_dl)
-        + F.lit(9 * n_docs) * F.col("dl")
+        F.lit(10) * F.col("s") * F.col("tf")
+        + F.lit(3) * F.col("s")
+        + F.lit(9) * F.col("n") * F.col("dl")
     )
     contrib = F.round(
         F.col("idf_fp") * (num.cast("double") / den.cast("double"))
     ).cast("long")
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tfw.join(F.broadcast(qdist), "term")
         .filter(F.col(id_col) != F.col("q_id"))
         .select("q_id", id_col, contrib.alias("c"))
         .groupBy("q_id", id_col)
@@ -2912,6 +3024,7 @@ def unigram_train(
     text_col: str = "text",
     rounds: int = UNIGRAM_ROUNDS,
     max_piece: int = UNIGRAM_MAX_PIECE,
+    fused: bool = True,
 ) -> list[str]:
     """Learn the unigram vocabulary: seed = substrings (length <=
     ``max_piece``) carrying >= 1/SEED_DIV of the weighted substring
@@ -2921,13 +3034,75 @@ def unigram_train(
     word mass (single chars always survive). Runs every round even
     after the vocabulary stops changing, so the unrolled oracle is
     bit-equal by construction. Returns the sorted final piece list —
-    the artifact a tokenizer ships."""
+    the artifact a tokenizer ships.
+
+    ``fused=True`` (default): seed + all EM rounds run in ONE Arrow
+    task over the word-count table (same shape, cap, and loud raise
+    as ``bpe_train(fused=True)``; reuses the exact ``_greedy_pieces``
+    segmenter the distributed rounds use) — one job instead of
+    3 + rounds driver actions. ``fused=False`` keeps the distributed
+    per-round loop; identical piece lists by construction
+    (tests/test_tokenizer_fused.py)."""
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .cache()
     )
+    if fused:
+        cap = _FUSED_VOCAB_CAP
+
+        def _train(batches):
+            import pandas as pd
+
+            words: list[str] = []
+            counts: list[int] = []
+            for pdf in batches:
+                words.extend(pdf["w"])
+                counts.extend(int(c) for c in pdf["c"])
+                if len(words) > cap:
+                    raise ValueError(
+                        "unigram_train(fused=True): word-type count "
+                        f"exceeds _FUSED_VOCAB_CAP={cap}; rerun with "
+                        "fused=False (distributed EM rounds)"
+                    )
+            mass: dict[str, int] = {}
+            total = 0
+            for w, c in zip(words, counts):
+                n = len(w)
+                for i in range(n):
+                    for ln in range(1, min(max_piece, n - i) + 1):
+                        p = w[i : i + ln]
+                        mass[p] = mass.get(p, 0) + c
+                        total += c
+            pieces = sorted(
+                p
+                for p, v in mass.items()
+                if len(p) == 1 or v * UNIGRAM_SEED_DIV >= total
+            )
+            word_total = sum(counts)
+            chars = {p for p in pieces if len(p) == 1}
+            for _ in range(rounds):
+                pset = frozenset(pieces)
+                usage: dict[str, int] = {}
+                for w, c in zip(words, counts):
+                    for p in _greedy_pieces(w, pset, max_piece):
+                        usage[p] = usage.get(p, 0) + c
+                kept = {
+                    p
+                    for p, u in usage.items()
+                    if len(p) > 1 and u * UNIGRAM_PRUNE_DIV >= word_total
+                }
+                pieces = sorted(chars | kept)
+            yield pd.DataFrame({"piece": pieces})
+
+        return sorted(
+            r["piece"]
+            for r in vocab.repartition(1)
+            .mapInPandas(_train, "piece string")
+            .collect()
+        )
+
+    vocab = vocab.cache()
     subs = vocab.select(
         F.explode(
             F.expr(
@@ -2939,11 +3114,21 @@ def unigram_train(
         "c",
     )
     agg = subs.groupBy("piece").agg(F.sum("c").alias("cnt"))
-    seed_total = subs.agg(F.sum("c")).head()[0]
-    seed_rows = agg.filter(
-        (F.length("piece") == 1)
-        | (F.col("cnt") * UNIGRAM_SEED_DIV >= F.lit(seed_total))
-    ).collect()
+    # Seed mass total and the seed filter in ONE action (round-12,
+    # guide §2.4): the total rides the job as a 1-row broadcast scalar
+    # attach (the repo's scalar-attach convention) instead of its own
+    # driver action; Σ_pieces cnt ≡ Σ_subs c, so the value is the same
+    # seed_total the two-action form computed.
+    seed_rows = (
+        agg.crossJoin(
+            F.broadcast(agg.agg(F.sum("cnt").alias("_seed_total")))
+        )
+        .filter(
+            (F.length("piece") == 1)
+            | (F.col("cnt") * UNIGRAM_SEED_DIV >= F.col("_seed_total"))
+        )
+        .collect()
+    )
     pieces = sorted(r["piece"] for r in seed_rows)
     word_total = vocab.agg(F.sum("c")).head()[0]
     chars = {p for p in pieces if len(p) == 1}

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firefox_public_data_report_etl_spark.functions import (
@@ -3230,31 +3228,16 @@ WHERE sp.split = 'train' AND sp.n_tok >= 3
 
 
 # ---------------------------------------------------------------------------
-# Session-scoped tokenizer memo (round-10 verdict #8). The audit
-# family — encode, packing, fertility, fertility A/B — re-derived the
-# SAME learned artifacts (merge table, unigram vocabulary) and the
-# SAME corpus encode per query. Within one SparkSession and sf_dir
-# those are identical by construction (all inputs are the frozen
-# parquet tables), so the trained artifacts and the persisted token
-# tables are memoized per (session, sf_dir): whichever family member
-# runs first pays the train+encode cost, the rest reuse the cached
-# relations. Results are bit-identical (the memo stores the exact
-# DataFrames the queries previously rebuilt), so every oracle is
-# unchanged. Keyed weakly by session — entries die with it; the cached
-# token table is token-grain (corpus tokens × 4 small columns), the
-# same working-set class the family's own .cache() calls already held.
-
-_TOKENIZER_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
-def _tokenizer_memo(spark: SparkSession, sf_dir: str, key: str, build):
-    per = _TOKENIZER_MEMO.setdefault(spark, {})
-    k = (sf_dir, key)
-    if k not in per:
-        per[k] = build()
-    return per[k]
+# Tokenizer-artifact builders. A round-10 session memo (per
+# (SparkSession, sf_dir)) used to cache the learned merge list /
+# unigram pieces and the encoded token tables across the audit-family
+# queries; round 12 REMOVED it: a module-level memo of results keyed
+# on the data directory meant a benched sample could reuse artifacts a
+# previous sample trained, so the timed number no longer computed from
+# the parquet inputs. Every call now rebuilds from the tables; the
+# train cost is honest in every benched row (and the trainers
+# themselves were restructured this round to make that cost small —
+# see bpe_train's chained-replace rounds).
 
 
 def _bpe_merge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3262,28 +3245,38 @@ def _bpe_merge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    return _tokenizer_memo(
-        spark,
-        sf_dir,
-        "bpe_merge_frame",
-        lambda: bpe_train(
-            load_table(spark, sf_dir, "documents")
-        ).cache(),
+    return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, list]:
+    """(merges, alphabet) in ONE driver action: the fused trainer
+    emits the alphabet as step = -1 rows riding its single task, so
+    the encode path never pays a second corpus pass for the id map
+    (round 12, guide §5)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_train,
     )
+
+    rows = bpe_train(
+        load_table(spark, sf_dir, "documents"), emit_alphabet=True
+    ).collect()
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(
+            (r for r in rows if r["step"] >= 0), key=lambda r: r["step"]
+        )
+    ]
+    alphabet = [r["left_sym"] for r in rows if r["step"] < 0]
+    return merges, alphabet
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
-    return _tokenizer_memo(
-        spark,
-        sf_dir,
-        "bpe_merges",
-        lambda: [
-            (r["left_sym"], r["right_sym"])
-            for r in _bpe_merge_frame(spark, sf_dir)
-            .orderBy("step")
-            .collect()
-        ],
-    )
+    return [
+        (r["left_sym"], r["right_sym"])
+        for r in _bpe_merge_frame(spark, sf_dir).orderBy("step").collect()
+    ]
 
 
 def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3291,14 +3284,11 @@ def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_apply,
     )
 
-    return _tokenizer_memo(
-        spark,
-        sf_dir,
-        "bpe_tokens",
-        lambda: bpe_apply(
-            load_table(spark, sf_dir, "documents"),
-            _bpe_merges(spark, sf_dir),
-        ).cache(),
+    merges, alphabet = _bpe_artifacts(spark, sf_dir)
+    return bpe_apply(
+        load_table(spark, sf_dir, "documents"),
+        merges,
+        alphabet=alphabet,
     )
 
 
@@ -3307,12 +3297,7 @@ def _unigram_pieces(spark: SparkSession, sf_dir: str) -> list:
         unigram_train,
     )
 
-    return _tokenizer_memo(
-        spark,
-        sf_dir,
-        "unigram_pieces",
-        lambda: unigram_train(load_table(spark, sf_dir, "documents")),
-    )
+    return unigram_train(load_table(spark, sf_dir, "documents"))
 
 
 def _unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3320,14 +3305,9 @@ def _unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_apply,
     )
 
-    return _tokenizer_memo(
-        spark,
-        sf_dir,
-        "unigram_tokens",
-        lambda: unigram_apply(
-            load_table(spark, sf_dir, "documents"),
-            _unigram_pieces(spark, sf_dir),
-        ).cache(),
+    return unigram_apply(
+        load_table(spark, sf_dir, "documents"),
+        _unigram_pieces(spark, sf_dir),
     )
 
 
@@ -3335,11 +3315,13 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus
     (operators/text.py:bpe_train): learn the first K subword merges
     from character grain — the tokenizer-construction step of a
-    training-data pipeline, as an iterative distributed algorithm
-    (corpus-sized work once, vocab-sized rounds after). The oracle
-    unrolls the identical rounds as chained CTEs with scalar-subquery
-    argmax, so merge choices, tie-breaks, and weighted counts are
-    hash-matched bit-for-bit."""
+    training-data pipeline. Corpus-sized work is one distributed word
+    count; the merge loop runs fused in a single Arrow task over the
+    word-type table (capped with a loud raise; fused=False keeps the
+    distributed K-round loop past the cap). The oracle unrolls the
+    identical rounds as chained CTEs with scalar-subquery argmax, so
+    merge choices, tie-breaks, and weighted counts are hash-matched
+    bit-for-bit."""
     return _bpe_merge_frame(spark, sf_dir)
 
 
@@ -3750,10 +3732,10 @@ def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — each greedy match as an UNIGRAM_MAX_WORD-step CTE chain
     — so the learned vocabulary is bit-equal by construction.
 
-    Scale: one corpus-sized word count; every round is vocabulary-
-    cardinality (the bpe_train trick); the per-round piece collect is
-    a bounded tokenizer artifact, the same driver-edge class as
-    bpe_train's argmax."""
+    Scale: one corpus-sized word count; the seed + EM rounds run
+    fused in a single Arrow task over the word-type table (the
+    bpe_train convention — capped with a loud raise, distributed
+    rounds past the cap via fused=False)."""
     from firefox_public_data_report_etl_spark.operators.text import (
         unigram_vocab_usage,
     )
@@ -6260,9 +6242,9 @@ def tokenizer_tail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer "how much of the stream do the top-K tokens carry"; the
     hapax/tail mass answers "how much vocab is wasted".
 
-    Shares the session-memoized encode (`_bpe_tokens`) with the rest
-    of the tokenizer audit family — the corpus is tokenized once per
-    session. The ranking window is deliberately GLOBAL: it runs on
+    Rebuilds the encode (`_bpe_tokens`) like the rest of the
+    tokenizer audit family — every call computes from the parquet
+    tables. The ranking window is deliberately GLOBAL: it runs on
     the vocab-grain relation (chars + BPE_MERGES rows, report-sized
     by construction), not on the token stream, so the single-task
     window holds ~vocab rows at any corpus scale."""

@@ -682,23 +682,26 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     PER-GROUP fraction cut, distinct from important_parts_share's
     GLOBAL-total threshold.
 
-    Scale: two rollups share the ``l_partkey`` shuffle key — per
-    (part, supplier) volume, then per part — joined back on partkey
-    with the exact integer cross-multiply ``100·vol > 15·total``.
+    Scale: ONE fact rollup to (part, supplier) volume; the per-part
+    total is a window over that KEY-grain relation (round 12, guide
+    §2.4 — the self-join form re-ran the fact scan + rollup for the
+    second subtree; the window runs on the already-reduced ~|parts×
+    suppliers| rows, so one lineitem pass and two exchanges drop out),
+    then the exact integer cross-multiply ``100·vol > 15·total``.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
     )
+    from pyspark.sql import Window
+
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qty").alias("vol")
     )
-    per_part = per_ps.groupBy("l_partkey").agg(
-        F.sum("vol").alias("total_vol")
-    ).withColumnRenamed("l_partkey", "_pk")
-    dominant = per_ps.join(
-        per_part, per_ps.l_partkey == F.col("_pk")
+    dominant = per_ps.withColumn(
+        "total_vol",
+        F.sum("vol").over(Window.partitionBy("l_partkey")),
     ).filter(F.col("vol") * 100 > F.col("total_vol") * DOMINANT_NUM)
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
