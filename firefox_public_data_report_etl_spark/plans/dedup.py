@@ -974,25 +974,65 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap) with overlap = |A∩B| / min(|A|,|B|) — ONE final IEEE
     division per pair (the repo's ratio contract).
 
-    Scale: the gram self-join fans out ≤ S rows per hash (S =
-    source count — a config-sized constant), so the intersection is
-    |distinct grams|·O(S²) worst-case but source-pair-grain (≤ S²/2
-    rows) out of the aggregate; the sizes table is S rows,
-    broadcast. No doc-grain or pair-grain blowup anywhere."""
+    Scale: ONE corpus pass — grams group straight to hash grain
+    (``collect_set(source)``, map-side combined, ≤ S elements per
+    hash), each hash emits its ordered source pairs INCLUDING the
+    diagonal (so the (s, s) count IS |s|'s distinct-gram size — no
+    separate sizes pass), and the pair aggregate lands at ≤ S² rows.
+    No doc-grain or pair-grain blowup anywhere.
+
+    Round 12 (guide §2.4): the previous shape evaluated the hashed-
+    shingle relation THREE times (both self-join sides + sizes; Spark
+    shares no subplans across a DAG) and paid a (source, h) distinct
+    shuffle before the join's own h shuffles. The per-h source-set
+    form dedups and groups in the SAME aggregate, so the corpus is
+    exploded/hashed once and exactly one gram-grain exchange remains;
+    only the S²-row pair table persists (report-sized — caller-owned
+    release via ``_probe_persisted``, cleared between bench rows)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    sh = shingle_rows(docs, id_col="source")
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source").alias("source_a"), "h")
-    b = sh.select(F.col("source").alias("source_b"), "h")
-    inter = (
-        a.join(b, (a["h"] == b["h"]) & (F.col("source_a") < F.col("source_b")))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_shared"))
+    from firefox_public_data_report_etl_spark.operators.dedup import (
+        SPARK_SHINGLES,
+        _hash28,
     )
-    na = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a")))
-    nb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b")))
-    return (
-        inter.join(na, "source_a")
+
+    t = docs.select("source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = t.select(
+        "source", F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("g")
+    ).select("source", _hash28("g", "parity").alias("h"))
+    per_h = sh.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pairs = per_h.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (sa, i) ->"
+                " transform(slice(ss, i + 1, size(ss) - i), sb ->"
+                " struct(sa, sb))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b")
+    )
+    cnt = (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    diag = cnt.filter(F.col("source_a") == F.col("source_b"))
+    na = F.broadcast(
+        diag.select("source_a", F.col("n").alias("n_grams_a"))
+    )
+    nb = F.broadcast(
+        diag.select(
+            F.col("source_a").alias("source_b"), F.col("n").alias("n_grams_b")
+        )
+    )
+    out = (
+        cnt.filter(F.col("source_a") < F.col("source_b"))
+        .withColumnRenamed("n", "n_shared")
+        .join(na, "source_a")
         .join(nb, "source_b")
         .select(
             "source_a",
@@ -1006,6 +1046,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+    out._probe_persisted = [cnt]
+    return out
 
 
 SOURCE_OVERLAP_ORACLE = f"""

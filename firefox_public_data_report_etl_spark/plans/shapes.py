@@ -534,26 +534,54 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (column, stat, value) so the shape is schema-stable. The
     profile every ingestion pipeline runs before trusting a new drop."""
     o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    # Round 12 (guide §2.2/§2.5): one agg holding THREE countDistinct
+    # plus string min/max planned as Expand(x4 rows) -> Sort ->
+    # SortAggregate at (custkey, priority, orderkey, gid) grain — the
+    # multi-distinct rewrite's dedup grain, sort-forced by the string
+    # min/max buffers (1.7 s for a 150k-row scan). Split instead:
+    # (a) the non-distinct stats in one empty-key aggregate (no
+    # Expand; empty-key SortAggregate needs no sort — single pass),
+    # (b) the distinct counts via an explicit melt -> two-phase hash
+    # aggregate (casts are injective, so counts are identical).
     aggs = []
-    for c in ["o_orderkey", "o_custkey", "o_orderpriority"]:
+    for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), True)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     wide = o.agg(F.count("*").alias("__rows"), *aggs)
-    cols = [f.name for f in wide.schema.fields]
+    plain_cols = [f.name for f in wide.schema.fields]
     pairs = F.array(
         *[
             F.struct(F.lit(c).alias("stat"), F.col(c).cast("string").alias("value"))
-            for c in cols
+            for c in plain_cols
         ]
     )
-    return (
+    plain = (
         wide.select(F.explode(pairs).alias("kv"))
         .select(F.col("kv.stat").alias("stat"), F.col("kv.value").alias("value"))
     )
+    melted = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{c}__distinct").alias("stat"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.stat", "kv.v")
+    dist = (
+        melted.filter(F.col("v").isNotNull())
+        .groupBy("stat")
+        .agg(F.countDistinct("v").cast("string").alias("value"))
+    )
+    return plain.unionByName(dist)
 
 
 ORDERS_PROFILE_ORACLE = """

@@ -53,6 +53,11 @@ BNLJ_ALLOWED = {
     # 1-row corpus-total crossJoin attaching N to the frequent-pair
     # lift ratio — broadcast-scalar shape
     "token_lift_pairs": "Cross",
+    # 1-row (N, avg_len) corpus-totals crossJoin onto the tf relation
+    # (round 12: replaced a driver head() action so bm25 is one job) —
+    # broadcast-scalar shape
+    "corpus_bm25_topk": "Cross",
+    "retrieval_hybrid_rrf": "Cross",  # contains the bm25 subtree
     # 1-row stage-count crossJoins assembling the 3-row funnel report
     # edge — broadcast-scalar shape
     "funnel_conversion": "Cross",
