@@ -24,6 +24,7 @@ work, for honest comparison against in-process engines at toy SFs.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -108,6 +109,14 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass  # Spark Connect: no JVM handle; skip
+            # Python-driver half of the same hygiene (round 12,
+            # session 5): collect() materializes every row as a
+            # driver-side Row object, and for 1M-row outputs the
+            # previous sample's garbage inflates the next sample ~2×
+            # (measured on bpe_encode_corpus: 5.4 s stable with
+            # gc.collect() between samples vs 5.8→10.5 s drifting
+            # without). Outside the timed region, like System.gc().
+            gc.collect()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)

@@ -1948,17 +1948,28 @@ def dsir_weights(
     stack). The importance table is K rows regardless of corpus
     size; the target distribution trains on the ``target_cond``
     slice of the SAME frame."""
-    t = F.split(F.col(text_col), " ")
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.size(t) - 1),
-        F.slice(t, 2, F.size(t) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    # Round 12, session 5 (guide §4.2, the doc_bigram_terms fix): the
+    # zip_with(slice, slice) bigram form re-evaluated split inside an
+    # interpreted HOF (measured 3-4x the transform form at sf0.1). The
+    # CASE guards single-token docs: sequence(1, 0) would DESCEND and
+    # index out of bounds under ANSI; slice(__t, 1, 0) is the typed
+    # empty array. Same unigram+bigram feature list, same order.
+    bigrams = F.expr(
+        "CASE WHEN size(__t) >= 2 THEN"
+        " transform(sequence(1, size(__t) - 1),"
+        " i -> concat(__t[i - 1], ' ', __t[i]))"
+        " ELSE slice(__t, 1, 0) END"
     )
     feats = (
         docs.select(
             F.col(id_col),
             target_cond.cast("long").alias("tgt"),
-            F.explode(F.concat(t, bigrams)).alias("feat"),
+            F.split(F.col(text_col), " ").alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            "tgt",
+            F.explode(F.concat(F.col("__t"), bigrams)).alias("feat"),
         )
         .select(
             id_col,
@@ -2134,20 +2145,32 @@ def doc_bigram_terms(
     sparse retrieval here. Bigrams (not unigrams) because a retrieval
     term must be selective: phrase-grain terms keep df ≪ N where a
     unigram vocabulary saturates (every term in most docs ranks
-    nothing). dl = per-doc term count (n_tokens - 1). Array-native
-    prepend-free slice+zip like lm_bigram_scores — no per-doc window
-    anywhere."""
-    t = F.split(F.col(text_col), " ")
-    return docs.filter(F.size(t) >= 2).select(
-        F.col(id_col),
-        (F.size(t) - 1).cast("long").alias("dl"),
-        F.explode(
-            F.zip_with(
-                F.slice(t, 1, F.size(t) - 1),
-                F.slice(t, 2, F.size(t) - 1),
-                lambda x, y: F.concat(x, F.lit(" "), y),
-            )
-        ).alias("term"),
+    nothing). dl = per-doc term count (n_tokens - 1). Array-native —
+    no per-doc window anywhere.
+
+    Round 12, session 5 (guide §4.2 — expression cost is real work):
+    the previous ``zip_with(slice(t,1,n-1), slice(t,2,n-1), concat)``
+    form materialized two array copies and re-evaluated ``split`` per
+    argument inside an interpreted higher-order function — measured
+    1.6–2.0 s for the corpus explode at sf0.1. The single
+    ``transform(sequence(1, n-1), i -> t[i-1] || ' ' || t[i])`` builds
+    the identical bigram list with one lambda over one split array:
+    0.4–0.6 s, values bit-identical (same token pairs, same order)."""
+    return (
+        docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+        )
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            (F.size("__t") - 1).cast("long").alias("dl"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> concat(__t[i - 1], ' ', __t[i]))"
+                )
+            ).alias("term"),
+        )
     )
 
 
@@ -2215,11 +2238,22 @@ def bm25_topk(
     # identical per-term value, same pairs, same integer sums. A
     # 100 TB deployment materializes the postings ONCE as a real
     # index instead — bm25_index/bm25_score_against_index territory.
+    # Round 12, session 5 (guide §2.4): the query-doc explode was
+    # evaluated TWICE — once for the semi-filter term set and once for
+    # the (q_id, term) pairs (two subtrees, two broadcast builds over
+    # the same tiny relation). Persist the distinct pair table
+    # (query-vocabulary-sized, caller-released via _probe_persisted)
+    # and derive the term set from it: one query-doc pass, and both
+    # broadcasts build from the in-memory pairs.
     qbig = doc_bigram_terms(
         docs.filter(F.col(id_col) % query_mod == 0), id_col, text_col
     )
-    qset = qbig.select("term").distinct()
-    qdist = qbig.select(F.col(id_col).alias("q_id"), "term").distinct()
+    qdist = (
+        qbig.select(F.col(id_col).alias("q_id"), "term")
+        .distinct()
+        .persist()
+    )
+    qset = qdist.select("term").distinct()
     terms = doc_bigram_terms(docs, id_col, text_col).join(
         F.broadcast(qset), "term"
     )
@@ -2277,11 +2311,13 @@ def bm25_topk(
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score_fp"), F.asc(id_col)
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "score_fp", "rank")
     )
+    out._probe_persisted = [qdist]
+    return out
 
 
 # ---------------------------------------------------------------------------

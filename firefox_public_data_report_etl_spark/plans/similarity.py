@@ -1461,7 +1461,8 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = bm25_topk(docs, query_mod=QUERY_MOD, k=RRF_POOL).select(
+    bm_raw = bm25_topk(docs, query_mod=QUERY_MOD, k=RRF_POOL)
+    bm = bm_raw.select(
         "q_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
     emb = quantized(load_table(spark, sf_dir, "embeddings"))
@@ -1486,11 +1487,14 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
-    return (
+    out = (
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= RRF_FINAL_K)
         .select("q_id", "doc_id", "bm25_rank", "cos_rank", "rrf_fp", "rank")
     )
+    # Release the bm25 query-vocab persist with this query's caches.
+    out._probe_persisted = getattr(bm_raw, "_probe_persisted", [])
+    return out
 
 
 def _hybrid_rrf_oracle() -> str:
