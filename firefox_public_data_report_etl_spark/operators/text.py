@@ -3381,98 +3381,103 @@ def span_corruption_streams(
     per document. Sentinels are numbered per doc in block order
     (<X0>, <X1>, …), matching the T5 convention.
 
-    Scale shape: token pass + block-grain span table (both
-    scan-local); the only shuffles are three DOC-partitioned
-    row_number windows (sentinel numbering and the two stream
-    position assignments) — bounded by document length, never
-    corpus-wide."""
-    from pyspark.sql import Window
+    Scale shape (round 12): spans are block-local, so BOTH streams
+    are per-document array constructions — selected blocks, span
+    bounds, sentinel numbering, and each stream's token order are
+    computed in-row (nested transform/filter over the token array)
+    and exploded once. One scan, zero joins, zero shuffles; the old
+    form paid two corpus explodes, two (doc, block) joins, and three
+    doc-partitioned row_number windows for the same rows.
 
+    Row-for-row equivalence with the window form (pinned by
+    test_fim_span_corruption): the input ordering key was kept
+    tokens at pos*2 and sentinels at lo*2-1 — i.e. block-major,
+    sentinel exactly where the span starts, which is what the
+    per-block concat(before-span, sentinel, after-span) emits; the
+    target key was b*(BLOCK+1)+offset — block-major sentinel-then-
+    span-tokens, which is what flatten over the span structs emits.
+    sid = ordinal of the block among the doc's selected blocks =
+    the filter-then-transform index."""
     doc_s = f"cast({id_col} as string)"
-    h = lambda tag: md5_int_spark_sql(
-        f"concat({doc_s}, '#{tag}', cast(b as string))"
-    )
-    d = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("t")
-    ).withColumn("n", F.size("t").cast("long"))
-    toks = (
-        d.select(id_col, "n", F.posexplode("t").alias("p0", "tok"))
-        .withColumn("pos", (F.col("p0") + 1).cast("long"))
-        .withColumn("b", F.expr(f"(pos - 1) div {SC_BLOCK}"))
-        .drop("p0")
-    )
-    blocks = (
-        d.select(
-            id_col,
-            "n",
-            F.explode(
-                F.expr(f"sequence(0, (n + {SC_BLOCK - 1}) div {SC_BLOCK} - 1)")
-            ).alias("b"),
-        )
-        .withColumn("n_in", F.expr(f"least({SC_BLOCK}, n - b * {SC_BLOCK})"))
-        .filter(F.expr(f"{h('scb')} % {SC_SEL_MOD} = 0"))
-        .withColumn(
-            "sp_len",
-            F.expr(f"1 + {h('scl')} % least({SC_MAX_SPAN}, n_in)"),
-        )
-        .withColumn(
-            "lo",
-            F.expr(
-                f"b * {SC_BLOCK} + {h('scs')} % (n_in - sp_len + 1) + 1"
-            ),
-        )
-        .withColumn("hi", F.col("lo") + F.col("sp_len") - 1)
-    )
-    spans = blocks.withColumn(
-        "sid",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy("b")
-        ).cast("long")
-        - 1,
-    ).select(id_col, "b", "lo", "hi", "sid")
-    sent_tok = F.concat(
-        F.lit("<X"), F.col("sid").cast("string"), F.lit(">")
-    )
-    kept = (
-        toks.join(spans, [id_col, "b"], "left")
-        .filter(
-            F.col("lo").isNull()
-            | (F.col("pos") < F.col("lo"))
-            | (F.col("pos") > F.col("hi"))
-        )
-        .select(id_col, (F.col("pos") * 2).alias("k"), "tok")
-    )
-    inp = kept.unionByName(
-        spans.select(
-            id_col, (F.col("lo") * 2 - 1).alias("k"), sent_tok.alias("tok")
-        )
-    )
-    tgt = spans.select(
-        id_col,
-        (F.col("b") * (SC_BLOCK + 1)).alias("k"),
-        sent_tok.alias("tok"),
-    ).unionByName(
-        toks.join(spans, [id_col, "b"])
-        .filter(F.col("pos").between(F.col("lo"), F.col("hi")))
-        .select(
-            id_col,
-            (
-                F.col("b") * (SC_BLOCK + 1)
-                + F.col("pos")
-                - F.col("lo")
-                + 1
-            ).alias("k"),
-            "tok",
-        )
-    )
 
-    def order(df: DataFrame, stream: str) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy("k")
-        return df.select(
-            id_col,
-            F.lit(stream).alias("stream"),
-            (F.row_number().over(w).cast("long") - 1).alias("idx"),
-            "tok",
+    def h(tag: str) -> str:
+        return md5_int_spark_sql(
+            f"concat({doc_s}, '#{tag}', cast(b as string))"
         )
 
-    return order(inp, "input").unionByName(order(tgt, "target"))
+    B = SC_BLOCK
+    from firefox_public_data_report_etl_spark.operators.parallelism import (
+        widen_partitions,
+    )
+
+    # The whole construction is narrow (zero shuffles), so it would
+    # inherit the scan's split count — one task on a single-row-group
+    # toy-SF file. Widen the PRE-expansion compact form (no-op at
+    # real scale where the scan splits by itself).
+    d = widen_partitions(
+        docs.select(
+            id_col, F.split(F.col(text_col), " ").alias("t")
+        ).withColumn("n", F.size("t").cast("long"))
+    )
+
+    # Selected blocks -> (b, sid, lo, hi) structs, one filter +
+    # three nested transforms so each md5 draw is evaluated once.
+    spans_sql = f"""
+      transform(
+        transform(
+          transform(
+            filter(sequence(0L, (n + {B - 1}) div {B} - 1),
+                   b -> {h('scb')} % {SC_SEL_MOD} = 0),
+            (b, i) -> named_struct(
+              'b', b, 'sid', cast(i as bigint),
+              'n_in', least({B}, n - b * {B}),
+              'hs', {h('scs')}, 'hl', {h('scl')})
+          ),
+          s -> named_struct(
+            'b', s.b, 'sid', s.sid, 'n_in', s.n_in, 'hs', s.hs,
+            'sp_len', 1 + s.hl % least({SC_MAX_SPAN}, s.n_in))
+        ),
+        s -> named_struct(
+          'b', s.b, 'sid', s.sid,
+          'lo', s.b * {B} + s.hs % (s.n_in - s.sp_len + 1) + 1,
+          'hi', s.b * {B} + s.hs % (s.n_in - s.sp_len + 1) + s.sp_len)
+      )
+    """
+    d = d.withColumn("spans", F.expr(spans_sql))
+
+    # Input stream: per block, tokens outside the span with the
+    # sentinel where the span starts (span lookup bound once per
+    # block via the inner transform).
+    inp_sql = f"""
+      flatten(transform(
+        transform(sequence(0L, (n + {B - 1}) div {B} - 1),
+                  b -> named_struct('b', b,
+                                    'sp', filter(spans, s -> s.b = b))),
+        x -> CASE WHEN size(x.sp) = 0
+             THEN slice(t, cast(x.b * {B} + 1 as int),
+                        cast(least(n, x.b * {B} + {B}) - x.b * {B} as int))
+             ELSE concat(
+               slice(t, cast(x.b * {B} + 1 as int),
+                     cast(x.sp[0].lo - (x.b * {B} + 1) as int)),
+               array(concat('<X', cast(x.sp[0].sid as string), '>')),
+               slice(t, cast(x.sp[0].hi + 1 as int),
+                     cast(least(n, x.b * {B} + {B}) - x.sp[0].hi as int)))
+             END))
+    """
+    tgt_sql = """
+      flatten(transform(spans, s -> concat(
+        array(concat('<X', cast(s.sid as string), '>')),
+        slice(t, cast(s.lo as int), cast(s.hi - s.lo + 1 as int)))))
+    """
+    rows_sql = f"""
+      concat(
+        transform({inp_sql}, (x, i) -> named_struct(
+          'stream', 'input', 'idx', cast(i as bigint), 'tok', x)),
+        transform({tgt_sql}, (x, i) -> named_struct(
+          'stream', 'target', 'idx', cast(i as bigint), 'tok', x))
+      )
+    """
+    return (
+        d.select(id_col, F.explode(F.expr(rows_sql)).alias("r"))
+        .select(id_col, "r.stream", "r.idx", "r.tok")
+    )

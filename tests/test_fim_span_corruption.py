@@ -108,6 +108,44 @@ def test_span_corruption_conservation(spark, sf_dir, originals):
     assert any_corrupted > 0
 
 
+def test_span_corruption_roundtrip_order(spark, sf_dir, originals):
+    """Substituting each input sentinel <Xk> with the target tokens it
+    hides reconstructs the original document EXACTLY — order included,
+    which the conservation Counter cannot pin. Added with the round-12
+    array-native rewrite (in-row stream construction instead of
+    row_number windows): this is the invariant that would break if the
+    per-block concat emitted any token out of place."""
+    from firefox_public_data_report_etl_spark.plans import QUERIES
+
+    rows = QUERIES["corpus_span_corruption"](spark, sf_dir).collect()
+    docs: dict[int, dict[str, list]] = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, {"input": [], "target": []})[
+            r.stream
+        ].append(r)
+    is_sent = lambda t: t.startswith("<X") and t.endswith(">")
+    for doc_id, streams in docs.items():
+        inp = [
+            r.tok for r in sorted(streams["input"], key=lambda r: r.idx)
+        ]
+        tgt = [
+            r.tok for r in sorted(streams["target"], key=lambda r: r.idx)
+        ]
+        # hidden tokens per sentinel, in target order
+        hidden: dict[str, list[str]] = {}
+        cur = None
+        for t in tgt:
+            if is_sent(t):
+                cur = t
+                hidden[cur] = []
+            else:
+                hidden[cur].append(t)
+        rebuilt: list[str] = []
+        for t in inp:
+            rebuilt.extend(hidden[t] if is_sent(t) else [t])
+        assert rebuilt == originals[doc_id], f"roundtrip broke {doc_id}"
+
+
 def test_preference_pairs_quality_ordered(spark, sf_dir):
     from firefox_public_data_report_etl_spark.plans import QUERIES
 
