@@ -1714,6 +1714,100 @@ def bpe_train(
     )
 
 
+def _bpe_merge_chain_col(merges: list[tuple[str, str]]):
+    """Encoded symbol string for a distinct word ``w``: the trainer's
+    double-separator layout with every learned merge applied in step
+    order. Shared by ``bpe_apply`` and ``bpe_token_counts`` so the
+    encoder and the counts-only reduction can never segment
+    differently."""
+    sep2 = BPE_SEP + BPE_SEP
+    col = _bpe_sym_expr("w")
+    for left, right in merges:
+        col = F.replace(
+            col,
+            F.lit(BPE_SEP + left + sep2 + right + BPE_SEP),
+            F.lit(BPE_SEP + left + right + BPE_SEP),
+        )
+    return col
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, out_col): per-document token count under the learned
+    merge table — the counts-only reduction of ``bpe_apply`` for
+    consumers that aggregate the encode straight back to document
+    grain (fertility reports, packing budgets). The piece count per
+    DISTINCT WORD is the symbol count of the same encoded string
+    ``bpe_apply`` splits (shared ``_bpe_merge_chain_col``), joined
+    back to corpus word occurrences — the corpus-grain
+    (doc, word_pos, sub_pos) token fan-out and the id map never
+    materialize (guide §2.3: shuffle fewer bytes). Value-equal to
+    ``bpe_apply(...).groupBy(id).count()``: the id-map join there is
+    lossless (every emitted token is an alphabet char or a merge
+    product, both present in the map), so counting words × their
+    piece counts counts exactly the same rows."""
+    sep2 = BPE_SEP + BPE_SEP
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    vocab = words.select("w").distinct()
+    np_ = vocab.select(
+        "w",
+        (F.size(F.split(_bpe_merge_chain_col(merges), sep2)) - 2)
+        .cast("long")
+        .alias("__np"),
+    )
+    return (
+        words.join(np_, "w")
+        .groupBy(id_col)
+        .agg(F.sum("__np").alias(out_col))
+    )
+
+
+def unigram_token_counts(
+    docs: DataFrame,
+    pieces: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece: int | None = None,
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, out_col): per-document piece count under a learned
+    unigram vocabulary — the counts-only reduction of
+    ``unigram_apply`` (same ``segment_words_unigram`` over the
+    distinct-word table, rolled up to piece counts per word before
+    the corpus join, so the (doc, word_pos, sub_pos) fan-out never
+    materializes). Value-equal to
+    ``unigram_apply(...).groupBy(id).count()``: the piece-id join
+    there is lossless (every emitted piece is in the vocabulary).
+    ``max_piece`` defaults to ``UNIGRAM_MAX_PIECE`` (resolved at call
+    time — the constant is defined later in this module) and MUST
+    match the trained geometry, as in ``unigram_apply``."""
+    if max_piece is None:
+        max_piece = UNIGRAM_MAX_PIECE
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    vocab = words.select("w").distinct()
+    np_ = (
+        segment_words_unigram(vocab, pieces, max_piece)
+        .groupBy("w")
+        .agg(F.count("*").alias("__np"))
+    )
+    return (
+        words.join(np_, "w")
+        .groupBy(id_col)
+        .agg(F.sum("__np").alias(out_col))
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -1756,14 +1850,7 @@ def bpe_apply(
         F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
     )
     vocab = words.select("w").distinct()
-    enc_col = _bpe_sym_expr("w")
-    for left, right in merges:
-        enc_col = F.replace(
-            enc_col,
-            F.lit(BPE_SEP + left + sep2 + right + BPE_SEP),
-            F.lit(BPE_SEP + left + right + BPE_SEP),
-        )
-    enc = vocab.select("w", enc_col.alias("s"))
+    enc = vocab.select("w", _bpe_merge_chain_col(merges).alias("s"))
     arr = F.split(F.col("s"), sep2)
     wt = enc.select(
         "w",
@@ -3055,12 +3142,25 @@ def segment_words_unigram(
     )
 
 
+def word_count_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, c): the corpus word-count table every tokenizer stage
+    starts from. Exposed so a train→apply/usage composition can build
+    it ONCE (persist query-scoped, caller-released) instead of each
+    stage paying its own corpus pass (round 12, guide §2.4)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def unigram_train(
     docs: DataFrame,
     text_col: str = "text",
     rounds: int = UNIGRAM_ROUNDS,
     max_piece: int = UNIGRAM_MAX_PIECE,
     fused: bool = True,
+    vocab: DataFrame | None = None,
 ) -> list[str]:
     """Learn the unigram vocabulary: seed = substrings (length <=
     ``max_piece``) carrying >= 1/SEED_DIV of the weighted substring
@@ -3078,12 +3178,11 @@ def unigram_train(
     segmenter the distributed rounds use) — one job instead of
     3 + rounds driver actions. ``fused=False`` keeps the distributed
     per-round loop; identical piece lists by construction
-    (tests/test_tokenizer_fused.py)."""
-    vocab = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
+    (tests/test_tokenizer_fused.py). ``vocab``: a prebuilt
+    ``word_count_vocab`` frame (e.g. persisted and shared with the
+    apply/usage stage) — built here when absent."""
+    if vocab is None:
+        vocab = word_count_vocab(docs, text_col)
     if fused:
         cap = _FUSED_VOCAB_CAP
 
@@ -3189,18 +3288,18 @@ def unigram_vocab_usage(
     pieces: list[str],
     text_col: str = "text",
     max_piece: int = UNIGRAM_MAX_PIECE,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, usage, piece_id): the final vocabulary with its
     weighted usage under the final segmentation (0 for retained-but-
     unused single chars) and the shipping id — dense index over the
     piece-sorted vocabulary (python/DuckDB code-point collation,
-    identical over the ASCII testdata, same note as bpe_apply)."""
+    identical over the ASCII testdata, same note as bpe_apply).
+    ``vocab``: a prebuilt ``word_count_vocab`` frame shared with the
+    trainer — built here when absent."""
     spark = docs.sparkSession
-    vocab = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
+    if vocab is None:
+        vocab = word_count_vocab(docs, text_col)
     usage = (
         segment_words_unigram(vocab, pieces, max_piece)
         .join(vocab, "w")
@@ -3224,12 +3323,15 @@ def unigram_apply(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_piece: int = UNIGRAM_MAX_PIECE,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus with a learned unigram vocabulary — the
     apply half, same output grain as ``bpe_apply``: (doc_id,
     word_pos, sub_pos, piece, piece_id). Corpus-sized work is one
     posexplode + one (word → pieces) equi-join; segmentation runs
-    once over the distinct-word table."""
+    once over the distinct-word table. ``vocab``: a prebuilt
+    ``word_count_vocab`` frame shared with the trainer — its ``w``
+    column replaces the distinct-word pass here."""
     spark = docs.sparkSession
     words = docs.select(
         F.col(id_col),
@@ -3239,7 +3341,11 @@ def unigram_apply(
     # vocabulary trained with a larger lookahead would otherwise be
     # silently re-segmented with the default and its longer pieces
     # could never match)
-    seg = segment_words_unigram(words.select("w").distinct(), pieces, max_piece)
+    distinct_w = (
+        vocab.select("w") if vocab is not None
+        else words.select("w").distinct()
+    )
+    seg = segment_words_unigram(distinct_w, pieces, max_piece)
     ids = spark.createDataFrame(
         [(p, i) for i, p in enumerate(sorted(pieces))],
         "piece string, piece_id long",

@@ -3303,11 +3303,52 @@ def _unigram_pieces(spark: SparkSession, sf_dir: str) -> list:
 def _unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firefox_public_data_report_etl_spark.operators.text import (
         unigram_apply,
+        unigram_train,
+        word_count_vocab,
     )
 
-    return unigram_apply(
+    docs = load_table(spark, sf_dir, "documents")
+    # Round 12 (guide §2.4): one persisted word-count table feeds the
+    # trainer AND replaces the encoder's distinct-word pass
+    # (vocab-sized cache, caller-released via _probe_persisted).
+    vocab = word_count_vocab(docs).persist()
+    out = unigram_apply(
+        docs, unigram_train(docs, vocab=vocab), vocab=vocab
+    )
+    out._probe_persisted = [vocab]
+    return out
+
+
+def _bpe_counts(
+    spark: SparkSession, sf_dir: str, out_col: str = "n_tokens"
+) -> DataFrame:
+    """Doc-grain BPE token counts WITHOUT the corpus token fan-out
+    (round 12, guide §2.3): piece counts at distinct-word grain
+    joined back to word occurrences — value-equal to
+    ``_bpe_tokens(...).groupBy(doc_id).count()``."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_token_counts,
+    )
+
+    merges, _ = _bpe_artifacts(spark, sf_dir)
+    return bpe_token_counts(
+        load_table(spark, sf_dir, "documents"), merges, out_col=out_col
+    )
+
+
+def _unigram_counts(
+    spark: SparkSession, sf_dir: str, out_col: str = "n_tokens"
+) -> DataFrame:
+    """Doc-grain unigram piece counts, same reduction as
+    ``_bpe_counts``."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        unigram_token_counts,
+    )
+
+    return unigram_token_counts(
         load_table(spark, sf_dir, "documents"),
         _unigram_pieces(spark, sf_dir),
+        out_col=out_col,
     )
 
 
@@ -3498,11 +3539,8 @@ def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        _bpe_tokens(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("bpe_tokens"))
-    )
+    # Round 12 (guide §2.3): counts-only encode feeds the packer.
+    counts = _bpe_counts(spark, sf_dir, out_col="bpe_tokens")
     packed = pack_sequences(
         docs.join(counts, "doc_id"),
         capacity=PACK_CAPACITY,
@@ -3555,11 +3593,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured bpe encode chain — no new shuffle shape. Ratios are
     sums-of-exact-integers with ONE final IEEE division each."""
     docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        _bpe_tokens(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"))
-    )
+    # Round 12 (guide §2.3): counts-only encode — piece counts at
+    # distinct-word grain, never the corpus token fan-out.
+    cnt = _bpe_counts(spark, sf_dir, out_col="n_tokens")
     base = docs.select(
         "doc_id",
         "lang",
@@ -3737,11 +3773,23 @@ def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train convention — capped with a loud raise, distributed
     rounds past the cap via fused=False)."""
     from firefox_public_data_report_etl_spark.operators.text import (
+        unigram_train,
         unigram_vocab_usage,
+        word_count_vocab,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_vocab_usage(docs, _unigram_pieces(spark, sf_dir))
+    # Round 12 (guide §2.4): the trainer and the usage rollup start
+    # from the SAME word-count table — build it once, persist
+    # query-scoped (vocab-sized rows, caller-released via the
+    # _probe_persisted convention; the trainer action materializes
+    # the cache the usage plan then reads).
+    vocab = word_count_vocab(docs).persist()
+    out = unigram_vocab_usage(
+        docs, unigram_train(docs, vocab=vocab), vocab=vocab
+    )
+    out._probe_persisted = [vocab]
+    return out
 
 
 def _unigram_vocab_oracle() -> str:
@@ -3793,16 +3841,18 @@ def tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-trick shape) + two doc-grain rollups sharing the
     language-grain aggregate — no new shuffle class."""
     docs = load_table(spark, sf_dir, "documents")
-    bpe_cnt = (
-        _bpe_tokens(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("bpe_tokens"))
-    )
-    uni_cnt = (
-        _unigram_tokens(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("uni_tokens"))
-    )
+    # Round 12 (guide §2.3): both sides counts-only — the two corpus
+    # token fan-outs never materialize. Guide §2.6: the two TRAINER
+    # driver actions (each a word-count aggregate + Arrow-task fit +
+    # collect, triggered during plan construction) are independent —
+    # submit them from two threads so the jobs overlap instead of
+    # serializing; Spark schedules concurrent jobs from one session.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bpe_f = pool.submit(_bpe_counts, spark, sf_dir, "bpe_tokens")
+        uni_f = pool.submit(_unigram_counts, spark, sf_dir, "uni_tokens")
+        bpe_cnt, uni_cnt = bpe_f.result(), uni_f.result()
     base = docs.select(
         "doc_id",
         "lang",

@@ -109,3 +109,50 @@ def test_fused_cap_raises_loudly(spark, monkeypatch):
         bpe_train(docs, fused=True).collect()
     with pytest.raises(Exception, match="_FUSED_VOCAB_CAP"):
         unigram_train(docs, fused=True)
+
+
+def test_token_counts_equal_full_encode_rollup(spark, sf_dir):
+    """The counts-only reductions (round 12, guide §2.3) must count
+    exactly the rows the full encoders emit — per document, for both
+    tokenizer families. This is the invariant the fertility/packing
+    rewires stand on."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_token_counts,
+        unigram_apply,
+        unigram_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs).orderBy("step").collect()
+    ]
+    full_b = {
+        r["doc_id"]: r["n"]
+        for r in bpe_apply(docs, merges)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    cnt_b = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert cnt_b == full_b
+
+    pieces = unigram_train(docs)
+    full_u = {
+        r["doc_id"]: r["n"]
+        for r in unigram_apply(docs, pieces)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    cnt_u = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_token_counts(docs, pieces).collect()
+    }
+    assert cnt_u == full_u
