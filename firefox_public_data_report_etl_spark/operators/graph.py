@@ -203,6 +203,7 @@ def connected_components_star(
     src: str = "da",
     dst: str = "db",
     max_iter: int = 30,
+    emit_roots: bool = True,
 ) -> DataFrame:
     """(node, comp) via alternating large-star/small-star contraction
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -213,15 +214,31 @@ def connected_components_star(
     graph. Both produce the identical min-id labeling, so the two
     forms share one oracle.
 
-    Round shape: each star op is ONE groupBy-min (the per-node
-    minimum neighbor) + ONE join back onto the edge set — neighbor
-    sets are never collected into an array, so a hot node (one giant
-    near-dup cluster) costs a shuffle skew, not a single-task OOM.
-    Edges stay in canonical child(larger) → parent(smaller) direction
-    throughout; at the fixpoint the edge set IS the star forest, each
-    child pointing at its component's minimum id. localCheckpoint
-    truncates lineage per round (swap for a reliable checkpoint dir
-    on a cluster)."""
+    Round shape (round 13): each star op is ONE exchange. The edge
+    set is explicitly repartitioned on the grouping node, and BOTH
+    consumers — the per-node minimum aggregate and the join probe —
+    read that one exchange (ReusedExchange), with the join planned
+    shuffle-hash on the node-grain minima (no sort, no broadcast
+    build job). The round-12 shape let the planner insert a separate
+    exchange per consumer and a broadcast-build driver job per star
+    (4 per double-round); per-star it also shuffled the per-node
+    minima PLUS the probe side, where this shape moves the edge rows
+    exactly once per star — strictly fewer shuffled bytes at scale
+    and 17 → ~7 scheduler jobs per double-round at sf0.1 (measured).
+    Neighbor sets are still never collected into an array, so a hot
+    node (one giant near-dup cluster) costs a shuffle skew, not a
+    single-task OOM. Edges stay in canonical child(larger) →
+    parent(smaller) direction throughout; at the fixpoint the edge
+    set IS the star forest, each child pointing at its component's
+    minimum id. localCheckpoint truncates lineage per round (swap
+    for a reliable checkpoint dir on a cluster).
+
+    ``emit_roots=False`` skips the roots rows (nodes that appear only
+    as parents, which label themselves): callers that left-join the
+    labeling onto the full record set and ``coalesce(comp, id)``
+    (the ER survivorship shape) get the identical result without the
+    roots aggregate + union legs.
+    """
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -238,70 +255,111 @@ def connected_components_star(
 
     # Round-12 note (measured, kept honest): replacing each star's
     # groupBy-min + join-back with a single window-min was TRIED and
-    # reverted — the window shuffles and sorts every edge row, while
-    # the groupBy's partial aggregation shuffles only the per-node
-    # minima into a small build side (6.2 s vs 4.6 s for the ER
-    # record-grain query at sf0.1). What stayed: large-star's
-    # intermediate distinct is dropped (duplicates are harmless to
-    # small-star's min/join and its trailing distinct dedups the
-    # round's output — one fewer shuffle per round), and the
-    # previous round's cardinality is carried instead of re-counted.
+    # reverted — the window SORTS every edge row (WindowExec has no
+    # hash variant): 6.2 s vs 4.6 s on the ER record-grain query at
+    # sf0.1. The round-13 shared-exchange shape above keeps the
+    # hash aggregate and drops the per-consumer exchanges instead.
+    # Round-13 second change: the per-star trailing distinct is gone —
+    # duplicate edge rows are harmless to BOTH stars (the min
+    # aggregate ignores them; each input row still emits at most one
+    # output row, so the edge-set size never grows) — and the round
+    # dedups ONCE at the checkpoint, where the convergence test needs
+    # a distinct set anyway. One exchange per double-round instead of
+    # two.
 
     def _large_star(E: DataFrame) -> DataFrame:
         und = E.unionByName(
             E.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        ).repartition("a")
         mins = und.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
         return (
-            und.join(mins, "a")
+            und.join(mins.hint("shuffle_hash"), "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
 
     def _small_star(E: DataFrame) -> DataFrame:
-        mins = E.groupBy("a").agg(F.min("b").alias("m"))
+        Ep = E.repartition("a")
+        mins = Ep.groupBy("a").agg(F.min("b").alias("m"))
         moved = (
-            E.join(mins, "a")
+            Ep.join(mins.hint("shuffle_hash"), "a")
             .filter(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
-        return moved.unionByName(
-            mins.select("a", F.col("m").alias("b"))
-        ).distinct()
+        return moved.unionByName(mins.select("a", F.col("m").alias("b")))
 
-    n_prev = e.count()
-    for _ in range(max_iter):
-        # Round-12 second pass (guide §5 — fewer driver actions per
-        # iteration): TWO large/small alternations ride each
-        # checkpoint + convergence count, halving the per-round
-        # action/materialization overhead for the same star work. The
-        # double-step fixpoint test is sound: the alternation
-        # provably CONVERGES (Kiveris et al.), so an orbit where
-        # f(f(e)) = e but f(e) != e would cycle forever and cannot
-        # exist — set equality after the double step implies the
-        # single-step fixpoint. Worst case one extra (cheap)
-        # alternation pair past convergence.
-        e2 = _small_star(_large_star(e))
-        e2 = _small_star(_large_star(e2)).localCheckpoint(eager=False)
-        # set equality on distinct sets: same cardinality + empty
-        # difference (left_anti) ⇒ fixpoint. The previous round's
-        # cardinality is carried forward (round 12) instead of
-        # re-counted — one fewer action per round.
-        n_new = e2.count()
-        if n_new == n_prev and (
-            e2.join(e, ["a", "b"], "left_anti").count() == 0
-        ):
-            roots = e2.select(F.col("b").alias("node")).subtract(
-                e2.select(F.col("a").alias("node"))
+    def _node_stats(E: DataFrame) -> DataFrame:
+        """(node, nc=child-occurrence count, np=1 iff ever a parent) —
+        one exchange over the edge rows."""
+        return (
+            E.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("node"), F.lit(1).alias("c")
+                        ),
+                        F.struct(
+                            F.col("b").alias("node"), F.lit(0).alias("c")
+                        ),
+                    )
+                ).alias("x")
             )
-            return e2.select(
+            .select("x.node", "x.c")
+            .groupBy("node")
+            .agg(
+                F.sum("c").alias("nc"),
+                F.max(1 - F.col("c")).alias("np"),
+            )
+        )
+
+    # Round-13 convergence test: e is a fixpoint of BOTH stars iff it
+    # is a canonical-direction star forest — (i) every child node
+    # appears in exactly one row, (ii) no node is both child and
+    # parent. Sufficiency: on such a set, large-star re-emits exactly
+    # the input rows (a parent p's neighborhood minimum is p itself,
+    # so each child row (c, p) is emitted unchanged, and child rows
+    # emit nothing because parent < child), and small-star's per-child
+    # minimum is the child's unique parent with nothing moved.
+    # Necessity: the Kiveris fixpoint is a star forest with min-id
+    # roots, which satisfies (i)+(ii). Testing the PROPERTY instead of
+    # set-equality-after-a-double-step (the round-12 criterion) means
+    # a graph that arrives converged — which `_local_contract` often
+    # achieves outright once AQE has coalesced the toy-SF pair set
+    # into few partitions — pays ONE node-grain aggregate instead of
+    # a full four-star verification round, and the left-anti
+    # set-difference join is gone entirely. Duplicate rows in the
+    # un-deduped contract output can only raise nc (a conservative
+    # extra round, never a wrong early exit).
+    for _ in range(max_iter + 1):
+        stats = _node_stats(e)
+        unconverged = stats.filter(
+            (F.col("nc") > 1) | ((F.col("nc") > 0) & (F.col("np") > 0))
+        )
+        if unconverged.count() == 0:
+            labeled = e.select(
                 F.col("a").alias("node"), F.col("b").alias("comp")
-            ).unionByName(
+            )
+            if not emit_roots:
+                return labeled
+            # Roots (nodes never in child position) from the same
+            # node-grain aggregate shape — one exchange, replacing
+            # the former distinct + left_anti subtract (three).
+            roots = _node_stats(e).filter(F.col("nc") == 0).select("node")
+            return labeled.unionByName(
                 roots.select("node", F.col("node").alias("comp"))
             )
-        e, n_prev = e2, n_new
+        # Round-12 second pass (guide §5 — fewer driver actions per
+        # iteration): TWO large/small alternations ride each
+        # checkpoint + convergence test, halving the per-round
+        # action/materialization overhead for the same star work.
+        e2 = _small_star(_large_star(e))
+        e = (
+            _small_star(_large_star(e2))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} rounds"
     )

@@ -259,7 +259,11 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ka", "kb")
     )
-    comp = connected_components_star(pairs, "ka", "kb")
+    # emit_roots=False: the left join + coalesce below maps every
+    # un-labeled part (roots included) to itself, so the roots
+    # aggregate + union legs inside the operator are redundant work
+    # for this caller (guide §2.4 — remove shuffles outright).
+    comp = connected_components_star(pairs, "ka", "kb", emit_roots=False)
     members = p.join(
         comp, p.p_partkey == comp.node, "left"
     ).select(

@@ -69,6 +69,34 @@ def test_star_cc_random_graph_matches_propagation(spark):
     assert prop == star
 
 
+def test_star_cc_rounds_exercised_without_partition_coalescing(spark):
+    """Force the alternating star rounds to actually RUN: with AQE
+    partition coalescing disabled, the internal distinct keeps 8
+    partitions, so `_local_contract` only collapses per-partition
+    subgraphs and the cross-partition chain must converge through the
+    large/small-star loop (the round-13 star-forest convergence test
+    exits early otherwise). Guards the loop body itself — at toy
+    sizes with coalescing on, every graph converges at the first
+    check and the rounds are dead code."""
+    from firefox_public_data_report_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        chain = [(i, i + 1) for i in range(120)]
+        e = spark.createDataFrame(
+            [Row(da=a, db=b) for a, b in chain]
+        ).repartition(8)
+        labels = _labels(connected_components_star(e))
+        assert labels == {i: 0 for i in range(121)}
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old
+        )
+
+
 def test_pagerank_star_graph_semantics(spark):
     """Star graph (hub 1 ↔ leaves 2..5): the hub must outrank every
     leaf, leaves must tie exactly (integer arithmetic), degrees must
