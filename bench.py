@@ -345,7 +345,23 @@ def main() -> None:
     # Full payload -> file (the judge reads it); compact line -> stdout
     # (the driver parses the LAST line out of a 2 KB tail, so it must
     # stay well under that even as the extras list grows).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "12")
+    # Round tag for the payload filename: env when set, else derived
+    # from the repo's committed round artifacts (max CORRECTNESS_rNN
+    # present + 1 = the round currently being built). Round-12 verdict
+    # item: a stale hard-coded default silently overwrote the PREVIOUS
+    # round's benchline when the env was unset.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        done = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(done) + 1 if done else 0)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCHLINE_r{rnd}.json"
     )

@@ -80,7 +80,15 @@ def connected_components(
     min reachable node id. Raises if not converged within max_iter."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.distinct().localCheckpoint()
+    # No distinct on the symmetrized edge set (round 13, guide §2.4):
+    # duplicate rows are harmless to every consumer — the per-node
+    # neighborhood aggregate is a MIN (idempotent under multiplicity),
+    # the node set below has its own distinct, and the changed-count
+    # reads the label table, never edge multiplicities — so the former
+    # edge-grain dedup exchange was pure cost on every caller (the
+    # common pair-miner inputs are distinct canonical pairs already,
+    # whose two symmetrized directions can never collide).
+    und = und.localCheckpoint()
 
     labels = (
         und.select(F.col("a").alias("node"))

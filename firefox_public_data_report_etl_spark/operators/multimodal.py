@@ -1699,6 +1699,46 @@ def caption_pair_scores(media: DataFrame) -> DataFrame:
     ).mapInPandas(_emb, "media_id long, dot long, na long, nb long")
 
 
+def caption_align_scores(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, dot, na, nb) for the batch-fixture alignment gate —
+    BOTH joint-space embeds (image: synth → real BMP decode → gray
+    cells → visual words; caption: the described image's logical
+    rule) and their three inner products in ONE fused Arrow stage
+    (round 13; guide §2.4/§4.2). The former shape ran two separate
+    mapInPandas stages over the same id set, round-robin-exchanged
+    and broadcast one of them into an equi-join, then evaluated three
+    interpreted ``aggregate(zip_with(...))`` HOFs per row — the HOF
+    class every other pair-scoring path retired in rounds 11-12
+    (``caption_pair_scores`` is the ingestion-bytes twin of this
+    shape). Inner products are numpy int64 on the embeds the stage
+    just built, so every caption-family oracle pins them bit-equal.
+    Verdict arithmetic (fixed-point cos², threshold) stays in
+    Catalyst at the caller."""
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                _w, _h, rgb = decode_bmp24(
+                    encode_bmp24(_ndimg_rule_rgb(mid))
+                )
+                qi = _embed_token_bag(
+                    visual_words(caption_gray_cells(rgb))
+                )
+                qc = _embed_token_bag(caption_text(mid).split(" "))
+                rows.append(
+                    (mid, int(qi @ qc), int(qi @ qi), int(qc @ qc))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dot", "na", "nb"]
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _emb, "media_id long, dot long, na long, nb long"
+    )
+
+
 def caption_text_vectors(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, v) caption vectors of the joint space, same fused
     Arrow shape as ``caption_image_vectors`` (captions come from the

@@ -1750,12 +1750,18 @@ def bpe_token_counts(
     ``bpe_apply(...).groupBy(id).count()``: the id-map join there is
     lossless (every emitted token is an alphabet char or a merge
     product, both present in the map), so counting words × their
-    piece counts counts exactly the same rows."""
+    piece counts counts exactly the same rows. EMPTY words (leading/
+    trailing/consecutive spaces in the text) are filtered here and in
+    ``bpe_apply`` alike — they encode to zero real tokens, and before
+    round 13 the two paths disagreed on them (the advisor's find:
+    the counts path charged 2 separator artifacts per empty word
+    while the alphabet-joined encode dropped them);
+    ``test_token_counts_equal_full_encode_rollup`` pins the edge."""
     sep2 = BPE_SEP + BPE_SEP
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    )
+    ).filter(F.col("w") != "")
     vocab = words.select("w").distinct()
     np_ = vocab.select(
         "w",
@@ -1784,8 +1790,14 @@ def unigram_token_counts(
     distinct-word table, rolled up to piece counts per word before
     the corpus join, so the (doc, word_pos, sub_pos) fan-out never
     materializes). Value-equal to
-    ``unigram_apply(...).groupBy(id).count()``: the piece-id join
-    there is lossless (every emitted piece is in the vocabulary).
+    ``unigram_apply(...).groupBy(id).count()`` FOR CORPORA WHOSE
+    CHARACTERS ALL APPEAR IN THE TRAINING CORPUS (the registry call
+    sites — same corpus for train and encode): the greedy segmenter's
+    single-char fallback can emit characters outside the trained
+    piece set, which ``unigram_apply``'s piece-id inner join drops
+    while this rollup counts them — on a foreign-charset corpus the
+    two diverge by exactly those fallback chars (round-13 advisor
+    note; the equivalence test pins the same-corpus case).
     ``max_piece`` defaults to ``UNIGRAM_MAX_PIECE`` (resolved at call
     time — the constant is defined later in this module) and MUST
     match the trained geometry, as in ``unigram_apply``."""
@@ -1845,10 +1857,16 @@ def bpe_apply(
     """
     spark = docs.sparkSession
     sep2 = BPE_SEP + BPE_SEP
+    # Empty words (leading/trailing/consecutive spaces) are dropped:
+    # they carry no characters, and leaving them in poisons the
+    # auto-derived alphabet with '' (sequence(1, 0) descends, so the
+    # char explode of an empty word emits empty strings) — round-13
+    # advisor fix; word_pos numbering of non-empty words is unchanged
+    # because posexplode runs before the filter.
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
-    )
+    ).filter(F.col("w") != "")
     vocab = words.select("w").distinct()
     enc = vocab.select("w", _bpe_merge_chain_col(merges).alias("s"))
     arr = F.split(F.col("s"), sep2)
@@ -3331,7 +3349,12 @@ def unigram_apply(
     posexplode + one (word → pieces) equi-join; segmentation runs
     once over the distinct-word table. ``vocab``: a prebuilt
     ``word_count_vocab`` frame shared with the trainer — its ``w``
-    column replaces the distinct-word pass here."""
+    column replaces the distinct-word pass here, and it MUST cover
+    the corpus word set (built from the same ``docs``/``text_col``,
+    like ``max_piece`` must match the trained geometry): a word
+    absent from ``vocab`` is silently dropped by the inner
+    ``words ⋈ seg`` join, not raised (round-13 advisor note; every
+    call site passes the trainer's own vocab)."""
     spark = docs.sparkSession
     words = docs.select(
         F.col(id_col),

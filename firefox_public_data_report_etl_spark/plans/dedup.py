@@ -486,10 +486,12 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding.
 
     Scale: cluster + scoring are the measured LSH/CC/LM paths; the
-    pick is two row_numbers over the component partition (bounded by
-    cluster size); the pair join is component-keyed."""
-    from pyspark.sql import Window
-
+    pick is one component-grain aggregate (round 13: ``max_by`` /
+    ``min_by`` over the same (lm_per_token, doc_id) orderings the two
+    former row_number windows sorted by — one exchange, no sorts, no
+    count-window, and no component-keyed chosen⋈rejected self-join;
+    doc_id is unique within a component, so each ordering is total
+    and the argmax/argmin pick the identical rows)."""
     from firefox_public_data_report_etl_spark.operators.graph import (
         connected_components,
     )
@@ -517,39 +519,34 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_per_token",
         F.col("comp").alias("component"),
     )
-    wb = Window.partitionBy("component").orderBy(
-        F.desc("lm_per_token"), "doc_id"
-    )
-    ww = Window.partitionBy("component").orderBy(
-        "lm_per_token", F.desc("doc_id")
-    )
-    r = m.select(
-        "component",
-        "doc_id",
-        "n_tokens",
-        "score_munats",
-        F.row_number().over(wb).alias("rb"),
-        F.row_number().over(ww).alias("rw"),
-        F.count("*")
-        .over(Window.partitionBy("component"))
-        .cast("long")
-        .alias("n_members"),
-    )
-    chosen = r.filter(F.col("rb") == 1).select(
-        "component",
-        "n_members",
-        F.col("doc_id").alias("chosen_id"),
-        F.col("n_tokens").alias("chosen_n_tokens"),
-        F.col("score_munats").alias("chosen_score_munats"),
-    )
-    rejected = r.filter(F.col("rw") == 1).select(
-        "component",
-        F.col("doc_id").alias("rejected_id"),
-        F.col("n_tokens").alias("rejected_n_tokens"),
-        F.col("score_munats").alias("rejected_score_munats"),
+    # chosen = argmax (lm_per_token DESC, doc_id ASC) ≡ max_by over
+    # the lexicographic key (lm_per_token, -doc_id); rejected = argmin
+    # of the SAME key (min of -doc_id = doc_id DESC, the reverse
+    # tie-break). One hash aggregate replaces two sorted windows, a
+    # count window, and the component self-join; n_members rides the
+    # same aggregate row.
+    picked = m.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.expr(
+            "max_by(struct(doc_id, n_tokens, score_munats),"
+            " struct(lm_per_token, -doc_id))"
+        ).alias("ch"),
+        F.expr(
+            "min_by(struct(doc_id, n_tokens, score_munats),"
+            " struct(lm_per_token, -doc_id))"
+        ).alias("rj"),
     )
     return (
-        chosen.join(rejected, "component")
+        picked.select(
+            "component",
+            "n_members",
+            F.col("ch.doc_id").alias("chosen_id"),
+            F.col("ch.n_tokens").alias("chosen_n_tokens"),
+            F.col("ch.score_munats").alias("chosen_score_munats"),
+            F.col("rj.doc_id").alias("rejected_id"),
+            F.col("rj.n_tokens").alias("rejected_n_tokens"),
+            F.col("rj.score_munats").alias("rejected_score_munats"),
+        )
         .filter(F.col("n_members") >= 2)
         .withColumn(
             "margin_x",

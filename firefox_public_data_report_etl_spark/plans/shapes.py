@@ -763,16 +763,35 @@ def kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the U2 exceptAll output-contract check (violation counts),
     - the INTERSECT repeat-customer set (cardinality).
 
+    Round 13 (guide §2.4 — scan fusion; the standalone registry
+    queries keep their own shapes, only this report's legs fuse):
+
+    - Q14 + Q17 share ONE full lineitem pass: the month window is a
+      per-row flag instead of a second pruned scan, the per-part
+      average rides the same exchange as the join probe
+      (ReusedExchange via an explicit repartition), and one final
+      aggregate emits all five metrics. Guarded `when(in_month, ...)`
+      sums reproduce Q14's month-filtered sums exactly (NULL on an
+      empty month, 0-contribution rows otherwise).
+    - The U2 cohort check is counts over ONE distinct-cohort pass
+      (the exceptAll formulation evaluated the produced subtree — a
+      full events scan — twice): missing = |allow| − |produced ∩
+      allow|, unexpected = |produced \\ allow|, exact because both
+      sides are distinct sets and produced cohorts are non-null by
+      construction (event_type / 'Worldwide').
+    - repeat_customers is ONE orders scan: per-customer year flags →
+      count(both) ≡ the two-distinct-sides INTERSECT cardinality.
+
     Each branch keeps its full distributed plan; only the final
     report-sized rows are unioned. Long form keeps the schema stable
     as KPIs are added — exactly why the reference exports dicts."""
+    from firefox_public_data_report_etl_spark.plans.activity import (
+        base_events,
+    )
     from firefox_public_data_report_etl_spark.plans.annotations import (
-        cohort_contract_check,
+        COHORT_ALLOWLIST,
     )
-    from firefox_public_data_report_etl_spark.plans.tpch import (
-        promo_revenue_share,
-        small_quantity_revenue,
-    )
+    from firefox_public_data_report_etl_spark.plans.tpch import _pct
 
     def unpivot(df: DataFrame, metrics: list[tuple[str, str]]) -> DataFrame:
         pairs = F.array(
@@ -796,38 +815,117 @@ def kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("funnel_conversion_rate", "conversion_rate"),
         ],
     )
-    promo = unpivot(
-        promo_revenue_share(spark, sf_dir),
+    # Q14 + Q17 in one lineitem pass. rev4/in_month reproduce
+    # promo_revenue_share's month-scan sums via guarded whens; the
+    # per-part (qty_sum, qty_n) aggregate and the join probe share
+    # one explicit partkey exchange.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+            cents(F.col("l_extendedprice")).alias("price_c"),
+            (
+                cents(F.col("l_extendedprice"))
+                * (100 - _pct(F.col("l_discount")))
+            ).alias("rev4"),
+            (
+                (F.col("l_shipdate") >= F.lit("1995-09-01"))
+                & (F.col("l_shipdate") < F.lit("1995-10-01"))
+            ).alias("in_month"),
+        )
+        .repartition("l_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qty_sum"), F.count("*").alias("qty_n")
+    )
+    part_dim = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    below = F.col("qty") * F.col("qty_n") * 2 < F.col("qty_sum")
+    ps = (
+        li.join(per_part.hint("shuffle_hash"), "l_partkey")
+        .join(part_dim, "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_month"),
+                    F.when(F.col("is_promo"), F.col("rev4")).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ).alias("promo_rev4"),
+            F.sum(F.when(F.col("in_month"), F.col("rev4"))).alias(
+                "total_rev4"
+            ),
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        F.col("in_month"),
+                        F.when(F.col("is_promo"), F.col("rev4")).otherwise(
+                            F.lit(0)
+                        ),
+                    )
+                ).cast("double")
+                / F.sum(F.when(F.col("in_month"), F.col("rev4")))
+            ).alias("promo_pct"),
+            F.count(F.when(below, True)).alias("n_items"),
+            (
+                F.sum(F.when(below, F.col("price_c"))).cast("double") / 100
+            ).alias("revenue"),
+        )
+    )
+    promo_small = unpivot(
+        ps,
         [
             ("promo_rev4", "promo_rev4"),
             ("promo_total_rev4", "total_rev4"),
             ("promo_pct", "promo_pct"),
-        ],
-    )
-    small = unpivot(
-        small_quantity_revenue(spark, sf_dir),
-        [
             ("small_qty_n_items", "n_items"),
             ("small_qty_revenue", "revenue"),
         ],
     )
+    # U2 cohort check as counts over one distinct pass (produced
+    # cohorts are non-null: event_type / 'Worldwide').
+    produced = base_events(spark, sf_dir).select("cohort").distinct()
     coh = unpivot(
-        cohort_contract_check(spark, sf_dir).agg(
-            F.count(F.when(F.col("status") == "missing", True)).alias("missing"),
-            F.count(F.when(F.col("status") == "unexpected", True)).alias(
-                "unexpected"
-            ),
+        produced.agg(
+            (
+                F.lit(len(COHORT_ALLOWLIST))
+                - F.count(
+                    F.when(F.col("cohort").isin(*COHORT_ALLOWLIST), True)
+                )
+            ).alias("missing"),
+            F.count(
+                F.when(~F.col("cohort").isin(*COHORT_ALLOWLIST), True)
+            ).alias("unexpected"),
         ),
         [("cohort_missing", "missing"), ("cohort_unexpected", "unexpected")],
     )
+    # repeat customers: per-customer year flags in one orders scan ≡
+    # INTERSECT of the two distinct year sides.
+    yr = F.year("o_orderdate")
     rep = unpivot(
-        repeat_customers_intersect(spark, sf_dir).agg(
-            F.count("*").alias("repeat_customers")
+        load_table(spark, sf_dir, "orders")
+        .filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(yr == 1996).alias("h96"),
+            F.max(yr == 1997).alias("h97"),
+        )
+        .agg(
+            F.count(
+                F.when(F.col("h96") & F.col("h97"), True)
+            ).alias("repeat_customers")
         ),
         [("repeat_customers", "repeat_customers")],
     )
     out = funnel
-    for part in (promo, small, coh, rep):
+    for part in (promo_small, coh, rep):
         out = out.unionByName(part)
     return out
 

@@ -1248,40 +1248,30 @@ def _caption_align_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.core:md5_sign_spark_sql) into CAP_DIM dims, and the
     fixed-point cosine gates the pair.
 
-    Scale shape: NO dim-fan-out row explosion — each token row carries
-    its CAP_DIM sign array and the rollup is CAP_DIM component sums at
-    DOC grain (one map-side-combined groupBy of ~28 rows/doc per
-    side), then one doc-keyed equi-join and a per-row zip_with dot.
-    Pixels and captions never shuffle past tokenization."""
+    Scale shape (round 13): ONE fused Arrow stage per media row —
+    both embeds and the three integer inner products
+    (operators/multimodal.py:caption_align_scores), nothing
+    gram-grain or vector-grain ever crossing the wire. The former
+    shape ran two mapInPandas stages over the same ids, broadcast one
+    into an equi-join, and evaluated three interpreted
+    ``aggregate(zip_with(...))`` HOFs per row — one exchange, one
+    broadcast build, one join, and the HOF class rounds 11-12 retired
+    everywhere else, all gone. Values bit-identical (int64 sums of
+    the same products; every caption oracle pins them)."""
     from firefox_public_data_report_etl_spark.operators.multimodal import (
         CAP_COS2_DEN,
         CAP_COS2_NUM,
-        CAP_DIM,
-        CAP_Q,
         CAP_SCORE_SCALE,
-        attach_captions,
-        attach_neardup_bmp_payload,
-        decode_caption_grid,
+        caption_align_scores,
     )
     from firefox_public_data_report_etl_spark.operators.parallelism import (
         widen_partitions,
     )
 
-    vi, vc = _caption_vectors(spark, sf_dir)
-    scores = vi.join(vc, "media_id").select(
-        "media_id",
-        F.aggregate(
-            F.zip_with("qi", "qc", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
-        F.aggregate(
-            "qi", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("na"),
-        F.aggregate(
-            "qc", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("nb"),
+    docs = widen_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
     )
+    scores = caption_align_scores(docs)
     return scores.select(
         "media_id",
         "dot",
@@ -5467,6 +5457,44 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_bm25_topk``'s scale path, registry-discoverable
+    (round-13 verdict #7): the SERVED-INDEX shape — postings written
+    parquet-partitioned by ``pb = pmod(xxhash64(term), parts)``, then
+    the query batch's top-k read back through the partition-pruned
+    probe (operators/bm25_index.py), which touches only the buckets
+    its query terms hash into and reconstructs exact global df/N/S.
+    At 100 TB this is the deployable form for repeated queries: the
+    index is built once and each query batch reads a term-pruned
+    slice, where the in-query form pays full corpus passes per batch.
+
+    No cross-run state: the index is REBUILT from the parquet inputs
+    on every invocation (overwrite into a fixed scratch dir), so the
+    timed row is always build + probe — the build cost is the honest
+    price of the lifecycle, and the probe side alone is measured by
+    `test_bm25_index`/SCALING.md against the in-query form. Output
+    is bit-identical to ``corpus_bm25_topk`` (same fixed-point
+    contract; the oracle is shared verbatim)."""
+    import os
+    import tempfile
+
+    from firefox_public_data_report_etl_spark.operators.bm25_index import (
+        bm25_topk_against_index,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"fpdr_bm25_probe_index_{os.getpid()}",
+    )
+    build_bm25_index(docs, path)
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0).select(
+        "doc_id", "text"
+    )
+    return bm25_topk_against_index(spark, path, queries, k=BM25_TOP_K)
+
+
 # Shared CTE chain: corpus bigram tf/df/idf tables + per-term BM25
 # contributions for the % 50 query docs — used by the BM25 oracle and
 # (extended with the cosine CTEs) by the hybrid-RRF oracle.
@@ -6531,6 +6559,7 @@ QUERIES = {
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_bm25_topk": corpus_bm25_topk,
+    "corpus_bm25_probe": corpus_bm25_probe,
     "sequence_packing": sequence_packing,
     "train_eval_contamination": train_eval_contamination,
     "contamination_bloom_probe": contamination_bloom_probe,
@@ -6612,6 +6641,7 @@ ORACLES = {
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_ORACLE,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_ORACLE,
     "corpus_bm25_topk": CORPUS_BM25_ORACLE,
+    "corpus_bm25_probe": CORPUS_BM25_ORACLE,
     "sequence_packing": SEQUENCE_PACKING_ORACLE,
     "train_eval_contamination": _contamination_oracle(),
     "contamination_bloom_probe": _contamination_bloom_oracle(),
@@ -6671,6 +6701,10 @@ SCALE_CLASS = {
     "retrieval_hashproj_ivf": "fixed_param",
 }
 SCALE_PATH_FOR = {
+    # the ad-hoc one-shot form stays 'scale' (one batch, full-corpus
+    # passes are its honest cost) but the served-index probe is the
+    # repeated-query production shape — discoverable here (r13 #7)
+    "corpus_bm25_topk": "corpus_bm25_probe",
     "multimodal_caption_retrieval": "multimodal_caption_retrieval_ivf",
     "multimodal_caption_retrieval_scaled": "multimodal_caption_retrieval_ivf",
     "corpus_ccnet_buckets": "corpus_ccnet_buckets_scaled",

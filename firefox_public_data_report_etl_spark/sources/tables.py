@@ -79,9 +79,21 @@ def load_table(
     # idempotent; nanosAsLong keeps legacy TIMESTAMP(NANOS) parquet
     # readable (no-op on current timestamp[us] data), and without UTC
     # the NTZ->TIMESTAMP cast drifts from the DuckDB oracle's naive
-    # read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # read. Set-if-different (round-13 advisor note): load_table is
+    # also called from driver THREAD POOLS (tokenizer_fertility_ab's
+    # concurrent trainers), where unconditional session-global writes
+    # from plain threads are a latent race if the values ever
+    # diverge — the guard makes the steady state read-only.
+    for _k, _v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            _cur = spark.conf.get(_k, None)
+        except Exception:  # Connect: some confs unreadable pre-set
+            _cur = None
+        if _cur != _v:
+            spark.conf.set(_k, _v)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if prune is not None:

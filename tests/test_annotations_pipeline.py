@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from datetime import date, datetime
 
 from pyspark.sql import Row
@@ -28,6 +30,7 @@ def _buildhub(spark):
     return spark.createDataFrame(rows, schema)
 
 
+@pytest.mark.full
 def test_release_first_weeks(spark):
     out = release_first_weeks(
         spark, _buildhub(spark), spine_start="2018-12-31", date_to="2019-06-03"

@@ -6,6 +6,11 @@ the partitions the query terms touch."""
 
 from __future__ import annotations
 
+import pytest
+
+# Index-lifecycle e2e: full profile (corpus_bm25_probe's parity row exercises build+probe in the fast profile).
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.bm25_index import (
@@ -30,6 +35,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.full
 def test_probe_equals_in_query_form(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     path = str(tmp_path / "bm25idx")
@@ -41,6 +47,7 @@ def test_probe_equals_in_query_form(spark, sf_dir, tmp_path):
     assert _rows(got), "fixture must retrieve something"
 
 
+@pytest.mark.full
 def test_append_recombines_to_rebuild(spark, sf_dir, tmp_path):
     """base-built index + appended batch scores EXACTLY like an index
     built from scratch over the union: df comes from the touched

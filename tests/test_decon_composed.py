@@ -5,6 +5,8 @@ the hole the fraction-only rule leaves."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.text import hash_split
@@ -43,6 +45,7 @@ def _write_fixture(spark, tmp_path):
     return leak_id, leak_tokens
 
 
+@pytest.mark.full
 def test_composed_export_rejects_diluted_verbatim_leak(spark, tmp_path):
     leak_id, leak_tokens = _write_fixture(spark, str(tmp_path))
     frac = training_export_decontaminated(spark, str(tmp_path)).toPandas()

@@ -10,6 +10,8 @@ rings, stars, and a seeded random graph.
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import Row
@@ -32,6 +34,7 @@ def _both(spark, edges, max_iter_prop=60):
     )
 
 
+@pytest.mark.full
 def test_star_cc_long_chain(spark):
     # a 25-link chain: diameter 25, log2(26) ~ 5 — the shape where
     # star contraction's round count matters. Every node must label 0.
@@ -69,6 +72,7 @@ def test_star_cc_random_graph_matches_propagation(spark):
     assert prop == star
 
 
+@pytest.mark.full
 def test_star_cc_rounds_exercised_without_partition_coalescing(spark):
     """Force the alternating star rounds to actually RUN: with AQE
     partition coalescing disabled, the internal distinct keeps 8

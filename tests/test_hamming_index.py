@@ -10,6 +10,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# Index-lifecycle e2e (build/append/compact/probe round-trips): full profile; the fast profile keeps the registry parity rows that consume the same operators.
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -84,6 +87,7 @@ def test_probe_equals_in_memory_twin(spark, sf_dir, tmp_path):
     sigs.unpersist()
 
 
+@pytest.mark.full
 def test_append_then_probe_sees_appended_content(spark, sf_dir, tmp_path):
     sigs = _sigs(spark, sf_dir).cache()
     base = sigs.filter(F.col("media_id") % 4 == 0)
@@ -110,6 +114,7 @@ def test_append_then_probe_sees_appended_content(spark, sf_dir, tmp_path):
     sigs.unpersist()
 
 
+@pytest.mark.full
 def test_append_replaces_label_and_guards(spark, sf_dir, tmp_path):
     sigs = _sigs(spark, sf_dir).cache()
     path = str(tmp_path / "hidx")
@@ -141,6 +146,7 @@ def test_append_replaces_label_and_guards(spark, sf_dir, tmp_path):
     sigs.unpersist()
 
 
+@pytest.mark.full
 def test_compaction_preserves_probe_and_newest_label(
     spark, sf_dir, tmp_path
 ):
@@ -180,6 +186,7 @@ def test_compaction_preserves_probe_and_newest_label(
     sigs.unpersist()
 
 
+@pytest.mark.full
 def test_compaction_recovers_interrupted_swap(spark, sf_dir, tmp_path):
     """The exact crash window the swap protocol exists for: src moved
     aside, stage not yet moved in. The next compaction run must
@@ -301,6 +308,7 @@ def test_video_vote_against_persisted_index(spark, sf_dir, tmp_path):
     fh.unpersist()
 
 
+@pytest.mark.full
 def test_streaming_video_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):
@@ -409,6 +417,7 @@ def test_streaming_video_gate_sequential_equivalence_and_replay(
     fh.unpersist()
 
 
+@pytest.mark.full
 def test_streaming_media_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):

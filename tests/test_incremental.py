@@ -7,6 +7,11 @@ filter that actually prunes files."""
 
 from __future__ import annotations
 
+import pytest
+
+# Index-lifecycle e2e: full profile (see test_hamming_index note).
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.dedup import (
@@ -155,6 +160,7 @@ def test_decisions_semantics_on_synthetic_graph(spark):
     }
 
 
+@pytest.mark.full
 def test_append_then_probe_equals_union_index(spark, sf_dir, tmp_path):
     """Weekly lifecycle: build on base, dedup batch1, append batch1's
     KEPT docs, probe batch2 — must equal an in-memory cross against
@@ -207,6 +213,7 @@ def test_append_then_probe_equals_union_index(spark, sf_dir, tmp_path):
         append_to_minhash_index(spark, path, kept1_hs, batch_label=0)
 
 
+@pytest.mark.full
 def test_compaction_preserves_probe_and_cuts_files(spark, sf_dir, tmp_path):
     from firefox_public_data_report_etl_spark.operators.incremental import (
         append_to_minhash_index,
@@ -241,6 +248,7 @@ def test_compaction_preserves_probe_and_cuts_files(spark, sf_dir, tmp_path):
     append_to_minhash_index(spark, path, b1_hs, 1)
 
 
+@pytest.mark.full
 def test_compaction_preserves_latest_label_for_replay(
     spark, sf_dir, tmp_path
 ):
@@ -329,6 +337,7 @@ def test_index_write_restores_overwrite_mode_conf(spark, sf_dir, tmp_path):
             spark.conf.set(key, prev)
 
 
+@pytest.mark.full
 def test_append_label_reuse_fully_replaces_slice(spark, sf_dir, tmp_path):
     """Review fix regression: re-appending a LIVE label with a
     DIFFERENT doc set must fully replace the slice — under the old

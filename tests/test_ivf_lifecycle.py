@@ -12,6 +12,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# Index-lifecycle e2e: full profile (see test_hamming_index note).
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.ivf_lifecycle import (
@@ -131,6 +134,7 @@ def test_exclude_label_prunes_and_masks(spark, sf_dir, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.full
 def test_compaction_preserves_results_and_newest_label(
     spark, sf_dir, tmp_path
 ):
@@ -212,6 +216,7 @@ def test_embed_gate_burst_of_identical_vectors_keeps_one(
     emb.unpersist()
 
 
+@pytest.mark.full
 def test_streaming_embed_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):

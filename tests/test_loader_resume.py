@@ -6,6 +6,11 @@ the prefix checksum lets a resumed run verify what it skipped."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming crash-resume e2e: full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.ordering import (
@@ -106,6 +111,7 @@ def test_checkpoint_commit_marker_and_crash_window(spark, sf_dir, tmp_path):
     order.unpersist()
 
 
+@pytest.mark.full
 def test_streaming_ingestion_crash_resume_end_to_end(spark, sf_dir, tmp_path):
     """Round-12 verdict #5: a STREAMING ingestion of the epoch order is
     killed mid-epoch and resumed COLD (fresh stream, fresh streaming

@@ -143,6 +143,7 @@ def test_regional_revenue_filters_before_fact_fact_join(spark, sf_dir):
     )
 
 
+@pytest.mark.full
 def test_regional_revenue_explicit_bloom_prunes_lineitem(spark, sf_dir):
     """The explicit runtime bloom (operators/runtime_filter.py) must
     (a) place its probe — xxhash64(l_orderkey) bit tests — as a Filter

@@ -3,6 +3,12 @@ the test style the reference lacks entirely (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
+
+# Property-based (hypothesis) suites are minutes-scale: full profile only
+# (FPDR_FULL_TESTS=1); unit/parity coverage of the same operators stays fast.
+pytestmark = pytest.mark.full
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F

@@ -65,6 +65,7 @@ def _partitionless_windows(plan: str) -> list[str]:
     return found
 
 
+@pytest.mark.full
 def test_every_query_is_labeled_classed_or_window_clean(spark):
     sf = "/root/testdata/sf0.001"
     offenders: dict[str, list[str]] = {}

@@ -32,7 +32,20 @@ def test_no_ntz_columns_after_load(spark, sf_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+def _analyze_params():
+    """Default profile analyzes a representative sample (every 3rd
+    name — analysis is cheap except for queries whose construction
+    runs driver actions); FPDR_FULL_TESTS=1 analyzes all. Full
+    coverage also runs via tools/gate_run.py, which EXECUTES every
+    query."""
+    out = []
+    for i, name in enumerate(sorted(QUERIES)):
+        marks = () if i % 3 == 0 else (pytest.mark.full,)
+        out.append(pytest.param(name, marks=marks, id=name))
+    return out
+
+
+@pytest.mark.parametrize("name", _analyze_params())
 def test_registry_query_analyzes(spark, sf_dir, name):
     # .schema forces analysis (resolution + type checking) without
     # running the job; an NTZ-vs-TIMESTAMP mismatch anywhere in the
@@ -56,7 +69,11 @@ def test_scale_class_contract():
     allowed = {"scale", "baseline", "streaming_binding", "fixed_param"}
     assert set(SCALE_CLASS.values()) <= allowed
     non_scale = {n for n, c in SCALE_CLASS.items() if c != "scale"}
-    assert non_scale == set(SCALE_PATH_FOR), (
+    # Every non-scale query MUST name a scale path; a 'scale'-classed
+    # query MAY additionally name one (round 13: corpus_bm25_topk is a
+    # legitimate one-shot production shape whose REPEATED-query
+    # sibling is the served postings index, corpus_bm25_probe).
+    assert non_scale <= set(SCALE_PATH_FOR), (
         "every baseline/streaming_binding query needs a scale_path "
         "and vice versa"
     )

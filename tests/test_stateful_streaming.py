@@ -3,6 +3,11 @@ result must equal the batch aggregation."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e: full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.sources import load_table

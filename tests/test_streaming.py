@@ -4,6 +4,8 @@ produce identical results when run incrementally through readStream
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -152,6 +154,7 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     assert got == expected == [(1, "click"), (2, "view"), (3, "click")]
 
 
+@pytest.mark.full
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     """The interval join must yield the same pair set whether run as a
     batch non-equi join or as a watermarked stream-stream join."""
@@ -190,6 +193,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+@pytest.mark.full
 def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
     """A click and its purchase arriving in DIFFERENT micro-batches
     must still pair (join state buffers the click until the other
@@ -352,6 +356,7 @@ def test_stream_sketch_union_matches_exact(spark, sf_dir, tmp_path):
     assert not (tmp_path / "sketches._old").exists()
 
 
+@pytest.mark.full
 def test_streaming_neardup_gate_sequential_equivalence_and_replay(
     spark, sf_dir, tmp_path
 ):
@@ -527,6 +532,7 @@ def test_streaming_quality_gate_matches_batch_and_replays(
     assert rows2 == rows
 
 
+@pytest.mark.full
 def test_streaming_quality_gate_with_frozen_nb(spark, sf_dir, tmp_path):
     """NB-enabled gate: the frozen classifier margin per streamed doc
     must equal the batch recomputation with the same frozen model,

@@ -6,6 +6,11 @@ all-rejected-reads-empty, 3-trigger wiring."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e: full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.multimodal import (

@@ -4,6 +4,11 @@ the committed-only read contract."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e: full profile.
+pytestmark = pytest.mark.full
+
 import shutil
 from pathlib import Path
 
@@ -105,6 +110,7 @@ def test_within_batch_duplicates_collapse(spark, tmp_path):
     assert got == {2: 0, 4: 1}
 
 
+@pytest.mark.full
 def test_stream_wiring_three_triggers(spark, tmp_path):
     src = tmp_path / "src"
     waves = _waves(spark)

@@ -5,6 +5,11 @@ crash-window invisibility + heal, 3-trigger wiring."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e (multi-trigger replay): full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.winnow_index import (
@@ -88,6 +93,7 @@ def test_single_batch_agrees_with_shared_join(spark, sf_dir, tmp_path):
     assert got_leaked == want_leaked
 
 
+@pytest.mark.full
 def test_replay_identical_and_crash_heal(spark, tmp_path):
     idx = str(tmp_path / "evalidx")
     store = str(tmp_path / "store")
@@ -128,6 +134,7 @@ def test_replay_identical_and_crash_heal(spark, tmp_path):
     assert 200 in ids and 999 not in ids
 
 
+@pytest.mark.full
 def test_stream_wiring_three_triggers(spark, tmp_path):
     idx = str(tmp_path / "evalidx")
     store = str(tmp_path / "store")
@@ -152,6 +159,7 @@ def test_stream_wiring_three_triggers(spark, tmp_path):
     assert read_decisions(spark, store).filter("leaked").count() == 1
 
 
+@pytest.mark.full
 def test_all_rejected_store_reads_as_empty(spark, tmp_path):
     """The gate-family contract: a store where EVERY row of every
     batch was rejected reads as empty, not as an inference error

@@ -7,6 +7,11 @@ plus exactly-once replay of the last epoch."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e: full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.sources import load_table
@@ -23,6 +28,7 @@ def _rows(df):
     return {r["event_id"]: tuple(r[k] for k in KEY) for r in df.collect()}
 
 
+@pytest.mark.full
 def test_stream_pit_enrich_three_waves_and_replay(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"

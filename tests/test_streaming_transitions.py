@@ -4,11 +4,17 @@ micro-batch boundaries (the carried last-event state)."""
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming wiring e2e: full profile.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.sources import load_table
 
 
+@pytest.mark.full
 def test_streaming_transitions_match_batch(spark, sf_dir, tmp_path):
     from firefox_public_data_report_etl_spark.plans.windowsq import (
         event_transition_matrix,

@@ -156,3 +156,50 @@ def test_token_counts_equal_full_encode_rollup(spark, sf_dir):
         for r in unigram_token_counts(docs, pieces).collect()
     }
     assert cnt_u == full_u
+
+
+def test_empty_words_agree_across_encode_paths(spark):
+    """Round-13 advisor fix: documents with consecutive / leading /
+    trailing spaces produce EMPTY words, which must encode to zero
+    tokens on every path — the counts-only reduction, the plain
+    encode, and the encode with a trainer-supplied alphabet (the
+    plans' fused path). Before the fix, the counts path charged 2
+    separator artifacts per empty word while the alphabet-joined
+    encode dropped them (and the auto-derived alphabet picked up ''
+    as a phantom character)."""
+    from firefox_public_data_report_etl_spark.operators.text import (
+        bpe_apply,
+        bpe_token_counts,
+        unigram_apply,
+        unigram_token_counts,
+    )
+
+    docs = _mk_docs(spark, ["ab ab  ba ", " ab", "  "])
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs).orderBy("step").collect()
+    ]
+    alphabet = sorted({c for t in ["ab", "ba"] for c in t})
+    rollup = lambda df: {
+        r["doc_id"]: r["count"]
+        for r in df.groupBy("doc_id").count().collect()
+    }
+    full = rollup(bpe_apply(docs, merges))
+    full_alpha = rollup(bpe_apply(docs, merges, alphabet=alphabet))
+    cnt = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert full == full_alpha
+    # the all-spaces doc encodes to zero tokens => absent from every
+    # rollup; docs with real words agree row-for-row
+    assert cnt == full
+    assert set(full) == {0, 1}  # doc 2 ("  ") emits nothing
+
+    pieces = unigram_train(docs)
+    full_u = rollup(unigram_apply(docs, pieces))
+    cnt_u = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_token_counts(docs, pieces).collect()
+    }
+    assert cnt_u == full_u

@@ -6,6 +6,11 @@ compaction preserves results while folding labels."""
 
 from __future__ import annotations
 
+import pytest
+
+# Index-lifecycle e2e: full profile (see test_hamming_index note).
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from firefox_public_data_report_etl_spark.operators.winnow_index import (
@@ -49,6 +54,7 @@ def test_probe_equals_registry_form(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.full
 def test_append_then_probe_sees_both_slices(spark, sf_dir, tmp_path):
     _, base, batch = _split(spark, sf_dir)
     half = base.filter(F.col("doc_id") % 2 == 1)
@@ -77,6 +83,7 @@ def test_exclude_label_masks_slice(spark, sf_dir, tmp_path):
     assert base_ids and all(i % 2 == 1 for i in base_ids)
 
 
+@pytest.mark.full
 def test_append_idempotent_and_compact_preserves(spark, sf_dir, tmp_path):
     _, base, batch = _split(spark, sf_dir)
     half = base.filter(F.col("doc_id") % 2 == 1)
